@@ -1,0 +1,147 @@
+package graft.core.seqfile
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden interop tests against the binary fixtures written by real Hadoop
+  * (reference: tests/MakeSequenceFiles.java:16-27), strengthening the
+  * reference's print-only smoke checks (reference: tests/Main.hs:13-37) into
+  * assertions. */
+class SeqFileGoldenSpec extends AnyFunSuite {
+
+  val textInt = "/root/reference/tests/text-int.seq"
+  val longDouble = "/root/reference/tests/long-double.seq"
+
+  test("text-int.seq header: classes, codec, sync") {
+    val h = SeqFile.readHeader(textInt)
+    assert(h.keyClass === "org.apache.hadoop.io.Text")
+    assert(h.valueClass === "org.apache.hadoop.io.IntWritable")
+    assert(h.codecClass === SeqHeader.SnappyCodecClass)
+    assert(h.metadata.isEmpty)
+    assert(h.sync.length === 16)
+    assert(h.keyType === WritableType.TextW)
+    assert(h.valueType === WritableType.IntW)
+  }
+
+  test("text-int.seq: 100,000 records in 2 blocks (count-only scan)") {
+    assert(SeqFile.recordCount(textInt) === 100000L)
+    val r = SeqFile.open(textInt, decodeKey = false, decodeValue = false)
+    try assert(r.size === 2)
+    finally r.close()
+  }
+
+  test("text-int.seq: full decode — key range, key shape, value range") {
+    val r = SeqFile.open(textInt)
+    var n = 0L
+    var minKey: String = null
+    var maxKey: String = null
+    try {
+      for (b <- r) {
+        val keys = b.keys.get.asInstanceOf[BinaryColumn]
+        val vals = b.values.get.asInstanceOf[IntColumn]
+        assert(keys.size === b.count)
+        assert(vals.size === b.count)
+        var i = 0
+        while (i < b.count) {
+          val k = keys.sliceString(i)
+          assert(k.length === 8 && k.charAt(0) === 'F', s"key shape: $k")
+          if (minKey == null || k < minKey) minKey = k
+          if (maxKey == null || k > maxKey) maxKey = k
+          val v = vals.values(i)
+          assert(v >= 0 && v <= 100, s"value out of range: $v")
+          i += 1
+        }
+        n += b.count
+      }
+    } finally r.close()
+    assert(n === 100000L)
+    // generator keys are F%07d over 0..99999 (reference: MakeSequenceFiles.java:23-27)
+    assert(minKey === "F0000000")
+    assert(maxKey === "F0099999")
+  }
+
+  test("long-double.seq decodes fully, both blocks, plausible values") {
+    val r = SeqFile.open(longDouble)
+    var n = 0L
+    var blocks = 0
+    try {
+      for (b <- r) {
+        blocks += 1
+        val keys = b.keys.get.asInstanceOf[LongColumn]
+        val vals = b.values.get.asInstanceOf[DoubleColumn]
+        assert(keys.size === b.count && vals.size === b.count)
+        vals.values.foreach(d => assert(!d.isNaN))
+        n += b.count
+      }
+    } finally r.close()
+    assert(blocks === 2)
+    assert(n > 0)
+  }
+
+  test("column pruning decodes only the requested side") {
+    val r = SeqFile.open(textInt, decodeKey = true, decodeValue = false)
+    try {
+      val b = r.next()
+      assert(b.keys.isDefined && b.values.isEmpty)
+      assert(b.keys.get.size === b.count)
+    } finally r.close()
+  }
+
+  test("split contract: two splits partition the blocks exactly") {
+    val h = SeqFile.readHeader(textInt)
+    val fileLen = new java.io.File(textInt).length()
+    val mid = fileLen / 2
+    def blocksIn(s: Long, e: Long): Seq[Int] = {
+      val in = new LocalSeekableInput(java.nio.file.Paths.get(textInt))
+      val rd = new SeqBlockReader(in, h, s, e, decodeKey = false, decodeValue = false)
+      try rd.map(_.count).toList
+      finally rd.close()
+    }
+    val whole = blocksIn(0, fileLen)
+    val left = blocksIn(0, mid)
+    val right = blocksIn(mid, fileLen)
+    assert(left ++ right === whole)
+    assert(whole.map(_.toLong).sum === 100000L)
+    // degenerate split entirely inside one block yields nothing
+    val none = blocksIn(fileLen - 10, fileLen)
+    assert(none.isEmpty)
+  }
+
+  test("corrupted sync marker is detected") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(textInt))
+    val h = SeqFile.readHeader(textInt)
+    // flip one byte of the first block's sync copy (dataStart+4 .. +20)
+    bytes((h.dataStart + 10).toInt) = (bytes((h.dataStart + 10).toInt) ^ 0x5a).toByte
+    val tmp = java.nio.file.Files.createTempFile("corrupt", ".seq")
+    java.nio.file.Files.write(tmp, bytes)
+    try {
+      val ex = intercept[SeqFileFormatException] {
+        SeqFile.recordCount(tmp.toString)
+      }
+      assert(ex.getMessage.contains("corrupt"))
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
+  test("header validation failures match the reference's restrictions") {
+    def mutated(f: Array[Byte] => Unit): String = {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(textInt))
+      f(bytes)
+      val tmp = java.nio.file.Files.createTempFile("hdr", ".seq")
+      java.nio.file.Files.write(tmp, bytes)
+      tmp.toString
+    }
+    // bad magic (reference: Parser.hs:45-47)
+    val badMagic = mutated(b => b(0) = 'X'.toByte)
+    assert(intercept[SeqFileFormatException](SeqFile.readHeader(badMagic))
+      .getMessage.contains("magic"))
+    // bad version (reference: Parser.hs:49-51)
+    val badVersion = mutated(b => b(3) = 5)
+    assert(intercept[SeqFileFormatException](SeqFile.readHeader(badVersion))
+      .getMessage.contains("version"))
+    // not block-compressed (reference: Parser.hs:56-60): flip the two bool
+    // bytes right after the two class names
+    val boolOff = 4 + 1 + 25 + 1 + 32 // magic+ver, vint+Text, vint+IntWritable
+    val notBlock = mutated(b => b(boolOff + 1) = 0)
+    assert(intercept[SeqFileFormatException](SeqFile.readHeader(notBlock))
+      .getMessage.contains("block compressed"))
+  }
+}
