@@ -1,0 +1,158 @@
+package graft.sources.seqfile
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.seqfile._
+
+/** Spark DataSource V2 provider for Hadoop SequenceFiles (block-Snappy),
+  * registered as format "seqfile".
+  *
+  * Read:  `spark.read.format("seqfile").load(path)` →
+  *        schema `(key <K> , value <V>)` resolved from the file header's Java
+  *        class names, the reference's schema model (reference:
+  *        src/Data/Hadoop/SequenceFile/Types.hs:16-25, Parser.hs:53-54).
+  * Write: `df.write.format("seqfile").save(path)` — version-6 BLOCK+Snappy
+  *        files (the write support the reference's README promises but never
+  *        implements, reference: README.md:3-5).
+  */
+class SeqFileDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "seqfile"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val paths = SeqFileDataSource.resolvePaths(options)
+    val conf = new Configuration()
+    val files = SeqFileDataSource.listFiles(paths, conf)
+    if (files.isEmpty)
+      throw new SeqFileFormatException(
+        s"no sequence files found at ${paths.mkString(",")}")
+    // Schema comes from the first file's header (class names → Catalyst
+    // types), exactly the reference's header-driven schema resolution.
+    val header = SeqFileDataSource.readHeader(files.head.getPath, conf)
+    SeqFileSchema.schemaFor(header.keyType, header.valueType)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new SeqFileTable(schema, SeqFileDataSource.resolvePaths(options))
+  }
+}
+
+object SeqFileDataSource {
+
+  /** Spark passes a single `load(p)` as option "path" and multi-path loads as
+    * option "paths" (a JSON string array). */
+  def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).map { json =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readValue(json, classOf[Array[String]]).toSeq
+    }.getOrElse(Nil)
+    val single = Option(options.get("path")).toSeq
+    val all = (single ++ multi).distinct
+    if (all.isEmpty)
+      throw new IllegalArgumentException("seqfile: 'path' option required")
+    all
+  }
+
+  /** List data files under each path (directory, glob, or file), skipping
+    * hidden/_SUCCESS-style entries. Uses the Hadoop FileSystem API so HDFS /
+    * S3 paths work unchanged on a real cluster. */
+  def listFiles(paths: Seq[String], conf: Configuration): Seq[FileStatus] = {
+    paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matched: Seq[FileStatus] =
+        Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      matched.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }
+    }.filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(_.getPath.toString)
+  }
+
+  def readHeader(path: Path, conf: Configuration): SeqHeader = {
+    val in = new HadoopSeekableInput(path, conf)
+    try SeqHeader.parse(new SeqInput(in))
+    finally in.close()
+  }
+}
+
+/** SeekableInput over Hadoop's FSDataInputStream (positioned reads), so the
+  * core codec runs against any Hadoop filesystem. */
+final class HadoopSeekableInput(path: Path, conf: Configuration) extends SeekableInput {
+  private val fs = path.getFileSystem(conf)
+  private val stream = fs.open(path)
+  val length: Long = fs.getFileStatus(path).getLen
+  def readAt(pos: Long, buf: Array[Byte], off: Int, len: Int): Int =
+    if (pos >= length) -1 else stream.read(pos, buf, off, len)
+  def close(): Unit = stream.close()
+}
+
+/** Class-name ↔ Catalyst type mapping for the 8 reference Writables
+  * (reference type table: src/Data/Hadoop/Writable.hs:73-106). */
+object SeqFileSchema {
+
+  def sparkType(w: WritableType): DataType = w match {
+    case WritableType.NullW => NullType
+    case WritableType.ShortW => ShortType
+    case WritableType.IntW => IntegerType
+    case WritableType.LongW => LongType
+    case WritableType.FloatW => FloatType
+    case WritableType.DoubleW => DoubleType
+    case WritableType.BytesW => BinaryType
+    case WritableType.TextW => StringType
+  }
+
+  def writableFor(dt: DataType): WritableType = dt match {
+    case NullType => WritableType.NullW
+    case ShortType => WritableType.ShortW
+    case IntegerType => WritableType.IntW
+    case LongType => WritableType.LongW
+    case FloatType => WritableType.FloatW
+    case DoubleType => WritableType.DoubleW
+    case BinaryType => WritableType.BytesW
+    case StringType => WritableType.TextW
+    case other => throw new SeqFileFormatException(
+      s"no Writable mapping for Spark type $other; supported: " +
+        "null/short/int/long/float/double/binary/string")
+  }
+
+  /** Format schema: the record is exactly one (key, value) pair
+    * (reference: Types.hs:32-38). Only NullWritable columns are nullable. */
+  def schemaFor(k: WritableType, v: WritableType): StructType = StructType(Seq(
+    StructField("key", sparkType(k), nullable = k == WritableType.NullW),
+    StructField("value", sparkType(v), nullable = v == WritableType.NullW)))
+
+  /** Validate a table schema (possibly user-supplied) against a concrete
+    * file header, failing fast like the reference's per-stream type check
+    * (reference: Parser.hs:84-91). */
+  def validate(schema: StructType, header: SeqHeader, path: String): Unit = {
+    val expected = schemaFor(header.keyType, header.valueType)
+    val gotTypes = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    for (f <- expected.fields) {
+      gotTypes.get(f.name) match {
+        case Some(dt) if dt != f.dataType =>
+          throw new SeqFileFormatException(
+            s"$path: schema mismatch for column '${f.name}': file has " +
+              s"${header.keyClass}/${header.valueClass} → ${f.dataType}, query expects $dt")
+        case _ => () // pruned or matching
+      }
+    }
+  }
+}

@@ -1,0 +1,144 @@
+package graft.sources.seqfile
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.seqfile._
+
+/** Scan builder with column pruning — the connector-level optimization the
+  * reference cannot do (it always decodes both columns, reference:
+  * Parser.hs:109-110): a keys-only query never snappy-decompresses the value
+  * buffers, and a bare count() decompresses nothing at all. */
+class SeqFileScanBuilder(tableSchema: StructType, paths: Seq[String],
+                         options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new SeqFileScan(tableSchema, required, paths,
+      maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
+        .getOrElse(128L * 1024 * 1024))
+}
+
+class SeqFileScan(tableSchema: StructType, required: StructType,
+                  paths: Seq[String], maxSplitBytes: Long)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"seqfile paths=${paths.mkString(",")} columns=${required.fieldNames.mkString(",")}"
+
+  override def toBatch: Batch = this
+
+  /** One partition per `maxSplitBytes` byte range per file; ranges align
+    * themselves to record-block boundaries at read time by scanning for the
+    * next sync marker (semantics of reference: Parser.hs:93-101). At 100 TB
+    * this yields ~800k splits of 128 MiB — Spark's scheduler handles that;
+    * tune `maxSplitBytes` upward for very large clusters. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val files = SeqFileDataSource.listFiles(paths, conf)
+    files.flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
+      (0L until n).map { i =>
+        SeqFilePartition(st.getPath.toString, i * maxSplitBytes,
+          math.min((i + 1) * maxSplitBytes, len))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqFileReaderFactory(tableSchema, required)
+}
+
+case class SeqFilePartition(path: String, start: Long, end: Long) extends InputPartition
+
+class SeqFileReaderFactory(tableSchema: StructType, required: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SeqFilePartitionReader(partition.asInstanceOf[SeqFilePartition], tableSchema, required)
+}
+
+/** Executor-side reader: parse this file's header (one small read), validate
+  * it against the query schema (reference: Parser.hs:84-91 fail-fast), then
+  * stream record blocks in the split's byte range and emit rows. */
+class SeqFilePartitionReader(part: SeqFilePartition, tableSchema: StructType,
+                             required: StructType)
+  extends PartitionReader[InternalRow] {
+
+  private val input = new HadoopSeekableInput(new Path(part.path), new Configuration())
+  private val header = SeqHeader.parse(new SeqInput(input))
+  // Validate the FULL table schema, not just the pruned projection: the
+  // reference fails the whole stream on a type mismatch even if the consumer
+  // never touches the mismatched column (reference: Parser.hs:84-91), and a
+  // bare count() prunes everything.
+  SeqFileSchema.validate(tableSchema, header, part.path)
+
+  private val needKey = required.fieldNames.exists(_.equalsIgnoreCase("key"))
+  private val needValue = required.fieldNames.exists(_.equalsIgnoreCase("value"))
+
+  private val blocks = new SeqBlockReader(input, header, part.start, part.end,
+    decodeKey = needKey, decodeValue = needValue)
+
+  private var block: DecodedBlock = null
+  private var rowIdx = 0
+  private val row = new GenericInternalRow(required.length)
+
+  // Per-output-field accessor: (block, record index) → catalyst value.
+  // Driven by the required field's Catalyst type (already validated against
+  // the header). StringType wraps the block buffer via UTF8String.fromBytes
+  // without copying; BinaryType copies (consumers may retain the array).
+  private val getters: Array[(DecodedBlock, Int) => Any] =
+    required.fields.map { f =>
+      val fromKey = f.name.equalsIgnoreCase("key")
+      if (!fromKey && !f.name.equalsIgnoreCase("value"))
+        throw new SeqFileFormatException(s"unknown column '${f.name}' (expect key/value)")
+      def col(b: DecodedBlock): ColumnData = if (fromKey) b.keys.get else b.values.get
+      val g: (DecodedBlock, Int) => Any = f.dataType match {
+        case NullType => (_, _) => null
+        case ShortType => (b, i) => col(b).asInstanceOf[ShortColumn].values(i)
+        case IntegerType => (b, i) => col(b).asInstanceOf[IntColumn].values(i)
+        case LongType => (b, i) => col(b).asInstanceOf[LongColumn].values(i)
+        case FloatType => (b, i) => col(b).asInstanceOf[FloatColumn].values(i)
+        case DoubleType => (b, i) => col(b).asInstanceOf[DoubleColumn].values(i)
+        case StringType => (b, i) => {
+          val c = col(b).asInstanceOf[BinaryColumn]
+          UTF8String.fromBytes(c.bytes, c.starts(i), c.lens(i))
+        }
+        case BinaryType => (b, i) => col(b).asInstanceOf[BinaryColumn].slice(i)
+        case other => throw new SeqFileFormatException(s"unsupported read type $other")
+      }
+      g
+    }
+
+  override def next(): Boolean = {
+    while (block == null || rowIdx >= block.count) {
+      if (!blocks.hasNext) return false
+      block = blocks.next()
+      rowIdx = 0
+    }
+    var f = 0
+    while (f < getters.length) {
+      row.update(f, getters(f)(block, rowIdx))
+      f += 1
+    }
+    rowIdx += 1
+    true
+  }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = blocks.close()
+}

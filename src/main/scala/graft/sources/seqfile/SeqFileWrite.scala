@@ -1,0 +1,123 @@
+package graft.sources.seqfile
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.seqfile._
+
+/** DSv2 batch write: each task writes one version-6 BLOCK+Snappy part file
+  * under the target directory (framing = exact inverse of what the reference
+  * decodes, reference: cbits/decode.c:76-118). mode("overwrite") maps to
+  * truncate(). Commit protocol: tasks write to a hidden `.inprogress` name
+  * and rename on task commit — rename is atomic on HDFS/local; on object
+  * stores it's copy+delete, acceptable for part files. */
+class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
+                          options: CaseInsensitiveStringMap)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      require(paths.size == 1, s"seqfile write needs exactly one path, got $paths")
+      // Record = one (key, value) pair (reference: Types.hs:32-38). Accept
+      // any 2-column schema: first column → key, second → value.
+      require(schema.length == 2,
+        s"seqfile schema must have exactly 2 columns (key, value); got ${schema.catalogString}")
+      new SeqFileBatchWrite(schema, paths.head, truncateFirst)
+    }
+  }
+}
+
+class SeqFileBatchWrite(schema: StructType, path: String, truncateFirst: Boolean)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = new Configuration()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (truncateFirst && fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    new SeqFileWriterFactory(schema, path)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    messages.collect { case m: SeqFileCommitMessage =>
+      val p = new Path(m.path)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+  }
+}
+
+case class SeqFileCommitMessage(path: String) extends WriterCommitMessage
+
+class SeqFileWriterFactory(schema: StructType, dir: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SeqFileDataWriter(schema, dir, partitionId, taskId)
+}
+
+class SeqFileDataWriter(schema: StructType, dir: String, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val keyType = SeqFileSchema.writableFor(schema(0).dataType)
+  private val valueType = SeqFileSchema.writableFor(schema(1).dataType)
+  private val conf = new Configuration()
+  private val finalPath =
+    new Path(dir, f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.seq")
+  private val tempPath = new Path(dir, s".inprogress-${finalPath.getName}")
+  private val fs = tempPath.getFileSystem(conf)
+  private val out = fs.create(tempPath, true)
+  private val writer = new SeqFileWriter(out, keyType, valueType)
+
+  private val keyGet = valueGetter(schema(0).dataType, 0)
+  private val valGet = valueGetter(schema(1).dataType, 1)
+
+  private def valueGetter(dt: DataType, ord: Int): InternalRow => Any = dt match {
+    case NullType => _ => null
+    case ShortType => r => r.getShort(ord)
+    case IntegerType => r => r.getInt(ord)
+    case LongType => r => r.getLong(ord)
+    case FloatType => r => r.getFloat(ord)
+    case DoubleType => r => r.getDouble(ord)
+    case StringType => r => r.getUTF8String(ord).getBytes // pre-encoded UTF-8
+    case BinaryType => r => r.getBinary(ord)
+    case other => throw new SeqFileFormatException(s"unsupported write type $other")
+  }
+
+  override def write(row: InternalRow): Unit = {
+    // The format has no null-within-column representation (only whole-column
+    // NullWritable, reference: Writable.hs:73-75) — fail fast like the
+    // reference's type check would.
+    if (keyType != WritableType.NullW && row.isNullAt(0))
+      throw new SeqFileFormatException("seqfile cannot encode NULL key (no null representation in format)")
+    if (valueType != WritableType.NullW && row.isNullAt(1))
+      throw new SeqFileFormatException("seqfile cannot encode NULL value (no null representation in format)")
+    writer.append(keyGet(row), valGet(row))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    if (!fs.rename(tempPath, finalPath))
+      throw new java.io.IOException(s"failed to commit $tempPath -> $finalPath")
+    SeqFileCommitMessage(finalPath.toString)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Exception => () }
+    if (fs.exists(tempPath)) fs.delete(tempPath, false)
+  }
+
+  override def close(): Unit = ()
+}
