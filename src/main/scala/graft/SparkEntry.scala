@@ -1,13 +1,412 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a matching DuckDB oracle in `oracleSql`
+  * unless the operator is not SQL-expressible (then the driver records a
+  * rows-only check). Column aliases match between the Spark plan and the
+  * oracle SQL exactly; result row order is pinned by explicit sorts on both
+  * sides.
+  *
+  * Scale notes (local[32] tests, 1000-executor design): dimension joins are
+  * broadcast; fact-fact joins shuffle on join keys; aggregates rely on
+  * partial (map-side) aggregation; AQE handles skew at runtime.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects. Sessions set
+    * spark.sql.legacy.parquet.nanosAsLong=true (see Verify/Bench), making ts
+    * arrive as nanos-since-epoch LongType; convert with integer division
+    * (nanos exceed double's 2^53 mantissa — a floating divide would corrupt
+    * microseconds). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * TPC-H Q3 shape: 3-way join + agg + top-k. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q3_shipping_priority")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- scan + filter + projection (predicate/column pushdown) ----
+    "q_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01"
+          && col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- TPC-H Q1: wide aggregation with computed measures ----
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= "1998-09-02")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- TPC-H Q3: join + agg + top-k (broadcast dim, shuffle fact join) ----
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < "1997-01-01")
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > "1997-01-01")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- TPC-H Q5 shape: 6-way join, broadcast dims ----
+    "q5_local_supplier" -> ((s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ---- TPC-H Q6: selective filter + global agg ----
+    "q6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01"
+          && col("l_discount") >= 0.03 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ---- sort + limit (TakeOrderedAndProject) ----
+    "q_sort_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    }),
+
+    // ---- window functions: rank within partition + running sum ----
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cum_spend", round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("cum_spend"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // ---- distinct aggregation ----
+    "q_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- rollup (grouping sets) ----
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- set operations: intersect + except over derived sets ----
+    "q_setops" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val y96 = ord.filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+        .select(col("o_custkey"))
+      val y97 = ord.filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1998-01-01")
+        .select(col("o_custkey"))
+      y96.intersect(y97).except(
+        ord.filter(col("o_totalprice") > 400000).select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- semi/anti joins (EXISTS / NOT EXISTS) ----
+    "q_semi_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      val withBig = cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_big"))
+      val without = cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_big"))
+      withBig.join(without, Seq("c_mktsegment"), "full_outer")
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- scalar functions: string/date/math ----
+    "q_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_size") >= 10)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_up"),
+          substring(col("p_type"), 1, 6).as("type_pfx"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          round(abs(col("p_retailprice") - 1000.0), 2).as("price_dist"),
+          (col("p_size") % 7).as("size_mod"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- date/time functions + join on derived keys ----
+    "q_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("o_year"), col("o_month"))
+    }),
+
+    // ---- tumbling event-time windows (batch form of the streaming agg) ----
+    "q_events_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    // ---- gap-based sessionization via window functions ----
+    "q_events_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val gapped = events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      gapped.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ---- seqfile round-trip: lineitem → our connector → agg ----
+    // Exercises the whole format path (write framing, sync splits, decode)
+    // inside the correctness gate; the oracle runs on the original parquet.
+    "q_seqfile_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-seq-rt").toString
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("key"),
+          col("l_extendedprice").as("value"))
+        .write.format("seqfile").mode("overwrite").save(tmp)
+      s.read.format("seqfile")
+        .option("maxSplitBytes", (1 << 20).toString).load(tmp)
+        .groupBy((col("key") % 10).as("key_mod"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_price"))
+        .orderBy(col("key_mod"))
+    }),
+  )
+
+  /** DuckDB-runnable oracles over the same parquet tables. Table names are
+    * bare (driver registers views named after the files). */
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount > 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_sort_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn, cum_spend FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER w AS rn,
+        |    round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_setops" ->
+      """(SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        | INTERSECT
+        | SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_semi_anti" ->
+      """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000),
+        |w AS (SELECT c_mktsegment, count(*) AS n_with_big FROM customer
+        |      WHERE EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+        |      GROUP BY c_mktsegment),
+        |wo AS (SELECT c_mktsegment, count(*) AS n_without_big FROM customer
+        |       WHERE NOT EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+        |       GROUP BY c_mktsegment)
+        |SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+        |       n_with_big, n_without_big
+        |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_up,
+        |  substring(p_type, 1, 6) AS type_pfx,
+        |  length(p_name) AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  round(abs(p_retailprice - 1000.0), 2) AS price_dist,
+        |  p_size % 7 AS size_mod
+        |FROM part
+        |WHERE p_size >= 10
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY o_year, o_month""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY ws, event_type""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH gapped AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM gapped
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_seqfile_roundtrip" ->
+      """SELECT l_orderkey % 10 AS key_mod, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY key_mod""".stripMargin,
+  )
 }
