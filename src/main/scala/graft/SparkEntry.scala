@@ -238,6 +238,108 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_price"))
         .orderBy(col("key_mod"))
     }),
+
+    // ================= LLM-pipeline operators =================
+
+    // ---- exact dedup via 64-bit content fingerprint ----
+    "q_dedup_exact" -> ((s, dir) => {
+      graft.operators.Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(when(col("is_rep"), 0).otherwise(1)).as("n_dup_docs"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- exact word-3-gram Jaccard near-dup pairs ----
+    "q_dedup_ngram" -> ((s, dir) => {
+      graft.operators.Dedup.ngramJaccardPairs(
+          t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- MinHash+LSH near-dup pairs (exact-verified; same oracle as above) ----
+    "q_dedup_minhash" -> ((s, dir) => {
+      graft.operators.Dedup.minHashLshPairs(
+          t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- SimHash near-dup pairs (hash not SQL-replicable → rows-only) ----
+    "q_dedup_simhash" -> ((s, dir) => {
+      graft.operators.Dedup.simhashPairs(
+          t(s, dir, "documents"), "doc_id", "text", maxHamming = 7, numChunks = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- embedding-cosine near-dup pairs ----
+    "q_dedup_embedding" -> ((s, dir) => {
+      graft.operators.Dedup.cosineNeardupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- ANN: brute-force cosine top-k baseline ----
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- ANN: LSH-bucketed (approximate → rows-only; recall tested) ----
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.lshTopK(
+          emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 10, dim = 64)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- ANN: IVF-flat (approximate → rows-only; recall tested) ----
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.ivfTopK(
+          emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- text statistics ----
+    "q_text_stats" -> ((s, dir) => {
+      import graft.functions.TextAnalysis._
+      val d = t(s, dir, "documents")
+      val toks = tokens(col("text"))
+      d.select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(toks).as("n_tokens"),
+          round(coalesce(aggregate(toks, lit(0L), (acc, x) => acc + length(x)), lit(0L))
+            / greatest(size(toks), lit(1)).cast("double"), 4).as("avg_tok_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- language identification (heuristic replicated in the oracle) ----
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(graft.functions.TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))
+    }),
+
+    // ---- quality scoring ----
+    "q_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- document fingerprinting (counts are oracle-checkable) ----
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(graft.functions.TextAnalysis.fingerprint(col("text")))
+            .as("n_distinct_fp"))
+    }),
   )
 
   /** DuckDB-runnable oracles over the same parquet tables. Table names are
@@ -408,5 +510,66 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY key_mod""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_unique,
+        |  count(*) - count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_dup_docs
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q_dedup_ngram" -> SparkEntryOracles.ngramJaccardPairsSql,
+    // MinHash+LSH is exact-verified with P(miss | j>=0.8) ~ 1e-5, so it
+    // shares the exact-Jaccard oracle.
+    "q_dedup_minhash" -> SparkEntryOracles.ngramJaccardPairsSql,
+
+    "q_dedup_embedding" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, n_id, rank, round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS n_tokens,
+        |  round(coalesce(list_sum(list_transform(
+        |      list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0),
+        |      x -> length(x))), 0)
+        |    / greatest(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)), 1), 4) AS avg_tok_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> SparkEntryOracles.langIdSql,
+
+    "q_quality_score" -> SparkEntryOracles.qualityScoreSql,
+
+    "q_fingerprint" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_distinct_fp
+        |FROM documents""".stripMargin,
   )
 }

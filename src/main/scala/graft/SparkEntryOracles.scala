@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.TextAnalysis
+
+/** Longer DuckDB oracle texts, kept out of the SparkEntry map literal. Each
+  * replicates the corresponding Spark plan's semantics exactly (same token
+  * definition, same arithmetic shape, same rounding). */
+object SparkEntryOracles {
+
+  /** Exact word-3-gram Jaccard pairs at threshold 0.8 — oracle for both the
+    * exact join formulation and the (exact-verified) MinHash-LSH pipeline. */
+  val ngramJaccardPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(ix / (sa.n + sb.n - ix), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE ix / (sa.n + sb.n - ix) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hits(lang: String): String =
+    s"len(list_filter(w, x -> list_contains(${sqlList(TextAnalysis.stopwords(lang))}, x)))"
+
+  /** Replicates TextAnalysis.langId: CJK ratio then stopword argmax with
+    * fixed preference order. */
+  val langIdSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS w,
+       |    length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, text, cjk,
+       |    ${hits("en")} AS s_en, ${hits("de")} AS s_de,
+       |    ${hits("fr")} AS s_fr, ${hits("es")} AS s_es
+       |  FROM toks),
+       |pred AS (
+       |  SELECT CASE
+       |    WHEN cjk * 10 > length(text) * 3 THEN 'zh'
+       |    WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       |    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       |    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       |    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       |    ELSE 'es' END AS lang_pred
+       |  FROM scored)
+       |SELECT lang_pred, count(*) AS n FROM pred
+       |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+
+  /** Replicates TextAnalysis.qualityScore arithmetic shape exactly. */
+  val qualityScoreSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    greatest(length(text), 1) AS n,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS w
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    (length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))) * -1.0 / n + 1.0 AS alpha_ratio,
+       |    (length(text) - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))) * -1.0 / n + 1.0 AS punct_ratio,
+       |    ${hits("en")} * 1.0 / greatest(len(w), 1) AS stop_ratio,
+       |    least(len(w) / 20.0, 1.0) AS len_score
+       |  FROM t)
+       |SELECT doc_id,
+       |  round(greatest(least(
+       |    len_score * 0.4 + alpha_ratio * 0.3 +
+       |    least(stop_ratio * 5.0, 1.0) * 0.2 +
+       |    (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.1, 1.0), 0.0), 4) AS quality
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines, built
+  * from codegen'd Spark built-ins (split/regexp/HOFs) plus the custom
+  * expressions in this package. Every function is deterministic and (except
+  * the hash-based ones) reproducible in ANSI SQL for the DuckDB oracle.
+  *
+  * All operate row-local → embarrassingly parallel, no shuffle: at 100 TB
+  * these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword segmentation: alternating letter runs / digit runs /
+    * single other chars (the common pre-tokenization regex shape). */
+  def subwordTokens(text: Column): Column =
+    filter(split(lower(text), "(?<=[a-z])(?=[^a-z])|(?<=[0-9])(?=[^0-9])|(?<=[^a-z0-9])(?=.)"),
+      t => length(trim(t)) > 0)
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard dedup. */
+  def wordShingles(text: Column, n: Int): Column = {
+    require(n >= 1 && n <= 8)
+    val w = tokens(text)
+    val count = size(w) - (n - 1)
+    val grams = transform(sequence(lit(1), greatest(count, lit(0))),
+      i => concat_ws(" ", (0 until n).map(d => element_at(w, i + d)): _*))
+    array_distinct(when(count >= 1, grams).otherwise(array()))
+  }
+
+  /** Character n-gram shingles (distinct) over normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val count = length(norm) - (n - 1)
+    array_distinct(when(count >= 1,
+      transform(sequence(lit(1), greatest(count, lit(0))),
+        i => norm.substr(i, lit(n)))).otherwise(array()))
+  }
+
+  // --- language identification (stopword + CJK heuristic) ---------------
+
+  /** Small, high-frequency stopword lists per language. Kept deliberately
+    * tiny so the oracle SQL can inline the same literals. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+    "es" -> Seq("el", "los", "las", "es", "una", "en", "que", "por", "con", "para"))
+
+  private def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => array_contains(
+      array(stopwords(lang).map(lit): _*), t)))
+
+  /** CJK codepoint count (BMP unified ideographs). */
+  def cjkCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))
+
+  /** Heuristic language ID → 'zh' | 'en' | 'de' | 'fr' | 'es' | 'und'.
+    * zh: >30% CJK chars; otherwise argmax stopword hits with a fixed
+    * preference order (en, de, fr, es); all-zero → 'und'. Deterministic and
+    * replicated verbatim in the DuckDB oracle. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val en = stopwordHits(toks, "en")
+    val de = stopwordHits(toks, "de")
+    val fr = stopwordHits(toks, "fr")
+    val es = stopwordHits(toks, "es")
+    val top = greatest(en, de, fr, es)
+    when(cjkCount(text) * 10 > length(text) * 3, "zh")
+      .when(top === 0, "und")
+      .when(en === top, "en")
+      .when(de === top, "de")
+      .when(fr === top, "fr")
+      .otherwise("es")
+  }
+
+  // --- quality scoring ---------------------------------------------------
+
+  private def charClassCount(text: Column, clazz: String): Column =
+    length(text) - length(regexp_replace(text, clazz, ""))
+
+  /** Heuristic document quality in [0,1]: penalizes very short docs, low
+    * alphabetic ratio, punctuation floods, and missing stopwords — the
+    * standard cheap pre-filters for web-scale corpus cleaning. */
+  def qualityScore(text: Column): Column = {
+    val n = greatest(length(text), lit(1))
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val alphaRatio = charClassCount(text, "[^a-zA-Z]") * -1.0 / n + 1.0
+    val punctRatio = charClassCount(text, "[^.,!?;:]") * -1.0 / n + 1.0
+    val stopRatio = stopwordHits(toks, "en") * 1.0 / greatest(nTok, lit(1))
+    val lenScore = least(nTok / 20.0, lit(1.0))
+    val score = lenScore * 0.4 + alphaRatio * 0.3 +
+      least(stopRatio * 5.0, lit(1.0)) * 0.2 + (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.1
+    round(greatest(least(score, lit(1.0)), lit(0.0)), 4)
+  }
+
+  /** 64-bit content fingerprint (whitespace/case-normalized rolling hash),
+    * via the codegen'd Fingerprint64 expression. */
+  def fingerprint(text: Column): Column = expressions.fingerprint64(text)
+
+  /** SimHash signature of the document's tokens. */
+  def simhash(text: Column): Column = expressions.simhash64(tokens(text))
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Deduplication operators for large-scale corpus cleaning. Every variant is
+  * expressed as a declarative DataFrame plan so Catalyst handles partial
+  * aggregation, shuffle planning, and AQE skew handling; none of them ever
+  * materializes an O(n²) candidate set.
+  *
+  * Scale design notes (100 TB / 1000 executors):
+  *  - exact dedup groups by a 64-bit fingerprint, not the full text, so the
+  *    shuffle carries 8-byte keys instead of documents.
+  *  - near-dup variants (MinHash-LSH, SimHash) shuffle each doc a constant
+  *    number of times (one per band / chunk), then verify candidates
+  *    exactly — the classic shingle→minhash→band→bucket-join pipeline.
+  *  - the exact n-gram Jaccard join shuffles on shingles; ultra-frequent
+  *    shingles are the skew risk, handled by AQE skew-join splitting.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized content. Returns one row per
+    * document annotated with its group's representative (min id) — callers
+    * keep `is_rep` rows to deduplicate. Grouping key is the 64-bit content
+    * fingerprint; the full text never shuffles. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    df.withColumn("fp", fp)
+      .withColumn("rep_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_rep", col(idCol) === col("rep_id"))
+  }
+
+  /** Exact word-n-gram Jaccard similarity pairs with sim >= threshold.
+    * Formulation: explode distinct shingles, self-join on shingle (only
+    * docs sharing at least one shingle ever meet), aggregate intersection
+    * sizes, compute |A∩B| / (|A|+|B|-|A∩B|). Output: (id_a, id_b, jaccard),
+    * id_a < id_b. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.wordShingles(col(textCol), n)).as("s"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("ix"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+      .withColumn("jaccard", col("ix") / (col("na") + col("nb") - col("ix")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash + LSH near-duplicate pairs: shingle → H seeded min-hashes →
+    * band signatures → bucket join → exact Jaccard verification.
+    * With rowsPerBand=r and numBands=b (H = r*b), a pair with Jaccard j is
+    * caught with probability 1-(1-j^r)^b — defaults (r=3, b=16) catch
+    * j>=0.8 with P ≈ 1-1e-5. Output identical to ngramJaccardPairs (the
+    * exact verification makes false positives impossible; only the
+    * vanishing LSH miss probability separates them). */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, threshold: Double,
+                      rowsPerBand: Int = 3, numBands: Int = 16): DataFrame = {
+    val h = rowsPerBand * numBands
+    val docs = df.select(col(idCol).as("id"),
+      TextAnalysis.wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    // One min-hash per seed: min over shingles of a seeded 64-bit hash.
+    // xxhash64(seed, shingle) is a codegen'd Spark builtin.
+    val minhashes = array((0 until h).map { i =>
+      array_min(transform(col("sh"), s => xxhash64(lit(i), s)))
+    }: _*)
+    val sigs = docs.withColumn("mh", minhashes)
+    // Band signature = hash of the band's r consecutive min-hashes.
+    val bands = array((0 until numBands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(col("mh"), bIdx * rowsPerBand + r + 1)): _*).as("sig"))
+    }: _*)
+    val buckets = sigs.select(col("id"), explode(bands).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+
+    // Bucket join → distinct candidate pairs (each doc shuffles b times,
+    // never O(n²) unless the data is one giant duplicate class).
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    // Exact verification: join candidate ids back to shingle sets.
+    val withSets = cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
+    withSets
+      .withColumn("ix", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("ix") / (size(col("sha")) + size(col("shb")) - col("ix")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signature per doc, pigeonhole
+    * blocking on `numChunks` equal bit-chunks (any pair within Hamming
+    * distance <= numChunks-1 must agree on at least one chunk), exact
+    * Hamming verification. Output: (id_a, id_b, hamming). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, numChunks: Int = 4): DataFrame = {
+    require(64 % numChunks == 0, "numChunks must divide 64")
+    require(maxHamming < numChunks,
+      s"pigeonhole blocking on $numChunks chunks covers distance <= ${numChunks - 1}")
+    val bitsPer = 64 / numChunks
+    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
+    val docs = df.select(col(idCol).as("id"),
+      TextAnalysis.simhash(col(textCol)).as("sig"))
+    val chunks = docs.select(col("id"), col("sig"),
+      explode(array((0 until numChunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * bitsPer).bitwiseAND(lit(mask)).as("bits"))
+      }: _*)).as("ck"))
+      .select(col("id"), col("sig"), col("ck.chunk").as("chunk"), col("ck.bits").as("bits"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.bits") === col("y.bits")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Dot product of two double arrays (left-fold, matching DuckDB's
+    * sequential accumulation for oracle bit-parity). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Embedding cosine near-duplicate pairs: exact all-pairs cosine >=
+    * threshold, id_a < id_b. The n² pair space is partitioned by Spark's
+    * broadcast-nested-loop; suitable up to ~10^5 vectors per group — beyond
+    * that, bucket by SimilaritySearch.lsh signatures first. */
+  def cosineNeardupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cosine", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

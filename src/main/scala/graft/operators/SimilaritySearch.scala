@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Dedup.{dot, l2norm}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers:
+  *  - bruteForceTopK: exact baseline — broadcast the (small) query set
+  *    against the corpus, one pass, top-k per query via window. O(|Q|·N)
+  *    dot products, fully distributed, no shuffle of the corpus.
+  *  - lshTopK: random-hyperplane LSH — corpus hashed once into bucket
+  *    tables, queries probe matching buckets only. Recall tunable by
+  *    bands × bits.
+  *  - ivfTopK: IVF-flat — corpus partitioned into inverted lists by nearest
+  *    centroid; queries search the nProbe nearest lists. The standard
+  *    billion-scale layout: lists are the partition key, so each query
+  *    touches nProbe/C of the corpus.
+  */
+object SimilaritySearch {
+
+  private def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  /** Exact cosine top-k. Output: (q_id, n_id, rank, cosine), self excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val q = prepared(queries, idCol, vecCol)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("id"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id").as("n_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes: component h(p,d) derived
+    * from a seeded integer hash, mapped to [-1, 1). Stable across runs and
+    * sessions — required for reproducible bucketing. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val h = graft.functions.HashKernels.fmix64(plane.toLong * 0x9e3779b97f4a7c15L + dim * 0xbf58476d1ce4e5b9L + 42L)
+    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  private def signBits(vec: Column, planes: Int, dim: Int): Column = {
+    // bit p = sign of <v, plane_p>; computed as a codegen'd expression sum
+    val bits = (0 until planes).map { p =>
+      val d = (0 until dim).map(j =>
+        element_at(vec, j + 1) * lit(planeComponent(p, j))).reduce(_ + _)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH ANN: B band signatures of `bitsPerBand` hyperplane sign bits each;
+    * a corpus vector is a candidate for a query if any band matches.
+    * Output: (q_id, n_id, rank, cosine) — approximate; measure recall
+    * against bruteForceTopK. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int,
+              bitsPerBand: Int = 6, numBands: Int = 8): DataFrame = {
+    def banded(df: DataFrame, pfx: String): DataFrame = {
+      val p = prepared(df, idCol, vecCol)
+      val bands = array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          signBitsBand(col("v"), b, bitsPerBand, dim).as("sig"))
+      }: _*)
+      p.select(col("id").as(s"${pfx}_id"), col("v").as(s"${pfx}_v"),
+          col("nrm").as(s"${pfx}_n"), explode(bands).as("bk"))
+        .select(col(s"${pfx}_id"), col(s"${pfx}_v"), col(s"${pfx}_n"),
+          col("bk.band").as("band"), col("bk.sig").as("sig"))
+    }
+    val cb = banded(corpus, "c")
+    val qb = banded(queries, "q")
+    val cand = qb.join(cb, Seq("band", "sig"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("q_v"), col("q_n"),
+        col("c_id"), col("c_v"), col("c_n"))
+      .distinct()
+    val scored = cand.withColumn("cosine",
+      dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("n_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  private def signBitsBand(vec: Column, band: Int, bits: Int, dim: Int): Column = {
+    val exprs = (0 until bits).map { i =>
+      val p = band * bits + i
+      val d = (0 until dim).map(j =>
+        element_at(vec, j + 1) * lit(planeComponent(p, j))).reduce(_ + _)
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    exprs.reduce(_ + _)
+  }
+
+  /** IVF-flat ANN. Centroids: a deterministic corpus sample (every
+    * ceil(N/C)-th id) — at real scale these come from k-means, but list
+    * assignment/probing mechanics are identical. Corpus partitions into
+    * inverted lists by nearest centroid; each query searches its nProbe
+    * nearest lists. Output: (q_id, n_id, rank, cosine). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numCentroids: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val n = c.count()
+    val step = math.max(1L, n / numCentroids)
+    val cents = c.filter(pmod(col("id"), lit(step)) === 0)
+      .limit(numCentroids)
+      .select(col("id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+    def nearestCentroids(df: DataFrame, take: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cent_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= take)
+    }
+
+    val assigned = nearestCentroids(c, 1)
+      .select(col("cent_id").as("list_id"), col("id").as("c_id"),
+        col("v").as("c_v"), col("nrm").as("c_n"))
+
+    val probes = nearestCentroids(prepared(queries, idCol, vecCol), nProbe)
+      .select(col("cent_id").as("list_id"), col("id").as("q_id"),
+        col("v").as("q_v"), col("nrm").as("q_n"))
+
+    val scored = probes.join(assigned, "list_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("n_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -34,7 +34,8 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("oracle coverage: every query has oracle SQL or is known rows-only") {
-    val rowsOnly = Set.empty[String] // extend as non-SQL-expressible ops land
+    // hash-based / approximate ops whose outputs aren't ANSI-SQL-replicable
+    val rowsOnly = Set("q_dedup_simhash", "q_ann_lsh", "q_ann_ivf")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries missing oracles: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

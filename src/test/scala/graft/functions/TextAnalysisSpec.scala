@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("t").select(c.as("v")).head().get(0)
+
+  test("tokenCount: whitespace runs, leading/trailing space, empty") {
+    assert(one("hello  world\n\tfoo", TextAnalysis.tokenCount(col("t"))) === 3)
+    assert(one("   ", TextAnalysis.tokenCount(col("t"))) === 0)
+    assert(one("", TextAnalysis.tokenCount(col("t"))) === 0)
+    assert(one("one", TextAnalysis.tokenCount(col("t"))) === 1)
+  }
+
+  test("wordShingles: count, content, short-doc edge") {
+    val sh = one("a b c d", TextAnalysis.wordShingles(col("t"), 3))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(sh === Seq("a b c", "b c d"))
+    assert(one("a b", TextAnalysis.wordShingles(col("t"), 3))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq.isEmpty)
+  }
+
+  test("charShingles normalize whitespace and case") {
+    val sh = one("AB  cd", TextAnalysis.charShingles(col("t"), 3))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(sh === Seq("ab ", "b c", " cd"))
+  }
+
+  test("langId on real multilingual sentences") {
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog and it is fast" -> "en",
+      "der hund ist nicht mit der katze und das ist gut" -> "de",
+      "le chat est dans la maison et il est pour les enfants" -> "fr",
+      "el perro es una mascota que vive en la casa por las noches" -> "es",
+      "这是一个中文句子用来测试语言识别功能" -> "zh",
+      "xyzzy plugh qwerty" -> "und")
+    for ((text, expected) <- cases)
+      assert(one(text, TextAnalysis.langId(col("t"))) === expected, s"text: $text")
+  }
+
+  test("qualityScore in [0,1]; clean prose beats punctuation soup") {
+    val clean = "the quick brown fox jumps over the lazy dog and it is very fast " * 3
+    val garbage = ";;;;!!!! ???? ....,,,, ;;;; !!!!"
+    val qc = one(clean, TextAnalysis.qualityScore(col("t"))).asInstanceOf[Double]
+    val qg = one(garbage, TextAnalysis.qualityScore(col("t"))).asInstanceOf[Double]
+    assert(qc > qg)
+    assert(qc >= 0 && qc <= 1 && qg >= 0 && qg <= 1)
+  }
+
+  test("fingerprint: whitespace/case-normalization invariance, content sensitivity") {
+    val a = one("Hello   World", TextAnalysis.fingerprint(col("t")))
+    val b = one("  hello world ", TextAnalysis.fingerprint(col("t")))
+    val c = one("hello worle", TextAnalysis.fingerprint(col("t")))
+    assert(a === b)
+    assert(a !== c)
+  }
+
+  test("simhash: near-identical docs within small hamming distance, unrelated far") {
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (200 to 260).map(i => s"other$i").mkString(" ")
+    val sBase = one(base, TextAnalysis.simhash(col("t"))).asInstanceOf[Long]
+    val sNear = one(near, TextAnalysis.simhash(col("t"))).asInstanceOf[Long]
+    val sFar = one(far, TextAnalysis.simhash(col("t"))).asInstanceOf[Long]
+    assert(ham(sBase, sNear) <= 8, s"near hamming ${ham(sBase, sNear)}")
+    assert(ham(sBase, sFar) >= 16, s"far hamming ${ham(sBase, sFar)}")
+  }
+
+  test("fingerprint/simhash expressions survive codegen (no fallback errors) on a real table") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = d.select(TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.simhash(col("text")).as("sh")).agg(
+      countDistinct(col("fp")), countDistinct(col("sh"))).head()
+    assert(out.getLong(0) > 400L)
+    assert(out.getLong(1) > 400L)
+  }
+
+  test("subwordTokens splits letter/digit runs") {
+    val toks = one("abc123 def-x", TextAnalysis.subwordTokens(col("t")))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(toks === Seq("abc", "123", "def", "-", "x"))
+  }
+}

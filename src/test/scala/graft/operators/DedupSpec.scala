@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import spark.implicits._
+
+  def docs(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("exactDedup groups normalized duplicates and picks min-id representative") {
+    val df = docs(
+      1L -> "Hello World",
+      2L -> "  hello   world ",   // same after normalization
+      3L -> "HELLO WORLD",
+      4L -> "different doc entirely")
+    val out = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id", "rep_id", "group_size", "is_rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(out === Set((1L, 1L, 3L, true), (2L, 1L, 3L, false),
+      (3L, 1L, 3L, false), (4L, 4L, 1L, true)))
+  }
+
+  test("ngramJaccardPairs finds a planted near-duplicate and scores it exactly") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val out = Dedup.ngramJaccardPairs(docs(1L -> base, 2L -> nearDup, 3L -> other),
+      "doc_id", "text", n = 3, threshold = 0.5).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === (1L, 2L))
+    // 38 shingles each; 3 shingles touch position 20 → intersection 35
+    assert(math.abs(r.getDouble(2) - 35.0 / (38 + 38 - 35)) < 1e-6)
+  }
+
+  test("minHashLshPairs finds the same pairs as the exact join on testdata") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(d, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("simhashPairs catches planted near-dups found by ngram jaccard") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 7, numChunks = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // SimHash (token-multiset signature) must recover a solid majority of
+    // very-high-Jaccard pairs; exact agreement isn't expected.
+    val recall = exact.count(sim.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"simhash recall $recall over ${exact.size} pairs")
+  }
+
+  test("cosineNeardupPairs is symmetric-free (id_a < id_b) and thresholded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Dedup.cosineNeardupPairs(emb, "vec_id", "embedding", 0.4).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4 - 1e-9)
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  lazy val queries = emb.filter(col("vec_id") < 10)
+
+  lazy val brute = SimilaritySearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+
+  test("bruteForceTopK: 10 neighbors per query, ranked by descending cosine, no self") {
+    val byQ = brute.groupBy(_._1)
+    assert(byQ.size === 10)
+    for ((q, rows) <- byQ) {
+      assert(rows.length === 10)
+      assert(rows.sortBy(_._3).map(_._4).reverse.sameElements(
+        rows.sortBy(_._3).map(_._4).sorted), s"cosines not descending for $q")
+      assert(!rows.exists(_._2 == q), s"self in results for $q")
+      assert(rows.forall(r => r._4 <= 1.0 + 1e-9 && r._4 >= -1.0 - 1e-9))
+    }
+  }
+
+  test("bruteForceTopK agrees with a local exact computation for one query") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = vecs(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val got = brute.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq
+    assert(got === expected)
+  }
+
+  test("lshTopK recall@10 against brute force is substantial") {
+    val lsh = SimilaritySearch.lshTopK(emb, queries, "vec_id", "embedding", 10, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val recall = bruteSet.count(lsh.contains).toDouble / bruteSet.size
+    // random-ish 64-dim embeddings: hyperplane LSH recall is modest but must
+    // clearly beat chance (10/500 ≈ 2%)
+    assert(recall >= 0.25, s"lsh recall $recall")
+  }
+
+  test("ivfTopK recall@10 against brute force is substantial") {
+    val ivf = SimilaritySearch.ivfTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val recall = bruteSet.count(ivf.contains).toDouble / bruteSet.size
+    assert(recall >= 0.2, s"ivf recall $recall")
+  }
+
+  test("ivfTopK scans a bounded fraction of the corpus (nProbe/C lists)") {
+    // with 16 centroids and nProbe=4, each query's candidate set must be
+    // well under the full corpus
+    val probedCounts = SimilaritySearch.ivfTopK(emb, queries.limit(3),
+      "vec_id", "embedding", k = 1000, numCentroids = 16, nProbe = 4)
+      .groupBy("q_id").count().collect().map(_.getLong(1))
+    val n = emb.count()
+    probedCounts.foreach(c => assert(c < n * 3 / 4, s"probed $c of $n"))
+  }
+}
