@@ -223,6 +223,14 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // ---- built-in session_window (same code path Structured Streaming
+    //      uses; watermark is a no-op in batch) ----
+    "q_events_session_window" -> ((s, dir) => {
+      graft.streaming.EventStreams.sessionWindows(
+          events(s, dir), "30 minutes", "10 minutes")
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // ---- seqfile round-trip: lineitem → our connector → agg ----
     // Exercises the whole format path (write framing, sync splits, decode)
     // inside the correctness gate; the oracle runs on the original parquet.
@@ -503,6 +511,25 @@ object SparkEntry {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_events_session_window" ->
+      """WITH gapped AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM gapped)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_seqfile_roundtrip" ->
       """SELECT l_orderkey % 10 AS key_mod, count(*) AS n,
