@@ -341,6 +341,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- multimodal: binary media columns, header decode via batched
+    //      mapPartitions (decode stub; header fields + payload length are
+    //      oracle-checkable from doc_id arithmetic / octet_length) ----
+    "q_multimodal_meta" -> ((s, dir) => {
+      graft.operators.Multimodal.decodeMeta(
+          graft.operators.Multimodal.synthesize(t(s, dir, "documents"))).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("payload_len")).as("sum_payload"),
+          sum(col("width")).as("sum_width"),
+          sum(col("n_frames")).as("sum_frames"))
+        .orderBy(col("kind"))
+    }),
+
     // ---- document fingerprinting (counts are oracle-checkable) ----
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -593,6 +607,15 @@ object SparkEntry {
     "q_lang_id" -> SparkEntryOracles.langIdSql,
 
     "q_quality_score" -> SparkEntryOracles.qualityScoreSql,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id % 3 AS kind, count(*) AS n,
+        |  sum(strlen(text)) AS sum_payload,
+        |  sum(32 + (doc_id % 8) * 16) AS sum_width,
+        |  sum(8 + doc_id % 32) AS sum_frames
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY kind""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT count(*) AS n_docs,

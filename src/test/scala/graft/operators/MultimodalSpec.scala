@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  lazy val media = Multimodal.synthesize(docs).cache()
+
+  test("synthesize → decodeMeta round-trips the header fields") {
+    import spark.implicits._
+    val meta = Multimodal.decodeMeta(media)
+    val joined = meta.toDF().join(docs, col("media_id") === col("doc_id"))
+    assert(meta.filter(!_.valid).count() === 0)
+    val bad = joined.filter(
+      col("width") =!= lit(32) + (col("doc_id") % 8) * 16 ||
+      col("height") =!= lit(32) + (col("doc_id") % 4) * 32 ||
+      col("sample_rate") =!= lit(8000) + (col("doc_id") % 4) * 8000 ||
+      col("n_frames") =!= lit(8) + (col("doc_id") % 32) ||
+      col("payload_len") =!= octet_length(col("text")))
+    assert(bad.count() === 0)
+  }
+
+  test("corrupt and truncated records become valid=false, not task failures") {
+    import spark.implicits._
+    val broken = Seq(
+      Multimodal.MediaRecord(1L, 0, Array[Byte](1, 2, 3)),               // truncated
+      Multimodal.MediaRecord(2L, 0, "XXXX0123456789abcdef".getBytes)).toDS() // bad magic
+    val meta = Multimodal.decodeMeta(broken).collect()
+    assert(meta.forall(!_.valid))
+  }
+
+  test("extractFeatures: fixed dim, deterministic, payload-sensitive") {
+    val f = Multimodal.extractFeatures(media)
+    val rows = f.collect()
+    assert(rows.forall(_.features.length === Multimodal.FeatureDim))
+    val again = Multimodal.extractFeatures(media).collect()
+      .map(r => r.media_id -> r.features.toSeq).toMap
+    assert(rows.forall(r => again(r.media_id) === r.features.toSeq))
+    // histogram buckets sum to ~1
+    rows.take(20).foreach { r =>
+      val s = r.features.drop(3).sum
+      assert(math.abs(s - 1.0f) < 1e-3, s"histogram sum $s")
+    }
+  }
+
+  test("features feed straight into the ANN operator (plumbing compatibility)") {
+    import spark.implicits._
+    val f = Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("features"))
+    val out = SimilaritySearch.bruteForceTopK(f, f.filter(col("media_id") < 3),
+      "media_id", "features", k = 5)
+    assert(out.count() === 15)
+  }
+
+  test("resizeShapes: aspect-preserving fit, never upscales") {
+    val meta = Multimodal.decodeMeta(media)
+    val r = Multimodal.resizeShapes(meta, 64, 64).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (w, h, ow, oh) = (row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4))
+      assert(ow <= 64 && oh <= 64)
+      assert(ow <= w && oh <= h)
+      // aspect ratio preserved within integer-floor tolerance
+      assert(math.abs(ow.toDouble / w - oh.toDouble / h) < 0.1)
+    }
+  }
+
+  test("sampleFrames: stride coverage with in-payload offsets") {
+    val meta = Multimodal.decodeMeta(media)
+    val frames = Multimodal.sampleFrames(meta, stride = 4)
+    val byMedia = frames.collect().groupBy(_.media_id)
+    val metaMap = meta.collect().map(m => m.media_id -> m).toMap
+    assert(byMedia.nonEmpty)
+    for ((id, fs) <- byMedia) {
+      val m = metaMap(id)
+      assert(fs.length === (m.n_frames + 3) / 4)
+      assert(fs.map(_.frame_idx).sorted.sameElements(0 until m.n_frames by 4))
+      fs.foreach(fr => assert(fr.byte_offset >= 16 && fr.byte_offset <= 16 + m.payload_len))
+    }
+  }
+
+  test("batch processing preserves partitioning (no shuffle in the decode path)") {
+    val m4 = Multimodal.synthesize(docs.repartition(4))
+    assert(m4.rdd.getNumPartitions === 4)
+    assert(Multimodal.decodeMeta(m4).rdd.getNumPartitions === 4)
+  }
+}
