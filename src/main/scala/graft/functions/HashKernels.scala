@@ -102,4 +102,128 @@ object HashKernels {
     val b = s.getBytes
     fnv1a64(b, 0, b.length, seed)
   }
+
+  /** MinHash signature: h seeded min-hashes over a shingle array in ONE pass
+    * (each shingle's bytes are hashed once; the h permutation variants are
+    * derived by mixing the base hash with per-permutation constants). The
+    * composed-builtin formulation (h × array_min(transform(...))) costs h
+    * array traversals and a huge codegen tree; this is the custom-Expression
+    * path the project brief prefers for hot loops. */
+  def minhashSig(shingles: ArrayData, h: Int): ArrayData = {
+    val mins = new Array[Long](h)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val b = shingles.getUTF8String(i).getBytes
+        val base = fnv1a64(b, 0, b.length, 0L)
+        var k = 0
+        while (k < h) {
+          val v = fmix64(base ^ (0x9e3779b97f4a7c15L * (k + 1)))
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  /** Sequential-fold dot product of two double arrays — bit-identical to
+    * aggregate(zip_with(...)) and to DuckDB's list_dot_product, without the
+    * per-row array allocations of the HOF formulation. */
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Random-hyperplane LSH band signatures in one pass: for each of
+    * `numBands` bands, `bitsPerBand` sign bits of dots with deterministic
+    * pseudo-random planes. Plane matrices are cached per shape. */
+  def lshSigs(vec: ArrayData, bitsPerBand: Int, numBands: Int): ArrayData = {
+    val dim = vec.numElements()
+    val nPlanes = bitsPerBand * numBands
+    val planes = planeCache.computeIfAbsent((nPlanes, dim),
+      _ => Array.tabulate(nPlanes * dim)(idx => planeComponent(idx / dim, idx % dim)))
+    val sigs = new Array[Long](numBands)
+    var p = 0
+    while (p < bitsPerBand * numBands) {
+      var dot = 0.0
+      var j = 0
+      val off = p * dim
+      while (j < dim) { dot += vec.getDouble(j) * planes(off + j); j += 1 }
+      if (dot >= 0) sigs(p / bitsPerBand) |= 1L << (p % bitsPerBand)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  /** Deterministic pseudo-random plane component in [-1, 1). */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val h = fmix64(plane.toLong * 0x9e3779b97f4a7c15L + dim * 0xbf58476d1ce4e5b9L + 42L)
+    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  /** Distinct word n-gram shingles in one pass: lowercase, split on ASCII
+    * whitespace (Java regex \s semantics: space \t \n \x0B \f \r), join n
+    * consecutive tokens with single spaces, first-occurrence-order distinct.
+    * Equivalent to the composed-builtin form
+    * array_distinct(transform(sequence..., concat_ws(element_at(tokens...))))
+    * — which re-tokenizes the document for every element_at lambda because
+    * Catalyst does not CSE inside lambda functions (measured ~50× slower). */
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val text = s.toLowerCase.toString
+    val tokens = new java.util.ArrayList[String](64)
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) tokens.add(text.substring(start, i))
+    }
+    val nTok = tokens.size()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var t = 0
+    while (t + n <= nTok) {
+      val sb = new java.lang.StringBuilder(tokens.get(t))
+      var d = 1
+      while (d < n) { sb.append(' ').append(tokens.get(t + d)); d += 1 }
+      out.add(UTF8String.fromString(sb.toString))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
+
+  /** All whitespace tokens (lowercased, empties dropped), duplicates kept —
+    * same token definition as wordShingles but non-distinct. Kernel form of
+    * filter(split(lower(trim(text)), "\\s+"), length > 0). */
+  def tokensOf(s: UTF8String): ArrayData = {
+    val text = s.toLowerCase.toString
+    val tokens = new java.util.ArrayList[AnyRef](64)
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) tokens.add(UTF8String.fromString(text.substring(start, i)))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      tokens.toArray(new Array[AnyRef](tokens.size())))
+  }
 }

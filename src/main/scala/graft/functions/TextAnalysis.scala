@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, lowercased, empties removed. */
-  def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+  /** Whitespace tokens, lowercased, empties removed (single-pass kernel;
+    * same semantics as filter(split(lower(trim(text)), "\\s+"), len > 0)). */
+  def tokens(text: Column): Column = expressions.tokens(text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -25,14 +25,12 @@ object TextAnalysis {
     filter(split(lower(text), "(?<=[a-z])(?=[^a-z])|(?<=[0-9])(?=[^0-9])|(?<=[^a-z0-9])(?=.)"),
       t => length(trim(t)) > 0)
 
-  /** Word n-gram shingles (distinct), the unit for Jaccard dedup. */
+  /** Word n-gram shingles (distinct), the unit for Jaccard dedup.
+    * Single-pass codegen kernel — the composed-builtin form re-tokenizes per
+    * element_at lambda (no CSE inside lambdas) and was ~50× slower. */
   def wordShingles(text: Column, n: Int): Column = {
     require(n >= 1 && n <= 8)
-    val w = tokens(text)
-    val count = size(w) - (n - 1)
-    val grams = transform(sequence(lit(1), greatest(count, lit(0))),
-      i => concat_ws(" ", (0 until n).map(d => element_at(w, i + d)): _*))
-    array_distinct(when(count >= 1, grams).otherwise(array()))
+    expressions.word_shingles(text, n)
   }
 
   /** Character n-gram shingles (distinct) over normalized text. */

@@ -43,10 +43,103 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
+/** Sequential-fold dot product of two array<double> columns. Bit-identical
+  * to aggregate(zip_with(a,b,*), 0.0, +) but one tight loop, no per-row
+  * array materialization. */
+case class ArrayDot(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"array_dot expects (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got $other")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.dotDouble(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.dotDouble($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
+    copy(l, r)
+}
+
+/** h-permutation MinHash signature of a shingle array, one pass. */
+case class MinHashSig(child: Expression, h: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects ARRAY<STRING>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.minhashSig(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], h)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashSig($c, $h)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** Random-hyperplane LSH band signatures (array<long>, one per band). */
+case class HyperplaneSigs(child: Expression, bitsPerBand: Int, numBands: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(DoubleType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"lsh_sigs expects ARRAY<DOUBLE>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.lshSigs(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      bitsPerBand, numBands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.lshSigs($c, $bitsPerBand, $numBands)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneSigs = copy(child = c)
+}
+
+/** Distinct word n-gram shingles of a document, single-pass kernel. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects STRING, got ${child.dataType.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.wordShingles(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.wordShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+/** All whitespace tokens of a document (lowercased, non-distinct). */
+case class Tokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"tokens expects STRING, got ${child.dataType.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.tokensOf(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.tokensOf($c)")
+  override protected def withNewChildInternal(c: Expression): Tokens = copy(child = c)
+}
+
 object expressions {
   /** Column wrappers (Spark 4: Column ↔ Expression via classic ExpressionUtils). */
   def fingerprint64(c: Column): Column =
     ColumnBridge.column(Fingerprint64(ColumnBridge.expression(c)))
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def array_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def minhash_sig(c: Column, h: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), h))
+  def lsh_sigs(c: Column, bitsPerBand: Int, numBands: Int): Column =
+    ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(c), bitsPerBand, numBands))
+  def word_shingles(c: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
+  def tokens(c: Column): Column =
+    ColumnBridge.column(Tokens(ColumnBridge.expression(c)))
 }

@@ -41,8 +41,12 @@ object Dedup {
     * id_a < id_b. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
+    // join on 64-bit shingle hashes: identical Jaccard semantics (collision
+    // probability ~ |shingles|^2 / 2^64) with 8-byte shuffle keys instead of
+    // full shingle strings
     val sh = df.select(col(idCol).as("id"),
-        explode(TextAnalysis.wordShingles(col(textCol), n)).as("s"))
+        explode(TextAnalysis.wordShingles(col(textCol), n)).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("s"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -72,12 +76,11 @@ object Dedup {
       TextAnalysis.wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
-    // One min-hash per seed: min over shingles of a seeded 64-bit hash.
-    // xxhash64(seed, shingle) is a codegen'd Spark builtin.
-    val minhashes = array((0 until h).map { i =>
-      array_min(transform(col("sh"), s => xxhash64(lit(i), s)))
-    }: _*)
-    val sigs = docs.withColumn("mh", minhashes)
+    // All h min-hashes in one pass over the shingle array (custom codegen
+    // expression; the composed-builtin form h x array_min(transform(...))
+    // re-walks the array h times and explodes the codegen tree).
+    val sigs = docs.withColumn("mh",
+      graft.functions.expressions.minhash_sig(col("sh"), h))
     // Band signature = hash of the band's r consecutive min-hashes.
     val bands = array((0 until numBands).map { bIdx =>
       struct(lit(bIdx).as("band"),
@@ -137,10 +140,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Dot product of two double arrays (left-fold, matching DuckDB's
-    * sequential accumulation for oracle bit-parity). */
+  /** Dot product of two double arrays — custom codegen expression with a
+    * sequential fold, bit-identical to aggregate(zip_with(...)) and DuckDB's
+    * list_dot_product, minus the per-row array materialization. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.expressions.array_dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -41,24 +41,6 @@ object SimilaritySearch {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-random unit hyperplanes: component h(p,d) derived
-    * from a seeded integer hash, mapped to [-1, 1). Stable across runs and
-    * sessions — required for reproducible bucketing. */
-  private def planeComponent(plane: Int, dim: Int): Double = {
-    val h = graft.functions.HashKernels.fmix64(plane.toLong * 0x9e3779b97f4a7c15L + dim * 0xbf58476d1ce4e5b9L + 42L)
-    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-  }
-
-  private def signBits(vec: Column, planes: Int, dim: Int): Column = {
-    // bit p = sign of <v, plane_p>; computed as a codegen'd expression sum
-    val bits = (0 until planes).map { p =>
-      val d = (0 until dim).map(j =>
-        element_at(vec, j + 1) * lit(planeComponent(p, j))).reduce(_ + _)
-      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
   /** LSH ANN: B band signatures of `bitsPerBand` hyperplane sign bits each;
     * a corpus vector is a candidate for a query if any band matches.
     * Output: (q_id, n_id, rank, cosine) — approximate; measure recall
@@ -68,14 +50,12 @@ object SimilaritySearch {
               bitsPerBand: Int = 6, numBands: Int = 8): DataFrame = {
     def banded(df: DataFrame, pfx: String): DataFrame = {
       val p = prepared(df, idCol, vecCol)
-      val bands = array((0 until numBands).map { b =>
-        struct(lit(b).as("band"),
-          signBitsBand(col("v"), b, bitsPerBand, dim).as("sig"))
-      }: _*)
+      // all band signatures in one kernel pass (custom codegen expression);
+      // the composed form generated bands x bits x dim multiply nodes
       p.select(col("id").as(s"${pfx}_id"), col("v").as(s"${pfx}_v"),
-          col("nrm").as(s"${pfx}_n"), explode(bands).as("bk"))
-        .select(col(s"${pfx}_id"), col(s"${pfx}_v"), col(s"${pfx}_n"),
-          col("bk.band").as("band"), col("bk.sig").as("sig"))
+          col("nrm").as(s"${pfx}_n"),
+          posexplode(graft.functions.expressions.lsh_sigs(col("v"), bitsPerBand, numBands))
+            .as(Seq("band", "sig")))
     }
     val cb = banded(corpus, "c")
     val qb = banded(queries, "q")
@@ -91,16 +71,6 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id").as("n_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
-  }
-
-  private def signBitsBand(vec: Column, band: Int, bits: Int, dim: Int): Column = {
-    val exprs = (0 until bits).map { i =>
-      val p = band * bits + i
-      val d = (0 until dim).map(j =>
-        element_at(vec, j + 1) * lit(planeComponent(p, j))).reduce(_ + _)
-      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    exprs.reduce(_ + _)
   }
 
   /** IVF-flat ANN. Centroids: a deterministic corpus sample (every
