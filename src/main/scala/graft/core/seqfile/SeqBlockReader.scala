@@ -54,6 +54,16 @@ final class SeqBlockReader(
     block
   }
 
+  /** Recovery for DROPMALFORMED consumers: after next() threw, scan forward
+    * from just past the failed block's start for the next sync marker within
+    * this split; position there. Returns false when no further block exists
+    * (reader is then exhausted). */
+  def skipToNextSync(): Boolean = {
+    val p = SyncScanner.nextBlockStart(input, sync, nextPos + 1, end)
+    if (p < 0 || p >= end) { finished = true; false }
+    else { nextPos = p; true }
+  }
+
   /** Parse one block at the cursor: sync escape + sync verification
     * (reference: Parser.hs:93-101), vint record count (Parser.hs:103), then
     * the 4 vint-length-prefixed compressed buffers keyLengths / keys /

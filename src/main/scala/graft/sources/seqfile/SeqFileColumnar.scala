@@ -1,0 +1,108 @@
+package graft.sources.seqfile
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarArray, ColumnarBatch, ColumnarMap}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.seqfile._
+
+/** Zero-copy ColumnVector over one decoded block column — the Spark-native
+  * form of the reference's `Collection` vectors (reference:
+  * src/Data/Hadoop/Writable.hs:61-69): fixed-width types read straight from
+  * the primitive array produced by the bulk decoder; strings wrap the
+  * block's backing buffer via UTF8String.fromBytes without copying
+  * (reference's `unsafeSlice` model, Writable.hs:115-138).
+  *
+  * The format has no null-within-column representation (only whole-column
+  * NullWritable, reference: Writable.hs:73-75), so hasNull is false except
+  * for NullColumn. */
+final class SeqFileColumnVector(dataType: DataType, data: ColumnData)
+  extends ColumnVector(dataType) {
+
+  override def close(): Unit = ()
+  override def hasNull: Boolean = data.isInstanceOf[NullColumn]
+  override def numNulls: Int = data match {
+    case NullColumn(n) => n
+    case _ => 0
+  }
+  override def isNullAt(rowId: Int): Boolean = data.isInstanceOf[NullColumn]
+
+  override def getBoolean(rowId: Int): Boolean =
+    throw new UnsupportedOperationException
+  override def getByte(rowId: Int): Byte =
+    throw new UnsupportedOperationException
+  override def getShort(rowId: Int): Short =
+    data.asInstanceOf[ShortColumn].values(rowId)
+  override def getInt(rowId: Int): Int =
+    data.asInstanceOf[IntColumn].values(rowId)
+  override def getLong(rowId: Int): Long =
+    data.asInstanceOf[LongColumn].values(rowId)
+  override def getFloat(rowId: Int): Float =
+    data.asInstanceOf[FloatColumn].values(rowId)
+  override def getDouble(rowId: Int): Double =
+    data.asInstanceOf[DoubleColumn].values(rowId)
+  override def getUTF8String(rowId: Int): UTF8String = {
+    val c = data.asInstanceOf[BinaryColumn]
+    UTF8String.fromBytes(c.bytes, c.starts(rowId), c.lens(rowId))
+  }
+  override def getBinary(rowId: Int): Array[Byte] =
+    data.asInstanceOf[BinaryColumn].slice(rowId)
+  override def getArray(rowId: Int): ColumnarArray =
+    throw new UnsupportedOperationException
+  override def getMap(rowId: Int): ColumnarMap =
+    throw new UnsupportedOperationException
+  override def getDecimal(rowId: Int, precision: Int, scale: Int) =
+    throw new UnsupportedOperationException
+  override def getChild(ordinal: Int): ColumnVector =
+    throw new UnsupportedOperationException
+}
+
+/** Columnar partition reader: one ColumnarBatch per record block (the
+  * reference's `Stream (RecordBlock k v)` pull model, batch-at-a-time).
+  * Honors the malformed-record mode like the row reader. */
+class SeqFileColumnarPartitionReader(part: SeqFilePartition, tableSchema: StructType,
+                                     required: StructType, mode: String)
+  extends org.apache.spark.sql.connector.read.PartitionReader[ColumnarBatch] {
+
+  private val input = new HadoopSeekableInput(
+    new org.apache.hadoop.fs.Path(part.path), new org.apache.hadoop.conf.Configuration())
+  private val header = SeqHeader.parse(new SeqInput(input))
+  SeqFileSchema.validate(tableSchema, header, part.path)
+
+  private val needKey = required.fieldNames.exists(_.equalsIgnoreCase("key"))
+  private val needValue = required.fieldNames.exists(_.equalsIgnoreCase("value"))
+
+  private val blocks = new SeqBlockReader(input, header, part.start, part.end,
+    decodeKey = needKey, decodeValue = needValue)
+
+  private var batch: ColumnarBatch = null
+
+  override def next(): Boolean = {
+    while (true) {
+      try {
+        if (!blocks.hasNext) return false
+        val b = blocks.next()
+        val vectors: Array[ColumnVector] = required.fields.map { f =>
+          val col = if (f.name.equalsIgnoreCase("key")) b.keys.get else b.values.get
+          new SeqFileColumnVector(f.dataType, col): ColumnVector
+        }
+        batch = new ColumnarBatch(vectors, b.count)
+        return true
+      } catch {
+        case e: Exception if mode != ReadMode.FailFast =>
+          e match {
+            case _: SeqFileFormatException | _: java.io.EOFException
+                 | _: java.io.IOException =>
+              if (mode == ReadMode.Permissive) return false
+              if (!blocks.skipToNextSync()) return false
+            case other => throw other
+          }
+      }
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = blocks.close()
+}

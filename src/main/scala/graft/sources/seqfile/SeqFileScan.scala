@@ -27,17 +27,37 @@ class SeqFileScanBuilder(tableSchema: StructType, paths: Seq[String],
   override def build(): Scan =
     new SeqFileScan(tableSchema, required, paths,
       maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
-        .getOrElse(128L * 1024 * 1024))
+        .getOrElse(128L * 1024 * 1024),
+      mode = ReadMode.parse(Option(options.get("mode")).getOrElse("FAILFAST")))
+}
+
+/** Malformed-record handling, mirroring Spark's JSON/CSV source modes.
+  * FAILFAST is the reference's `failOnError` path (reference:
+  * tests/Main.hs:35-37); PERMISSIVE reproduces the reference's `Foldable`
+  * semantics, where a fold over the stream silently stops at the `Error`
+  * cons cell (reference: SequenceFile.hs:74-76 — `foldMap` drops the error
+  * tail); DROPMALFORMED goes beyond the reference: skip the corrupt block,
+  * rescan for the next sync marker, and continue. */
+object ReadMode {
+  val FailFast = "FAILFAST"
+  val Permissive = "PERMISSIVE"
+  val DropMalformed = "DROPMALFORMED"
+  def parse(s: String): String = s.toUpperCase match {
+    case m @ (FailFast | Permissive | DropMalformed) => m
+    case other => throw new IllegalArgumentException(
+      s"seqfile mode must be FAILFAST, PERMISSIVE or DROPMALFORMED, got $other")
+  }
 }
 
 class SeqFileScan(tableSchema: StructType, required: StructType,
-                  paths: Seq[String], maxSplitBytes: Long)
+                  paths: Seq[String], maxSplitBytes: Long,
+                  mode: String = ReadMode.FailFast)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"seqfile paths=${paths.mkString(",")} columns=${required.fieldNames.mkString(",")}"
+    s"seqfile paths=${paths.mkString(",")} columns=${required.fieldNames.mkString(",")} mode=$mode"
 
   override def toBatch: Batch = this
 
@@ -60,22 +80,36 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SeqFileReaderFactory(tableSchema, required)
+    new SeqFileReaderFactory(tableSchema, required, mode)
 }
 
 case class SeqFilePartition(path: String, start: Long, end: Long) extends InputPartition
 
-class SeqFileReaderFactory(tableSchema: StructType, required: StructType)
+class SeqFileReaderFactory(tableSchema: StructType, required: StructType,
+                           mode: String)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new SeqFilePartitionReader(partition.asInstanceOf[SeqFilePartition], tableSchema, required)
+    new SeqFilePartitionReader(partition.asInstanceOf[SeqFilePartition], tableSchema,
+      required, mode)
+
+  /** Columnar read path: one ColumnarBatch per record block with zero-copy
+    * vectors (the reference's columnar RecordBlock model) — Spark's
+    * vectorized operators and ColumnarToRow consume it directly. NullType
+    * columns fall back to the row reader. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    required.fields.forall(_.dataType != NullType)
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new SeqFileColumnarPartitionReader(partition.asInstanceOf[SeqFilePartition],
+      tableSchema, required, mode)
 }
 
 /** Executor-side reader: parse this file's header (one small read), validate
   * it against the query schema (reference: Parser.hs:84-91 fail-fast), then
   * stream record blocks in the split's byte range and emit rows. */
 class SeqFilePartitionReader(part: SeqFilePartition, tableSchema: StructType,
-                             required: StructType)
+                             required: StructType, mode: String = ReadMode.FailFast)
   extends PartitionReader[InternalRow] {
 
   private val input = new HadoopSeekableInput(new Path(part.path), new Configuration())
@@ -125,8 +159,7 @@ class SeqFilePartitionReader(part: SeqFilePartition, tableSchema: StructType,
 
   override def next(): Boolean = {
     while (block == null || rowIdx >= block.count) {
-      if (!blocks.hasNext) return false
-      block = blocks.next()
+      if (!nextBlock()) return false
       rowIdx = 0
     }
     var f = 0
@@ -136,6 +169,28 @@ class SeqFilePartitionReader(part: SeqFilePartition, tableSchema: StructType,
     }
     rowIdx += 1
     true
+  }
+
+  /** Advance to the next decodable block honoring the malformed-record
+    * mode (see ReadMode). */
+  private def nextBlock(): Boolean = {
+    while (true) {
+      try {
+        if (!blocks.hasNext) return false
+        block = blocks.next()
+        return true
+      } catch {
+        case e: Exception if mode != ReadMode.FailFast =>
+          e match {
+            case _: SeqFileFormatException | _: java.io.EOFException
+                 | _: java.io.IOException =>
+              if (mode == ReadMode.Permissive) return false // stop at error tail
+              if (!blocks.skipToNextSync()) return false    // DROPMALFORMED
+            case other => throw other
+          }
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = row

@@ -144,4 +144,25 @@ class SeqFileGoldenSpec extends AnyFunSuite {
     assert(intercept[SeqFileFormatException](SeqFile.readHeader(notBlock))
       .getMessage.contains("block compressed"))
   }
+
+  test("non-snappy codec rejected (reference: Parser.hs:62-65)") {
+    // hand-build a header claiming GzipCodec
+    val out = new java.io.ByteArrayOutputStream()
+    def vstr(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); VInt.write(out, b.length.toLong); out.write(b)
+    }
+    out.write("SEQ".getBytes); out.write(6)
+    vstr("org.apache.hadoop.io.Text"); vstr("org.apache.hadoop.io.IntWritable")
+    out.write(1); out.write(1)
+    vstr("org.apache.hadoop.io.compress.GzipCodec")
+    out.write(Array[Byte](0, 0, 0, 0)) // metadata count (BE)
+    out.write(new Array[Byte](16)) // sync
+    val tmp = java.nio.file.Files.createTempFile("gzip", ".seq")
+    java.nio.file.Files.write(tmp, out.toByteArray)
+    try {
+      val ex = intercept[SeqFileFormatException](SeqFile.readHeader(tmp.toString))
+      assert(ex.getMessage.contains("unsupported codec"))
+      assert(ex.getMessage.contains("GzipCodec"))
+    } finally java.nio.file.Files.delete(tmp)
+  }
 }

@@ -109,6 +109,79 @@ class SeqFileConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(allMessages(ex).contains("schema mismatch"))
   }
 
+  // --- malformed-record modes -------------------------------------------
+
+  /** Write a 5-block file and corrupt the sync marker of the 3rd block.
+    * Returns (dir, goodRowsBeforeCorruption, totalRows). */
+  private def corruptedFile(): (String, Long, Long) = {
+    import graft.core.seqfile._
+    val dir = java.nio.file.Files.createTempDirectory("seqcorrupt")
+    val f = dir.resolve("data.seq")
+    val w = new SeqFileWriter(java.nio.file.Files.newOutputStream(f),
+      WritableType.LongW, WritableType.TextW, blockSize = 16 * 1024, syncSeed = 11L)
+    val total = 8000
+    (0 until total).foreach(i => w.append(i.toLong, s"row-$i-" + "x" * 20))
+    w.close()
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    val header = SeqFile.readHeader(f.toString)
+    // find block starts: escape ff ff ff ff + sync
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = header.dataStart.toInt
+    while (i < bytes.length - 20) {
+      if (bytes(i) == -1 && bytes(i + 1) == -1 && bytes(i + 2) == -1 && bytes(i + 3) == -1 &&
+          (0 until 16).forall(j => bytes(i + 4 + j) == header.sync(j))) {
+        starts += i; i += 20
+      } else i += 1
+    }
+    assert(starts.length >= 5, s"need >=5 blocks, got ${starts.length}")
+    // count rows in the first 2 blocks
+    val rd = SeqFile.open(f.toString, decodeKey = false, decodeValue = false)
+    val counts = rd.map(_.count).toList
+    rd.close()
+    // corrupt block 3's sync
+    bytes(starts(2) + 10) = (bytes(starts(2) + 10) ^ 0x55).toByte
+    java.nio.file.Files.write(f, bytes)
+    (dir.toString, counts.take(2).map(_.toLong).sum, total.toLong)
+  }
+
+  test("mode=FAILFAST (default) fails on a corrupt block") {
+    val (dir, _, _) = corruptedFile()
+    val ex = intercept[Exception] {
+      spark.read.format("seqfile").load(dir).count()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(ex).contains("corrupt"))
+  }
+
+  test("mode=PERMISSIVE stops at the error tail (reference foldMap semantics)") {
+    val (dir, goodPrefix, total) = corruptedFile()
+    val n = spark.read.format("seqfile").option("mode", "permissive").load(dir).count()
+    assert(n === goodPrefix)
+    assert(n < total)
+  }
+
+  test("mode=DROPMALFORMED skips the corrupt block and reads the rest") {
+    val (dir, goodPrefix, total) = corruptedFile()
+    val df = spark.read.format("seqfile").option("mode", "dropmalformed").load(dir)
+    val n = df.count()
+    assert(n > goodPrefix, "should recover blocks after the corrupt one")
+    assert(n < total, "the corrupt block's rows are gone")
+    // and the recovered rows decode correctly
+    val keys = df.selectExpr("min(key)", "max(key)").head()
+    assert(keys.getLong(0) === 0L && keys.getLong(1) === 7999L)
+  }
+
+  test("invalid mode option is rejected") {
+    val ex = intercept[Exception] {
+      spark.read.format("seqfile").option("mode", "bogus")
+        .load(textInt).count()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(ex).contains("FAILFAST"))
+  }
+
   test("null key/value rejected on write (format has no null representation)") {
     import spark.implicits._
     val df = Seq((Some(1L), Some("a")), (None, Some("b")))
