@@ -61,6 +61,10 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
 
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SeqFileMicroBatchStream(tableSchema, required, paths, maxSplitBytes, mode)
+
   /** One partition per `maxSplitBytes` byte range per file; ranges align
     * themselves to record-block boundaries at read time by scanning for the
     * next sync marker (semantics of reference: Parser.hs:93-101). At 100 TB
