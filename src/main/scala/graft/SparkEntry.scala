@@ -247,6 +247,88 @@ object SparkEntry {
         .orderBy(col("key_mod"))
     }),
 
+    // ---- outer join with null-side accounting ----
+    "q_outer_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > "2001-06-01")
+      ord.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          count(col("l_orderkey")).as("n_li_rows"),
+          countDistinct(when(col("l_orderkey").isNull, col("o_orderkey"))).as("n_unmatched"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- cube (full grouping-set lattice) ----
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- post-aggregation filter (HAVING) ----
+    "q_having" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .filter(col("revenue") > 2000000)
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // ---- pivot (conditional aggregation matrix) ----
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // ---- ordered string aggregation ----
+    "q_string_agg" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_supp"),
+          array_join(array_sort(collect_list(col("s_name"))), ",").as("supp_list"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- exact percentiles with interpolation ----
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- array ops: per-dimension embedding statistics ----
+    "q_array_positions" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"), round(avg(col("v")), 6).as("avg_v"))
+        .orderBy(col("pos"))
+    }),
+
+    // ---- as-of join: purchase attribution to the latest prior view/click ----
+    "q_asof_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val views = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("ts"), col("user_id"))
+      graft.operators.AsOfJoin.asofBackward(purchases, views,
+          "user_id", "ts", "ts", rightPrefix = "v_")
+        .select(col("event_id"), col("user_id"), col("v_event_id"),
+          round((unix_micros(col("ts")) - unix_micros(col("v_ts"))) / 1e6, 3).as("gap_sec"))
+        .orderBy(col("event_id"))
+    }),
+
     // ================= LLM-pipeline operators =================
 
     // ---- exact dedup via 64-bit content fingerprint ----
@@ -551,6 +633,74 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY key_mod""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  count(l_orderkey) AS n_li_rows,
+        |  count(DISTINCT CASE WHEN l_orderkey IS NULL THEN o_orderkey END) AS n_unmatched
+        |FROM orders
+        |LEFT JOIN (SELECT * FROM lineitem WHERE l_shipdate > TIMESTAMP '2001-06-01') li
+        |  ON o_orderkey = li.l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_having" ->
+      """SELECT l_suppkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 2000000
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT n_name, count(*) AS n_supp,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS supp_list
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_array_positions" ->
+      """WITH ex AS (
+        |  SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings)
+        |SELECT i - 1 AS pos, count(*) AS n, round(avg(v), 6) AS avg_v
+        |FROM ex
+        |GROUP BY 1
+        |ORDER BY pos""".stripMargin,
+
+    "q_asof_attribution" ->
+      """SELECT p.event_id, p.user_id, v.event_id AS v_event_id,
+        |  round(date_diff('microsecond', v.ts, p.ts) / 1000000.0, 3) AS gap_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type IN ('click', 'view')) v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,
