@@ -437,6 +437,20 @@ object SparkEntry {
         .orderBy(col("kind"))
     }),
 
+    // ---- Count-Min sketch heavy-hitter estimates (custom Aggregator;
+    //      estimates overcount by construction → rows-only check) ----
+    "q_sketch_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
+        .as[String]
+      val agg = new graft.functions.CountMinSketchAgg(depth = 4, width = 4096)
+      val sketch = toks.select(agg.toColumn).head()
+      val probes = Seq("the", "a", "data", "spark", "zz_absent")
+      probes.map(p => (p, sketch.estimate(p))).toDF("token", "est_count")
+        .orderBy(col("token"))
+    }),
+
     // ---- document fingerprinting (counts are oracle-checkable) ----
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")

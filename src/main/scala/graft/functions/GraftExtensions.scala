@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registrar: exposes the custom Catalyst expressions
+  * to SQL. Activate with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * (or `withExtensions`); then:
+  *
+  * {{{
+  * SELECT graft_fingerprint64(text), graft_simhash64(graft_tokens(text)),
+  *        graft_word_shingles(text, 3), graft_minhash_sig(sh, 48),
+  *        graft_array_dot(a, b), graft_lsh_sigs(v, 6, 8)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def register(name: String, arity: Seq[Int], builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        (args: Seq[Expression]) => {
+          if (!arity.contains(args.length))
+            throw new IllegalArgumentException(
+              s"$name expects ${arity.mkString("/")} arguments, got ${args.length}")
+          builder(args)
+        }))
+
+    register("graft_fingerprint64", Seq(1), args => Fingerprint64(args.head))
+    register("graft_simhash64", Seq(1), args => SimHash64(args.head))
+    register("graft_tokens", Seq(1), args => Tokens(args.head))
+    register("graft_word_shingles", Seq(2),
+      args => WordShingles(args.head, intLit(args(1), "n")))
+    register("graft_minhash_sig", Seq(2),
+      args => MinHashSig(args.head, intLit(args(1), "h")))
+    register("graft_array_dot", Seq(2), args => ArrayDot(args.head, args(1)))
+    register("graft_lsh_sigs", Seq(3), args =>
+      HyperplaneSigs(args.head, intLit(args(1), "bitsPerBand"), intLit(args(2), "numBands")))
+  }
+}

@@ -32,12 +32,24 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
       // any 2-column schema: first column → key, second → value.
       require(schema.length == 2,
         s"seqfile schema must have exactly 2 columns (key, value); got ${schema.catalogString}")
-      new SeqFileBatchWrite(schema, paths.head, truncateFirst)
+      // options: blockSize (uncompressed flush threshold, default 1 MiB =
+      // Hadoop's io.seqfile.compress.blocksize); metadata.<k>=<v> pairs go
+      // into the file header (surfaced back via Table.properties()).
+      val blockSize = Option(options.get("blockSize")).map(_.toInt).getOrElse(1 << 20)
+      require(blockSize >= 1024, s"blockSize must be >= 1024, got $blockSize")
+      import scala.jdk.CollectionConverters._
+      val metadata = options.entrySet().asScala.toSeq
+        .filter(_.getKey.toLowerCase.startsWith("metadata."))
+        .map(e => e.getKey.substring("metadata.".length) -> e.getValue)
+        .sortBy(_._1)
+      new SeqFileBatchWrite(schema, paths.head, truncateFirst, blockSize, metadata)
     }
   }
 }
 
-class SeqFileBatchWrite(schema: StructType, path: String, truncateFirst: Boolean)
+class SeqFileBatchWrite(schema: StructType, path: String, truncateFirst: Boolean,
+                        blockSize: Int = 1 << 20,
+                        metadata: Seq[(String, String)] = Nil)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -46,7 +58,7 @@ class SeqFileBatchWrite(schema: StructType, path: String, truncateFirst: Boolean
     val fs = dir.getFileSystem(conf)
     if (truncateFirst && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new SeqFileWriterFactory(schema, path)
+    new SeqFileWriterFactory(schema, path, blockSize, metadata)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -63,12 +75,15 @@ class SeqFileBatchWrite(schema: StructType, path: String, truncateFirst: Boolean
 
 case class SeqFileCommitMessage(path: String) extends WriterCommitMessage
 
-class SeqFileWriterFactory(schema: StructType, dir: String) extends DataWriterFactory {
+class SeqFileWriterFactory(schema: StructType, dir: String, blockSize: Int,
+                           metadata: Seq[(String, String)]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SeqFileDataWriter(schema, dir, partitionId, taskId)
+    new SeqFileDataWriter(schema, dir, partitionId, taskId, blockSize, metadata)
 }
 
-class SeqFileDataWriter(schema: StructType, dir: String, partitionId: Int, taskId: Long)
+class SeqFileDataWriter(schema: StructType, dir: String, partitionId: Int, taskId: Long,
+                        blockSize: Int = 1 << 20,
+                        metadata: Seq[(String, String)] = Nil)
   extends DataWriter[InternalRow] {
 
   private val keyType = SeqFileSchema.writableFor(schema(0).dataType)
@@ -79,7 +94,8 @@ class SeqFileDataWriter(schema: StructType, dir: String, partitionId: Int, taskI
   private val tempPath = new Path(dir, s".inprogress-${finalPath.getName}")
   private val fs = tempPath.getFileSystem(conf)
   private val out = fs.create(tempPath, true)
-  private val writer = new SeqFileWriter(out, keyType, valueType)
+  private val writer = new SeqFileWriter(out, keyType, valueType,
+    metadata = metadata, blockSize = blockSize)
 
   private val keyGet = valueGetter(schema(0).dataType, 0)
   private val valGet = valueGetter(schema(1).dataType, 1)

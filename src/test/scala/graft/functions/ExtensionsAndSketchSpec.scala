@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class ExtensionsAndSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("custom expressions callable from SQL via SparkSessionExtensions") {
+    import spark.implicits._
+    Seq(("Hello   World", "a b c d")).toDF("t", "u").createOrReplaceTempView("v")
+    val r = spark.sql(
+      """SELECT graft_fingerprint64(t) AS fp,
+        |       graft_fingerprint64('  hello world ') AS fp2,
+        |       graft_simhash64(graft_tokens(t)) AS sh,
+        |       graft_word_shingles(u, 3) AS grams,
+        |       graft_array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        |       size(graft_minhash_sig(graft_word_shingles(u, 2), 16)) AS mh,
+        |       size(graft_lsh_sigs(array(0.1d, -0.2d), 6, 8)) AS lsh
+        |FROM v""".stripMargin).head()
+    assert(r.getLong(0) === r.getLong(1)) // normalization invariance through SQL
+    assert(r.getAs[scala.collection.Seq[String]]("grams") === Seq("a b c", "b c d"))
+    assert(r.getDouble(4) === 11.0)
+    assert(r.getInt(5) === 16)
+    assert(r.getInt(6) === 8)
+  }
+
+  test("SQL function rejects wrong arity / non-literal params with clear errors") {
+    val e1 = intercept[Exception](spark.sql("SELECT graft_fingerprint64('a','b')").collect())
+    assert(e1.getMessage.contains("argument"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_word_shingles('a b c', length('xx'))").collect())
+    assert(e2.getMessage.contains("literal"))
+  }
+
+  test("CountMinSketch aggregator: estimates >= true counts, tight for heavy hitters") {
+    import spark.implicits._
+    val words = (1 to 2000).map(_ => "heavy") ++
+      (1 to 100).map(i => s"mid$i") ++ (1 to 5000).map(i => s"rare$i")
+    val ds = spark.sparkContext.parallelize(words, 8).toDS()
+    val agg = new CountMinSketchAgg(depth = 4, width = 2048)
+    val sketch: CountMinSketch = ds.select(agg.toColumn).head()
+    val est = sketch.estimate("heavy")
+    assert(est >= 2000L, s"estimate $est must not undercount")
+    assert(est <= 2000L + 50L, s"estimate $est too loose for a heavy hitter")
+    assert(sketch.estimate("absent-token") <= 30L)
+    assert(sketch.totalAdds === words.size.toLong)
+  }
+
+  test("seqfile writer options: blockSize controls block count; metadata lands in the header") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wropt").toString
+    (0 until 20000).map(i => (i.toLong, s"value-$i-padpadpad")).toDF("key", "value")
+      .coalesce(1)
+      .write.format("seqfile").mode("overwrite")
+      .option("blockSize", "8192")
+      .option("metadata.origin", "graft-test")
+      .option("metadata.version", "1")
+      .save(dir)
+    val part = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".seq")).head
+    val header = graft.core.seqfile.SeqFile.readHeader(part.toString)
+    assert(header.metadata.toMap === Map("origin" -> "graft-test", "version" -> "1"))
+    val rd = graft.core.seqfile.SeqFile.open(part.toString,
+      decodeKey = false, decodeValue = false)
+    val blocks = try rd.size finally rd.close()
+    assert(blocks > 10, s"8KiB blockSize should force many blocks, got $blocks")
+    // still readable through the connector and by Hadoop
+    assert(spark.read.format("seqfile").load(dir).count() === 20000L)
+  }
+}
