@@ -52,7 +52,24 @@ object ReadMode {
 class SeqFileScan(tableSchema: StructType, required: StructType,
                   paths: Seq[String], maxSplitBytes: Long,
                   mode: String = ReadMode.FailFast)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
+
+  /** Size estimate so Catalyst's join planning can broadcast small seqfile
+    * tables: on-disk bytes × a snappy decompression factor, scaled by the
+    * fraction of columns read (pruned columns are never decompressed). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val diskBytes =
+      try SeqFileDataSource.listFiles(paths, new Configuration()).map(_.getLen).sum
+      catch { case _: Exception => -1L }
+    override def sizeInBytes(): java.util.OptionalLong =
+      if (diskBytes < 0) java.util.OptionalLong.empty()
+      else {
+        val colFraction =
+          math.max(1, required.length).toDouble / math.max(1, tableSchema.length)
+        java.util.OptionalLong.of((diskBytes * 3 * colFraction).toLong)
+      }
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   override def readSchema(): StructType = required
 
