@@ -437,6 +437,35 @@ object SparkEntry {
         .orderBy(col("kind"))
     }),
 
+    // ---- flagship corpus-cleaning pipeline: exact-dedup representatives
+    //      ∘ quality threshold ∘ language filter, per source ----
+    "q_corpus_clean" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      val d = graft.operators.Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+      d.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_rep") && col("quality") >= 0.5
+            && col("lang_pred") === "en", 1).otherwise(0)).as("n_clean"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- correlated aggregate: spenders above 1.5x their nation's average ----
+    "q_correlated" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("spend"))
+      val cust = t(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"))
+      val natAvg = cust.groupBy(col("c_nationkey").as("nk"))
+        .agg(avg(col("spend")).as("nation_avg"))
+      cust.join(natAvg, col("c_nationkey") === col("nk"))
+        .filter(col("spend") > col("nation_avg") * 1.5)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_big"), round(max(col("spend")), 2).as("max_spend"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // ---- Count-Min sketch heavy-hitter estimates (custom Aggregator;
     //      estimates overcount by construction → rows-only check) ----
     "q_sketch_tokens" -> ((s, dir) => {
@@ -780,6 +809,24 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1
         |ORDER BY kind""".stripMargin,
+
+    "q_corpus_clean" -> SparkEntryOracles.corpusCleanSql,
+
+    "q_correlated" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |cust AS (
+        |  SELECT c_custkey, c_nationkey, spend
+        |  FROM customer JOIN spend ON c_custkey = o_custkey),
+        |na AS (
+        |  SELECT c_nationkey AS nk, avg(spend) AS nation_avg
+        |  FROM cust GROUP BY c_nationkey)
+        |SELECT c_nationkey, count(*) AS n_big, round(max(spend), 2) AS max_spend
+        |FROM cust JOIN na ON c_nationkey = nk
+        |WHERE spend > nation_avg * 1.5
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT count(*) AS n_docs,

@@ -60,6 +60,41 @@ object SparkEntryOracles {
        |SELECT lang_pred, count(*) AS n FROM pred
        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
 
+  /** Flagship pipeline oracle: dedup representative (min doc_id per
+    * normalized text) ∘ quality >= 0.5 ∘ lang 'en', per source. Reuses the
+    * identical quality/langId arithmetic. */
+  val corpusCleanSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text,
+       |    greatest(length(text), 1) AS n,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS w,
+       |    length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+       |  FROM documents),
+       |t2 AS (
+       |  SELECT doc_id, source, text, cjk, norm,
+       |    doc_id = min(doc_id) OVER (PARTITION BY norm) AS is_rep,
+       |    round(greatest(least(
+       |      least(len(w) / 20.0, 1.0) * 0.4 +
+       |      ((length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))) * -1.0 / n + 1.0) * 0.3 +
+       |      least(${hits("en")} * 1.0 / greatest(len(w), 1) * 5.0, 1.0) * 0.2 +
+       |      (1.0 - least(((length(text) - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))) * -1.0 / n + 1.0) * 5.0, 1.0)) * 0.1,
+       |      1.0), 0.0), 4) AS quality,
+       |    CASE
+       |      WHEN cjk * 10 > length(text) * 3 THEN 'zh'
+       |      WHEN greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) = 0 THEN 'und'
+       |      WHEN ${hits("en")} = greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) THEN 'en'
+       |      WHEN ${hits("de")} = greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) THEN 'de'
+       |      WHEN ${hits("fr")} = greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) THEN 'fr'
+       |      ELSE 'es' END AS lang_pred
+       |  FROM t)
+       |SELECT source, count(*) AS n_docs,
+       |  sum(CASE WHEN is_rep AND quality >= 0.5 AND lang_pred = 'en'
+       |      THEN 1 ELSE 0 END) AS n_clean
+       |FROM t2
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** Replicates TextAnalysis.qualityScore arithmetic shape exactly. */
   val qualityScoreSql: String =
     s"""WITH t AS (

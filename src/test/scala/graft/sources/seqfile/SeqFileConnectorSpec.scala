@@ -172,6 +172,39 @@ class SeqFileConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys.getLong(0) === 0L && keys.getLong(1) === 7999L)
   }
 
+  test("mixed writable classes across files in one directory fail with a clear error") {
+    import graft.core.seqfile._
+    val dir = java.nio.file.Files.createTempDirectory("mixed")
+    val w1 = new SeqFileWriter(java.nio.file.Files.newOutputStream(dir.resolve("a.seq")),
+      WritableType.LongW, WritableType.TextW, syncSeed = 1L)
+    w1.append(1L, "x"); w1.close()
+    val w2 = new SeqFileWriter(java.nio.file.Files.newOutputStream(dir.resolve("b.seq")),
+      WritableType.LongW, WritableType.DoubleW, syncSeed = 2L)
+    w2.append(1L, 1.0); w2.close()
+    // schema inferred from first file (a.seq: long/string); b.seq conflicts
+    val ex = intercept[Exception] {
+      spark.read.format("seqfile").load(dir.toString).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(ex).contains("schema mismatch"))
+    assert(msgs(ex).contains("b.seq"), "error should name the offending file")
+  }
+
+  test("approx_count_distinct over seqfile data is within 5% of exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("approx").toString
+    (0 until 50000).map(i => (i.toLong, s"k${i % 7321}")).toDF("key", "value")
+      .write.format("seqfile").mode("overwrite").save(dir)
+    val df = spark.read.format("seqfile").load(dir)
+    val r = df.agg(
+      approx_count_distinct(col("value"), 0.01).as("approx"),
+      countDistinct(col("value")).as("exact")).head()
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(exact === 7321L)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("invalid mode option is rejected") {
     val ex = intercept[Exception] {
       spark.read.format("seqfile").option("mode", "bogus")
