@@ -333,11 +333,15 @@ object SparkEntry {
 
     // ---- exact dedup via 64-bit content fingerprint ----
     "q_dedup_exact" -> ((s, dir) => {
+      // n_dup_docs is WITHIN-source (n_docs - distinct fingerprints): a
+      // duplicate pair spanning two sources counts in neither, matching the
+      // oracle's per-source distinct count. (The global-representative view
+      // lives in exactDedup's is_rep/rep_id and q_corpus_clean.)
       graft.operators.Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("fp")).as("n_unique"),
-          sum(when(col("is_rep"), 0).otherwise(1)).as("n_dup_docs"))
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"))
         .orderBy(col("source"))
     }),
 

@@ -40,6 +40,16 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop records whose content fingerprint was
+    * already seen, with the watermark bounding the dedup state — the
+    * streaming form of Dedup.exactDedup for continuous ingestion pipelines.
+    * Expects a `ts` event-time column and a text column; state for
+    * fingerprints older than the watermark is reclaimed. */
+  def streamingDedup(df: DataFrame, textCol: String, watermark: String): DataFrame =
+    df.withColumn("fp", graft.functions.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("fp")
+
   // ---- custom state machine: flatMapGroupsWithState sessionization ----
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -114,6 +114,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("streamingDedup drops repeated content across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val df = stream.toDF().toDF("id", "ts", "text")
+    val q = EventStreams.streamingDedup(df, "text", "1 hour")
+      .writeStream.format("memory").queryName("streamdedup").outputMode("append").start()
+    try {
+      stream.addData((1L, ts(0), "alpha doc"), (2L, ts(1), "beta doc"))
+      q.processAllAvailable()
+      // same normalized content ("ALPHA   DOC") in a later batch → dropped
+      stream.addData((3L, ts(2), "ALPHA   DOC"), (4L, ts(3), "gamma doc"))
+      q.processAllAvailable()
+      val ids = spark.table("streamdedup").select("id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("file-based streaming over events parquet: stream count == batch count") {
     // copy a slice of the real events table into a dir and stream it
     import spark.implicits._
