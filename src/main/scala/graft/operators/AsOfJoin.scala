@@ -22,11 +22,29 @@ import org.apache.spark.sql.types._
   */
 object AsOfJoin {
 
+  /** Forward direction: earliest right row with rightTime >= leftTime. */
+  def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
+                  leftTimeCol: String, rightTimeCol: String,
+                  rightPrefix: String = "r_",
+                  toleranceMicros: Long = Long.MaxValue): DataFrame =
+    asofJoin(left, right, keyCol, leftTimeCol, rightTimeCol, rightPrefix,
+      forward = true, toleranceMicros)
+
   /** @param rightPrefix prefix for right-side output columns (all right
-    *   columns appear, nullable, prefixed to avoid collisions). */
+    *   columns appear, nullable, prefixed to avoid collisions).
+    * @param toleranceMicros max |leftTime - rightTime| for a match; beyond
+    *   it the right side is null (like pandas merge_asof's tolerance). */
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTimeCol: String, rightTimeCol: String,
-                   rightPrefix: String = "r_"): DataFrame = {
+                   rightPrefix: String = "r_",
+                   toleranceMicros: Long = Long.MaxValue): DataFrame =
+    asofJoin(left, right, keyCol, leftTimeCol, rightTimeCol, rightPrefix,
+      forward = false, toleranceMicros)
+
+  private def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                       leftTimeCol: String, rightTimeCol: String,
+                       rightPrefix: String, forward: Boolean,
+                       toleranceMicros: Long): DataFrame = {
     val spark = left.sparkSession
     val leftFields = left.schema.fields
     val rightFields = right.schema.fields
@@ -56,18 +74,28 @@ object AsOfJoin {
       case v => v.toString
     })(org.apache.spark.sql.Encoders.STRING)
 
+    val nullRight: Seq[Any] = Seq.fill(rightFields.length)(null)
     grouped.flatMapGroups { (_: String, rows: Iterator[Row]) =>
-      val sorted = rows.toArray.sortBy(r =>
-        (if (r.isNullAt(1)) Long.MinValue else r.getLong(1), r.getInt(2)))
-      var current: Row = null
+      // Sort so that, in sweep order, right rows at equal time are seen
+      // before the left rows they may match (inclusive boundary).
+      val sorted = rows.toArray.sortBy { r =>
+        val t = if (r.isNullAt(1)) Long.MinValue else r.getLong(1)
+        val side = r.getInt(2) // 0 = right, 1 = left
+        (t, if (forward) 1 - side else side)
+      }
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      for (r <- sorted) {
-        if (r.getInt(2) == 0) current = r.getStruct(4)
+      var current: Row = null
+      var currentT = 0L
+      val range = if (forward) sorted.indices.reverse else sorted.indices
+      for (i <- range) {
+        val r = sorted(i)
+        if (r.getInt(2) == 0) { current = r.getStruct(4); currentT = r.getLong(1) }
         else {
           val l = r.getStruct(3)
-          val rightVals: Seq[Any] =
-            if (current == null) Seq.fill(rightFields.length)(null)
-            else current.toSeq
+          val lt = r.getLong(1)
+          val gap = if (forward) currentT - lt else lt - currentT
+          val rightVals =
+            if (current != null && gap <= toleranceMicros) current.toSeq else nullRight
           out += Row.fromSeq(l.toSeq ++ rightVals)
         }
       }

@@ -87,6 +87,34 @@ object SimilaritySearch {
     val cents = c.filter(pmod(col("id"), lit(step)) === 0)
       .limit(numCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    ivfWithCentroids(c, queries, idCol, vecCol, cents, k, nProbe)
+  }
+
+  /** IVF with k-means-trained centroids (MLlib KMeans, fixed seed →
+    * deterministic): tighter clusters → better recall per probed list than
+    * the sampled-centroid variant. This is the production path; training
+    * cost is one pass over a corpus sample. */
+  def ivfTopKKMeans(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, numCentroids: Int = 16,
+                    nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = prepared(corpus, idCol, vecCol)
+    val train = c.select(array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(numCentroids).setSeed(42L).setMaxIter(10)
+      .fit(train)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (vec, i) => (i.toLong, vec.toArray) }
+      .toDF("cent_id", "cv")
+      .withColumn("cn", l2norm(col("cv")))
+    ivfWithCentroids(c, queries, idCol, vecCol, cents, k, nProbe)
+  }
+
+  private def ivfWithCentroids(c: DataFrame, queries: DataFrame, idCol: String,
+                               vecCol: String, cents: DataFrame, k: Int,
+                               nProbe: Int): DataFrame = {
 
     def nearestCentroids(df: DataFrame, take: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))

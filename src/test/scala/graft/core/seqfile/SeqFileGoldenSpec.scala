@@ -145,6 +145,34 @@ class SeqFileGoldenSpec extends AnyFunSuite {
       .getMessage.contains("block compressed"))
   }
 
+  test("zero-record block (never produced by writers, legal per grammar) decodes as empty") {
+    // craft: our header + one 0-record block + one real 2-record block
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp0 = java.nio.file.Files.createTempFile("base", ".seq")
+    val w = new SeqFileWriter(java.nio.file.Files.newOutputStream(tmp0),
+      WritableType.IntW, WritableType.IntW, syncSeed = 3L)
+    w.append(1, 10); w.append(2, 20); w.close()
+    val base = java.nio.file.Files.readAllBytes(tmp0)
+    val h = SeqFile.readHeader(tmp0.toString)
+    out.write(base, 0, h.dataStart.toInt) // header
+    // empty block: escape + sync + vint 0 + 4 empty framed buffers
+    out.write(Array[Byte](-1, -1, -1, -1)); out.write(h.sync)
+    VInt.write(out, 0L)
+    val emptyFramed = SnappyBlockCodec.compress(Array.emptyByteArray, 0)
+    (1 to 4).foreach { _ =>
+      VInt.write(out, emptyFramed.length.toLong); out.write(emptyFramed)
+    }
+    out.write(base, h.dataStart.toInt, base.length - h.dataStart.toInt) // real block
+    val tmp = java.nio.file.Files.createTempFile("emptyblock", ".seq")
+    java.nio.file.Files.write(tmp, out.toByteArray)
+    val r = SeqFile.open(tmp.toString)
+    try {
+      val blocks = r.toList
+      assert(blocks.map(_.count) === List(0, 2))
+      assert(blocks(1).keys.get.asInstanceOf[IntColumn].values.toSeq === Seq(1, 2))
+    } finally { r.close(); java.nio.file.Files.delete(tmp); java.nio.file.Files.delete(tmp0) }
+  }
+
   test("non-snappy codec rejected (reference: Parser.hs:62-65)") {
     // hand-build a header claiming GzipCodec
     val out = new java.io.ByteArrayOutputStream()

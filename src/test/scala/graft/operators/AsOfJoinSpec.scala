@@ -52,6 +52,30 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === "early")
   }
 
+  test("forward as-of join: earliest right row at or after each left row") {
+    import spark.implicits._
+    val left = Seq((1L, ts(10), "p1"), (1L, ts(30), "p2")).toDF("k", "t", "name")
+    val right = Seq((1L, ts(10), "v-eq"), (1L, ts(20), "v-mid")).toDF("k", "t", "vname")
+    val out = AsOfJoin.asofForward(left, right, "k", "t", "t")
+      .select("name", "r_vname").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).orNull)).toMap
+    assert(out === Map(
+      "p1" -> "v-eq",  // inclusive tie at t=10
+      "p2" -> null))   // nothing at/after 30
+  }
+
+  test("tolerance bounds the match window") {
+    import spark.implicits._
+    val left = Seq((1L, ts(100), "p")).toDF("k", "t", "name")
+    val right = Seq((1L, ts(10), "old")).toDF("k", "t", "vname")
+    val within = AsOfJoin.asofBackward(left, right, "k", "t", "t",
+      toleranceMicros = 100L * 1000000).select("r_vname").head().getString(0)
+    assert(within === "old") // 90s gap <= 100s tolerance
+    val beyond = AsOfJoin.asofBackward(left, right, "k", "t", "t",
+      toleranceMicros = 60L * 1000000).select("r_vname").head()
+    assert(beyond.isNullAt(0)) // 90s gap > 60s tolerance
+  }
+
   test("matches a window-function reference implementation on real events") {
     import org.apache.spark.sql.functions._
     val spark2 = spark

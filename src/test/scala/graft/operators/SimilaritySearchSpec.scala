@@ -66,6 +66,18 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.2, s"ivf recall $recall")
   }
 
+  test("ivfTopKKMeans recall matches or beats sampled-centroid IVF") {
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      bruteSet.count(s.contains).toDouble / bruteSet.size
+    }
+    val sampled = recall(SimilaritySearch.ivfTopK(emb, queries, "vec_id", "embedding", 10))
+    val kmeans = recall(SimilaritySearch.ivfTopKKMeans(emb, queries, "vec_id", "embedding", 10))
+    assert(kmeans >= 0.2, s"kmeans recall $kmeans")
+    assert(kmeans >= sampled - 0.1, s"kmeans $kmeans well below sampled $sampled")
+  }
+
   test("ivfTopK scans a bounded fraction of the corpus (nProbe/C lists)") {
     // with 16 centroids and nProbe=4, each query's candidate set must be
     // well under the full corpus
