@@ -67,24 +67,28 @@ object SeqFileDataSource {
     all
   }
 
-  /** List data files under each path (directory, glob, or file), skipping
-    * hidden/_SUCCESS-style entries. Uses the Hadoop FileSystem API so HDFS /
-    * S3 paths work unchanged on a real cluster. */
+  /** List data files under each path (directory, glob, or file), recursing
+    * into subdirectories (date-partitioned layouts like
+    * `/data/2024/01/part-*.seq`) and skipping hidden/_SUCCESS-style entries.
+    * Uses the Hadoop FileSystem API so HDFS / S3 paths work unchanged on a
+    * real cluster. */
   def listFiles(paths: Seq[String], conf: Configuration): Seq[FileStatus] = {
+    def expand(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory) {
+        if (hidden(st.getPath.getName)) Seq.empty
+        else fs.listStatus(st.getPath).toSeq.flatMap(expand(fs, _))
+      } else Seq(st)
     paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
-      val matched: Seq[FileStatus] =
-        Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
-      matched.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-        else Seq(st)
-      }
-    }.filter { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }.sortBy(_.getPath.toString)
+      Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+        .flatMap(expand(fs, _))
+    }.filter(st => !hidden(st.getPath.getName))
+      .sortBy(_.getPath.toString)
   }
+
+  private def hidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
 
   def readHeader(path: Path, conf: Configuration): SeqHeader = {
     val in = new HadoopSeekableInput(path, conf)

@@ -172,6 +172,27 @@ class SeqFileConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys.getLong(0) === 0L && keys.getLong(1) === 7999L)
   }
 
+  test("recursive listing reads date-partitioned nested directories") {
+    import graft.core.seqfile._
+    val root = java.nio.file.Files.createTempDirectory("nested")
+    for ((sub, from) <- Seq("2024/01" -> 0, "2024/02" -> 100, "2025/01" -> 200)) {
+      val d = root.resolve(sub)
+      java.nio.file.Files.createDirectories(d)
+      val w = new SeqFileWriter(java.nio.file.Files.newOutputStream(d.resolve("part.seq")),
+        WritableType.LongW, WritableType.TextW, syncSeed = from.toLong)
+      (from until from + 50).foreach(i => w.append(i.toLong, s"v$i"))
+      w.close()
+    }
+    // hidden dir must be skipped
+    val hid = root.resolve(".staging"); java.nio.file.Files.createDirectories(hid)
+    val wh = new SeqFileWriter(java.nio.file.Files.newOutputStream(hid.resolve("x.seq")),
+      WritableType.LongW, WritableType.TextW, syncSeed = 1L)
+    wh.append(999L, "hidden"); wh.close()
+    val df = spark.read.format("seqfile").load(root.toString)
+    assert(df.count() === 150L)
+    assert(df.agg(max("key")).head().getLong(0) === 249L)
+  }
+
   test("mixed writable classes across files in one directory fail with a clear error") {
     import graft.core.seqfile._
     val dir = java.nio.file.Files.createTempDirectory("mixed")
