@@ -352,6 +352,13 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- prefix-filtered exact Jaccard (AllPairs/PPJoin; same oracle) ----
+    "q_dedup_ngram_prefix" -> ((s, dir) => {
+      graft.operators.Dedup.ngramJaccardPairsPrefix(
+          t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- MinHash+LSH near-dup pairs (exact-verified; same oracle as above) ----
     "q_dedup_minhash" -> ((s, dir) => {
       graft.operators.Dedup.minHashLshPairs(
@@ -758,6 +765,7 @@ object SparkEntry {
         |ORDER BY source""".stripMargin,
 
     "q_dedup_ngram" -> SparkEntryOracles.ngramJaccardPairsSql,
+    "q_dedup_ngram_prefix" -> SparkEntryOracles.ngramJaccardPairsSql,
     // MinHash+LSH is exact-verified with P(miss | j>=0.8) ~ 1e-5, so it
     // shares the exact-Jaccard oracle.
     "q_dedup_minhash" -> SparkEntryOracles.ngramJaccardPairsSql,

@@ -61,6 +61,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact Jaccard pairs via prefix filtering (AllPairs/PPJoin principle):
+    * order each doc's shingles by ascending global document frequency
+    * (rarest first); for Jaccard >= t, two docs MUST share at least one
+    * shingle within each other's prefix of size |A| - ceil(t*|A|) + 1 —
+    * so joining only on prefix shingles generates a candidate superset,
+    * and exact verification restores equality with ngramJaccardPairs.
+    *
+    * Scale: the join touches ~(1-t)|A| rarest shingles per doc instead of
+    * all of them, and rare shingles have tiny document frequencies — the
+    * df² blowup of the naive shingle join collapses. Costs one extra
+    * aggregation (global df) and a per-doc sort.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, threshold: Double): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+        TextAnalysis.wordShingles(col(textCol), n).as("shStr"))
+      .filter(size(col("shStr")) > 0)
+      .select(col("id"), transform(col("shStr"), s => xxhash64(s)).as("sh"))
+
+    val exploded = docs.select(col("id"), explode(col("sh")).as("s"))
+    val docFreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+
+    // per-doc shingles with global df, ordered rarest-first
+    val ranked = exploded.join(docFreq, "s")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("df"), col("s"))))
+    val sizes = docs.select(col("id"), size(col("sh")).as("n_sh"))
+    // prefix length = |A| - ceil(t*|A|) + 1
+    val prefixes = ranked.join(sizes, "id")
+      .filter(col("rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("id"), col("s"))
+
+    val cand = prefixes.as("x").join(prefixes.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    val withSets = cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
+    withSets
+      .withColumn("ix", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("ix") / (size(col("sha")) + size(col("shb")) - col("ix")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** MinHash + LSH near-duplicate pairs: shingle → H seeded min-hashes →
     * band signatures → bucket join → exact Jaccard verification.
     * With rowsPerBand=r and numBands=b (H = r*b), a pair with Jaccard j is

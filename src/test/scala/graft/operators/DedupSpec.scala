@@ -46,6 +46,46 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getDouble(2) - 35.0 / (38 + 38 - 35)) < 1e-6)
   }
 
+  test("prefix-filtered exact join equals the naive exact join (incl. scores)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val exact = norm(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8))
+    val prefix = norm(Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text", 3, 0.8))
+    assert(exact.nonEmpty)
+    assert(prefix === exact)
+  }
+
+  test("prefix filtering generates far fewer candidates than the naive shingle join") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val sh = d.select(col("doc_id").as("id"),
+        explode(graft.functions.TextAnalysis.wordShingles(col("text"), 3)).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("s"))
+    val naiveCand = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    // reproduce the operator's internal prefix selection to count candidates
+    val docs = d.select(col("doc_id").as("id"),
+        graft.functions.TextAnalysis.wordShingles(col("text"), 3).as("shStr"))
+      .filter(size(col("shStr")) > 0)
+      .select(col("id"), transform(col("shStr"), s => xxhash64(s)).as("sh"))
+    val exploded = docs.select(col("id"), explode(col("sh")).as("s"))
+    val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(dfreq, "s").withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("df"), col("s"))))
+    val prefixes = ranked.join(docs.select(col("id"), size(col("sh")).as("n_sh")), "id")
+      .filter(col("rank") <= col("n_sh") - ceil(col("n_sh") * 0.8) + 1)
+      .select(col("id"), col("s"))
+    val prefixCand = prefixes.as("x").join(prefixes.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id")).distinct().count()
+    assert(prefixCand < naiveCand / 5,
+      s"prefix candidates $prefixCand not much smaller than naive $naiveCand")
+  }
+
   test("minHashLshPairs finds the same pairs as the exact join on testdata") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8)
