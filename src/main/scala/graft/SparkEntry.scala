@@ -329,6 +329,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- interval/range join: events within ±5 minutes of each purchase ----
+    "q_range_join" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("t", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), (col("t") - 300000000L).as("ws"),
+          (col("t") + 300000000L).as("we"))
+      val points = ev.select(col("event_id").as("eid"), col("t").as("pt"))
+        .withColumn("pe", col("pt"))
+      graft.operators.RangeJoin.overlapJoin(purchases, points,
+          "event_id", "ws", "we", "eid", "pt", "pe",
+          binWidthMicros = 300000000L)
+        .groupBy(col("l_id").as("event_id"))
+        .agg(count(lit(1)).as("n_nearby"))
+        .orderBy(col("event_id"))
+    }),
+
     // ================= LLM-pipeline operators =================
 
     // ---- exact dedup via 64-bit content fingerprint ----
@@ -754,6 +770,14 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type IN ('click', 'view')) v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT p.event_id, count(*) AS n_nearby
+        |FROM events p JOIN events e
+        |  ON abs(date_diff('microsecond', e.ts, p.ts)) <= 300000000
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id
         |ORDER BY p.event_id""".stripMargin,
 
     "q_dedup_exact" ->
