@@ -71,7 +71,10 @@ object Dedup {
     * Scale: the join touches ~(1-t)|A| rarest shingles per doc instead of
     * all of them, and rare shingles have tiny document frequencies — the
     * df² blowup of the naive shingle join collapses. Costs one extra
-    * aggregation (global df) and a per-doc sort.
+    * aggregation (global df) and a per-doc rank shuffle: measured ~2x
+    * SLOWER than the naive join at 5k docs (fixed overhead dominates) and
+    * wins as Σdf² outgrows corpus size — use it for large corpora, the
+    * naive join for small ones.
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double): DataFrame = {
