@@ -408,8 +408,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.operators.SimilaritySearch.lshTopK(
-          emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-          k = 10, dim = 64)
+          emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
         .orderBy(col("q_id"), col("rank"))
     }),
 

@@ -65,13 +65,17 @@ object AsOfJoin {
       lit(null).cast(StructType(leftFields)).as("lrow"),
       struct(rightFields.map(f => col(f.name)): _*).as("rrow"))
 
-    val union = lTagged.unionByName(rTagged)
+    // Null-key RIGHT rows can never match (SQL null-join semantics) — drop
+    // them up front so null-key left rows (grouped under a sentinel) always
+    // get a null right side rather than matching each other.
+    val union = lTagged.unionByName(
+      rTagged.filter(org.apache.spark.sql.functions.col("k").isNotNull))
 
     val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
 
     val grouped = union.groupByKey((r: Row) => r.getAs[Any]("k") match {
-      case null => "" // null keys join nothing but must not NPE
-      case v => v.toString
+      case null => "\u0000" // sentinel group: contains only null-key left rows
+      case v => "v:" + v.toString
     })(org.apache.spark.sql.Encoders.STRING)
 
     val nullRight: Seq[Any] = Seq.fill(rightFields.length)(null)
@@ -89,13 +93,19 @@ object AsOfJoin {
       val range = if (forward) sorted.indices.reverse else sorted.indices
       for (i <- range) {
         val r = sorted(i)
-        if (r.getInt(2) == 0) { current = r.getStruct(4); currentT = r.getLong(1) }
-        else {
+        val tNull = r.isNullAt(1)
+        if (r.getInt(2) == 0) {
+          // right row with null time can never satisfy the as-of predicate
+          if (!tNull) { current = r.getStruct(4); currentT = r.getLong(1) }
+        } else {
           val l = r.getStruct(3)
-          val lt = r.getLong(1)
-          val gap = if (forward) currentT - lt else lt - currentT
           val rightVals =
-            if (current != null && gap <= toleranceMicros) current.toSeq else nullRight
+            if (tNull || current == null) nullRight
+            else {
+              val lt = r.getLong(1)
+              val gap = if (forward) currentT - lt else lt - currentT
+              if (gap <= toleranceMicros) current.toSeq else nullRight
+            }
           out += Row.fromSeq(l.toSeq ++ rightVals)
         }
       }

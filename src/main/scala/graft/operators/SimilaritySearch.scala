@@ -46,7 +46,7 @@ object SimilaritySearch {
     * Output: (q_id, n_id, rank, cosine) — approximate; measure recall
     * against bruteForceTopK. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, dim: Int,
+              vecCol: String, k: Int,
               bitsPerBand: Int = 6, numBands: Int = 8): DataFrame = {
     def banded(df: DataFrame, pfx: String): DataFrame = {
       val p = prepared(df, idCol, vecCol)

@@ -18,8 +18,12 @@ object SkewJoin {
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
                       salts: Int = 16): DataFrame = {
     require(salts >= 1 && salts <= 4096, s"salts out of range: $salts")
+    // Per-row salt (not content-derived): fully identical hot rows — the
+    // typical default-value hot key — must still spread across buckets.
+    // monotonically_increasing_id varies per row; any salt assignment yields
+    // identical inner-join results because the right side covers all salts.
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")

@@ -66,18 +66,27 @@ class SeqFileColumnarPartitionReader(part: SeqFilePartition, tableSchema: Struct
 
   private val input = new HadoopSeekableInput(
     new org.apache.hadoop.fs.Path(part.path), new org.apache.hadoop.conf.Configuration())
-  private val header = SeqHeader.parse(new SeqInput(input))
-  SeqFileSchema.validate(tableSchema, header, part.path)
-
-  private val needKey = required.fieldNames.exists(_.equalsIgnoreCase("key"))
-  private val needValue = required.fieldNames.exists(_.equalsIgnoreCase("value"))
-
-  private val blocks = new SeqBlockReader(input, header, part.start, part.end,
-    decodeKey = needKey, decodeValue = needValue)
+  // see SeqFilePartitionReader: header failures yield an empty partition
+  // under PERMISSIVE/DROPMALFORMED; input closed on constructor failure
+  private val blocks: SeqBlockReader =
+    try {
+      val header = SeqHeader.parse(new SeqInput(input))
+      SeqFileSchema.validate(tableSchema, header, part.path)
+      val needKey = required.fieldNames.exists(_.equalsIgnoreCase("key"))
+      val needValue = required.fieldNames.exists(_.equalsIgnoreCase("value"))
+      new SeqBlockReader(input, header, part.start, part.end,
+        decodeKey = needKey, decodeValue = needValue)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        input.close()
+        if (mode == ReadMode.FailFast) throw e
+        null
+    }
 
   private var batch: ColumnarBatch = null
 
   override def next(): Boolean = {
+    if (blocks == null) return false
     while (true) {
       try {
         if (!blocks.hasNext) return false
@@ -89,14 +98,9 @@ class SeqFileColumnarPartitionReader(part: SeqFilePartition, tableSchema: Struct
         batch = new ColumnarBatch(vectors, b.count)
         return true
       } catch {
-        case e: Exception if mode != ReadMode.FailFast =>
-          e match {
-            case _: SeqFileFormatException | _: java.io.EOFException
-                 | _: java.io.IOException =>
-              if (mode == ReadMode.Permissive) return false
-              if (!blocks.skipToNextSync()) return false
-            case other => throw other
-          }
+        case scala.util.control.NonFatal(e) if mode != ReadMode.FailFast =>
+          if (mode == ReadMode.Permissive) return false
+          if (!blocks.skipToNextSync()) return false
       }
     }
     false
@@ -104,5 +108,5 @@ class SeqFileColumnarPartitionReader(part: SeqFilePartition, tableSchema: Struct
 
   override def get(): ColumnarBatch = batch
 
-  override def close(): Unit = blocks.close()
+  override def close(): Unit = if (blocks != null) blocks.close()
 }

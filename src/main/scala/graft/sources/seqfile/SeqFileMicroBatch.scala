@@ -10,30 +10,43 @@ import org.apache.spark.sql.types.StructType
   * (the streaming story the reference's lazy pull-based `Stream` hints at
   * but never distributes, reference: SequenceFile.hs:63-67).
   *
-  * Offset model: files sorted by (modificationTime, path); offset n = "the
-  * first n files have been processed". Assumes an append-only directory
-  * (files are not deleted or rewritten), like Spark's built-in file stream
-  * source. Each micro-batch plans the newly discovered files with the same
-  * byte-range splitting as the batch scan. */
+  * Offset model: a monotonic append-only file log. Offset n = "the first n
+  * entries of the log". New files discovered at latestOffset() append to the
+  * log in (modificationTime, path) order, so a file whose name sorts before
+  * already-processed files never remaps earlier indices (a plain sorted
+  * listing would re-read old files and skip the new one). Assumes an
+  * append-only directory, like Spark's built-in file stream source. After a
+  * restart the log rebuilds from the directory listing in
+  * (modificationTime, path) order — correct as long as files were not
+  * created with out-of-order timestamps while the query was down. */
 class SeqFileMicroBatchStream(tableSchema: StructType, required: StructType,
                               paths: Seq[String], maxSplitBytes: Long, mode: String)
   extends MicroBatchStream {
 
-  private def discover(): Seq[(String, Long)] = {
+  private def discover(): Seq[(String, Long, Long)] = {
     val conf = new Configuration()
     SeqFileDataSource.listFiles(paths, conf)
-      .map(st => (st.getPath.toString, st.getLen))
-      .sortBy(_._1)
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
   }
 
-  // Snapshot per planning cycle so latestOffset/planInputPartitions agree.
-  @volatile private var snapshot: Seq[(String, Long)] = Nil
+  // Monotonic log of (path, length); guarded by this.
+  private val log = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  private val seen = scala.collection.mutable.HashSet.empty[String]
+
+  private def appendNew(): Unit = synchronized {
+    val fresh = discover().filter(f => !seen.contains(f._1))
+      .sortBy(f => (f._3, f._1))
+    fresh.foreach { case (p, len, _) =>
+      seen += p
+      log += ((p, len))
+    }
+  }
 
   override def initialOffset(): Offset = SeqFileOffset(0)
 
   override def latestOffset(): Offset = {
-    snapshot = discover()
-    SeqFileOffset(snapshot.size)
+    appendNew()
+    synchronized(SeqFileOffset(log.size))
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -42,13 +55,15 @@ class SeqFileMicroBatchStream(tableSchema: StructType, required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqFileOffset].n.toInt
     val e = end.asInstanceOf[SeqFileOffset].n.toInt
-    val files = if (snapshot.size >= e) snapshot else discover()
-    files.slice(s, e).flatMap { case (path, len) =>
-      val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
-      (0L until n).map { i =>
-        SeqFilePartition(path, i * maxSplitBytes, math.min((i + 1) * maxSplitBytes, len))
-      }
-    }.toArray
+    synchronized {
+      if (log.size < e) appendNew() // restart: rebuild the log before slicing
+      log.slice(s, e).flatMap { case (path, len) =>
+        val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
+        (0L until n).map { i =>
+          SeqFilePartition(path, i * maxSplitBytes, math.min((i + 1) * maxSplitBytes, len))
+        }
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

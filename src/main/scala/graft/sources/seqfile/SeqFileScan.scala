@@ -134,18 +134,26 @@ class SeqFilePartitionReader(part: SeqFilePartition, tableSchema: StructType,
   extends PartitionReader[InternalRow] {
 
   private val input = new HadoopSeekableInput(new Path(part.path), new Configuration())
-  private val header = SeqHeader.parse(new SeqInput(input))
-  // Validate the FULL table schema, not just the pruned projection: the
-  // reference fails the whole stream on a type mismatch even if the consumer
-  // never touches the mismatched column (reference: Parser.hs:84-91), and a
-  // bare count() prunes everything.
-  SeqFileSchema.validate(tableSchema, header, part.path)
-
-  private val needKey = required.fieldNames.exists(_.equalsIgnoreCase("key"))
-  private val needValue = required.fieldNames.exists(_.equalsIgnoreCase("value"))
-
-  private val blocks = new SeqBlockReader(input, header, part.start, part.end,
-    decodeKey = needKey, decodeValue = needValue)
+  // Header parse + FULL-schema validation (the reference fails the whole
+  // stream on a type mismatch even if the consumer never touches the
+  // column, reference: Parser.hs:84-91; a bare count() prunes everything).
+  // Under PERMISSIVE/DROPMALFORMED a file with an unreadable header (e.g. a
+  // zero-byte part from a killed writer) yields an empty partition instead
+  // of failing the query; the input is closed either way on failure.
+  private val blocks: SeqBlockReader =
+    try {
+      val header = SeqHeader.parse(new SeqInput(input))
+      SeqFileSchema.validate(tableSchema, header, part.path)
+      val needKey = required.fieldNames.exists(_.equalsIgnoreCase("key"))
+      val needValue = required.fieldNames.exists(_.equalsIgnoreCase("value"))
+      new SeqBlockReader(input, header, part.start, part.end,
+        decodeKey = needKey, decodeValue = needValue)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        input.close()
+        if (mode == ReadMode.FailFast) throw e
+        null // exhausted reader
+    }
 
   private var block: DecodedBlock = null
   private var rowIdx = 0
@@ -193,22 +201,20 @@ class SeqFilePartitionReader(part: SeqFilePartition, tableSchema: StructType,
   }
 
   /** Advance to the next decodable block honoring the malformed-record
-    * mode (see ReadMode). */
+    * mode (see ReadMode). Corrupt bytes can surface as runtime exceptions
+    * beyond IOException (index/negative-size errors in the decoders), so the
+    * recovery path catches all non-fatal throwables. */
   private def nextBlock(): Boolean = {
+    if (blocks == null) return false
     while (true) {
       try {
         if (!blocks.hasNext) return false
         block = blocks.next()
         return true
       } catch {
-        case e: Exception if mode != ReadMode.FailFast =>
-          e match {
-            case _: SeqFileFormatException | _: java.io.EOFException
-                 | _: java.io.IOException =>
-              if (mode == ReadMode.Permissive) return false // stop at error tail
-              if (!blocks.skipToNextSync()) return false    // DROPMALFORMED
-            case other => throw other
-          }
+        case scala.util.control.NonFatal(e) if mode != ReadMode.FailFast =>
+          if (mode == ReadMode.Permissive) return false // stop at error tail
+          if (!blocks.skipToNextSync()) return false    // DROPMALFORMED
       }
     }
     false

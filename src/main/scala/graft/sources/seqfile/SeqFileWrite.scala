@@ -38,9 +38,11 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
       val blockSize = Option(options.get("blockSize")).map(_.toInt).getOrElse(1 << 20)
       require(blockSize >= 1024, s"blockSize must be >= 1024, got $blockSize")
       import scala.jdk.CollectionConverters._
-      val metadata = options.entrySet().asScala.toSeq
-        .filter(_.getKey.toLowerCase.startsWith("metadata."))
-        .map(e => e.getKey.substring("metadata.".length) -> e.getValue)
+      // asCaseSensitiveMap preserves the user's original key casing
+      // (entrySet() lowercases keys)
+      val metadata = options.asCaseSensitiveMap().asScala.toSeq
+        .filter(_._1.toLowerCase.startsWith("metadata."))
+        .map { case (k, v) => k.substring("metadata.".length) -> v }
         .sortBy(_._1)
       new SeqFileBatchWrite(schema, paths.head, truncateFirst, blockSize, metadata)
     }

@@ -48,7 +48,10 @@ object EventStreams {
   def streamingDedup(df: DataFrame, textCol: String, watermark: String): DataFrame =
     df.withColumn("fp", graft.functions.TextAnalysis.fingerprint(col(textCol)))
       .withWatermark("ts", watermark)
-      .dropDuplicates("fp")
+      // WithinWatermark variant: fingerprint state older than the watermark
+      // is actually reclaimed (plain dropDuplicates("fp") would keep every
+      // fingerprint forever despite the watermark)
+      .dropDuplicatesWithinWatermark("fp")
 
   // ---- custom state machine: flatMapGroupsWithState sessionization ----
 
@@ -89,7 +92,10 @@ object EventStreams {
         }
         if (cur != null) {
           state.update(cur)
-          state.setTimeoutTimestamp(cur.end + gapMillis)
+          // clamp: a timeout at or before the current watermark is rejected
+          // by Spark (can happen when only late events arrived for this key)
+          val wm = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(math.max(cur.end + gapMillis, wm + 1))
         }
       }
       out.iterator

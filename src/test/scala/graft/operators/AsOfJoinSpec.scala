@@ -76,6 +76,27 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(beyond.isNullAt(0)) // 90s gap > 60s tolerance
   }
 
+  test("null keys and null times: left preserved with null right, no NPE, no sentinel collisions") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), Option(ts(10)), "normal"),
+      (None: Option[Long], Option(ts(10)), "nullkey"),
+      (Option(1L), None: Option[Timestamp], "nulltime"))
+      .toDF("k", "t", "name")
+    val right = Seq(
+      (Option(1L), Option(ts(5)), "v1"),
+      (None: Option[Long], Option(ts(5)), "nullkey-right"),
+      (Option(1L), None: Option[Timestamp], "nulltime-right"))
+      .toDF("k", "t", "vname")
+    val out = AsOfJoin.asofBackward(left, right, "k", "t", "t")
+      .select("name", "r_vname").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).orNull)).toMap
+    assert(out === Map(
+      "normal" -> "v1",      // matches only the valid right row
+      "nullkey" -> null,     // null key joins nothing (not even null-key right)
+      "nulltime" -> null))   // null time can't satisfy the as-of predicate
+  }
+
   test("matches a window-function reference implementation on real events") {
     import org.apache.spark.sql.functions._
     val spark2 = spark

@@ -49,7 +49,7 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("lshTopK recall@10 against brute force is substantial") {
-    val lsh = SimilaritySearch.lshTopK(emb, queries, "vec_id", "embedding", 10, dim = 64)
+    val lsh = SimilaritySearch.lshTopK(emb, queries, "vec_id", "embedding", 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val bruteSet = brute.map(r => (r._1, r._2)).toSet
     val recall = bruteSet.count(lsh.contains).toDouble / bruteSet.size

@@ -226,6 +226,22 @@ class SeqFileConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("zero-byte part file: tolerated under DROPMALFORMED/PERMISSIVE, fails FAILFAST") {
+    import graft.core.seqfile._
+    val dir = java.nio.file.Files.createTempDirectory("zerobyte")
+    val w = new SeqFileWriter(java.nio.file.Files.newOutputStream(dir.resolve("good.seq")),
+      WritableType.LongW, WritableType.TextW, syncSeed = 4L)
+    (0 until 500).foreach(i => w.append(i.toLong, s"v$i")); w.close()
+    java.nio.file.Files.createFile(dir.resolve("killed-writer.seq")) // 0 bytes
+    assert(spark.read.format("seqfile").option("mode", "dropmalformed")
+      .load(dir.toString).count() === 500L)
+    assert(spark.read.format("seqfile").option("mode", "permissive")
+      .load(dir.toString).count() === 500L)
+    intercept[Exception] {
+      spark.read.format("seqfile").load(dir.toString).count()
+    }
+  }
+
   test("invalid mode option is rejected") {
     val ex = intercept[Exception] {
       spark.read.format("seqfile").option("mode", "bogus")

@@ -49,6 +49,27 @@ class SeqFileStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("a new file sorting lexicographically BEFORE processed files is not skipped or double-read") {
+    val dir = java.nio.file.Files.createTempDirectory("seqorder")
+    writeFile(dir, "m.seq", 0, 100) // processed first
+    val schema = spark.read.format("seqfile").load(dir.toString).schema
+    val stream = spark.readStream.format("seqfile").schema(schema).load(dir.toString)
+    val q = stream.groupBy().agg(count(lit(1)).as("n"), sum(col("key")).as("s"))
+      .writeStream.format("memory").queryName("seqorder").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("seqorder").head().getLong(0) === 100L)
+      // "a.seq" sorts before "m.seq" — a sorted-listing offset model would
+      // remap index 0 to a.seq and re-read m.seq while skipping a.seq
+      writeFile(dir, "a.seq", 1000, 50)
+      q.processAllAvailable()
+      val r = spark.table("seqorder").head()
+      assert(r.getLong(0) === 150L, "new earlier-sorting file must be read exactly once")
+      assert(r.getLong(1) === (0L until 100L).sum + (1000L until 1050L).sum,
+        "sum proves no file was skipped or double-counted")
+    } finally q.stop()
+  }
+
   test("streaming read honors column pruning (keys-only projection)") {
     val dir = java.nio.file.Files.createTempDirectory("seqstream2")
     writeFile(dir, "a.seq", 0, 100)
