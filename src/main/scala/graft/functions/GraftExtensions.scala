@@ -44,5 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_array_dot", Seq(2), args => ArrayDot(args.head, args(1)))
     register("graft_lsh_sigs", Seq(3), args =>
       HyperplaneSigs(args.head, intLit(args(1), "bitsPerBand"), intLit(args(2), "numBands")))
+    // UDTF: LATERAL VIEW graft_shingles(text, 3) → (pos, shingle) rows
+    register("graft_shingles", Seq(2), args =>
+      ShingleGenerator(args.head, intLit(args(1), "n")))
   }
 }

@@ -126,6 +126,44 @@ case class Tokens(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Tokens = copy(child = c)
 }
 
+/** Table-generating function (UDTF): one output row per word n-gram of the
+  * input text, with its position — completes the custom-UDx triple
+  * (scalar Expression, Aggregator, Generator). Rows: (pos INT, shingle
+  * STRING). Non-distinct and position-ordered, unlike WordShingles. */
+case class ShingleGenerator(child: Expression, n: Int)
+  extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.Generator
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("shingle", StringType, nullable = false)))
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingles expects STRING, got ${child.dataType.catalogString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Nil
+    val toks = HashKernels.tokensOf(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    val count = toks.numElements() - (n - 1)
+    if (count <= 0) return Nil
+    (0 until count).iterator.map { i =>
+      val sb = new java.lang.StringBuilder(toks.getUTF8String(i).toString)
+      var d = 1
+      while (d < n) { sb.append(' ').append(toks.getUTF8String(i + d).toString); d += 1 }
+      org.apache.spark.sql.catalyst.InternalRow(i,
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleGenerator =
+    copy(child = c)
+}
+
 object expressions {
   /** Column wrappers (Spark 4: Column ↔ Expression via classic ExpressionUtils). */
   def fingerprint64(c: Column): Column =

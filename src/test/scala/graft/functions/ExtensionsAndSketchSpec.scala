@@ -35,6 +35,23 @@ class ExtensionsAndSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(6) === 8)
   }
 
+  test("UDTF generator: LATERAL VIEW graft_shingles yields positioned n-grams") {
+    import spark.implicits._
+    Seq((1L, "a b c d"), (2L, "x")).toDF("id", "text").createOrReplaceTempView("docs")
+    val rows = spark.sql(
+      """SELECT id, pos, shingle FROM docs
+        |LATERAL VIEW graft_shingles(text, 3) AS pos, shingle
+        |ORDER BY id, pos""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows.toSeq === Seq((1L, 0, "a b c"), (1L, 1, "b c d")))
+    // OUTER variant keeps rows that generate nothing
+    val outer = spark.sql(
+      """SELECT id, shingle FROM docs
+        |LATERAL VIEW OUTER graft_shingles(text, 3) AS pos, shingle""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(outer === Set((1L, "a b c"), (1L, "b c d"), (2L, null)))
+  }
+
   test("SQL function rejects wrong arity / non-literal params with clear errors") {
     val e1 = intercept[Exception](spark.sql("SELECT graft_fingerprint64('a','b')").collect())
     assert(e1.getMessage.contains("argument"))
