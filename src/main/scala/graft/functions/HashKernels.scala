@@ -182,6 +182,17 @@ object HashKernels {
     * — which re-tokenizes the document for every element_at lambda because
     * Catalyst does not CSE inside lambda functions (measured ~50× slower). */
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val grams = ngrams(s, n)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    grams.foreach(out.add)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  /** Position-ordered (non-distinct) word n-grams — the shared kernel under
+    * both WordShingles (which dedupes) and the ShingleGenerator UDTF. */
+  def ngrams(s: UTF8String, n: Int): Array[UTF8String] = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
     val text = s.toLowerCase.toString
     val tokens = new java.util.ArrayList[String](64)
     var i = 0
@@ -193,17 +204,17 @@ object HashKernels {
       if (i > start) tokens.add(text.substring(start, i))
     }
     val nTok = tokens.size()
-    val out = new java.util.LinkedHashSet[UTF8String]()
+    val count = math.max(0, nTok - n + 1)
+    val out = new Array[UTF8String](count)
     var t = 0
-    while (t + n <= nTok) {
+    while (t < count) {
       val sb = new java.lang.StringBuilder(tokens.get(t))
       var d = 1
       while (d < n) { sb.append(' ').append(tokens.get(t + d)); d += 1 }
-      out.add(UTF8String.fromString(sb.toString))
+      out(t) = UTF8String.fromString(sb.toString)
       t += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      out.toArray(new Array[AnyRef](out.size())))
+    out
   }
 
   @inline private def isWs(c: Char): Boolean =

@@ -139,24 +139,24 @@ case class ShingleGenerator(child: Expression, n: Int)
     StructField("shingle", StringType, nullable = false)))
 
   override def checkInputDataTypes() = {
-    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"shingles expects STRING, got ${child.dataType.catalogString}")
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingles expects STRING, got ${child.dataType.catalogString}")
+    else if (n < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle size must be >= 1, got $n")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
       : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
     val v = child.eval(input)
     if (v == null) return Nil
-    val toks = HashKernels.tokensOf(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
-    val count = toks.numElements() - (n - 1)
-    if (count <= 0) return Nil
-    (0 until count).iterator.map { i =>
-      val sb = new java.lang.StringBuilder(toks.getUTF8String(i).toString)
-      var d = 1
-      while (d < n) { sb.append(' ').append(toks.getUTF8String(i + d).toString); d += 1 }
-      org.apache.spark.sql.catalyst.InternalRow(i,
-        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+    // shared kernel with WordShingles (which dedupes on top of it)
+    val grams = HashKernels.ngrams(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    grams.iterator.zipWithIndex.map { case (g, i) =>
+      org.apache.spark.sql.catalyst.InternalRow(i, g)
     }
   }
 

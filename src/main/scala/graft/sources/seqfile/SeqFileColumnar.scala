@@ -80,6 +80,7 @@ class SeqFileColumnarPartitionReader(part: SeqFilePartition, tableSchema: Struct
       case scala.util.control.NonFatal(e) =>
         input.close()
         if (mode == ReadMode.FailFast) throw e
+        SeqFileScan.log.warn(s"seqfile $mode: skipping unreadable file ${part.path}: $e")
         null
     }
 
@@ -99,6 +100,8 @@ class SeqFileColumnarPartitionReader(part: SeqFilePartition, tableSchema: Struct
         return true
       } catch {
         case scala.util.control.NonFatal(e) if mode != ReadMode.FailFast =>
+          SeqFileScan.log.warn(
+            s"seqfile $mode: dropping block in ${part.path}: ${e}")
           if (mode == ReadMode.Permissive) return false
           if (!blocks.skipToNextSync()) return false
       }

@@ -1,6 +1,7 @@
 package graft.sources.seqfile
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.StructType
@@ -11,16 +12,15 @@ import org.apache.spark.sql.types.StructType
   * but never distributes, reference: SequenceFile.hs:63-67).
   *
   * Offset model: a monotonic append-only file log. Offset n = "the first n
-  * entries of the log". New files discovered at latestOffset() append to the
-  * log in (modificationTime, path) order, so a file whose name sorts before
-  * already-processed files never remaps earlier indices (a plain sorted
-  * listing would re-read old files and skip the new one). Assumes an
-  * append-only directory, like Spark's built-in file stream source. After a
-  * restart the log rebuilds from the directory listing in
-  * (modificationTime, path) order — correct as long as files were not
-  * created with out-of-order timestamps while the query was down. */
+  * entries of the log". New files discovered at latestOffset() append in
+  * (modificationTime, path) order. The log is PERSISTED under the query's
+  * checkpoint (like Spark's built-in file stream source), so a restart
+  * replays offsets against the exact same file ordering even when the live
+  * discovery order diverged from timestamp order (slow writers, listing
+  * lag). Assumes an append-only directory. */
 class SeqFileMicroBatchStream(tableSchema: StructType, required: StructType,
-                              paths: Seq[String], maxSplitBytes: Long, mode: String)
+                              paths: Seq[String], maxSplitBytes: Long, mode: String,
+                              checkpointLocation: String)
   extends MicroBatchStream {
 
   private def discover(): Seq[(String, Long, Long)] = {
@@ -29,16 +29,58 @@ class SeqFileMicroBatchStream(tableSchema: StructType, required: StructType,
       .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
   }
 
-  // Monotonic log of (path, length); guarded by this.
+  // Monotonic log of (path, length); guarded by this. Mirrored to the
+  // checkpoint after every append.
   private val log = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
   private val seen = scala.collection.mutable.HashSet.empty[String]
+
+  private val logPath = new Path(checkpointLocation, "graft-seqfile-log")
+
+  locally { // restore the persisted log on (re)start
+    try {
+      val fs = logPath.getFileSystem(new Configuration())
+      if (fs.exists(logPath)) {
+        val in = fs.open(logPath)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        content.split("\n").filter(_.nonEmpty).foreach { line =>
+          val sep = line.lastIndexOf('\t')
+          val (p, len) = (line.substring(0, sep), line.substring(sep + 1).toLong)
+          if (!seen.contains(p)) { seen += p; log += ((p, len)) }
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        SeqFileScan.log.warn(s"seqfile stream: could not restore file log from $logPath: $e")
+    }
+  }
+
+  private def persistLog(): Unit = {
+    try {
+      val fs = logPath.getFileSystem(new Configuration())
+      fs.mkdirs(logPath.getParent)
+      val tmp = new Path(logPath.getParent, logPath.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try log.foreach { case (p, len) => out.write(s"$p\t$len\n".getBytes("UTF-8")) }
+      finally out.close()
+      if (fs.exists(logPath)) fs.delete(logPath, false)
+      if (!fs.rename(tmp, logPath))
+        throw new java.io.IOException(s"rename $tmp -> $logPath failed")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        SeqFileScan.log.warn(s"seqfile stream: could not persist file log to $logPath: $e")
+    }
+  }
 
   private def appendNew(): Unit = synchronized {
     val fresh = discover().filter(f => !seen.contains(f._1))
       .sortBy(f => (f._3, f._1))
-    fresh.foreach { case (p, len, _) =>
-      seen += p
-      log += ((p, len))
+    if (fresh.nonEmpty) {
+      fresh.foreach { case (p, len, _) =>
+        seen += p
+        log += ((p, len))
+      }
+      persistLog()
     }
   }
 
@@ -56,7 +98,7 @@ class SeqFileMicroBatchStream(tableSchema: StructType, required: StructType,
     val s = start.asInstanceOf[SeqFileOffset].n.toInt
     val e = end.asInstanceOf[SeqFileOffset].n.toInt
     synchronized {
-      if (log.size < e) appendNew() // restart: rebuild the log before slicing
+      if (log.size < e) appendNew() // restart before first latestOffset()
       log.slice(s, e).flatMap { case (path, len) =>
         val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
         (0L until n).map { i =>

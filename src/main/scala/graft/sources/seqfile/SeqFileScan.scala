@@ -49,6 +49,10 @@ object ReadMode {
   }
 }
 
+object SeqFileScan {
+  private[seqfile] val log = org.slf4j.LoggerFactory.getLogger(classOf[SeqFileScan])
+}
+
 class SeqFileScan(tableSchema: StructType, required: StructType,
                   paths: Seq[String], maxSplitBytes: Long,
                   mode: String = ReadMode.FailFast)
@@ -80,7 +84,8 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SeqFileMicroBatchStream(tableSchema, required, paths, maxSplitBytes, mode)
+    new SeqFileMicroBatchStream(tableSchema, required, paths, maxSplitBytes, mode,
+      checkpointLocation)
 
   /** One partition per `maxSplitBytes` byte range per file; ranges align
     * themselves to record-block boundaries at read time by scanning for the
@@ -152,6 +157,7 @@ class SeqFilePartitionReader(part: SeqFilePartition, tableSchema: StructType,
       case scala.util.control.NonFatal(e) =>
         input.close()
         if (mode == ReadMode.FailFast) throw e
+        SeqFileScan.log.warn(s"seqfile $mode: skipping unreadable file ${part.path}: $e")
         null // exhausted reader
     }
 
@@ -213,6 +219,8 @@ class SeqFilePartitionReader(part: SeqFilePartition, tableSchema: StructType,
         return true
       } catch {
         case scala.util.control.NonFatal(e) if mode != ReadMode.FailFast =>
+          SeqFileScan.log.warn(
+            s"seqfile $mode: dropping block in ${part.path}: ${e}")
           if (mode == ReadMode.Permissive) return false // stop at error tail
           if (!blocks.skipToNextSync()) return false    // DROPMALFORMED
       }
@@ -222,5 +230,5 @@ class SeqFilePartitionReader(part: SeqFilePartition, tableSchema: StructType,
 
   override def get(): InternalRow = row
 
-  override def close(): Unit = blocks.close()
+  override def close(): Unit = if (blocks != null) blocks.close()
 }

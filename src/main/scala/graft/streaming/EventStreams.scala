@@ -93,8 +93,11 @@ object EventStreams {
         if (cur != null) {
           state.update(cur)
           // clamp: a timeout at or before the current watermark is rejected
-          // by Spark (can happen when only late events arrived for this key)
-          val wm = state.getCurrentWatermarkMs()
+          // by Spark (can happen when only late events arrived for this key).
+          // In batch execution there is no watermark and the getter throws —
+          // fall back to no clamp (batch never fires timeouts anyway).
+          val wm = try state.getCurrentWatermarkMs()
+                   catch { case _: UnsupportedOperationException => Long.MinValue }
           state.setTimeoutTimestamp(math.max(cur.end + gapMillis, wm + 1))
         }
       }
