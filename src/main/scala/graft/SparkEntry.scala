@@ -247,6 +247,28 @@ object SparkEntry {
         .orderBy(col("key_mod"))
     }),
 
+    // ---- LIKE-pattern filters ----
+    "q_like_filter" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_name").like("%a%") && !col("p_type").like("%STEEL%")
+          && col("p_brand").startsWith("Brand"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(avg(col("p_retailprice")), 2).as("avg_price"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- conditional aggregation (count_if / filtered aggregates) ----
+    "q_conditional_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+          round(avg(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2).as("avg_f_price"),
+          round(sum(when(col("o_orderdate") >= "1998-01-01", col("o_totalprice"))
+            .otherwise(0)), 2).as("recent_total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- outer join with null-side accounting ----
     "q_outer_join" -> ((s, dir) => {
       val ord = t(s, dir, "orders")
@@ -702,6 +724,23 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY key_mod""".stripMargin,
+
+    "q_like_filter" ->
+      """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
+        |FROM part
+        |WHERE p_name LIKE '%a%' AND p_type NOT LIKE '%STEEL%'
+        |  AND p_brand LIKE 'Brand%'
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big,
+        |  round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_f_price,
+        |  round(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN o_totalprice ELSE 0 END), 2) AS recent_total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_outer_join" ->
       """SELECT o_orderpriority,

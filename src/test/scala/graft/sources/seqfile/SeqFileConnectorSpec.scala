@@ -172,6 +172,45 @@ class SeqFileConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys.getLong(0) === 0L && keys.getLong(1) === 7999L)
   }
 
+  test("binary (BytesWritable) values round-trip through the connector") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("binrt").toString
+    val src = (0 until 500).map(i =>
+      (i.toLong, Array.tabulate[Byte](i % 50)(j => (i + j).toByte)))
+      .toDF("key", "value")
+    src.write.format("seqfile").mode("overwrite").save(dir)
+    val back = spark.read.format("seqfile").load(dir)
+    assert(back.schema("value").dataType === org.apache.spark.sql.types.BinaryType)
+    val got = back.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.size === 500)
+    (0 until 500).foreach { i =>
+      assert(java.util.Arrays.equals(got(i.toLong),
+        Array.tabulate[Byte](i % 50)(j => (i + j).toByte)), s"row $i")
+    }
+    // readable by real Hadoop as BytesWritable
+    val part = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".seq")).head
+    val rd = new org.apache.hadoop.io.SequenceFile.Reader(
+      new org.apache.hadoop.conf.Configuration(),
+      org.apache.hadoop.io.SequenceFile.Reader.file(
+        new org.apache.hadoop.fs.Path(part.toString)))
+    assert(rd.getValueClassName === "org.apache.hadoop.io.BytesWritable")
+    rd.close()
+  }
+
+  test("NullWritable key (NullType column) writes and reads through the connector") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nullrt").toString
+    (0 until 100).map(i => s"v$i").toDF("value")
+      .select(lit(null).cast("void").as("key"), col("value"))
+      .write.format("seqfile").mode("overwrite").save(dir)
+    val back = spark.read.format("seqfile").load(dir)
+    assert(back.schema("key").dataType === org.apache.spark.sql.types.NullType)
+    assert(back.count() === 100L)
+    // NullType forces the row-based read path (columnar declines)
+    val vals = back.select("value").collect().map(_.getString(0)).toSet
+    assert(vals === (0 until 100).map(i => s"v$i").toSet)
+  }
+
   test("recursive listing reads date-partitioned nested directories") {
     import graft.core.seqfile._
     val root = java.nio.file.Files.createTempDirectory("nested")
