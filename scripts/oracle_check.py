@@ -23,6 +23,13 @@ for name, sql in sorted(oracle.items()):
             print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}"); fail += 1; continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}"); fail += 1; continue
+        # DuckDB SUM over ints yields HUGEINT -> pandas float64 ("14.0"),
+        # which hash-mismatches Spark's int64 ("14") in the driver even when
+        # values are numerically equal. Treat float-vs-int dtype skew as FAIL.
+        dbad = [c for c in exp.columns
+                if (str(exp[c].dtype).startswith('float')) != (str(got[c].dtype).startswith('float'))]
+        if dbad:
+            print(f"FAIL {name}: dtype skew {[(c, str(exp[c].dtype), str(got[c].dtype)) for c in dbad]}"); fail += 1; continue
         er = exp.sort_values(by=list(exp.columns), na_position='first').reset_index(drop=True)
         gr = got.sort_values(by=list(got.columns), na_position='first').reset_index(drop=True)
         bad = None

@@ -693,17 +693,21 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM gapped
         |)
-        |SELECT user_id, session_id, count(*) AS n_events,
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
 
+    // Spark's session_window is half-open [start, start+gap): an event at
+    // exactly prev_ts + gap starts a NEW session, so the oracle's
+    // new-session predicate is >= 1800 (not > 1800).
     "q_events_session_window" ->
       """WITH gapped AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |), sess AS (
@@ -877,9 +881,9 @@ object SparkEntry {
 
     "q_multimodal_meta" ->
       """SELECT doc_id % 3 AS kind, count(*) AS n,
-        |  sum(strlen(text)) AS sum_payload,
-        |  sum(32 + (doc_id % 8) * 16) AS sum_width,
-        |  sum(8 + doc_id % 32) AS sum_frames
+        |  CAST(sum(strlen(text)) AS BIGINT) AS sum_payload,
+        |  CAST(sum(32 + (doc_id % 8) * 16) AS BIGINT) AS sum_width,
+        |  CAST(sum(8 + doc_id % 32) AS BIGINT) AS sum_frames
         |FROM documents
         |GROUP BY 1
         |ORDER BY kind""".stripMargin,

@@ -89,8 +89,8 @@ object SparkEntryOracles {
        |      ELSE 'es' END AS lang_pred
        |  FROM t)
        |SELECT source, count(*) AS n_docs,
-       |  sum(CASE WHEN is_rep AND quality >= 0.5 AND lang_pred = 'en'
-       |      THEN 1 ELSE 0 END) AS n_clean
+       |  CAST(sum(CASE WHEN is_rep AND quality >= 0.5 AND lang_pred = 'en'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
        |FROM t2
        |GROUP BY source
        |ORDER BY source""".stripMargin

@@ -46,9 +46,15 @@ object SnappyBlockCodec {
       if (chunkLen < 0 || inPos + chunkLen > inEnd)
         throw new SeqFileFormatException(
           s"snappy chunk overruns buffer: chunk=$chunkLen remaining=${inEnd - inPos}")
-      val wrote = Snappy.uncompress(compressed, inPos, chunkLen, out, outPos)
+      // Zero-length chunks are skipped, not decompressed: snappy rejects a
+      // 0-byte input, but the reference kernel explicitly tolerates these
+      // frames (reference: cbits/decode.c:94 `if (compressed_size == 0)
+      // continue;`) — a file it accepts must not fail here.
+      if (chunkLen > 0) {
+        val wrote = Snappy.uncompress(compressed, inPos, chunkLen, out, outPos)
+        outPos += wrote
+      }
       inPos += chunkLen
-      outPos += wrote
       if (outPos > total)
         throw new SeqFileFormatException(
           s"snappy decompression overran declared size: $outPos > $total")

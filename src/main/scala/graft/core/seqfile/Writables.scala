@@ -117,6 +117,7 @@ object ColumnDecoder {
         val vsz = VInt.decodeSize(data(off))
         starts(i) = off + vsz
         lens(i) = recLens(i) - vsz
+        checkSlice(starts(i), lens(i), data, t, i)
         off += recLens(i)
         i += 1
       }
@@ -132,6 +133,7 @@ object ColumnDecoder {
       while (i < n) {
         starts(i) = off + 4
         lens(i) = recLens(i) - 4
+        checkSlice(starts(i), lens(i), data, t, i)
         off += recLens(i)
         i += 1
       }
@@ -145,6 +147,19 @@ object ColumnDecoder {
     if (data.length != n.toLong * width)
       throw new SeqFileFormatException(
         s"fixed-width column size mismatch: expected ${n.toLong * width} bytes for $n records of width $width, got ${data.length}")
+
+  /** A corrupt lengths buffer can yield a record length SMALLER than the
+    * vint/4-byte prefix (negative payload length) or slices past the buffer
+    * end; both must fail HERE as SeqFileFormatException so PERMISSIVE /
+    * DROPMALFORMED readers can catch them at decode time — surfacing later at
+    * row access (UTF8String.fromBytes with negative length) would crash a
+    * query those modes promise to keep alive. */
+  private def checkSlice(start: Int, len: Int, data: Array[Byte],
+                         t: WritableType, i: Int): Unit =
+    if (len < 0 || start.toLong + len > data.length)
+      throw new SeqFileFormatException(
+        s"variable-width column ($t) record $i: invalid slice start=$start " +
+        s"len=$len for buffer of ${data.length} bytes (corrupt lengths block)")
 
   private def checkConsumed(off: Int, data: Array[Byte], t: WritableType): Unit =
     if (off != data.length)

@@ -73,8 +73,17 @@ object AsOfJoin {
 
     val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
 
+    // Canonical string encoding per key value: Array[Byte].toString is
+    // identity-based (equal binary keys would land in DIFFERENT groups and
+    // silently lose matches), so byte-array keys are hex-encoded; everything
+    // else round-trips through toString, which is value-based for the
+    // remaining atomic Catalyst external types.
     val grouped = union.groupByKey((r: Row) => r.getAs[Any]("k") match {
       case null => "\u0000" // sentinel group: contains only null-key left rows
+      case b: Array[Byte] =>
+        val sb = new StringBuilder("b:")
+        b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+        sb.toString
       case v => "v:" + v.toString
     })(org.apache.spark.sql.Encoders.STRING)
 

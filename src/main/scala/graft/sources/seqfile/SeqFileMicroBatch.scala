@@ -55,21 +55,20 @@ class SeqFileMicroBatchStream(tableSchema: StructType, required: StructType,
     }
   }
 
+  // Persistence failure FAILS the batch (like Spark's HDFSMetadataLog): a
+  // swallowed write would let the query commit offsets whose file binding
+  // exists only in this JVM — a restart would rebuild ordering from
+  // (modTime, path) and could silently duplicate or drop data.
   private def persistLog(): Unit = {
-    try {
-      val fs = logPath.getFileSystem(new Configuration())
-      fs.mkdirs(logPath.getParent)
-      val tmp = new Path(logPath.getParent, logPath.getName + ".tmp")
-      val out = fs.create(tmp, true)
-      try log.foreach { case (p, len) => out.write(s"$p\t$len\n".getBytes("UTF-8")) }
-      finally out.close()
-      if (fs.exists(logPath)) fs.delete(logPath, false)
-      if (!fs.rename(tmp, logPath))
-        throw new java.io.IOException(s"rename $tmp -> $logPath failed")
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        SeqFileScan.log.warn(s"seqfile stream: could not persist file log to $logPath: $e")
-    }
+    val fs = logPath.getFileSystem(new Configuration())
+    fs.mkdirs(logPath.getParent)
+    val tmp = new Path(logPath.getParent, logPath.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try log.foreach { case (p, len) => out.write(s"$p\t$len\n".getBytes("UTF-8")) }
+    finally out.close()
+    if (fs.exists(logPath)) fs.delete(logPath, false)
+    if (!fs.rename(tmp, logPath))
+      throw new java.io.IOException(s"rename $tmp -> $logPath failed")
   }
 
   private def appendNew(): Unit = synchronized {
@@ -99,6 +98,12 @@ class SeqFileMicroBatchStream(tableSchema: StructType, required: StructType,
     val e = end.asInstanceOf[SeqFileOffset].n.toInt
     synchronized {
       if (log.size < e) appendNew() // restart before first latestOffset()
+      if (log.size < e)
+        throw new IllegalStateException(
+          s"seqfile stream: committed offset $e exceeds the restored file log " +
+          s"(${log.size} entries) at $logPath — checkpoint log lost or " +
+          "directory not append-only; refusing to rebind offsets to " +
+          "different files")
       log.slice(s, e).flatMap { case (path, len) =>
         val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
         (0L until n).map { i =>

@@ -173,6 +173,41 @@ class SeqFileGoldenSpec extends AnyFunSuite {
     } finally { r.close(); java.nio.file.Files.delete(tmp); java.nio.file.Files.delete(tmp0) }
   }
 
+  test("zero-length snappy chunks are skipped (reference: decode.c:94)") {
+    // Hand-build framing: [total][0-len chunk][real chunk] — the reference
+    // kernel `continue`s over compressed_size == 0; snappy itself would
+    // reject a 0-byte input, so the codec must not call it.
+    val payload = "hello snappy".getBytes("UTF-8")
+    val comp = org.xerial.snappy.Snappy.compress(payload)
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit =
+      out.write(Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+    be32(payload.length)
+    be32(0)           // zero-length chunk, must be skipped
+    be32(comp.length) // real chunk
+    out.write(comp)
+    val got = SnappyBlockCodec.decompress(out.toByteArray)
+    assert(new String(got, "UTF-8") === "hello snappy")
+  }
+
+  test("corrupt lengths buffer fails at decode, not at row access") {
+    // Record length smaller than the Text vint prefix => negative payload
+    // length; must throw SeqFileFormatException inside ColumnDecoder.decode
+    // so PERMISSIVE/DROPMALFORMED catches it at block-decode time.
+    val data = Array[Byte](2, 'h', 'i') // one record: vint(2) + "hi"
+    val exVint = intercept[SeqFileFormatException](
+      ColumnDecoder.decode(WritableType.TextW, 1, Array(0), Array[Byte](2, 'h', 'i')))
+    assert(exVint.getMessage.contains("invalid slice"))
+    // BytesWritable: record length 2 < 4-byte prefix
+    val exBytes = intercept[SeqFileFormatException](
+      ColumnDecoder.decode(WritableType.BytesW, 1, Array(2), Array[Byte](0, 0)))
+    assert(exBytes.getMessage.contains("invalid slice"))
+    // Slice past buffer end: declared length larger than the buffer
+    val exOver = intercept[SeqFileFormatException](
+      ColumnDecoder.decode(WritableType.TextW, 1, Array(9), data))
+    assert(exOver.getMessage.contains("invalid slice"))
+  }
+
   test("non-snappy codec rejected (reference: Parser.hs:62-65)") {
     // hand-build a header claiming GzipCodec
     val out = new java.io.ByteArrayOutputStream()

@@ -120,4 +120,19 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("binary keys: equal byte-array keys group together (value, not identity)") {
+    import spark.implicits._
+    // Two distinct Array[Byte] instances with equal content must match;
+    // toString on arrays is identity-based, so this guards the canonical
+    // hex encoding of the group key.
+    val left = Seq((Array[Byte](1, 2, 3), ts(10), "p1"),
+      (Array[Byte](9, 9), ts(10), "p2")).toDF("k", "t", "name")
+    val right = Seq((Array[Byte](1, 2, 3), ts(8), "v1"),
+      (Array[Byte](7, 7), ts(8), "v2")).toDF("k", "t", "vname")
+    val out = AsOfJoin.asofBackward(left, right, "k", "t", "t")
+      .select("name", "r_vname").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).orNull)).toMap
+    assert(out === Map("p1" -> "v1", "p2" -> null))
+  }
 }

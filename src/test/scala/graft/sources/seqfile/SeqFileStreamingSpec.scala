@@ -82,4 +82,20 @@ class SeqFileStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.table("seqstreamprune").head().getLong(0) === 99L)
     } finally q.stop()
   }
+
+  test("restart with a lost checkpoint log refuses to rebind committed offsets") {
+    // Committed end offset 5, but the restored log is empty (checkpoint lost)
+    // and discovery finds nothing: silently planning fewer partitions would
+    // drop data; the stream must fail instead (like Spark's HDFSMetadataLog).
+    val dir = java.nio.file.Files.createTempDirectory("seqstream3")
+    val ckpt = java.nio.file.Files.createTempDirectory("seqstream3ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.LongType)))
+    val stream = new SeqFileMicroBatchStream(schema, schema,
+      Seq(dir.toString), 4 << 20, "FAILFAST", ckpt.toString)
+    val ex = intercept[IllegalStateException](
+      stream.planInputPartitions(SeqFileOffset(0), SeqFileOffset(5)))
+    assert(ex.getMessage.contains("exceeds the restored file log"))
+  }
 }
