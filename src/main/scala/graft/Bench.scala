@@ -13,9 +13,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up JVM/codegen and the FS cache once so per-query timings reflect
-    // steady-state execution, not first-query initialization.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Warm up JVM/codegen and the FS cache so per-query timings reflect
+    // steady-state execution, not first-query initialization: run every
+    // query once at the smallest scale factor (sf0.001 is ~6k lineitem
+    // rows — the pass costs seconds and compiles every codegen template,
+    // window frame, and custom-expression kernel the timed pass will hit).
+    val warmDir = "/root/testdata/sf0.001"
+    val warm = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warm).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
