@@ -416,6 +416,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- dedup clustering: pairs -> connected components -> classes ----
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+      graft.operators.ConnectedComponents.components(pairs, "id_a", "id_b")
+        .groupBy(col("comp").as("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(transform(array_sort(collect_list(col("id"))),
+            x => x.cast("string")), ",").as("members"))
+        .orderBy(col("component"))
+    }),
+
     // ---- embedding-cosine near-dup pairs ----
     "q_dedup_embedding" -> ((s, dir) => {
       graft.operators.Dedup.cosineNeardupPairs(
@@ -840,6 +852,7 @@ object SparkEntry {
     // MinHash+LSH is exact-verified with P(miss | j>=0.8) ~ 1e-5, so it
     // shares the exact-Jaccard oracle.
     "q_dedup_minhash" -> SparkEntryOracles.ngramJaccardPairsSql,
+    "q_dedup_clusters" -> SparkEntryOracles.dedupClustersSql,
 
     "q_dedup_embedding" ->
       """WITH v AS (

@@ -29,6 +29,42 @@ object SparkEntryOracles {
       |WHERE ix / (sa.n + sb.n - ix) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Dedup clustering oracle: the same exact-Jaccard pairs, then connected
+    * components as a recursive transitive closure (component = min reachable
+    * doc_id), then per-component membership. Mirrors
+    * ConnectedComponents.components over Dedup.ngramJaccardPairs. */
+  val dedupClustersSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE ix / (sa.n + sb.n - ix) >= 0.8),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+      |SELECT component, count(*) AS n_docs,
+      |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+      |FROM comp
+      |GROUP BY component
+      |ORDER BY component""".stripMargin
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
