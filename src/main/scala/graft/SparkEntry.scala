@@ -459,6 +459,24 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- tf-idf: top-3 terms per document ----
+    "q_tfidf" -> ((s, dir) => {
+      graft.operators.TextRanking.tfidfTopTerms(
+          t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // ---- deterministic stratified sampling (exact per-stratum counts) ----
+    "q_sample_stratified" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedExact(
+          t(s, dir, "documents"), "source", "doc_id", fraction = 0.3)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("doc_id")).as("sampled_id_sum"))
+        .orderBy(col("source"))
+    }),
+
     // ---- text statistics ----
     "q_text_stats" -> ((s, dir) => {
       import graft.functions.TextAnalysis._
@@ -892,6 +910,40 @@ object SparkEntry {
         |    / greatest(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)), 1), 4) AS avg_tok_len
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |terms AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_total FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln(n.n_total / (df.df * 1.0)), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tfidf
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, count(*) AS n_sampled,
+        |  CAST(sum(doc_id) AS BIGINT) AS sampled_id_sum
+        |FROM r WHERE rk <= ceil(n * 0.3)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_lang_id" -> SparkEntryOracles.langIdSql,
 

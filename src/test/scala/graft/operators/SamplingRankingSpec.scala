@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class SamplingRankingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import spark.implicits._
+
+  test("stratifiedExact keeps exactly ceil(f*n) rows per stratum, deterministically") {
+    val df = (1L to 100L).map(i => (if (i <= 40) "a" else "b", i))
+      .toDF("src", "id")
+    val s1 = Sampling.stratifiedExact(df, "src", "id", 0.25)
+      .groupBy("src").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 === Map("a" -> 10L, "b" -> 15L)) // ceil(40*.25), ceil(60*.25)
+    // repartitioned input selects the SAME rows
+    val ids1 = Sampling.stratifiedExact(df, "src", "id", 0.25)
+      .select("id").as[Long].collect().sorted
+    val ids2 = Sampling.stratifiedExact(df.repartition(7), "src", "id", 0.25)
+      .select("id").as[Long].collect().sorted
+    assert(ids1 sameElements ids2)
+  }
+
+  test("deterministicSample is stable across partitioning and ~fraction sized") {
+    val df = (1L to 2000L).toDF("id")
+    val a = Sampling.deterministicSample(df, "id", 0.3)
+      .select("id").as[Long].collect().sorted
+    val b = Sampling.deterministicSample(df.repartition(11), "id", 0.3)
+      .select("id").as[Long].collect().sorted
+    assert(a sameElements b)
+    assert(a.length > 2000 * 0.3 - 100 && a.length < 2000 * 0.3 + 100)
+    // fraction 1.0 keeps everything; 0.0 keeps nothing
+    assert(Sampling.deterministicSample(df, "id", 1.0).count() === 2000)
+    assert(Sampling.deterministicSample(df, "id", 0.0).count() === 0)
+  }
+
+  test("tfidfTopTerms ranks rare terms above common ones") {
+    val df = Seq(
+      (1L, "common common common rare"),
+      (2L, "common shared words here"),
+      (3L, "common shared other thing")).toDF("doc_id", "text")
+    val top = TextRanking.tfidfTopTerms(df, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 'common' appears in all 3 docs -> idf = ln(1) = 0; doc 1's top term
+    // must be 'rare' (df=1) despite tf('common')=3
+    assert(top(1L) === "rare")
+    // ties broken by term ascending for equal rounded scores
+    val doc2 = TextRanking.tfidfTopTerms(df, "doc_id", "text", k = 3)
+      .filter(col("id") === 2L).orderBy("rank")
+      .collect().map(_.getString(2))
+    assert(doc2.toSeq === Seq("here", "words", "shared"))
+  }
+}
