@@ -23,7 +23,8 @@ class SeqFileTable(tableSchema: StructType, paths: Seq[String])
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
+        TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+        TableCapability.STREAMING_WRITE).asJava
 
   override def properties(): java.util.Map[String, String] = {
     // Best-effort: expose first file's header metadata

@@ -6,6 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -25,28 +26,75 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
+  private def validated(): (String, Int, Seq[(String, String)]) = {
+    require(paths.size == 1, s"seqfile write needs exactly one path, got $paths")
+    // Record = one (key, value) pair (reference: Types.hs:32-38). Accept
+    // any 2-column schema: first column → key, second → value.
+    require(schema.length == 2,
+      s"seqfile schema must have exactly 2 columns (key, value); got ${schema.catalogString}")
+    // options: blockSize (uncompressed flush threshold, default 1 MiB =
+    // Hadoop's io.seqfile.compress.blocksize); metadata.<k>=<v> pairs go
+    // into the file header (surfaced back via Table.properties()).
+    val blockSize = Option(options.get("blockSize")).map(_.toInt).getOrElse(1 << 20)
+    require(blockSize >= 1024, s"blockSize must be >= 1024, got $blockSize")
+    import scala.jdk.CollectionConverters._
+    // asCaseSensitiveMap preserves the user's original key casing
+    // (entrySet() lowercases keys)
+    val metadata = options.asCaseSensitiveMap().asScala.toSeq
+      .filter(_._1.toLowerCase.startsWith("metadata."))
+      .map { case (k, v) => k.substring("metadata.".length) -> v }
+      .sortBy(_._1)
+    (paths.head, blockSize, metadata)
+  }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
-      require(paths.size == 1, s"seqfile write needs exactly one path, got $paths")
-      // Record = one (key, value) pair (reference: Types.hs:32-38). Accept
-      // any 2-column schema: first column → key, second → value.
-      require(schema.length == 2,
-        s"seqfile schema must have exactly 2 columns (key, value); got ${schema.catalogString}")
-      // options: blockSize (uncompressed flush threshold, default 1 MiB =
-      // Hadoop's io.seqfile.compress.blocksize); metadata.<k>=<v> pairs go
-      // into the file header (surfaced back via Table.properties()).
-      val blockSize = Option(options.get("blockSize")).map(_.toInt).getOrElse(1 << 20)
-      require(blockSize >= 1024, s"blockSize must be >= 1024, got $blockSize")
-      import scala.jdk.CollectionConverters._
-      // asCaseSensitiveMap preserves the user's original key casing
-      // (entrySet() lowercases keys)
-      val metadata = options.asCaseSensitiveMap().asScala.toSeq
-        .filter(_._1.toLowerCase.startsWith("metadata."))
-        .map { case (k, v) => k.substring("metadata.".length) -> v }
-        .sortBy(_._1)
-      new SeqFileBatchWrite(schema, paths.head, truncateFirst, blockSize, metadata)
+      val (path, blockSize, metadata) = validated()
+      new SeqFileBatchWrite(schema, path, truncateFirst, blockSize, metadata)
+    }
+    override def toStreaming: StreamingWrite = {
+      val (path, blockSize, metadata) = validated()
+      new SeqFileStreamingWrite(schema, path, blockSize, metadata)
     }
   }
+}
+
+/** Micro-batch streaming sink. Exactly-once per epoch via DETERMINISTIC file
+  * names: each task writes `part-e<epoch>-p<partition>.seq` (temp + rename,
+  * replacing any prior attempt's file), so a replayed epoch — after a crash
+  * between sink write and offset-log commit — overwrites its own output
+  * instead of duplicating it. No driver-side metadata log is needed because
+  * the (epoch, partition) pair fully determines the file identity. */
+class SeqFileStreamingWrite(schema: StructType, path: String, blockSize: Int,
+                            metadata: Seq[(String, String)])
+  extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val conf = new Configuration()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    new SeqFileStreamingWriterFactory(schema, path, blockSize, metadata)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    messages.collect { case m: SeqFileCommitMessage =>
+      val p = new Path(m.path)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+  }
+}
+
+class SeqFileStreamingWriterFactory(schema: StructType, dir: String, blockSize: Int,
+                                    metadata: Seq[(String, String)])
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new SeqFileDataWriter(schema, dir, partitionId, taskId, blockSize, metadata,
+      epoch = Some(epochId))
 }
 
 class SeqFileBatchWrite(schema: StructType, path: String, truncateFirst: Boolean,
@@ -85,15 +133,24 @@ class SeqFileWriterFactory(schema: StructType, dir: String, blockSize: Int,
 
 class SeqFileDataWriter(schema: StructType, dir: String, partitionId: Int, taskId: Long,
                         blockSize: Int = 1 << 20,
-                        metadata: Seq[(String, String)] = Nil)
+                        metadata: Seq[(String, String)] = Nil,
+                        epoch: Option[Long] = None)
   extends DataWriter[InternalRow] {
 
   private val keyType = SeqFileSchema.writableFor(schema(0).dataType)
   private val valueType = SeqFileSchema.writableFor(schema(1).dataType)
   private val conf = new Configuration()
-  private val finalPath =
-    new Path(dir, f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.seq")
-  private val tempPath = new Path(dir, s".inprogress-${finalPath.getName}")
+  // Streaming writers (epoch defined) use a DETERMINISTIC name so epoch
+  // replays are idempotent; batch writers get a per-attempt unique name.
+  private val finalPath = epoch match {
+    case Some(e) => new Path(dir, f"part-e$e%05d-p$partitionId%05d.seq")
+    case None =>
+      new Path(dir, f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.seq")
+  }
+  // Temp name stays attempt-unique (taskId + UUID): two speculative attempts
+  // of the same (epoch, partition) must never write the same temp file.
+  private val tempPath = new Path(dir,
+    s".inprogress-$taskId-${UUID.randomUUID().toString.take(8)}-${finalPath.getName}")
   private val fs = tempPath.getFileSystem(conf)
   private val out = fs.create(tempPath, true)
   private val writer = new SeqFileWriter(out, keyType, valueType,
@@ -127,6 +184,9 @@ class SeqFileDataWriter(schema: StructType, dir: String, partitionId: Int, taskI
 
   override def commit(): WriterCommitMessage = {
     writer.close()
+    // Epoch replay (streaming): the deterministic final name may exist from
+    // a prior attempt of the same epoch — replace it, don't duplicate.
+    if (epoch.isDefined && fs.exists(finalPath)) fs.delete(finalPath, false)
     if (!fs.rename(tempPath, finalPath))
       throw new java.io.IOException(s"failed to commit $tempPath -> $finalPath")
     SeqFileCommitMessage(finalPath.toString)
