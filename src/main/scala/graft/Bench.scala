@@ -1,9 +1,45 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark harness. Emits ONE JSON line:
+  *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Methodology (round-3 fix for the n=1 noise that produced a phantom 1.8x
+  * regression in BENCH_r02): every query is warmed once at the smallest
+  * scale factor (compiles each codegen template the timed pass will hit),
+  * then timed `reps` times at the target SF in interleaved rounds
+  * (q1..qN, q1..qN, ...) so a transient co-tenant load spike lands on
+  * different queries in different rounds instead of poisoning all reps of
+  * one query. Reported per-query number = median across rounds; total =
+  * sum of medians. Minimums are emitted alongside for variance triage.
+  *
+  * Queries are executed via the `noop` sink, not `.count()`: count() lets
+  * Catalyst drop a final orderBy/project, under-measuring queries whose
+  * cost is in the final sort; noop materializes every output column of the
+  * exact user-facing plan.
+  */
 object Bench {
+
+  private def timeOnce(fn: (SparkSession, String) => DataFrame,
+                       spark: SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    try fn(spark, dir).write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => return -1.0 }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val ok = xs.filter(_ >= 0).sorted
+    if (ok.isEmpty) -1.0
+    else if (ok.size % 2 == 1) ok(ok.size / 2)
+    else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,25 +49,30 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up JVM/codegen and the FS cache so per-query timings reflect
-    // steady-state execution, not first-query initialization: run every
-    // query once at the smallest scale factor (sf0.001 is ~6k lineitem
-    // rows — the pass costs seconds and compiles every codegen template,
-    // window frame, and custom-expression kernel the timed pass will hit).
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Warm-up: run everything once at sf0.001 (~6k lineitem rows) so the
+    // timed rounds see steady-state JIT/codegen and a hot FS cache.
     val warmDir = "/root/testdata/sf0.001"
     val warm = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warm).count() catch { case _: Throwable => () }
+    queries.foreach { case (_, fn) => timeOnce(fn, spark, warm) }
+
+    // Interleaved timed rounds at the target SF.
+    val rounds: Seq[Map[String, Double]] = (1 to reps).map { _ =>
+      queries.map { case (name, fn) => name -> timeOnce(fn, spark, sfDir) }.toMap
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val med = queries.map { case (name, _) => name -> median(rounds.map(_(name))) }
+    val mins = queries.map { case (name, _) =>
+      val ok = rounds.map(_(name)).filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+
+    def jsonMap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = med.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$reps,""" +
+      s""""queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -235,7 +235,11 @@ object SparkEntry {
     // Exercises the whole format path (write framing, sync splits, decode)
     // inside the correctness gate; the oracle runs on the original parquet.
     "q_seqfile_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-seq-rt").toString
+      // Fixed per-SF path (overwritten on every invocation) — a fresh
+      // createTempDirectory here leaked a 600k-row seqfile copy per
+      // bench/verify run.
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-seq-rt-" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
       t(s, dir, "lineitem")
         .select(col("l_orderkey").as("key"),
           col("l_extendedprice").as("value"))
@@ -417,8 +421,11 @@ object SparkEntry {
     }),
 
     // ---- dedup clustering: pairs -> connected components -> classes ----
+    // Pair generator is the prefix-filtered Jaccard join (the scale path:
+    // candidate space bounded by rare-shingle df, not Σdf²); components()
+    // materializes the pairs once before its symmetric-closure union.
     "q_dedup_clusters" -> ((s, dir) => {
-      val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      val pairs = graft.operators.Dedup.ngramJaccardPairsPrefix(
         t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
       graft.operators.ConnectedComponents.components(pairs, "id_a", "id_b")
         .groupBy(col("comp").as("component"))
@@ -431,6 +438,15 @@ object SparkEntry {
     // ---- embedding-cosine near-dup pairs ----
     "q_dedup_embedding" -> ((s, dir) => {
       graft.operators.Dedup.cosineNeardupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- embedding near-dup via LSH buckets + exact verify (the scale
+    //      path: equi-joins only, no BroadcastNestedLoopJoin; P(miss per
+    //      pair) ~ 1.5e-9 so it shares the exact all-pairs oracle) ----
+    "q_dedup_embedding_lsh" -> ((s, dir) => {
+      graft.operators.Dedup.cosineNeardupPairsBucketed(
           t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -883,6 +899,20 @@ object SparkEntry {
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // LSH-bucketed + exact-verified: output provably equals all-pairs up to
+    // P(miss) ~ 1.5e-9/pair, so it shares the exact-cosine oracle (same
+    // relationship q_dedup_minhash has to the exact-Jaccard oracle).
+    "q_dedup_embedding_lsh" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_ann_bruteforce" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -898,6 +928,48 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
         |  FROM scored)
         |SELECT q_id, n_id, rank, round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // Exact replica of ivfTopK's deterministic pipeline: sampled centroids
+    // (ids that are multiples of step = max(1, N/16), below step*16),
+    // nearest-centroid assignment, nProbe=4 probing, top-10 per query.
+    // Dot products are sequential double folds on both engines, so ranking
+    // and rounded cosines agree bit-for-bit (same as q_ann_bruteforce).
+    "q_ann_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |stats AS (SELECT greatest(1, count(*) // 16) AS step FROM v),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+        |  FROM v, stats
+        |  WHERE vec_id % step = 0 AND vec_id < step * 16),
+        |assign AS (
+        |  SELECT c_id, c_v, c_n, cent_id FROM (
+        |    SELECT v.vec_id AS c_id, v.v AS c_v, v.nrm AS c_n, cent_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_dot_product(v.v, cv) / (v.nrm * cn) DESC, cent_id) AS crank
+        |    FROM v CROSS JOIN cents)
+        |  WHERE crank = 1),
+        |probes AS (
+        |  SELECT q_id, q_v, q_n, cent_id FROM (
+        |    SELECT q.vec_id AS q_id, q.v AS q_v, q.nrm AS q_n, cent_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.v, cv) / (q.nrm * cn) DESC, cent_id) AS crank
+        |    FROM v q CROSS JOIN cents
+        |    WHERE q.vec_id < 20)
+        |  WHERE crank <= 4),
+        |scored AS (
+        |  SELECT q_id, c_id, list_dot_product(q_v, c_v) / (q_n * c_n) AS cos
+        |  FROM probes JOIN assign USING (cent_id)
+        |  WHERE q_id <> c_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, c_id AS n_id, rank, round(cos, 6) AS cosine
         |FROM ranked WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
 

@@ -217,6 +217,26 @@ object HashKernels {
     out
   }
 
+  /** Intersection size of two ASCENDING-sorted long arrays by merge walk —
+    * no hash-set build, no result-array materialization (array_intersect
+    * does both). Callers guarantee sortedness (sort_array at plan level)
+    * and element distinctness. */
+  def intersectSizeSorted(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
 

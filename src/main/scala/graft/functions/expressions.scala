@@ -96,6 +96,25 @@ case class HyperplaneSigs(child: Expression, bitsPerBand: Int, numBands: Int)
   override protected def withNewChildInternal(c: Expression): HyperplaneSigs = copy(child = c)
 }
 
+/** Intersection size of two ascending-sorted long arrays (merge walk). */
+case class SortedIntersectSize(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_size expects (ARRAY<BIGINT>, ARRAY<BIGINT>), got $other")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.intersectSizeSorted(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.intersectSizeSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+    copy(l, r)
+}
+
 /** Distinct word n-gram shingles of a document, single-pass kernel. */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -176,6 +195,8 @@ object expressions {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), h))
   def lsh_sigs(c: Column, bitsPerBand: Int, numBands: Int): Column =
     ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(c), bitsPerBand, numBands))
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def word_shingles(c: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
   def tokens(c: Column): Column =

@@ -14,38 +14,75 @@ import org.apache.spark.sql.functions._
   * halves label-chain depth. Convergence is O(log diameter) rounds instead
   * of the O(diameter) of plain propagation; each round is a constant number
   * of shuffles (join + min-aggregate), nothing runs on the driver, and
-  * lineage is truncated with localCheckpoint so the plan stays constant-size
+  * lineage is truncated with checkpoints so the plan stays constant-size
   * across iterations (no exponential Catalyst blowup).
   *
   * Scale (100 TB / 1000 executors): labels shuffle as 16-byte (id, comp)
-  * rows — independent of document size; the edge list is checkpointed once
-  * and re-joined per round. Dedup graphs are near-cliques (diameter <= ~3),
-  * so 2-3 rounds in practice; a pathological path graph of length 2^k
-  * converges in ~k rounds (asserted in ConnectedComponentsSpec).
+  * rows — independent of document size. The raw edge list is materialized
+  * ONCE before the symmetric closure (it is typically an expensive pair
+  * generator — a shingle self-join — and is referenced four times in the
+  * closure union), the closure is checkpointed once and re-joined per
+  * round, and superseded label sets are unpersisted as soon as the next
+  * round's labels exist, so cached footprint stays at one edge set plus one
+  * label set. Convergence detection rides on label monotonicity: the
+  * closed-neighborhood min can never increase a label, so the label sum is
+  * strictly decreasing until fixpoint — one cheap scan-aggregate over the
+  * just-checkpointed labels per round, no extra join against the previous
+  * round. Dedup graphs are near-cliques (diameter <= ~3), so 2-3 rounds in
+  * practice; a pathological path graph of length 2^k converges in ~k rounds
+  * (asserted in ConnectedComponentsSpec).
+  *
+  * `reliable = true` switches lineage truncation from `localCheckpoint`
+  * (executor-local cache blocks: fast, but a lost executor loses the data
+  * and fails the job) to reliable `checkpoint` files — requires
+  * `sparkContext.setCheckpointDir` and is the right mode for 1000-executor
+  * runs where losing one executor over a multi-round job is routine.
   */
 object ConnectedComponents {
+
+  /** Free the cache blocks behind a locally-checkpointed Dataset. After
+    * localCheckpoint the plan is a LogicalRDD over cached partitions;
+    * unpersisting that RDD is the only way to release them mid-job. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Returns one row per distinct node in `edges`: (id, comp) where comp is
     * the minimum node id reachable from `id`. Node columns must be integral
     * (cast to long). */
   def components(edges: DataFrame, aCol: String, bCol: String,
-                 maxIter: Int = 30): DataFrame = {
-    val sym0 = edges.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
+                 maxIter: Int = 30, reliable: Boolean = false): DataFrame = {
+    def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame =
+      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+
+    // Materialize the (possibly expensive) pair-generator output once.
+    val sym0 = checkpoint(edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst")))
     // Symmetric closure PLUS a self-loop per node: the neighbor step below
     // is then a single join + min-aggregate over the CLOSED neighborhood —
     // no union of a plan with its own derivative (which trips Catalyst's
     // Union constraint rewrite when the shared subtree is a checkpoint).
-    val e = sym0
+    val e = checkpoint(sym0
       .union(sym0.select(col("dst").as("src"), col("src").as("dst")))
       .union(sym0.select(col("src"), col("src").as("dst")))
       .union(sym0.select(col("dst").as("src"), col("dst")))
-      .distinct().localCheckpoint()
+      .distinct())
+    if (!reliable) unpersistCheckpoint(sym0) // closure is materialized; raw pairs done
 
-    var labels = e.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var labels = checkpoint(e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
 
-    var done = labels.isEmpty
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // decimal(38,0) keeps the sum exact for any long ids (no wraparound
+      // that could fake a fixpoint).
+      val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+
+    var prevSum = labelSum(labels)
+    var done = prevSum.signum == 0 && labels.isEmpty
     var i = 0
     while (!done && i < maxIter) {
       // (1) min over closed neighborhood (self-loops carry the own label)
@@ -53,16 +90,20 @@ object ConnectedComponents {
         .groupBy(col("dst").as("id")).agg(min("comp").as("comp"))
       // (2) pointer jump: follow comp -> comp(comp). comp is always a node
       // id present in `stepped`, so the join hits unless comp == id (root).
-      val jumped = stepped.as("x")
+      val jumped = checkpoint(stepped.as("x")
         .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
           col("x.comp") === col("y.cid"), "left")
         .select(col("x.id").as("id"),
-          coalesce(col("y.ccomp"), col("x.comp")).as("comp"))
-        .localCheckpoint()
-      val changed = jumped.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp")).limit(1).count() > 0
+          coalesce(col("y.ccomp"), col("x.comp")).as("comp")),
+        eager = false)
+      // Single action: materializes the lazy checkpoint AND computes the
+      // convergence aggregate. Labels only ever decrease, so sum unchanged
+      // <=> fixpoint.
+      val newSum = labelSum(jumped)
+      if (!reliable) unpersistCheckpoint(labels)
       labels = jumped
-      done = !changed
+      done = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       i += 1
     }
     if (!done)

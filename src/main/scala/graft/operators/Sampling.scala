@@ -41,9 +41,15 @@ object Sampling {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(hashKey(keyCol), col(keyCol))
     val cw = Window.partitionBy(col(strataCol))
-    df.withColumn("__rk", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(cw))
-      .filter(col("__rk") <= ceil(col("__n") * fraction))
-      .drop("__rk", "__n")
+    // Collision-free temp names: a fixed "__rk" would shadow (and then drop)
+    // a same-named input column, silently corrupting the output schema.
+    var rk = "__rk"
+    var n = "__n"
+    while (df.columns.contains(rk)) rk += "_"
+    while (df.columns.contains(n)) n += "_"
+    df.withColumn(rk, row_number().over(w))
+      .withColumn(n, count(lit(1)).over(cw))
+      .filter(col(rk) <= ceil(col(n) * fraction))
+      .drop(rk, n)
   }
 }

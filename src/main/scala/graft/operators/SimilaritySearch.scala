@@ -73,9 +73,12 @@ object SimilaritySearch {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** IVF-flat ANN. Centroids: a deterministic corpus sample (every
-    * ceil(N/C)-th id) — at real scale these come from k-means, but list
-    * assignment/probing mechanics are identical. Corpus partitions into
+  /** IVF-flat ANN. Centroids: a deterministic corpus sample — the vectors
+    * whose id is a multiple of step = max(1, N/C), below step*C. Pure id
+    * arithmetic (no unordered limit), so an exact SQL oracle can replicate
+    * centroid choice, list assignment, and probing bit-for-bit. At real
+    * scale centroids come from k-means (ivfTopKKMeans), but the
+    * assignment/probe mechanics are identical. Corpus partitions into
     * inverted lists by nearest centroid; each query searches its nProbe
     * nearest lists. Output: (q_id, n_id, rank, cosine). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -84,8 +87,8 @@ object SimilaritySearch {
     val c = prepared(corpus, idCol, vecCol)
     val n = c.count()
     val step = math.max(1L, n / numCentroids)
-    val cents = c.filter(pmod(col("id"), lit(step)) === 0)
-      .limit(numCentroids)
+    val cents = c.filter(pmod(col("id"), lit(step)) === 0
+        && col("id") < lit(step * numCentroids))
       .select(col("id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     ivfWithCentroids(c, queries, idCol, vecCol, cents, k, nProbe)
   }

@@ -74,6 +74,29 @@ class ExtensionsAndSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sketch.totalAdds === words.size.toLong)
   }
 
+  test("sorted_intersect_size merge-walk matches array_intersect semantics") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Long*) = new GenericArrayData(xs.toArray)
+    assert(HashKernels.intersectSizeSorted(arr(), arr(1L, 2L)) === 0)
+    assert(HashKernels.intersectSizeSorted(arr(1L, 3L, 5L), arr(2L, 4L, 6L)) === 0)
+    assert(HashKernels.intersectSizeSorted(arr(1L, 3L, 5L), arr(3L, 5L, 9L)) === 2)
+    assert(HashKernels.intersectSizeSorted(
+      arr(Long.MinValue, -1L, 0L, Long.MaxValue),
+      arr(Long.MinValue, 0L, 1L, Long.MaxValue)) === 3)
+    // plan-level: agrees with size(array_intersect(...)) on random sorted sets
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)(
+      (Seq.fill(30)(rnd.nextInt(40).toLong).distinct.sorted,
+       Seq.fill(30)(rnd.nextInt(40).toLong).distinct.sorted))
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        expressions.sorted_intersect_size(col("a"), col("b")).as("k"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("k") =!= col("ref")).count()
+    assert(bad === 0)
+  }
+
   test("seqfile writer options: blockSize controls block count; metadata lands in the header") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("wropt").toString

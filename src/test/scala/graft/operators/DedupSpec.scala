@@ -118,4 +118,20 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getDouble(2) >= 0.4 - 1e-9)
     }
   }
+
+  test("bucketed cosine near-dup equals all-pairs exactly, with no " +
+       "BroadcastNestedLoopJoin in the plan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val exact = norm(Dedup.cosineNeardupPairs(emb, "vec_id", "embedding", 0.4))
+    val bucketed = Dedup.cosineNeardupPairsBucketed(emb, "vec_id", "embedding", 0.4)
+    assert(exact.nonEmpty)
+    assert(norm(bucketed) === exact)
+    // the certified scale property: every join is an equi-join on bucket or
+    // id keys — the quadratic BroadcastNestedLoopJoin never appears
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }

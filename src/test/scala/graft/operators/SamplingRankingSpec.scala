@@ -45,6 +45,16 @@ class SamplingRankingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sampling.deterministicSample(df, "id", 0.0).count() === 0)
   }
 
+  test("stratifiedExact tolerates input columns named like its temp columns") {
+    val df = (1 to 20).map(i => (s"s${i % 2}", i.toLong, s"keep$i"))
+      .toDF("source", "doc_id", "__rk")
+    val out = Sampling.stratifiedExact(df, "source", "doc_id", 0.5)
+    assert(out.columns.toSeq === Seq("source", "doc_id", "__rk"))
+    assert(out.count() === 10)
+    // the user column survives untouched
+    assert(out.select("__rk").collect().forall(_.getString(0).startsWith("keep")))
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones") {
     val df = Seq(
       (1L, "common common common rare"),
