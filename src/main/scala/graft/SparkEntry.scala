@@ -536,6 +536,25 @@ object SparkEntry {
         .orderBy(col("kind"))
     }),
 
+    // ---- multimodal REAL decode: synthesize genuine BMP/WAV/frame-container
+    //      files whose every encoded property derives from doc_id arithmetic,
+    //      decode them back with the real parsers (core.media.BmpCodec /
+    //      WavCodec), aggregate the DECODED pixel/sample statistics. The
+    //      oracle recomputes the closed forms — matching is only possible if
+    //      actual pixels/samples round-trip correctly. ----
+    "q_multimodal_decode" -> ((s, dir) => {
+      graft.operators.Multimodal.decodeStats(
+          graft.operators.Multimodal.synthesizeMedia(t(s, dir, "documents"))).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("width")).as("sum_width"),
+          sum(col("n_frames")).as("sum_frames"),
+          sum(col("n_samples")).as("sum_samples"),
+          round(sum(col("stat1")), 3).as("sum_stat1"),
+          round(sum(col("stat2")), 3).as("sum_stat2"))
+        .orderBy(col("kind"))
+    }),
+
     // ---- flagship corpus-cleaning pipeline: exact-dedup representatives
     //      ∘ quality threshold ∘ language filter, per source ----
     "q_corpus_clean" -> ((s, dir) => {
@@ -1026,6 +1045,27 @@ object SparkEntry {
         |  CAST(sum(strlen(text)) AS BIGINT) AS sum_payload,
         |  CAST(sum(32 + (doc_id % 8) * 16) AS BIGINT) AS sum_width,
         |  CAST(sum(8 + doc_id % 32) AS BIGINT) AS sum_frames
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY kind""".stripMargin,
+
+    // Closed forms of the decoded statistics (see synthesizeMedia):
+    // image (kind 0): w=16+(id%8)*8, solid color r=(id*3)%256, b=(id*7)%256
+    // audio (kind 1): n=800+(id%16)*104 square-wave samples of amplitude
+    //   1000+(id%100)*10 -> RMS = amplitude exactly, mean = 0 exactly
+    // video (kind 2): 2+id%4 gray frames; frame f has value (id*5+f)%256
+    "q_multimodal_decode" ->
+      """SELECT doc_id % 3 AS kind, count(*) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id % 8) * 8
+        |                WHEN doc_id % 3 = 2 THEN 16 ELSE 0 END) AS BIGINT) AS sum_width,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 2 + doc_id % 4 ELSE 0 END) AS BIGINT) AS sum_frames,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 800 + (doc_id % 16) * 104 ELSE 0 END) AS BIGINT) AS sum_samples,
+        |  round(1.0 * sum(CASE WHEN doc_id % 3 = 0 THEN (doc_id * 3) % 256
+        |                       WHEN doc_id % 3 = 1 THEN 1000 + (doc_id % 100) * 10
+        |                       ELSE (doc_id * 5) % 256 END), 3) AS sum_stat1,
+        |  round(1.0 * sum(CASE WHEN doc_id % 3 = 0 THEN (doc_id * 7) % 256
+        |                       WHEN doc_id % 3 = 1 THEN 0
+        |                       ELSE (doc_id * 5 + 1 + doc_id % 4) % 256 END), 3) AS sum_stat2
         |FROM documents
         |GROUP BY 1
         |ORDER BY kind""".stripMargin,

@@ -30,10 +30,11 @@ final class SeqBlockReader(
     end: Long,
     decodeKey: Boolean = true,
     decodeValue: Boolean = true)
-  extends Iterator[DecodedBlock] with java.io.Closeable {
+  extends SeqStream {
 
   private val in = new SeqInput(input)
   private val sync = header.sync
+  private val codec = header.codec
   private var nextPos: Long = {
     if (start <= header.dataStart) header.dataStart
     else SyncScanner.nextBlockStart(input, sync, start, end)
@@ -113,10 +114,10 @@ final class SeqBlockReader(
     val recLens: Array[Int] =
       if (!t.isVariable) null
       else {
-        val raw = SnappyBlockCodec.decompress(lensBuf)
+        val raw = codec.decompress(lensBuf)
         vintDecodeLengths(raw, n)
       }
-    val data = SnappyBlockCodec.decompress(dataBuf)
+    val data = codec.decompress(dataBuf)
     ColumnDecoder.decode(t, n, recLens, data)
   }
 

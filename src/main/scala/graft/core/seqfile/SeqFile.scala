@@ -12,11 +12,12 @@ object SeqFile {
     finally in.close()
   }
 
-  /** Stream all blocks of a local file. Caller must exhaust or close. */
-  def open(path: String, decodeKey: Boolean = true, decodeValue: Boolean = true): SeqBlockReader = {
+  /** Stream all blocks of a local file (any supported compression layout).
+    * Caller must exhaust or close. */
+  def open(path: String, decodeKey: Boolean = true, decodeValue: Boolean = true): SeqStream = {
     val in = new LocalSeekableInput(Paths.get(path))
     val header = SeqHeader.parse(new SeqInput(in))
-    new SeqBlockReader(in, header, 0L, in.length, decodeKey, decodeValue)
+    SeqStream.openRange(in, header, 0L, in.length, decodeKey, decodeValue)
   }
 
   /** Total record count without decoding any column — only block headers and

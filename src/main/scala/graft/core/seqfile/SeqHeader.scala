@@ -2,21 +2,36 @@ package graft.core.seqfile
 
 import java.nio.charset.StandardCharsets
 
+/** SequenceFile compression layout. The reference supports BLOCK only
+  * (rejecting the others at Parser.hs:56-60); real Hadoop's default is
+  * RECORD and uncompressed files are everywhere in data lakes, so the
+  * reader accepts all three. */
+sealed abstract class SeqCompression(val name: String)
+object SeqCompression {
+  case object None extends SeqCompression("NONE")
+  case object Record extends SeqCompression("RECORD")
+  case object Block extends SeqCompression("BLOCK")
+}
+
 /** Parsed SequenceFile header — the file-level schema descriptor (Java class
   * names as strings ARE the schema), analog of the reference's `Header`
   * (reference: src/Data/Hadoop/SequenceFile/Types.hs:16-25).
   *
-  * @param dataStart absolute offset of the first record block's escape word.
+  * @param codecClass empty string for uncompressed files (Hadoop omits the
+  *                   codec class entirely when compressed=false).
+  * @param dataStart  absolute offset of the first byte after the header sync.
   */
 final case class SeqHeader(
     keyClass: String,
     valueClass: String,
+    compression: SeqCompression,
     codecClass: String,
     metadata: Seq[(String, String)],
     sync: Array[Byte],
     dataStart: Long) {
   def keyType: WritableType = WritableType.forClassOrThrow(keyClass)
   def valueType: WritableType = WritableType.forClassOrThrow(valueClass)
+  def codec: SeqBlockCodec = SeqCodecs.forClassOrThrow(codecClass)
 }
 
 object SeqHeader {
@@ -28,10 +43,12 @@ object SeqHeader {
     * confusion on corrupt files. */
   val MaxMetadataEntries: Int = 1 << 20
 
-  /** Parse and validate a header, enforcing exactly the reference's
-    * restrictions: version 6 only (reference: Parser.hs:49-51), block
-    * compression only (Parser.hs:56-60), SnappyCodec only (Parser.hs:62-65).
-    */
+  /** Parse and validate a header. Magic/version/class parsing follows the
+    * reference (Parser.hs:42-54); unlike the reference — which accepts only
+    * block-compressed Snappy (Parser.hs:56-65) — all three compression
+    * layouts and the deflate-family codecs are accepted (SeqCodecs), since
+    * real Hadoop writes them by default. Unknown codecs still fail here,
+    * fast, with the supported list in the message. */
   def parse(in: SeqInput): SeqHeader = {
     in.seek(0L)
     val magic = in.readFully(3)
@@ -46,14 +63,19 @@ object SeqHeader {
     val valueClass = readText(in)
     val compressed = readBool(in)
     val blockCompressed = readBool(in)
-    if (!compressed || !blockCompressed)
-      throw new SeqFileFormatException(
-        "only block compressed files supported " +
-          s"(compressed=$compressed, blockCompressed=$blockCompressed)")
-    val codecClass = readText(in)
-    if (codecClass != SnappyCodecClass)
-      throw new SeqFileFormatException(
-        s"unsupported codec: $codecClass (only $SnappyCodecClass supported)")
+    val compression =
+      if (blockCompressed && compressed) SeqCompression.Block
+      else if (compressed) SeqCompression.Record
+      else if (!blockCompressed) SeqCompression.None
+      else throw new SeqFileFormatException(
+        "invalid header: blockCompressed=true with compressed=false")
+    // Hadoop writes the codec class only for compressed files.
+    val codecClass =
+      if (compressed) {
+        val c = readText(in)
+        SeqCodecs.forClassOrThrow(c) // validate now: fail at header, not mid-scan
+        c
+      } else ""
     // Metadata count: real Hadoop writes this big-endian (DataOutput.writeInt
     // in SequenceFile$Metadata.write). The reference reads it little-endian
     // (reference: Parser.hs:72-75 `anyWord32le`) — a latent bug that is
@@ -67,7 +89,7 @@ object SeqHeader {
       (readText(in), readText(in))
     }
     val sync = in.readFully(SyncSize)
-    SeqHeader(keyClass, valueClass, codecClass, metadata, sync, in.pos)
+    SeqHeader(keyClass, valueClass, compression, codecClass, metadata, sync, in.pos)
   }
 
   /** Hadoop `Text.readString`: vint byte length + UTF-8 bytes. */

@@ -255,16 +255,29 @@ object Dedup {
     val buckets = v.select(col("id"),
       posexplode(graft.functions.expressions.lsh_sigs(col("v"), bitsPerBand, numBands))
         .as(Seq("band", "sig")))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    // A pair can share MANY band buckets; rather than dedup the full
+    // candidate stream (a shuffle of every bucket collision), verify first
+    // and dedup only the survivors: the vector joins are id equi-joins
+    // (broadcast-able corpus side), the dot products are one codegen kernel
+    // per collision, and the final distinct touches just the near-dup pairs.
+    // Output is identical — round() is deterministic, so duplicate
+    // collisions collapse to one row.
+    // Repartition the probe side by bucket: with a broadcast-able corpus the
+    // whole collision-generate + verify pipeline would otherwise inherit the
+    // scan's partitioning (often ONE partition for a small file) and run as
+    // a single task. An 80k-row shuffle buys full-width parallelism for the
+    // downstream millions of collision rows.
+    val cand = buckets.repartition(col("band"), col("sig")).as("x")
+      .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
           && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
     cand
       .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
   }
 }

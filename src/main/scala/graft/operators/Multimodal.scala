@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   * context once per batch), iterator-in/iterator-out so partitions stream
   * without materializing.
   *
-  * STUB BOUNDARY: the actual pixel/sample decode is NOT real — this
-  * container has no image/audio libraries. `MediaCodec.decodePayload` is a
-  * deterministic fake (byte-histogram features). Everything around it —
-  * schemas, header parsing, batch shape, partitioning, null/corrupt
-  * handling — is real and tested.
-  */
+  * The pixel/sample decode is REAL for the formats that parse with pure
+  * integer arithmetic: BMP (24/32bpp uncompressed, graft.core.media.BmpCodec)
+  * and WAV/PCM (8/16-bit, graft.core.media.WavCodec), plus a GRFT frame
+  * container holding concatenated BMP frames (video). Formats needing a
+  * native codec stack (JPEG/PNG/MP3/H.264 — not in this container) fall
+  * back to deterministic byte-level features via the same dispatch, so the
+  * plumbing — schemas, batching, partitioning, corrupt handling — is
+  * exercised identically for every payload kind. */
 object Multimodal {
 
   val Magic: Array[Byte] = "GRFT".getBytes(StandardCharsets.US_ASCII)
@@ -97,29 +99,185 @@ object Multimodal {
     }
   }
 
-  /** STUB decode + feature extraction: a real implementation would decode
-    * pixels/samples; this deterministic fake computes byte-histogram moments
-    * over the payload so downstream plumbing (fixed-dim float features,
-    * normalization, ANN indexing) is fully exercised. */
+  /** Media decode dispatch. Real parsers where pure-JVM decoding is
+    * feasible (BMP, WAV, BMP-frame video container); byte-level fallback
+    * features for everything else so unknown codecs degrade gracefully
+    * instead of failing the partition. */
   object MediaCodec {
-    def decodePayload(bytes: Array[Byte]): Array[Float] = {
-      val payload = if (bytes.length > 16) bytes.drop(16) else Array.emptyByteArray
-      val f = new Array[Float](FeatureDim)
-      f(0) = payload.length.toFloat
-      if (payload.nonEmpty) {
-        var sum = 0L; var sumSq = 0L
-        val hist = new Array[Int](13)
-        payload.foreach { b =>
-          val u = b & 0xff
-          sum += u; sumSq += u.toLong * u
-          hist(u * 13 / 256) += 1
+    import graft.core.media.{BmpCodec, WavCodec}
+
+    sealed trait Decoded
+    final case class DecodedImage(img: BmpCodec.BmpImage) extends Decoded
+    final case class DecodedAudio(audio: WavCodec.WavAudio) extends Decoded
+    final case class DecodedVideo(width: Int, height: Int,
+                                  frames: Seq[BmpCodec.BmpImage]) extends Decoded
+    final case class Opaque(payload: Array[Byte]) extends Decoded
+    final case class Corrupt(reason: String) extends Decoded
+
+    /** Sniff the container by magic and decode. GRFT containers whose
+      * payload starts with a BMP are treated as a frame sequence (each
+      * frame's length is read from its own BMP file header, so frames of
+      * different sizes walk correctly); GRFT with any other payload is
+      * opaque (the payload bytes feed the fallback features). */
+    def decode(bytes: Array[Byte]): Decoded = {
+      if (BmpCodec.isBmp(bytes))
+        BmpCodec.decode(bytes).fold(Corrupt.apply, DecodedImage.apply)
+      else if (WavCodec.isWav(bytes))
+        WavCodec.decode(bytes).fold(Corrupt.apply, DecodedAudio.apply)
+      else if (bytes.length >= 16 &&
+               java.util.Arrays.equals(bytes.take(4), Magic)) {
+        val nFrames = be16(bytes, 12)
+        val payload = java.util.Arrays.copyOfRange(bytes, 16, bytes.length)
+        if (nFrames > 0 && BmpCodec.isBmp(payload)) decodeFrames(payload, nFrames)
+        else Opaque(payload)
+      } else Opaque(bytes)
+    }
+
+    private def decodeFrames(payload: Array[Byte], nFrames: Int): Decoded = {
+      val frames = Seq.newBuilder[BmpCodec.BmpImage]
+      var off = 0
+      var i = 0
+      while (i < nFrames) {
+        if (off + 6 > payload.length)
+          return Corrupt(s"frame $i starts past payload end ($off of ${payload.length})")
+        // BMP file header carries its own total size at offset 2
+        val size = (payload(off + 2) & 0xff) | ((payload(off + 3) & 0xff) << 8) |
+          ((payload(off + 4) & 0xff) << 16) | ((payload(off + 5) & 0xff) << 24)
+        if (size <= 0 || off + size > payload.length)
+          return Corrupt(s"frame $i size $size overruns payload (${payload.length})")
+        BmpCodec.decode(java.util.Arrays.copyOfRange(payload, off, off + size)) match {
+          case Right(img) => frames += img
+          case Left(err) => return Corrupt(s"frame $i: $err")
         }
-        val mean = sum.toDouble / payload.length
-        f(1) = mean.toFloat
-        f(2) = math.sqrt(sumSq.toDouble / payload.length - mean * mean).toFloat
-        (0 until 13).foreach(i => f(3 + i) = hist(i).toFloat / payload.length)
+        off += size
+        i += 1
+      }
+      val fs = frames.result()
+      DecodedVideo(fs.head.width, fs.head.height, fs)
+    }
+
+    /** Fixed-dim feature vector per media record.
+      * Image: [w, h, meanR, meanG, meanB, 8-bin luminance histogram, 0...].
+      * Audio: [n, rate, mean, rms, zero-crossing rate, 0...].
+      * Video: [nFrames, w, h, first-frame mean, last-frame mean, 0...].
+      * Opaque fallback: [len, byte mean, byte std, 13-bin byte histogram]. */
+    def decodePayload(bytes: Array[Byte]): Array[Float] = {
+      val f = new Array[Float](FeatureDim)
+      decode(bytes) match {
+        case DecodedImage(img) =>
+          f(0) = img.width.toFloat; f(1) = img.height.toFloat
+          f(2) = img.meanR.toFloat; f(3) = img.meanG.toFloat; f(4) = img.meanB.toFloat
+          val hist = new Array[Int](8)
+          img.pixels.foreach { p =>
+            val lum = (((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)) / 3
+            hist(lum >> 5) += 1
+          }
+          (0 until 8).foreach(i => f(5 + i) = hist(i).toFloat / math.max(1, img.pixels.length))
+        case DecodedAudio(a) =>
+          f(0) = a.nSamples.toFloat; f(1) = a.sampleRate.toFloat
+          f(2) = a.mean.toFloat; f(3) = a.rms.toFloat
+          f(4) = a.zeroCrossingRate.toFloat
+        case DecodedVideo(w, h, frames) =>
+          f(0) = frames.size.toFloat; f(1) = w.toFloat; f(2) = h.toFloat
+          f(3) = frames.head.meanR.toFloat; f(4) = frames.last.meanR.toFloat
+        case Opaque(payload) =>
+          f(0) = payload.length.toFloat
+          if (payload.nonEmpty) {
+            var sum = 0L; var sumSq = 0L
+            val hist = new Array[Int](13)
+            payload.foreach { b =>
+              val u = b & 0xff
+              sum += u; sumSq += u.toLong * u
+              hist(u * 13 / 256) += 1
+            }
+            val mean = sum.toDouble / payload.length
+            f(1) = mean.toFloat
+            f(2) = math.sqrt(sumSq.toDouble / payload.length - mean * mean).toFloat
+            (0 until 13).foreach(i => f(3 + i) = hist(i).toFloat / payload.length)
+          }
+        case Corrupt(_) => () // zero vector
       }
       f
+    }
+  }
+
+  /** Real-media variant of synthesize: every record is a genuinely encoded
+    * file — a solid-color 24bpp BMP (kind 0), a square-wave 16-bit PCM WAV
+    * (kind 1), or a GRFT container of concatenated BMP frames (kind 2).
+    * Every encoded property derives from media_id arithmetic, so a SQL
+    * oracle can predict the DECODED statistics without parsing a byte —
+    * which is exactly what makes the real decode certifiable: the only way
+    * the pipeline can reproduce the closed-form numbers is by correctly
+    * parsing pixels/samples back out of the files it wrote. */
+  def synthesizeMedia(documents: DataFrame): Dataset[MediaRecord] = {
+    import graft.core.media.{BmpCodec, WavCodec}
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val kind = (id % 3).toInt
+        val bytes = kind match {
+          case KindImage =>
+            val w = 16 + (id % 8).toInt * 8
+            val h = 16 + (id % 4).toInt * 8
+            val rgb = (((id * 3) % 256).toInt << 16) |
+              (((id * 5) % 256).toInt << 8) | ((id * 7) % 256).toInt
+            BmpCodec.encodeSolid(w, h, rgb)
+          case KindAudio =>
+            val rate = 8000 + (id % 4).toInt * 8000
+            val n = 800 + (id % 16).toInt * 104 // multiple of 8 -> exact 0 mean
+            val amp = 1000 + (id % 100).toInt * 10
+            val s = Array.tabulate(n)(i => if ((i / 4) % 2 == 0) amp else -amp)
+            WavCodec.encode(rate, 1, s)
+          case _ =>
+            val nf = 2 + (id % 4).toInt
+            val frames = (0 until nf).toArray.flatMap { f =>
+              val c = ((id * 5 + f) % 256).toInt
+              BmpCodec.encodeSolid(16, 16, (c << 16) | (c << 8) | c)
+            }
+            val header = new Array[Byte](16)
+            System.arraycopy(Magic, 0, header, 0, 4)
+            header(4) = KindVideo.toByte
+            putBE16(header, 5, 16)
+            putBE16(header, 7, 16)
+            putBE24(header, 9, 0)
+            putBE16(header, 12, nf)
+            header ++ frames
+        }
+        MediaRecord(id, kind, bytes)
+      }
+    }
+  }
+
+  /** Per-record decoded statistics. stat1/stat2 are kind-dependent:
+    * image -> (mean R, mean B); audio -> (RMS, mean); video -> (first-frame
+    * mean, last-frame mean). Corrupt records keep valid=false zeros. */
+  case class MediaStats(media_id: Long, kind: Int, width: Int, height: Int,
+                        n_frames: Int, n_samples: Int, sample_rate: Int,
+                        stat1: Double, stat2: Double, valid: Boolean)
+
+  def decodeStats(media: Dataset[MediaRecord]): Dataset[MediaStats] = {
+    import MediaCodec._
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { m =>
+          MediaCodec.decode(m.bytes) match {
+            case DecodedImage(img) =>
+              MediaStats(m.media_id, KindImage, img.width, img.height, 0, 0, 0,
+                img.meanR, img.meanB, valid = true)
+            case DecodedAudio(a) =>
+              MediaStats(m.media_id, KindAudio, 0, 0, 0, a.nSamples, a.sampleRate,
+                a.rms, a.mean, valid = true)
+            case DecodedVideo(w, h, frames) =>
+              MediaStats(m.media_id, KindVideo, w, h, frames.size, 0, 0,
+                frames.head.meanR, frames.last.meanR, valid = true)
+            case _ =>
+              MediaStats(m.media_id, m.kind, 0, 0, 0, 0, 0, 0.0, 0.0, valid = false)
+          }
+        }
+      }
     }
   }
 

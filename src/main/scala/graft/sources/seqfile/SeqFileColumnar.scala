@@ -68,13 +68,13 @@ class SeqFileColumnarPartitionReader(part: SeqFilePartition, tableSchema: Struct
     new org.apache.hadoop.fs.Path(part.path), new org.apache.hadoop.conf.Configuration())
   // see SeqFilePartitionReader: header failures yield an empty partition
   // under PERMISSIVE/DROPMALFORMED; input closed on constructor failure
-  private val blocks: SeqBlockReader =
+  private val blocks: SeqStream =
     try {
       val header = SeqHeader.parse(new SeqInput(input))
       SeqFileSchema.validate(tableSchema, header, part.path)
       val needKey = required.fieldNames.exists(_.equalsIgnoreCase("key"))
       val needValue = required.fieldNames.exists(_.equalsIgnoreCase("value"))
-      new SeqBlockReader(input, header, part.start, part.end,
+      SeqStream.openRange(input, header, part.start, part.end,
         decodeKey = needKey, decodeValue = needValue)
     } catch {
       case scala.util.control.NonFatal(e) =>

@@ -145,13 +145,13 @@ class SeqFilePartitionReader(part: SeqFilePartition, tableSchema: StructType,
   // Under PERMISSIVE/DROPMALFORMED a file with an unreadable header (e.g. a
   // zero-byte part from a killed writer) yields an empty partition instead
   // of failing the query; the input is closed either way on failure.
-  private val blocks: SeqBlockReader =
+  private val blocks: SeqStream =
     try {
       val header = SeqHeader.parse(new SeqInput(input))
       SeqFileSchema.validate(tableSchema, header, part.path)
       val needKey = required.fieldNames.exists(_.equalsIgnoreCase("key"))
       val needValue = required.fieldNames.exists(_.equalsIgnoreCase("value"))
-      new SeqBlockReader(input, header, part.start, part.end,
+      SeqStream.openRange(input, header, part.start, part.end,
         decodeKey = needKey, decodeValue = needValue)
     } catch {
       case scala.util.control.NonFatal(e) =>

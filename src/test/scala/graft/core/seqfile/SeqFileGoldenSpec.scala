@@ -137,12 +137,21 @@ class SeqFileGoldenSpec extends AnyFunSuite {
     val badVersion = mutated(b => b(3) = 5)
     assert(intercept[SeqFileFormatException](SeqFile.readHeader(badVersion))
       .getMessage.contains("version"))
-    // not block-compressed (reference: Parser.hs:56-60): flip the two bool
-    // bytes right after the two class names
+    // Flipping blockCompressed=0 now parses as a RECORD-compressed header
+    // (the reference rejects this at Parser.hs:56-60; we accept all three
+    // layouts) — but the data region is still block-layout bytes, so the
+    // corruption surfaces at READ time, not header time.
     val boolOff = 4 + 1 + 25 + 1 + 32 // magic+ver, vint+Text, vint+IntWritable
     val notBlock = mutated(b => b(boolOff + 1) = 0)
-    assert(intercept[SeqFileFormatException](SeqFile.readHeader(notBlock))
-      .getMessage.contains("block compressed"))
+    assert(SeqFile.readHeader(notBlock).compression === SeqCompression.Record)
+    val r = SeqFile.open(notBlock)
+    try intercept[Exception] { r.foreach(_ => ()) }
+    finally r.close()
+    // compressed=false + blockCompressed=true is not a layout Hadoop can
+    // write; still rejected at the header
+    val impossible = mutated(b => b(boolOff) = 0)
+    assert(intercept[SeqFileFormatException](SeqFile.readHeader(impossible))
+      .getMessage.contains("blockCompressed=true with compressed=false"))
   }
 
   test("zero-record block (never produced by writers, legal per grammar) decodes as empty") {
@@ -208,24 +217,37 @@ class SeqFileGoldenSpec extends AnyFunSuite {
     assert(exOver.getMessage.contains("invalid slice"))
   }
 
-  test("non-snappy codec rejected (reference: Parser.hs:62-65)") {
-    // hand-build a header claiming GzipCodec
-    val out = new java.io.ByteArrayOutputStream()
-    def vstr(s: String): Unit = {
-      val b = s.getBytes("UTF-8"); VInt.write(out, b.length.toLong); out.write(b)
+  test("codec acceptance: deflate-family parses (beyond the reference's " +
+       "Parser.hs:62-65 snappy-only rule); unknown codecs still rejected") {
+    def header(codecClass: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def vstr(s: String): Unit = {
+        val b = s.getBytes("UTF-8"); VInt.write(out, b.length.toLong); out.write(b)
+      }
+      out.write("SEQ".getBytes); out.write(6)
+      vstr("org.apache.hadoop.io.Text"); vstr("org.apache.hadoop.io.IntWritable")
+      out.write(1); out.write(1)
+      vstr(codecClass)
+      out.write(Array[Byte](0, 0, 0, 0)) // metadata count (BE)
+      out.write(new Array[Byte](16)) // sync
+      out.toByteArray
     }
-    out.write("SEQ".getBytes); out.write(6)
-    vstr("org.apache.hadoop.io.Text"); vstr("org.apache.hadoop.io.IntWritable")
-    out.write(1); out.write(1)
-    vstr("org.apache.hadoop.io.compress.GzipCodec")
-    out.write(Array[Byte](0, 0, 0, 0)) // metadata count (BE)
-    out.write(new Array[Byte](16)) // sync
-    val tmp = java.nio.file.Files.createTempFile("gzip", ".seq")
-    java.nio.file.Files.write(tmp, out.toByteArray)
-    try {
-      val ex = intercept[SeqFileFormatException](SeqFile.readHeader(tmp.toString))
-      assert(ex.getMessage.contains("unsupported codec"))
-      assert(ex.getMessage.contains("GzipCodec"))
-    } finally java.nio.file.Files.delete(tmp)
+    def parse(codecClass: String): SeqHeader = {
+      val tmp = java.nio.file.Files.createTempFile("hdr", ".seq")
+      java.nio.file.Files.write(tmp, header(codecClass))
+      try SeqFile.readHeader(tmp.toString)
+      finally java.nio.file.Files.delete(tmp)
+    }
+    // Gzip/Default/Deflate now parse (the reference rejects them)
+    for (c <- Seq(SeqCodecs.GzipClass, SeqCodecs.DefaultClass, SeqCodecs.DeflateClass)) {
+      val h = parse(c)
+      assert(h.compression === SeqCompression.Block)
+      assert(h.codecClass === c)
+    }
+    // a genuinely unknown codec still fails at the header, with the list
+    val ex = intercept[SeqFileFormatException](
+      parse("org.apache.hadoop.io.compress.Lz4Codec"))
+    assert(ex.getMessage.contains("unsupported codec"))
+    assert(ex.getMessage.contains("Lz4Codec"))
   }
 }

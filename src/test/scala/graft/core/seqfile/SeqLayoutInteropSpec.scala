@@ -1,0 +1,122 @@
+package graft.core.seqfile
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.{IntWritable, SequenceFile, Text}
+import org.apache.hadoop.io.SequenceFile.CompressionType
+import org.apache.hadoop.io.compress.{CompressionCodec, DefaultCodec, GzipCodec, SnappyCodec}
+
+/** Interop-by-construction for the layouts the reference hard-rejects
+  * (Parser.hs:56-65): files written by Hadoop's OWN SequenceFile.Writer in
+  * uncompressed / record-compressed / block-compressed form, across the
+  * deflate-family and snappy codecs, must decode identically through our
+  * core reader. Enough records are written that Hadoop emits interior sync
+  * markers (~every 2000 bytes), which the range-split test then aligns on. */
+class SeqLayoutInteropSpec extends AnyFunSuite {
+
+  private val n = 20000
+
+  private def writeFixture(ct: CompressionType, codec: CompressionCodec): String = {
+    val tmp = Files.createTempDirectory("layout").resolve("f.seq").toString
+    val conf = new Configuration()
+    val w = SequenceFile.createWriter(conf,
+      SequenceFile.Writer.file(new Path(tmp)),
+      SequenceFile.Writer.keyClass(classOf[Text]),
+      SequenceFile.Writer.valueClass(classOf[IntWritable]),
+      SequenceFile.Writer.compression(ct, codec))
+    val k = new Text(); val v = new IntWritable()
+    (0 until n).foreach { i =>
+      k.set(f"K$i%07d"); v.set(i * 3)
+      w.append(k, v)
+    }
+    w.close()
+    tmp
+  }
+
+  private def readAll(path: String): Seq[(String, Int)] = {
+    val r = SeqFile.open(path)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    try {
+      for (b <- r; i <- 0 until b.count)
+        out += ((b.keys.get.asInstanceOf[BinaryColumn].sliceString(i),
+          b.values.get.asInstanceOf[IntColumn].values(i)))
+    } finally r.close()
+    out.toSeq
+  }
+
+  private val expected = (0 until n).map(i => (f"K$i%07d", i * 3))
+
+  private val layouts: Seq[(String, CompressionType, CompressionCodec, SeqCompression)] = Seq(
+    ("uncompressed", CompressionType.NONE, new DefaultCodec, SeqCompression.None),
+    ("record+default", CompressionType.RECORD, new DefaultCodec, SeqCompression.Record),
+    ("record+snappy", CompressionType.RECORD, new SnappyCodec, SeqCompression.Record),
+    ("block+gzip", CompressionType.BLOCK, new GzipCodec, SeqCompression.Block),
+    ("block+default", CompressionType.BLOCK, new DefaultCodec, SeqCompression.Block))
+
+  for ((name, ct, codec, expectedCompression) <- layouts)
+    test(s"hadoop-written $name file decodes identically through our reader") {
+      val path = writeFixture(ct, codec)
+      val h = SeqFile.readHeader(path)
+      assert(h.compression === expectedCompression)
+      assert(readAll(path) === expected)
+      assert(SeqFile.recordCount(path) === n.toLong)
+    }
+
+  test("record-layout range splits partition records disjointly on sync marks") {
+    val path = writeFixture(CompressionType.NONE, new DefaultCodec)
+    val h = SeqFile.readHeader(path)
+    val fileLen = new java.io.File(path).length()
+    // 10 byte-range splits; each reader aligns itself to sync markers
+    val splitSize = fileLen / 10 + 1
+    val got = (0L until 10L).flatMap { i =>
+      val in = new LocalSeekableInput(java.nio.file.Paths.get(path))
+      val r = SeqStream.openRange(in, h, i * splitSize,
+        math.min((i + 1) * splitSize, fileLen))
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+        for (b <- r; j <- 0 until b.count)
+          buf += ((b.keys.get.asInstanceOf[BinaryColumn].sliceString(j),
+            b.values.get.asInstanceOf[IntColumn].values(j)))
+        buf
+      } finally r.close()
+    }
+    // disjoint and total: sorted union equals the file, no dup, no loss
+    assert(got.size === n, s"splits produced ${got.size} records, want $n")
+    assert(got.sortBy(_._1) === expected)
+  }
+
+  test("record-layout column pruning skips the unwanted column") {
+    val path = writeFixture(CompressionType.RECORD, new DefaultCodec)
+    val r = SeqFile.open(path, decodeKey = false, decodeValue = true)
+    try {
+      var total = 0L
+      for (b <- r) {
+        assert(b.keys.isEmpty)
+        total += b.values.get.size
+      }
+      assert(total === n.toLong)
+    } finally r.close()
+  }
+
+  test("corrupt record-layout bytes raise SeqFileFormatException (not crashes)") {
+    val path = writeFixture(CompressionType.NONE, new DefaultCodec)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    // flip a key-length field far into the data region into garbage
+    val h = SeqFile.readHeader(path)
+    val target = (h.dataStart + 5000).toInt
+    bytes(target) = 0x7f.toByte; bytes(target + 1) = 0x7f.toByte
+    val corrupt = Files.createTempFile("corrupt", ".seq")
+    Files.write(corrupt, bytes)
+    val r = SeqFile.open(corrupt.toString)
+    try {
+      intercept[Exception] { r.foreach(_ => ()) } match {
+        case _: SeqFileFormatException | _: java.io.EOFException => // ok
+        case other => fail(s"unexpected error type: $other")
+      }
+    } finally { r.close(); Files.delete(corrupt) }
+  }
+}

@@ -91,6 +91,46 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("synthesizeMedia -> decodeStats: real decoded pixel/sample stats " +
+       "match their closed forms") {
+    val stats = Multimodal.decodeStats(Multimodal.synthesizeMedia(docs))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(stats.nonEmpty)
+    assert(stats.values.forall(_.valid), "all synthesized media must decode")
+    for ((id, s) <- stats) s.kind match {
+      case Multimodal.KindImage =>
+        assert(s.width === 16 + (id % 8).toInt * 8)
+        assert(s.height === 16 + (id % 4).toInt * 8)
+        assert(s.stat1 === ((id * 3) % 256).toDouble) // mean R, exact
+        assert(s.stat2 === ((id * 7) % 256).toDouble) // mean B, exact
+      case Multimodal.KindAudio =>
+        assert(s.n_samples === 800 + (id % 16).toInt * 104)
+        assert(s.sample_rate === 8000 + (id % 4).toInt * 8000)
+        assert(s.stat1 === (1000 + (id % 100) * 10).toDouble) // RMS exact
+        assert(s.stat2 === 0.0)                               // mean exact
+      case Multimodal.KindVideo =>
+        assert(s.n_frames === 2 + (id % 4).toInt)
+        assert(s.width === 16 && s.height === 16)
+        assert(s.stat1 === ((id * 5) % 256).toDouble)             // first frame
+        assert(s.stat2 === ((id * 5 + s.n_frames - 1) % 256).toDouble) // last
+    }
+  }
+
+  test("MediaCodec dispatch: real BMP/WAV features vs opaque fallback") {
+    import graft.core.media.{BmpCodec, WavCodec}
+    val img = Multimodal.MediaCodec.decodePayload(BmpCodec.encodeSolid(8, 4, 0x102030))
+    assert(img(0) === 8f && img(1) === 4f)
+    assert(img(2) === 0x10.toFloat && img(3) === 0x20.toFloat && img(4) === 0x30.toFloat)
+    val wav = Multimodal.MediaCodec.decodePayload(
+      WavCodec.encode(8000, 1, Array.tabulate(64)(i => if (i % 2 == 0) 500 else -500)))
+    assert(wav(0) === 64f && wav(1) === 8000f)
+    assert(wav(3) === 500f) // RMS
+    assert(wav(4) === 1f)   // alternating signs: every adjacent pair crosses
+    // corrupt media -> zero features, no exception
+    val bad = Multimodal.MediaCodec.decodePayload("BMgarbage".getBytes)
+    assert(bad.forall(_ === 0f))
+  }
+
   test("batch processing preserves partitioning (no shuffle in the decode path)") {
     val m4 = Multimodal.synthesize(docs.repartition(4))
     assert(m4.rdd.getNumPartitions === 4)

@@ -20,6 +20,34 @@ class SeqFileConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
   val textInt = "/root/reference/tests/text-int.seq"
   val longDouble = "/root/reference/tests/long-double.seq"
 
+  test("uncompressed and record-compressed hadoop files read through the " +
+       "connector with split-aligned parallelism") {
+    import org.apache.hadoop.io.{SequenceFile, LongWritable, Text}
+    import org.apache.hadoop.io.SequenceFile.CompressionType
+    import org.apache.hadoop.io.compress.DefaultCodec
+    for (ct <- Seq(CompressionType.NONE, CompressionType.RECORD)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"conn-$ct").toString
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val w = SequenceFile.createWriter(conf,
+        SequenceFile.Writer.file(new org.apache.hadoop.fs.Path(s"$dir/part.seq")),
+        SequenceFile.Writer.keyClass(classOf[LongWritable]),
+        SequenceFile.Writer.valueClass(classOf[Text]),
+        SequenceFile.Writer.compression(ct, new DefaultCodec))
+      val k = new LongWritable(); val v = new Text()
+      (0 until 30000).foreach { i => k.set(i.toLong); v.set(s"row-$i"); w.append(k, v) }
+      w.close()
+      // small maxSplitBytes forces many byte-range splits over one file;
+      // totals only come out right if sync alignment is disjoint and total
+      val df = spark.read.format("seqfile")
+        .option("maxSplitBytes", (64 * 1024).toString).load(dir)
+      assert(df.schema.map(_.dataType.simpleString) === Seq("bigint", "string"), ct.toString)
+      val r = df.agg(count(lit(1)), sum("key"), countDistinct("value")).head()
+      assert(r.getLong(0) === 30000L, ct.toString)
+      assert(r.getLong(1) === 30000L * 29999 / 2, ct.toString)
+      assert(r.getLong(2) === 30000L, ct.toString)
+    }
+  }
+
   test("schema inference from header: text-int → (key string, value int)") {
     val df = spark.read.format("seqfile").load(textInt)
     assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ===
