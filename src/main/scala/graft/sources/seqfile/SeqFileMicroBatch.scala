@@ -60,15 +60,17 @@ class SeqFileMicroBatchStream(tableSchema: StructType, required: StructType,
   // exists only in this JVM — a restart would rebuild ordering from
   // (modTime, path) and could silently duplicate or drop data.
   private def persistLog(): Unit = {
-    val fs = logPath.getFileSystem(new Configuration())
+    val conf = new Configuration()
+    val fs = logPath.getFileSystem(conf)
     fs.mkdirs(logPath.getParent)
     val tmp = new Path(logPath.getParent, logPath.getName + ".tmp")
     val out = fs.create(tmp, true)
     try log.foreach { case (p, len) => out.write(s"$p\t$len\n".getBytes("UTF-8")) }
     finally out.close()
-    if (fs.exists(logPath)) fs.delete(logPath, false)
-    if (!fs.rename(tmp, logPath))
-      throw new java.io.IOException(s"rename $tmp -> $logPath failed")
+    // Atomic replace: a delete-then-rename pair would lose the log entirely
+    // if the process died between the two calls.
+    org.apache.hadoop.fs.FileContext.getFileContext(logPath.toUri, conf)
+      .rename(tmp, logPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def appendNew(): Unit = synchronized {
@@ -97,7 +99,13 @@ class SeqFileMicroBatchStream(tableSchema: StructType, required: StructType,
     val s = start.asInstanceOf[SeqFileOffset].n.toInt
     val e = end.asInstanceOf[SeqFileOffset].n.toInt
     synchronized {
-      if (log.size < e) appendNew() // restart before first latestOffset()
+      // Every offset Spark can pass here was returned by a latestOffset()
+      // call that persisted >= e log entries BEFORE returning — so a shorter
+      // log after restore always means the checkpoint log was lost or
+      // truncated. Re-running discovery to fill the gap would silently
+      // rebind committed offsets to whatever (modTime, path) order the
+      // directory lists TODAY — the exact duplicate/drop hazard this log
+      // exists to prevent. Fail instead; never rediscover into a gap.
       if (log.size < e)
         throw new IllegalStateException(
           s"seqfile stream: committed offset $e exceeds the restored file log " +

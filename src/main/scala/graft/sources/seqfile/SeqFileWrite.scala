@@ -63,8 +63,15 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
   * names: each task writes `part-e<epoch>-p<partition>.seq` (temp + rename,
   * replacing any prior attempt's file), so a replayed epoch — after a crash
   * between sink write and offset-log commit — overwrites its own output
-  * instead of duplicating it. No driver-side metadata log is needed because
-  * the (epoch, partition) pair fully determines the file identity. */
+  * instead of duplicating it. Epoch commit then deletes any
+  * `part-e<epoch>-p*` file NOT in this attempt's commit messages: a replay
+  * that plans FEWER partitions than the crashed attempt (changed shuffle
+  * partitions / maxSplitBytes / AQE decisions) would otherwise overwrite
+  * p0..pK but leave the crashed attempt's pK+1.. files behind as silent
+  * duplicates. Readers can still observe a crashed epoch's files during the
+  * window before its replay commits — full isolation would need a manifest
+  * readers filter by (FileStreamSink's metadata-log design); the format
+  * itself stays manifest-free and Hadoop-readable. */
 class SeqFileStreamingWrite(schema: StructType, path: String, blockSize: Int,
                             metadata: Seq[(String, String)])
   extends StreamingWrite {
@@ -77,7 +84,25 @@ class SeqFileStreamingWrite(schema: StructType, path: String, blockSize: Int,
     new SeqFileStreamingWriterFactory(schema, path, blockSize, metadata)
   }
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    // qualify both sides: message paths may be schemeless while globStatus
+    // returns fully-qualified URIs
+    val committed = messages.collect { case m: SeqFileCommitMessage =>
+      fs.makeQualified(new Path(m.path)).toString
+    }.toSet
+    val stale = fs.globStatus(new Path(dir, f"part-e$epochId%05d-p*.seq"))
+    if (stale != null) stale.foreach { st =>
+      if (!committed.contains(fs.makeQualified(st.getPath).toString)) {
+        SeqFileScan.log.warn(
+          s"seqfile sink: deleting stale epoch-$epochId file from a failed " +
+          s"attempt: ${st.getPath}")
+        fs.delete(st.getPath, false)
+      }
+    }
+  }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()

@@ -98,4 +98,45 @@ class SeqFileStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       stream.planInputPartitions(SeqFileOffset(0), SeqFileOffset(5)))
     assert(ex.getMessage.contains("exceeds the restored file log"))
   }
+
+  test("lost-log rebind is refused even when rediscovery WOULD find enough files") {
+    // The dangerous variant: checkpoint log gone but the directory now lists
+    // >= e files — rebinding offsets to today's (modTime, path) order could
+    // silently duplicate or drop records. Must still fail.
+    val dir = java.nio.file.Files.createTempDirectory("seqstream4")
+    import spark.implicits._
+    (1L to 50L).toDF("key").withColumn("value", col("key") * 2)
+      .repartition(3).write.format("seqfile").mode("overwrite").save(dir.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("seqstream4ckpt") // empty: log lost
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.LongType)))
+    val stream = new SeqFileMicroBatchStream(schema, schema,
+      Seq(dir.toString), 4 << 20, "FAILFAST", ckpt.toString)
+    val ex = intercept[IllegalStateException](
+      stream.planInputPartitions(SeqFileOffset(0), SeqFileOffset(2)))
+    assert(ex.getMessage.contains("refusing to rebind"))
+  }
+
+  test("epoch commit deletes stale part files from a failed wider attempt") {
+    val dir = java.nio.file.Files.createTempDirectory("seqsink1").toString
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // simulate a crashed attempt of epoch 7 that had committed 3 partitions
+    val stale = Seq("part-e00007-p00000.seq", "part-e00007-p00001.seq",
+      "part-e00007-p00002.seq").map(n => new org.apache.hadoop.fs.Path(dir, n))
+    stale.foreach(p => fs.create(p, true).close())
+    // unrelated epochs must survive
+    val other = new org.apache.hadoop.fs.Path(dir, "part-e00006-p00000.seq")
+    fs.create(other, true).close()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.LongType)))
+    val write = new SeqFileStreamingWrite(schema, dir, 1 << 20, Nil)
+    // the replay planned only 1 partition: p0 committed, p1/p2 are stale
+    write.commit(7L, Array(SeqFileCommitMessage(stale.head.toString)))
+    assert(fs.exists(stale.head), "committed file must survive")
+    assert(!fs.exists(stale(1)) && !fs.exists(stale(2)), "stale files must be deleted")
+    assert(fs.exists(other), "other epochs untouched")
+  }
 }
