@@ -4,16 +4,21 @@ import java.io.{BufferedOutputStream, OutputStream}
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-/** SequenceFile writer: version 6, BLOCK compression, SnappyCodec — the exact
-  * inverse of the format the reference reads (header grammar reference:
-  * src/Data/Hadoop/SequenceFile/Parser.hs:42-78; block framing reference:
-  * Parser.hs:93-110 + cbits/decode.c:76-118). The reference's README promises
+/** SequenceFile writer: version 6, any compression layout — BLOCK (default,
+  * the exact inverse of the format the reference reads; header grammar
+  * reference: src/Data/Hadoop/SequenceFile/Parser.hs:42-78, block framing
+  * Parser.hs:93-110 + cbits/decode.c:76-118), RECORD, or uncompressed —
+  * across the snappy/gzip/deflate codecs. The reference's README promises
   * write support but none exists (reference: README.md:3-5) — this delivers
-  * it.
+  * it, at write parity with real Hadoop (whose own Reader round-trips every
+  * layout this writer emits; see SeqLayoutInteropSpec).
   *
-  * Records accumulate in per-column buffers and flush as one compressed block
-  * once the uncompressed payload reaches `blockSize` (Hadoop's
-  * io.seqfile.compress.blocksize default, 1 MiB).
+  * BLOCK mode: records accumulate in per-column buffers and flush as one
+  * compressed block once the uncompressed payload reaches `blockSize`
+  * (Hadoop's io.seqfile.compress.blocksize default, 1 MiB). Record modes:
+  * each record is written as [BE32 recordLen][BE32 keyLen][key][value]
+  * with a sync marker every ~`SyncInterval` bytes (Hadoop's 100×20), the
+  * value per-record compressed under RECORD.
   *
   * The header metadata count is written big-endian like real Hadoop
   * (`DataOutput.writeInt`); the reference reads it little-endian
@@ -26,7 +31,11 @@ final class SeqFileWriter(
     valueType: WritableType,
     metadata: Seq[(String, String)] = Nil,
     blockSize: Int = 1 << 20,
-    syncSeed: Long = System.nanoTime()) extends java.io.Closeable {
+    syncSeed: Long = System.nanoTime(),
+    compression: SeqCompression = SeqCompression.Block,
+    codec: SeqBlockCodec = SeqCodecs.SnappyCodec) extends java.io.Closeable {
+
+  import SeqFileWriter.SyncInterval
 
   private val os = new BufferedOutputStream(out, 1 << 16)
   private val sync: Array[Byte] = {
@@ -41,6 +50,11 @@ final class SeqFileWriter(
   private val valData = new GrowBuf()
   private var nBuffered = 0
   private var closed = false
+  // record-mode state: per-record scratch + byte position for sync cadence
+  private val recKey = new GrowBuf(256)
+  private val recVal = new GrowBuf(256)
+  private var bodyPos = 0L   // bytes written after the header
+  private var lastSync = 0L
 
   writeHeader()
 
@@ -49,9 +63,10 @@ final class SeqFileWriter(
     os.write(SeqHeader.Version)
     writeText(keyType.javaClass)
     writeText(valueType.javaClass)
-    os.write(1) // compressed
-    os.write(1) // block compressed
-    writeText(SeqHeader.SnappyCodecClass)
+    os.write(if (compression == SeqCompression.None) 0 else 1)
+    os.write(if (compression == SeqCompression.Block) 1 else 0)
+    // Hadoop writes the codec class only for compressed files
+    if (compression != SeqCompression.None) writeText(codec.javaClass)
     // metadata count, big-endian like real Hadoop (see class doc)
     val n = metadata.size
     os.write((n >> 24) & 0xff); os.write((n >> 16) & 0xff)
@@ -73,14 +88,46 @@ final class SeqFileWriter(
     * (Writable.hs:77-95), NullWritable = empty (Writable.hs:73-75). */
   def append(key: Any, value: Any): Unit = {
     require(!closed, "writer closed")
-    val k0 = keyData.size
-    serialize(keyType, key, keyData)
-    keyLens.appendVInt(keyData.size - k0)
-    val v0 = valData.size
-    serialize(valueType, value, valData)
-    valLens.appendVInt(valData.size - v0)
-    nBuffered += 1
-    if (keyData.size + valData.size >= blockSize) flushBlock()
+    if (compression == SeqCompression.Block) {
+      val k0 = keyData.size
+      serialize(keyType, key, keyData)
+      keyLens.appendVInt(keyData.size - k0)
+      val v0 = valData.size
+      serialize(valueType, value, valData)
+      valLens.appendVInt(valData.size - v0)
+      nBuffered += 1
+      if (keyData.size + valData.size >= blockSize) flushBlock()
+    } else appendRecord(key, value)
+  }
+
+  /** Record-layout append (uncompressed / RECORD): sync cadence like
+    * Hadoop's writer (a marker before the record once `SyncInterval` bytes
+    * have passed since the last one). */
+  private def appendRecord(key: Any, value: Any): Unit = {
+    recKey.reset(); recVal.reset()
+    serialize(keyType, key, recKey)
+    serialize(valueType, value, recVal)
+    val valBytes =
+      if (compression == SeqCompression.Record) codec.compress(recVal.array, recVal.size)
+      else null
+    val valLen = if (valBytes != null) valBytes.length else recVal.size
+    if (bodyPos - lastSync >= SyncInterval) {
+      os.write(Array[Byte](-1, -1, -1, -1))
+      os.write(sync)
+      bodyPos += 4 + sync.length
+      lastSync = bodyPos
+    }
+    writeBE32(recKey.size + valLen)
+    writeBE32(recKey.size)
+    os.write(recKey.array, 0, recKey.size)
+    if (valBytes != null) os.write(valBytes, 0, valBytes.length)
+    else os.write(recVal.array, 0, recVal.size)
+    bodyPos += 8 + recKey.size + valLen
+  }
+
+  private def writeBE32(v: Int): Unit = {
+    os.write((v >>> 24) & 0xff); os.write((v >>> 16) & 0xff)
+    os.write((v >>> 8) & 0xff); os.write(v & 0xff)
   }
 
   private def serialize(t: WritableType, v: Any, dst: GrowBuf): Unit = t match {
@@ -121,17 +168,22 @@ final class SeqFileWriter(
   }
 
   private def writeCompressed(b: GrowBuf): Unit = {
-    val framed = SnappyBlockCodec.compress(b.array, b.size)
+    val framed = codec.compress(b.array, b.size)
     VInt.write(os, framed.length.toLong)
     os.write(framed)
   }
 
   def close(): Unit = if (!closed) {
-    flushBlock()
+    if (compression == SeqCompression.Block) flushBlock()
     os.flush()
     os.close()
     closed = true
   }
+}
+
+object SeqFileWriter {
+  /** Hadoop's SYNC_INTERVAL: 100 × (escape + sync) bytes. */
+  val SyncInterval: Int = 100 * (4 + SeqHeader.SyncSize)
 }
 
 /** Minimal growable byte buffer (avoids ByteArrayOutputStream's sync'd writes

@@ -26,17 +26,33 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
-  private def validated(): (String, Int, Seq[(String, String)]) = {
+  private def validated(): (String, Int, Seq[(String, String)], SeqWriteLayout) = {
     require(paths.size == 1, s"seqfile write needs exactly one path, got $paths")
     // Record = one (key, value) pair (reference: Types.hs:32-38). Accept
     // any 2-column schema: first column → key, second → value.
     require(schema.length == 2,
       s"seqfile schema must have exactly 2 columns (key, value); got ${schema.catalogString}")
     // options: blockSize (uncompressed flush threshold, default 1 MiB =
-    // Hadoop's io.seqfile.compress.blocksize); metadata.<k>=<v> pairs go
-    // into the file header (surfaced back via Table.properties()).
+    // Hadoop's io.seqfile.compress.blocksize); compression = none|record|
+    // block; codec = snappy|gzip|deflate; metadata.<k>=<v> pairs go into
+    // the file header (surfaced back via Table.properties()).
     val blockSize = Option(options.get("blockSize")).map(_.toInt).getOrElse(1 << 20)
     require(blockSize >= 1024, s"blockSize must be >= 1024, got $blockSize")
+    val layout = SeqWriteLayout(
+      Option(options.get("compression")).getOrElse("block").toLowerCase match {
+        case "none" => SeqCompression.None
+        case "record" => SeqCompression.Record
+        case "block" => SeqCompression.Block
+        case other => throw new IllegalArgumentException(
+          s"seqfile compression must be none, record or block; got $other")
+      },
+      Option(options.get("codec")).getOrElse("snappy").toLowerCase match {
+        case "snappy" => SeqCodecs.SnappyClass
+        case "gzip" => SeqCodecs.GzipClass
+        case "deflate" | "default" => SeqCodecs.DefaultClass
+        case other => throw new IllegalArgumentException(
+          s"seqfile codec must be snappy, gzip or deflate; got $other")
+      })
     import scala.jdk.CollectionConverters._
     // asCaseSensitiveMap preserves the user's original key casing
     // (entrySet() lowercases keys)
@@ -44,19 +60,28 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
       .filter(_._1.toLowerCase.startsWith("metadata."))
       .map { case (k, v) => k.substring("metadata.".length) -> v }
       .sortBy(_._1)
-    (paths.head, blockSize, metadata)
+    (paths.head, blockSize, metadata, layout)
   }
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
-      val (path, blockSize, metadata) = validated()
-      new SeqFileBatchWrite(schema, path, truncateFirst, blockSize, metadata)
+      val (path, blockSize, metadata, layout) = validated()
+      new SeqFileBatchWrite(schema, path, truncateFirst, blockSize, metadata, layout)
     }
     override def toStreaming: StreamingWrite = {
-      val (path, blockSize, metadata) = validated()
-      new SeqFileStreamingWrite(schema, path, blockSize, metadata)
+      val (path, blockSize, metadata, layout) = validated()
+      new SeqFileStreamingWrite(schema, path, blockSize, metadata, layout)
     }
   }
+}
+
+/** Serializable write-layout choice (codec carried by class name — codec
+  * objects themselves are not serializable across task boundaries). */
+case class SeqWriteLayout(compression: SeqCompression, codecClass: String) {
+  def codec: SeqBlockCodec = SeqCodecs.forClassOrThrow(codecClass)
+}
+object SeqWriteLayout {
+  val Default: SeqWriteLayout = SeqWriteLayout(SeqCompression.Block, SeqCodecs.SnappyClass)
 }
 
 /** Micro-batch streaming sink. Exactly-once per epoch via DETERMINISTIC file
@@ -73,7 +98,8 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
   * readers filter by (FileStreamSink's metadata-log design); the format
   * itself stays manifest-free and Hadoop-readable. */
 class SeqFileStreamingWrite(schema: StructType, path: String, blockSize: Int,
-                            metadata: Seq[(String, String)])
+                            metadata: Seq[(String, String)],
+                            layout: SeqWriteLayout = SeqWriteLayout.Default)
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -81,7 +107,7 @@ class SeqFileStreamingWrite(schema: StructType, path: String, blockSize: Int,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    new SeqFileStreamingWriterFactory(schema, path, blockSize, metadata)
+    new SeqFileStreamingWriterFactory(schema, path, blockSize, metadata, layout)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -115,16 +141,18 @@ class SeqFileStreamingWrite(schema: StructType, path: String, blockSize: Int,
 }
 
 class SeqFileStreamingWriterFactory(schema: StructType, dir: String, blockSize: Int,
-                                    metadata: Seq[(String, String)])
+                                    metadata: Seq[(String, String)],
+                                    layout: SeqWriteLayout = SeqWriteLayout.Default)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new SeqFileDataWriter(schema, dir, partitionId, taskId, blockSize, metadata,
-      epoch = Some(epochId))
+      epoch = Some(epochId), layout = layout)
 }
 
 class SeqFileBatchWrite(schema: StructType, path: String, truncateFirst: Boolean,
                         blockSize: Int = 1 << 20,
-                        metadata: Seq[(String, String)] = Nil)
+                        metadata: Seq[(String, String)] = Nil,
+                        layout: SeqWriteLayout = SeqWriteLayout.Default)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -133,7 +161,7 @@ class SeqFileBatchWrite(schema: StructType, path: String, truncateFirst: Boolean
     val fs = dir.getFileSystem(conf)
     if (truncateFirst && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new SeqFileWriterFactory(schema, path, blockSize, metadata)
+    new SeqFileWriterFactory(schema, path, blockSize, metadata, layout)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -151,15 +179,19 @@ class SeqFileBatchWrite(schema: StructType, path: String, truncateFirst: Boolean
 case class SeqFileCommitMessage(path: String) extends WriterCommitMessage
 
 class SeqFileWriterFactory(schema: StructType, dir: String, blockSize: Int,
-                           metadata: Seq[(String, String)]) extends DataWriterFactory {
+                           metadata: Seq[(String, String)],
+                           layout: SeqWriteLayout = SeqWriteLayout.Default)
+  extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SeqFileDataWriter(schema, dir, partitionId, taskId, blockSize, metadata)
+    new SeqFileDataWriter(schema, dir, partitionId, taskId, blockSize, metadata,
+      layout = layout)
 }
 
 class SeqFileDataWriter(schema: StructType, dir: String, partitionId: Int, taskId: Long,
                         blockSize: Int = 1 << 20,
                         metadata: Seq[(String, String)] = Nil,
-                        epoch: Option[Long] = None)
+                        epoch: Option[Long] = None,
+                        layout: SeqWriteLayout = SeqWriteLayout.Default)
   extends DataWriter[InternalRow] {
 
   private val keyType = SeqFileSchema.writableFor(schema(0).dataType)
@@ -179,7 +211,8 @@ class SeqFileDataWriter(schema: StructType, dir: String, partitionId: Int, taskI
   private val fs = tempPath.getFileSystem(conf)
   private val out = fs.create(tempPath, true)
   private val writer = new SeqFileWriter(out, keyType, valueType,
-    metadata = metadata, blockSize = blockSize)
+    metadata = metadata, blockSize = blockSize,
+    compression = layout.compression, codec = layout.codec)
 
   private val keyGet = valueGetter(schema(0).dataType, 0)
   private val valGet = valueGetter(schema(1).dataType, 1)

@@ -102,6 +102,50 @@ class SeqLayoutInteropSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  private val writeLayouts: Seq[(String, SeqCompression, SeqBlockCodec)] = Seq(
+    ("none", SeqCompression.None, SeqCodecs.SnappyCodec), // codec ignored
+    ("record+snappy", SeqCompression.Record, SeqCodecs.SnappyCodec),
+    ("record+deflate", SeqCompression.Record, SeqCodecs.DeflateCodec),
+    ("block+gzip", SeqCompression.Block, SeqCodecs.GzipCodec),
+    ("block+deflate", SeqCompression.Block, SeqCodecs.DeflateCodec))
+
+  for ((name, compression, codec) <- writeLayouts)
+    test(s"our $name writer round-trips through BOTH our reader and Hadoop's") {
+      val tmp = Files.createTempFile(s"w-$name", ".seq")
+      val w = new SeqFileWriter(Files.newOutputStream(tmp),
+        WritableType.TextW, WritableType.IntW, syncSeed = 11L,
+        compression = compression, codec = codec)
+      val m = 5000
+      (0 until m).foreach(i => w.append(f"K$i%06d", i * 7))
+      w.close()
+      // our reader
+      val ours = readAll(tmp.toString)
+      assert(ours === (0 until m).map(i => (f"K$i%06d", i * 7)))
+      // record modes write enough bytes to cross the sync interval — ensure
+      // interior sync markers actually exist so split alignment has anchors
+      if (compression != SeqCompression.Block) {
+        val h = SeqFile.readHeader(tmp.toString)
+        val in = new LocalSeekableInput(tmp)
+        try assert(SyncScanner.nextBlockStart(in, h.sync, h.dataStart + 1,
+          in.length) > 0, "expected interior sync markers")
+        finally in.close()
+      }
+      // Hadoop's own reader
+      val conf = new Configuration()
+      val reader = new SequenceFile.Reader(conf,
+        SequenceFile.Reader.file(new Path(tmp.toString)))
+      try {
+        val k = new Text(); val v = new IntWritable()
+        var i = 0
+        while (reader.next(k, v)) {
+          assert(k.toString === f"K$i%06d")
+          assert(v.get === i * 7)
+          i += 1
+        }
+        assert(i === m)
+      } finally { reader.close(); Files.delete(tmp) }
+    }
+
   test("corrupt record-layout bytes raise SeqFileFormatException (not crashes)") {
     val path = writeFixture(CompressionType.NONE, new DefaultCodec)
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))

@@ -20,6 +20,29 @@ class SeqFileConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
   val textInt = "/root/reference/tests/text-int.seq"
   val longDouble = "/root/reference/tests/long-double.seq"
 
+  test("write options compression/codec produce the requested layout and " +
+       "round-trip through the connector") {
+    import graft.core.seqfile.{SeqFile, SeqCompression}
+    import spark.implicits._
+    val in = (1L to 5000L).toDF("key").withColumn("value", col("key") * 3)
+    for ((comp, codec, expected) <- Seq(
+        ("none", "snappy", SeqCompression.None),
+        ("record", "deflate", SeqCompression.Record),
+        ("block", "gzip", SeqCompression.Block))) {
+      val dir = java.nio.file.Files.createTempDirectory(s"wopt-$comp").toString
+      in.repartition(2).write.format("seqfile")
+        .option("compression", comp).option("codec", codec)
+        .mode("overwrite").save(dir)
+      val part = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".seq")).head
+      val h = SeqFile.readHeader(part.toString)
+      assert(h.compression === expected, s"$comp/$codec")
+      val back = spark.read.format("seqfile").load(dir)
+      assert(back.count() === 5000L, s"$comp/$codec")
+      assert(back.agg(sum("value")).head.getLong(0) === 3L * 5000 * 5001 / 2, s"$comp/$codec")
+    }
+  }
+
   test("uncompressed and record-compressed hadoop files read through the " +
        "connector with split-aligned parallelism") {
     import org.apache.hadoop.io.{SequenceFile, LongWritable, Text}
