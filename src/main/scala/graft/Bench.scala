@@ -70,8 +70,17 @@ object Bench {
 
     def jsonMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = med.map(_._2).filter(_ >= 0).sum
+    // A query that failed every round (median -1) must not silently shrink
+    // the total — a run that BROKE a query would read as a speedup to any
+    // harness comparing totals. Surface failures as a first-class field and
+    // a poisoned total.
+    val failed = med.collect { case (name, m) if m < 0 => name }
+    val total =
+      if (failed.isEmpty) med.map(_._2).sum
+      else -1.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$reps,""" +
+      s""""failed":$failedJson,""" +
       s""""queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }

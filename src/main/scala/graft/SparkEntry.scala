@@ -951,20 +951,24 @@ object SparkEntry {
         |ORDER BY q_id, rank""".stripMargin,
 
     // Exact replica of ivfTopK's deterministic pipeline: sampled centroids
-    // (ids that are multiples of step = max(1, N/16), below step*16),
-    // nearest-centroid assignment, nProbe=4 probing, top-10 per query.
-    // Dot products are sequential double folds on both engines, so ranking
-    // and rounded cosines agree bit-for-bit (same as q_ann_bruteforce).
+    // (every step-th vector by id RANK, step = max(1, N/16), 16 of them —
+    // rank-based so any id space works), nearest-centroid assignment,
+    // nProbe=4 probing, top-10 per query. Dot products are sequential
+    // double folds on both engines, so ranking and rounded cosines agree
+    // bit-for-bit (same as q_ann_bruteforce).
     "q_ann_ivf" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         |  FROM embeddings),
         |stats AS (SELECT greatest(1, count(*) // 16) AS step FROM v),
+        |ranked_v AS (
+        |  SELECT vec_id, v, nrm, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+        |  FROM v),
         |cents AS (
         |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn
-        |  FROM v, stats
-        |  WHERE vec_id % step = 0 AND vec_id < step * 16),
+        |  FROM ranked_v, stats
+        |  WHERE rn % step = 0 AND rn < step * 16),
         |assign AS (
         |  SELECT c_id, c_v, c_n, cent_id FROM (
         |    SELECT v.vec_id AS c_id, v.v AS c_v, v.nrm AS c_n, cent_id,

@@ -29,11 +29,7 @@ object BmpCodec {
     def meanB: Double = meanChannel(0)
   }
 
-  private def le16(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  import ByteIO.{le16, le32, putLe16, putLe32}
 
   def isBmp(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
@@ -47,17 +43,25 @@ object BmpCodec {
     val width = le32(b, 18)
     val rawHeight = le32(b, 22)
     val topDown = rawHeight < 0
-    val height = math.abs(rawHeight)
+    // |Int.MinValue| is not representable; Long abs avoids the wrap
+    val heightL = math.abs(rawHeight.toLong)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (width <= 0 || height == 0) return Left(s"bad dimensions ${width}x$rawHeight")
+    if (width <= 0 || heightL == 0) return Left(s"bad dimensions ${width}x$rawHeight")
     if (compression != 0) return Left(s"unsupported compression $compression (BI_RGB only)")
     if (bpp != 24 && bpp != 32) return Left(s"unsupported bit depth $bpp (24/32 only)")
     val bytesPerPx = bpp / 8
-    val rowStride = ((width * bytesPerPx + 3) / 4) * 4
-    val need = pixelOff.toLong + rowStride.toLong * height
+    // ALL size arithmetic in Long space: a crafted width like 0x40000000
+    // wraps Int products negative and would slip past the bounds check,
+    // then crash in allocation — breaking the Left-on-corrupt contract.
+    val rowStrideL = ((width.toLong * bytesPerPx + 3) / 4) * 4
+    val need = pixelOff.toLong + rowStrideL * heightL
     if (pixelOff < 14 + infoSize || need > b.length)
       return Left(s"pixel data out of bounds: offset $pixelOff, need $need of ${b.length}")
+    // need <= b.length (an Int) bounds width*height*bytesPerPx, so these
+    // narrowing casts are exact
+    val height = heightL.toInt
+    val rowStride = rowStrideL.toInt
     val px = new Array[Int](width * height)
     var y = 0
     while (y < height) {
@@ -116,12 +120,4 @@ object BmpCodec {
   /** Solid-color image — the arithmetic-oracle fixture shape. */
   def encodeSolid(width: Int, height: Int, rgb: Int): Array[Byte] =
     encode(width, height, Array.fill(width * height)(rgb))
-
-  private def putLe16(b: Array[Byte], o: Int, v: Int): Unit = {
-    b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
-  }
-  private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
-    b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
-    b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
-  }
 }

@@ -41,11 +41,8 @@ object WavCodec {
     }
   }
 
-  private def le16(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  import ByteIO.{le16, le32, putLe16, putLe32}
+
   private def tag(b: Array[Byte], o: Int): String =
     new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
@@ -61,7 +58,10 @@ object WavCodec {
       val id = tag(b, off)
       val len = le32(b, off + 4)
       val body = off + 8
-      if (len < 0 || body + len > b.length)
+      // Long-space bounds: a declared chunk length near Int.MaxValue wraps
+      // body+len negative and would pass an Int comparison, then crash in
+      // allocation or the next chunk seek instead of returning Left.
+      if (len < 0 || body.toLong + len > b.length)
         return Left(s"chunk '$id' overruns file: len $len at $body of ${b.length}")
       id match {
         case "fmt " =>
@@ -124,12 +124,5 @@ object WavCodec {
   private def putTag(b: Array[Byte], o: Int, t: String): Unit = {
     var i = 0
     while (i < 4) { b(o + i) = t.charAt(i).toByte; i += 1 }
-  }
-  private def putLe16(b: Array[Byte], o: Int, v: Int): Unit = {
-    b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
-  }
-  private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
-    b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
-    b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
   }
 }

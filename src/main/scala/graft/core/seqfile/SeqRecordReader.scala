@@ -91,11 +91,26 @@ final class SeqRecordReader(
     else { cursor = p; finished = false; true }
   }
 
+  private var pendingError: Throwable = null
+
   /** Accumulate up to targetBatch records into one columnar block. Returns
     * null at end of split/file. Throws SeqFileFormatException on corrupt
     * bytes (same contract as SeqBlockReader — PERMISSIVE/DROPMALFORMED
-    * consumers catch and optionally resync). */
+    * consumers catch and optionally resync).
+    *
+    * Corruption mid-batch must not discard the good records already read:
+    * the partial batch is returned FIRST and the error re-thrown on the
+    * following call. The cursor advances per consumed record (not per
+    * batch), so a consumer's skipToNextSync scans from the corrupt byte —
+    * losing at most one sync interval, like the block reader — instead of
+    * re-scanning from the batch start (which both amplified the loss to a
+    * whole batch and made retries quadratic). */
   private def readBatch(): DecodedBlock = {
+    if (pendingError != null) {
+      val e = pendingError
+      pendingError = null
+      throw e
+    }
     if (finished) return null
     in.seek(cursor)
     val fileLen = in.length
@@ -105,48 +120,55 @@ final class SeqRecordReader(
     val valLens = new java.util.ArrayList[Integer](256)
     var n = 0
     var stop = false
-    while (!stop && n < targetBatch) {
-      val recStart = in.pos
-      if (recStart >= fileLen) { finished = true; stop = true }
-      else {
-        val recordLen = in.readBE32().toInt
-        if (recordLen == -1) {
-          // sync escape: verify marker; a sync at/after `end` ends the split
-          val syncGot = in.readFully(SeqHeader.SyncSize)
-          if (!java.util.Arrays.equals(syncGot, sync))
-            throw new SeqFileFormatException(
-              s"file corrupt: sync marker mismatch at ${in.pos - SeqHeader.SyncSize}")
-          if (recStart >= end) { finished = true; stop = true }
-        } else {
-          if (recordLen < 0)
-            throw new SeqFileFormatException(s"negative record length $recordLen at $recStart")
-          val keyLen = in.readBE32().toInt
-          if (keyLen < 0 || keyLen > recordLen)
-            throw new SeqFileFormatException(
-              s"invalid key length $keyLen for record of $recordLen bytes at $recStart")
-          if (keyType.fixedWidth >= 0 && keyLen != keyType.fixedWidth)
-            throw new SeqFileFormatException(
-              s"key length $keyLen does not match fixed width ${keyType.fixedWidth} of ${header.keyClass}")
-          if (decodeKey) {
-            val kb = in.readFully(keyLen)
-            keyBytes.write(kb, 0, keyLen)
-            keyLens.add(keyLen)
-          } else in.seek(in.pos + keyLen)
-          val rawValLen = recordLen - keyLen
-          if (decodeValue) {
-            val vb = in.readFully(rawValLen)
-            val v = if (codec != null) codec.decompress(vb) else vb
-            if (valueType.fixedWidth >= 0 && v.length != valueType.fixedWidth)
+    try {
+      while (!stop && n < targetBatch) {
+        val recStart = in.pos
+        if (recStart >= fileLen) { finished = true; stop = true }
+        else {
+          val recordLen = in.readBE32().toInt
+          if (recordLen == -1) {
+            // sync escape: verify marker; a sync at/after `end` ends the split
+            val syncGot = in.readFully(SeqHeader.SyncSize)
+            if (!java.util.Arrays.equals(syncGot, sync))
               throw new SeqFileFormatException(
-                s"value length ${v.length} does not match fixed width ${valueType.fixedWidth} of ${header.valueClass}")
-            valBytes.write(v, 0, v.length)
-            valLens.add(v.length)
-          } else in.seek(in.pos + rawValLen)
-          n += 1
+                s"file corrupt: sync marker mismatch at ${in.pos - SeqHeader.SyncSize}")
+            if (recStart >= end) { finished = true; stop = true }
+          } else {
+            if (recordLen < 0)
+              throw new SeqFileFormatException(s"negative record length $recordLen at $recStart")
+            val keyLen = in.readBE32().toInt
+            if (keyLen < 0 || keyLen > recordLen)
+              throw new SeqFileFormatException(
+                s"invalid key length $keyLen for record of $recordLen bytes at $recStart")
+            if (keyType.fixedWidth >= 0 && keyLen != keyType.fixedWidth)
+              throw new SeqFileFormatException(
+                s"key length $keyLen does not match fixed width ${keyType.fixedWidth} of ${header.keyClass}")
+            if (decodeKey) {
+              val kb = in.readFully(keyLen)
+              keyBytes.write(kb, 0, keyLen)
+              keyLens.add(keyLen)
+            } else in.seek(in.pos + keyLen)
+            val rawValLen = recordLen - keyLen
+            if (decodeValue) {
+              val vb = in.readFully(rawValLen)
+              val v = if (codec != null) codec.decompress(vb) else vb
+              if (valueType.fixedWidth >= 0 && v.length != valueType.fixedWidth)
+                throw new SeqFileFormatException(
+                  s"value length ${v.length} does not match fixed width ${valueType.fixedWidth} of ${header.valueClass}")
+              valBytes.write(v, 0, v.length)
+              valLens.add(v.length)
+            } else in.seek(in.pos + rawValLen)
+            n += 1
+          }
         }
+        // this record/sync was fully consumed; the cursor never points
+        // inside a partially-read record
+        if (!stop) cursor = in.pos
       }
+    } catch {
+      case scala.util.control.NonFatal(e) if n > 0 =>
+        pendingError = e // surface AFTER the good records already batched
     }
-    cursor = in.pos
     if (n == 0) { finished = true; return null }
 
     def column(t: WritableType, want: Boolean, bytes: java.io.ByteArrayOutputStream,

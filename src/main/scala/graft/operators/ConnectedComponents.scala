@@ -40,12 +40,24 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Free the cache blocks behind a locally-checkpointed Dataset. After
-    * localCheckpoint the plan is a LogicalRDD over cached partitions;
-    * unpersisting that RDD is the only way to release them mid-job. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  /** Free the storage behind a superseded checkpointed Dataset. After
+    * (local)checkpoint the plan is a LogicalRDD; for localCheckpoint the
+    * storage is executor cache blocks (unpersist), for reliable checkpoint
+    * it is files under the checkpoint dir (delete — Spark only auto-cleans
+    * them when spark.cleaner.referenceTracking.cleanCheckpoints is on,
+    * which defaults to false, so a multi-round job would otherwise grow
+    * one label-set directory per round). */
+  private def release(df: DataFrame): Unit =
     df.queryExecution.logical match {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.getCheckpointFile match {
+          case Some(p) =>
+            val path = new org.apache.hadoop.fs.Path(p)
+            val fs = path.getFileSystem(
+              df.sparkSession.sparkContext.hadoopConfiguration)
+            fs.delete(path, true)
+          case None => r.rdd.unpersist(false)
+        }
       case _ => ()
     }
 
@@ -54,8 +66,17 @@ object ConnectedComponents {
     * (cast to long). */
   def components(edges: DataFrame, aCol: String, bCol: String,
                  maxIter: Int = 30, reliable: Boolean = false): DataFrame = {
+    // Reliable mode must cache before checkpointing: Dataset.checkpoint's
+    // file-writing job re-runs the plan from lineage AFTER the materializing
+    // action, so an uncached plan computes every join twice. With the cache,
+    // the first job populates it and the checkpoint write reads it back;
+    // the cache is dropped immediately (the files are the durable copy).
     def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame =
-      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+      if (reliable) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(eager = true)
+        finally df.unpersist(false)
+      } else df.localCheckpoint(eager)
 
     // Materialize the (possibly expensive) pair-generator output once.
     val sym0 = checkpoint(edges.select(col(aCol).cast("long").as("src"),
@@ -69,7 +90,7 @@ object ConnectedComponents {
       .union(sym0.select(col("src"), col("src").as("dst")))
       .union(sym0.select(col("dst").as("src"), col("dst")))
       .distinct())
-    if (!reliable) unpersistCheckpoint(sym0) // closure is materialized; raw pairs done
+    release(sym0) // closure is materialized; raw pairs done
 
     var labels = checkpoint(e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")))
@@ -96,16 +117,18 @@ object ConnectedComponents {
         .select(col("x.id").as("id"),
           coalesce(col("y.ccomp"), col("x.comp")).as("comp")),
         eager = false)
-      // Single action: materializes the lazy checkpoint AND computes the
-      // convergence aggregate. Labels only ever decrease, so sum unchanged
-      // <=> fixpoint.
+      // Local mode: single action materializes the lazy checkpoint AND
+      // computes the convergence aggregate (reliable mode materialized
+      // eagerly above; this is then a cheap scan of the checkpoint files).
+      // Labels only ever decrease, so sum unchanged <=> fixpoint.
       val newSum = labelSum(jumped)
-      if (!reliable) unpersistCheckpoint(labels)
+      release(labels)
       labels = jumped
       done = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       i += 1
     }
+    release(e) // the loop is over; `labels` reads its own checkpoint only
     if (!done)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds " +

@@ -119,7 +119,13 @@ object Multimodal {
       * frame's length is read from its own BMP file header, so frames of
       * different sizes walk correctly); GRFT with any other payload is
       * opaque (the payload bytes feed the fallback features). */
-    def decode(bytes: Array[Byte]): Decoded = {
+    def decode(bytes: Array[Byte]): Decoded =
+      // catch-all insurance on top of the codecs' Left-on-corrupt contract:
+      // ONE hostile record must never fail a whole partition
+      try decodeUnsafe(bytes)
+      catch { case scala.util.control.NonFatal(e) => Corrupt(e.toString) }
+
+    private def decodeUnsafe(bytes: Array[Byte]): Decoded = {
       if (BmpCodec.isBmp(bytes))
         BmpCodec.decode(bytes).fold(Corrupt.apply, DecodedImage.apply)
       else if (WavCodec.isWav(bytes))
@@ -140,10 +146,10 @@ object Multimodal {
       while (i < nFrames) {
         if (off + 6 > payload.length)
           return Corrupt(s"frame $i starts past payload end ($off of ${payload.length})")
-        // BMP file header carries its own total size at offset 2
-        val size = (payload(off + 2) & 0xff) | ((payload(off + 3) & 0xff) << 8) |
-          ((payload(off + 4) & 0xff) << 16) | ((payload(off + 5) & 0xff) << 24)
-        if (size <= 0 || off + size > payload.length)
+        // BMP file header carries its own total size at offset 2; Long-space
+        // bounds check — a crafted size wraps off+size negative in Int space
+        val size = graft.core.media.ByteIO.le32(payload, off + 2)
+        if (size <= 0 || off.toLong + size > payload.length)
           return Corrupt(s"frame $i size $size overruns payload (${payload.length})")
         BmpCodec.decode(java.util.Arrays.copyOfRange(payload, off, off + size)) match {
           case Right(img) => frames += img

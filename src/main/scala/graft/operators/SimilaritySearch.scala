@@ -73,8 +73,8 @@ object SimilaritySearch {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** IVF-flat ANN. Centroids: a deterministic corpus sample — the vectors
-    * whose id is a multiple of step = max(1, N/C), below step*C. Pure id
+  /** IVF-flat ANN. Centroids: a deterministic corpus sample — every
+    * step-th vector by id rank (step = max(1, N/C)), C of them. Pure rank
     * arithmetic (no unordered limit), so an exact SQL oracle can replicate
     * centroid choice, list assignment, and probing bit-for-bit. At real
     * scale centroids come from k-means (ivfTopKKMeans), but the
@@ -87,8 +87,15 @@ object SimilaritySearch {
     val c = prepared(corpus, idCol, vecCol)
     val n = c.count()
     val step = math.max(1L, n / numCentroids)
-    val cents = c.filter(pmod(col("id"), lit(step)) === 0
-        && col("id") < lit(step * numCentroids))
+    // Select by id RANK, not raw id value: robust to any id space (offset,
+    // sparse, non-zero-based — raw-id modulo silently yields zero centroids
+    // there) and still pure arithmetic a SQL oracle replicates exactly. The
+    // global row_number is a one-off single-partition sort — fine for a
+    // training pass; the real-scale path is ivfTopKKMeans.
+    val rw = Window.orderBy(col("id"))
+    val cents = c.withColumn("rn", row_number().over(rw).cast("long") - 1)
+      .filter(pmod(col("rn"), lit(step)) === 0
+        && col("rn") < lit(step * numCentroids))
       .select(col("id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     ivfWithCentroids(c, queries, idCol, vecCol, cents, k, nProbe)
   }
