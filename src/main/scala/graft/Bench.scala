@@ -73,14 +73,21 @@ object Bench {
     // A query that failed every round (median -1) must not silently shrink
     // the total — a run that BROKE a query would read as a speedup to any
     // harness comparing totals. Surface failures as a first-class field and
-    // a poisoned total.
+    // a poisoned total. A query that failed in SOME rounds still gets its
+    // surviving-round median, but the per-query failure count is emitted so
+    // intermittent breakage is visible too (not just all-round failures).
+    val failCounts = queries.map { case (name, _) =>
+      name -> rounds.count(_(name) < 0)
+    }.filter(_._2 > 0)
     val failed = med.collect { case (name, m) if m < 0 => name }
     val total =
       if (failed.isEmpty) med.map(_._2).sum
       else -1.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failCountsJson = failCounts
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$reps,""" +
-      s""""failed":$failedJson,""" +
+      s""""failed":$failedJson,"round_failures":$failCountsJson,""" +
       s""""queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }

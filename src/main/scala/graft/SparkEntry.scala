@@ -21,6 +21,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Recursively delete `path` when the JVM exits (at most one hook per
+    * path). Used by queries that materialize scratch files so repeated
+    * bench/verify processes don't accumulate copies in java.io.tmpdir. */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerCleanupOnExit(path: String): Unit =
+    if (cleanupRegistered.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+    }
+
   /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
     * parquet reader rejects. Sessions set
     * spark.sql.legacy.parquet.nanosAsLong=true (see Verify/Bench), making ts
@@ -105,6 +122,248 @@ object SparkEntry {
           && col("l_quantity") < 24)
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // ---- TPC-H Q4 (adapted: no l_commitdate/l_receiptdate in testdata —
+    //      "late" = shipped >60 days after order date): EXISTS as a
+    //      left-semi join; shuffles once on orderkey ----
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1997-10-01")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li, col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- TPC-H Q7: bidirectional nation-pair trade volume. Nation filter
+    //      is applied to the supplier/customer dims BEFORE the fact joins so
+    //      the lineitem stream is pruned by the (broadcast) supplier join
+    //      instead of carrying every row to the final filter ----
+    "q7_volume_shipping" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val supN = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custN = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+      li.join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // ---- TPC-H Q8: national market share within a region ----
+    "q8_market_share" -> ((s, dir) => {
+      val amNations = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("am_nk"))
+      val custAm = t(s, dir, "customer")
+        .join(broadcast(amNations), col("c_nationkey") === col("am_nk"))
+        .select(col("c_custkey"))
+      val supN = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val econParts = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(custAm, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(0)) / sum(vol),
+          4).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // ---- TPC-H Q10: returned-item revenue per customer, top 20 ----
+    "q10_returned_items" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-10-01" && col("o_orderdate") < "1997-01-01")
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"),
+          col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ---- TPC-H Q12 (adapted: no l_shipmode — bucket by order priority;
+    //      "late" = shipped >45 days after order date) ----
+    "q12_late_lineitems" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS")
+      li.join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(when(late, 1)).as("late_count"),
+          count(when(!late, 1)).as("ontime_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- TPC-H Q13: order-count distribution over customers (left outer
+    //      join keeps zero-order customers; count(col) skips nulls) ----
+    "q13_customer_distribution" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ---- TPC-H Q14: promotion revenue share in one month ----
+    "q14_promo_effect" -> ((s, dir) => {
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-09-01" && col("l_shipdate") < "1997-10-01")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0)
+          * sum(when(col("p_type") === "PROMO", vol).otherwise(0)) / sum(vol), 4)
+          .as("promo_revenue"))
+    }),
+
+    // ---- TPC-H Q15: top supplier by quarterly revenue (scalar-max
+    //      subquery as a 1-row broadcast join) ----
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1997-04-01")
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
+      rev.join(broadcast(maxRev), col("total_revenue") === col("mr"))
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- TPC-H Q17 (adapted: p_container → p_type): revenue lost to
+    //      small-quantity orders. The per-part avg is computed only over
+    //      lineitems of the ~targeted parts (semi-filtered first), not all
+    //      parts — at 100 TB the full per-part aggregate would dwarf the
+    //      query ----
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_type") === "MEDIUM")
+        .select(col("p_partkey"))
+      val liP = t(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val thresh = liP.groupBy(col("l_partkey").as("pk"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
+      liP.join(thresh, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("qty_thresh"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // ---- TPC-H Q18: large-volume orders (HAVING pushed to a pre-aggregate
+    //      on lineitem so only qualifying orderkeys join outward) ----
+    "q18_large_volume" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      bigOrders
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // ---- TPC-H Q19 (adapted: p_container → p_size bands): disjunctive
+    //      multi-table predicate over an equi-join ----
+    "q19_discounted_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+            && col("l_quantity").between(1, 11))
+          || (col("p_brand") === "Brand#23" && col("p_size").between(16, 30)
+            && col("l_quantity").between(10, 20))
+          || (col("p_brand") === "Brand#24" && col("p_size").between(31, 50)
+            && col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // ---- TPC-H Q21 (adapted: "late" = shipped >30 days after order date):
+    //      sole-late-supplier detection via one semi + one anti join, both
+    //      shuffling on orderkey ----
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val ordF = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val lateCut = col("o_orderdate") + expr("INTERVAL 30 DAYS")
+      val l1 = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > lateCut)
+      val l2 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("l2_ok"), col("l_suppkey").as("l2_sk"))
+      val l3 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("l3_ok"), col("l_suppkey").as("l3_sk"),
+          col("l_shipdate").as("l3_sd"))
+      l1.join(l2, col("l2_ok") === col("l_orderkey")
+          && col("l2_sk") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("l3_ok") === col("l_orderkey")
+          && col("l3_sk") =!= col("l_suppkey") && col("l3_sd") > lateCut, "left_anti")
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(25)
+    }),
+
+    // ---- TPC-H Q22 (adapted: no c_phone — country buckets by nationkey;
+    //      "dormant" = no orders since 1999): scalar-avg broadcast + anti
+    //      join ----
+    "q22_global_sales" -> ((s, dir) => {
+      val buckets = Seq(1, 2, 3, 4, 5, 6, 7)
+      val cust = t(s, dir, "customer").filter(col("c_nationkey").isin(buckets: _*))
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("ab"))
+      val active = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1999-01-01").select(col("o_custkey"))
+      cust.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("cntrycode"))
     }),
 
     // ---- sort + limit (TakeOrderedAndProject) ----
@@ -235,11 +494,15 @@ object SparkEntry {
     // Exercises the whole format path (write framing, sync splits, decode)
     // inside the correctness gate; the oracle runs on the original parquet.
     "q_seqfile_roundtrip" -> ((s, dir) => {
-      // Fixed per-SF path (overwritten on every invocation) — a fresh
-      // createTempDirectory here leaked a 600k-row seqfile copy per
-      // bench/verify run.
+      // Per-SF, per-process path (overwritten on every invocation within a
+      // process — a fresh createTempDirectory here leaked a 600k-row seqfile
+      // copy per bench/verify run). The PID suffix keeps concurrent runs
+      // (e.g. bench + verify over the same SF) from racing on
+      // overwrite-while-read; a shutdown hook removes the copy on exit.
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-seq-rt-" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+        "graft-seq-rt-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
       t(s, dir, "lineitem")
         .select(col("l_orderkey").as("key"),
           col("l_extendedprice").as("value"))
@@ -666,6 +929,149 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         year(l_shipdate) AS l_year, l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |) GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume), 4) AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q12_late_lineitems" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN l_shipdate >  o_orderdate + INTERVAL 45 DAY THEN 1 END) AS late_count,
+        |  count(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 45 DAY THEN 1 END) AS ontime_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_effect" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q18_large_volume" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  sum(l_quantity) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        |HAVING sum(l_quantity) > 150
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q19_discounted_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 31 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 25""".stripMargin,
+
+    "q22_global_sales" ->
+      """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+        |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0 AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7))
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY cntrycode""".stripMargin,
 
     "q_sort_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

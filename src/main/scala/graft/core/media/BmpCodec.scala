@@ -56,7 +56,7 @@ object BmpCodec {
     // then crash in allocation — breaking the Left-on-corrupt contract.
     val rowStrideL = ((width.toLong * bytesPerPx + 3) / 4) * 4
     val need = pixelOff.toLong + rowStrideL * heightL
-    if (pixelOff < 14 + infoSize || need > b.length)
+    if (pixelOff.toLong < 14L + infoSize || need > b.length)
       return Left(s"pixel data out of bounds: offset $pixelOff, need $need of ${b.length}")
     // need <= b.length (an Int) bounds width*height*bytesPerPx, so these
     // narrowing casts are exact

@@ -67,16 +67,34 @@ object SeqFileDataSource {
     all
   }
 
+  /** Streaming-sink manifest directory (FileStreamSink's metadata-log
+    * pattern): when present in a directory, only files named by a committed
+    * epoch manifest are visible to reads — files from epochs that crashed
+    * before commit are filtered out. */
+  val MetadataDirName = "_seq_metadata"
+
   /** List data files under each path (directory, glob, or file), recursing
     * into subdirectories (date-partitioned layouts like
     * `/data/2024/01/part-*.seq`) and skipping hidden/_SUCCESS-style entries.
+    * A directory containing `_seq_metadata` is manifest-governed (it was
+    * written by our streaming sink): only manifested file names are listed.
     * Uses the Hadoop FileSystem API so HDFS / S3 paths work unchanged on a
     * real cluster. */
   def listFiles(paths: Seq[String], conf: Configuration): Seq[FileStatus] = {
     def expand(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus): Seq[FileStatus] =
       if (st.isDirectory) {
         if (hidden(st.getPath.getName)) Seq.empty
-        else fs.listStatus(st.getPath).toSeq.flatMap(expand(fs, _))
+        else {
+          val children = fs.listStatus(st.getPath).toSeq
+          val metaDir = children.find(c =>
+            c.isDirectory && c.getPath.getName == MetadataDirName)
+          metaDir match {
+            case Some(md) =>
+              val committed = readManifests(fs, md.getPath)
+              children.filter(c => !c.isDirectory && committed(c.getPath.getName))
+            case None => children.flatMap(expand(fs, _))
+          }
+        }
       } else Seq(st)
     paths.flatMap { p =>
       val hp = new Path(p)
@@ -85,6 +103,17 @@ object SeqFileDataSource {
         .flatMap(expand(fs, _))
     }.filter(st => !hidden(st.getPath.getName))
       .sortBy(_.getPath.toString)
+  }
+
+  /** Union of committed file names across all epoch manifests. */
+  private def readManifests(fs: FileSystem, metaDir: Path): Set[String] = {
+    val entries = Option(fs.listStatus(metaDir)).map(_.toSeq).getOrElse(Seq.empty)
+    entries.filter(e => e.isFile && !hidden(e.getPath.getName)).flatMap { e =>
+      val in = fs.open(e.getPath)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      content.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+    }.toSet
   }
 
   private def hidden(name: String): Boolean =

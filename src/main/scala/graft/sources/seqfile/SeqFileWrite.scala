@@ -93,10 +93,14 @@ object SeqWriteLayout {
   * that plans FEWER partitions than the crashed attempt (changed shuffle
   * partitions / maxSplitBytes / AQE decisions) would otherwise overwrite
   * p0..pK but leave the crashed attempt's pK+1.. files behind as silent
-  * duplicates. Readers can still observe a crashed epoch's files during the
-  * window before its replay commits — full isolation would need a manifest
-  * readers filter by (FileStreamSink's metadata-log design); the format
-  * itself stays manifest-free and Hadoop-readable. */
+  * duplicates. Read isolation: commit also records the epoch's committed
+  * file names in `_seq_metadata/<epoch>` (temp + atomic rename, idempotent
+  * on replay — FileStreamSink's metadata-log design). Our reader treats a
+  * directory containing `_seq_metadata` as manifest-governed and lists only
+  * manifested files, so a crashed epoch's orphans are invisible until its
+  * replay commits. The data files themselves stay plain Hadoop-readable
+  * SequenceFiles; foreign readers that ignore the manifest see at-least-once
+  * output, same as FileStreamSink's parquet. */
 class SeqFileStreamingWrite(schema: StructType, path: String, blockSize: Int,
                             metadata: Seq[(String, String)],
                             layout: SeqWriteLayout = SeqWriteLayout.Default)
@@ -128,6 +132,22 @@ class SeqFileStreamingWrite(schema: StructType, path: String, blockSize: Int,
         fs.delete(st.getPath, false)
       }
     }
+    // Manifest: record this epoch's committed file NAMES so readers can
+    // filter out files of epochs that never reached commit. Name-only (not
+    // full URIs) keeps the manifest valid if the directory is moved.
+    // Atomic rename (not create-in-place): readers must never observe a
+    // partially-written manifest; replay of the same epoch overwrites.
+    val metaDir = new Path(dir, SeqFileDataSource.MetadataDirName)
+    fs.mkdirs(metaDir)
+    val finalMeta = new Path(metaDir, f"$epochId%020d")
+    val tmpMeta = new Path(metaDir, f".$epochId%020d.tmp")
+    val out = fs.create(tmpMeta, true)
+    try messages.collect { case m: SeqFileCommitMessage =>
+      new Path(m.path).getName
+    }.sorted.foreach(n => out.write((n + "\n").getBytes("UTF-8")))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(finalMeta.toUri, conf)
+      .rename(tmpMeta, finalMeta, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -139,4 +139,35 @@ class SeqFileStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(stale(1)) && !fs.exists(stale(2)), "stale files must be deleted")
     assert(fs.exists(other), "other epochs untouched")
   }
+
+  test("readers only see epoch-committed sink files (manifest isolation)") {
+    // End-to-end through the real sink: stream two micro-batches into a
+    // seqfile sink, then drop an orphan part file from a "crashed epoch"
+    // (task-committed, epoch never committed) into the directory. A batch
+    // read must not see the orphan; after its epoch commits (manifest
+    // updated), it must appear.
+    val src = java.nio.file.Files.createTempDirectory("seqiso-src")
+    val out = java.nio.file.Files.createTempDirectory("seqiso-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("seqiso-ckpt").toString
+    writeFile(src, "a.seq", 0, 100)
+    val schema = spark.read.format("seqfile").load(src.toString).schema
+    val q = spark.readStream.format("seqfile").schema(schema).load(src.toString)
+      .writeStream.format("seqfile").option("checkpointLocation", ckpt)
+      .option("path", out).start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.read.format("seqfile").load(out).count() === 100L)
+
+    // orphan: valid seqfile with an epoch-style name, but no manifest entry
+    val orphanName = "part-e00099-p00000.seq"
+    writeFile(java.nio.file.Paths.get(out), orphanName, 5000, 10)
+    assert(spark.read.format("seqfile").load(out).count() === 100L,
+      "uncommitted epoch file must be invisible to readers")
+
+    // its epoch commits → manifest updated → rows become visible
+    val write = new SeqFileStreamingWrite(schema, out, 1 << 20, Nil)
+    write.commit(99L, Array(SeqFileCommitMessage(
+      new org.apache.hadoop.fs.Path(out, orphanName).toString)))
+    assert(spark.read.format("seqfile").load(out).count() === 110L,
+      "committed epoch rows must appear exactly once")
+  }
 }
