@@ -144,7 +144,7 @@ object SparkEntry {
     //      the lineitem stream is pruned by the (broadcast) supplier join
     //      instead of carrying every row to the final filter ----
     "q7_volume_shipping" -> ((s, dir) => {
-      val pair = Seq("NATION_1", "NATION_2")
+      val pair = Seq("NATION_13", "NATION_19")
       val supN = t(s, dir, "supplier")
         .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
         .filter(col("n_name").isin(pair: _*))
@@ -159,8 +159,8 @@ object SparkEntry {
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
-          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_13" && col("cust_nation") === "NATION_19")
+          || (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_13"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -587,11 +587,17 @@ object SparkEntry {
 
     // ---- exact percentiles with interpolation ----
     "q_percentiles" -> ((s, dir) => {
+      // both l_quantity percentiles share ONE aggregation buffer (array
+      // form) — separate percentile() calls each maintain their own
+      // per-group value map over the same column
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+        .agg(expr("percentile(l_quantity, array(0.5D, 0.9D))").as("pq"),
           round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pq"), 1), 4).as("p50"),
+          round(element_at(col("pq"), 2), 4).as("p90"),
+          col("price_p25"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -949,8 +955,8 @@ object SparkEntry {
         |  JOIN customer ON c_custkey = o_custkey
         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+        |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
         |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |) GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,

@@ -252,32 +252,29 @@ object Dedup {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    val buckets = v.select(col("id"),
+    // Buckets CARRY the vector: collision rows then verify inline (one dot
+    // kernel in the join's output pipeline) instead of routing every
+    // collision through two id equi-joins — at low thresholds collisions
+    // outnumber vectors ~10^4:1, so two hash lookups per collision dwarf
+    // the bucket shuffle of B extra vector copies. A pair can share MANY
+    // band buckets; verify first and dedup only the survivors: round() is
+    // deterministic, so duplicate collisions collapse to one row.
+    // Repartition by bucket: the bucket join would otherwise inherit the
+    // scan's partitioning (often ONE partition for a small file) and run
+    // the whole collision-generate + verify pipeline as a single task.
+    val buckets = v.select(col("id"), col("v"), col("nrm"),
       posexplode(graft.functions.expressions.lsh_sigs(col("v"), bitsPerBand, numBands))
         .as(Seq("band", "sig")))
-    // A pair can share MANY band buckets; rather than dedup the full
-    // candidate stream (a shuffle of every bucket collision), verify first
-    // and dedup only the survivors: the vector joins are id equi-joins
-    // (broadcast-able corpus side), the dot products are one codegen kernel
-    // per collision, and the final distinct touches just the near-dup pairs.
-    // Output is identical — round() is deterministic, so duplicate
-    // collisions collapse to one row.
-    // Repartition the probe side by bucket: with a broadcast-able corpus the
-    // whole collision-generate + verify pipeline would otherwise inherit the
-    // scan's partitioning (often ONE partition for a small file) and run as
-    // a single task. An 80k-row shuffle buys full-width parallelism for the
-    // downstream millions of collision rows.
-    val cand = buckets.repartition(col("band"), col("sig")).as("x")
+      .repartition(col("band"), col("sig"))
+    buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
           && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    cand
-      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cosine",
+        dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
       .distinct()
   }
 }

@@ -134,4 +134,55 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = bucketed.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("at production thresholds LSH bucketing PRUNES: candidate volume is " +
+       "a small fraction of all pairs, output still equals brute force") {
+    // The sf gate runs at threshold 0.4, where hyperplane agreement for
+    // unrelated vectors (~0.5/bit) keeps nearly every pair a candidate —
+    // the gate certifies plan shape, not pruning. This spec certifies the
+    // pruning claim itself on a clustered corpus at threshold 0.9 with
+    // production parameters (bits ≈ log2 n per band): candidates must
+    // collapse to near-linear while output stays exactly brute-force.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    // 60 cluster centers; 10 members each jittered slightly (cosine ~0.99
+    // within a cluster, ~N(0, 1/sqrt(dim)) across clusters)
+    val vecs = (0 until 60).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 10).map { m =>
+        val v = center.map(_ + 0.05 * rnd.nextGaussian())
+        (c * 10L + m, v)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Dedup.cosineNeardupPairs(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 60 * 45 / 2, s"clustered corpus must have many near-dups, got ${exact.size}")
+
+    val bitsPerBand = 10 // ≈ log2(600)
+    val numBands = 24    // P(miss) at cos 0.9: (1 - p^10)^24, p=0.903 → ~2e-4
+    val got = Dedup.cosineNeardupPairsBucketed(df, "vec_id", "embedding", 0.9,
+        bitsPerBand, numBands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === exact, s"missed=${(exact -- got).size} extra=${(got -- exact).size}")
+
+    // candidate volume = collision rows the verify stage sees (rebuild the
+    // generator stage exactly as the operator does)
+    import org.apache.spark.sql.functions._
+    val v = df.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val buckets = v.select(col("id"),
+      posexplode(graft.functions.expressions.lsh_sigs(col("v"), bitsPerBand, numBands))
+        .as(Seq("band", "sig")))
+    // distinct pairs: a true near-dup hitting many of the 24 bands is ONE
+    // candidate (collision-row volume stays linear in it either way; the
+    // pruning claim is about which pairs ever reach the verify kernel)
+    val candidates = buckets.as("x").join(buckets.as("y"),
+      col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
+        && col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id")).distinct().count()
+    val allPairs = 600L * 599L / 2
+    assert(candidates < allPairs / 10,
+      s"pruning failed: $candidates distinct candidates vs $allPairs pairs")
+  }
 }
