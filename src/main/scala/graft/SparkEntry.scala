@@ -490,6 +490,17 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // ---- JSON extraction (events.props is a JSON string column) ----
+    "q_json_funcs" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      t(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), round(avg(col("k")), 6).as("avg_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- seqfile round-trip: lineitem → our connector → agg ----
     // Exercises the whole format path (write framing, sync splits, decode)
     // inside the correctness gate; the oracle runs on the original parquet.
@@ -1203,6 +1214,15 @@ object SparkEntry {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  min(k) AS min_k, max(k) AS max_k, round(avg(k), 6) AS avg_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_seqfile_roundtrip" ->
       """SELECT l_orderkey % 10 AS key_mod, count(*) AS n,

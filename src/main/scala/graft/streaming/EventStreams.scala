@@ -53,6 +53,27 @@ object EventStreams {
       // fingerprint forever despite the watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's clicks within the trailing `maxGap` window. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark's symmetric hash join can reclaim buffered state once the
+    * watermark passes (an unbounded-condition stream-stream join would
+    * buffer forever). Works identically on batch DataFrames (the spec
+    * asserts stream == batch). */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+                          watermark: String, maxGap: String): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    p.join(c, col("p_user") === col("c_user")
+        && col("click_ts") <= col("purchase_ts")
+        && col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $maxGap"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   // ---- custom state machine: flatMapGroupsWithState sessionization ----
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -132,6 +132,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchase attribution equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clickStream = MemoryStream[Event]
+    val purchaseStream = MemoryStream[Event]
+    def tss(sec: Int): Timestamp = new Timestamp(1700000000000L + sec * 1000L)
+    def ev(id: Long, sec: Int, user: Long, typ: String, v: Double) =
+      Event(id, tss(sec), user, typ, v)
+    val clicks = Seq(
+      ev(1, 0, 1, "click", 0), ev(2, 30, 1, "click", 0),
+      ev(3, 10, 2, "click", 0), ev(4, 500, 2, "click", 0))
+    val purchases = Seq(
+      ev(10, 60, 1, "purchase", 9.5),   // joins clicks 1 (60s gap) and 2 (30s)
+      ev(11, 520, 2, "purchase", 3.0),  // joins click 4 only (3 is 510s stale)
+      ev(12, 40, 3, "purchase", 1.0))   // no clicks → inner join drops it
+    val joined = EventStreams.purchaseAttribution(
+      clickStream.toDF(), purchaseStream.toDF(), "10 minutes", "60 seconds")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clickStream.addData(clicks: _*)
+      purchaseStream.addData(purchases: _*)
+      q.processAllAvailable()
+      val got = spark.table("attrib").select("purchase_id", "click_ts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      val batch = EventStreams.purchaseAttribution(
+          clicks.toDF(), purchases.toDF(), "10 minutes", "60 seconds")
+        .select("purchase_id", "click_ts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(got === batch)
+      assert(got === Set((10L, tss(0)), (10L, tss(30)), (11L, tss(500))))
+    } finally q.stop()
+  }
+
   test("file-based streaming over events parquet: stream count == batch count") {
     // copy a slice of the real events table into a dir and stream it
     import spark.implicits._
