@@ -525,6 +525,26 @@ object SparkEntry {
         .orderBy(col("key_mod"))
     }),
 
+    // ---- hive-partitioned seqfile lake: write per-partition dirs, read
+    //      with a partition filter (files pruned at planning), aggregate.
+    //      Oracle runs the equivalent WHERE on the original parquet. ----
+    "q_seqfile_partitioned" -> ((s, dir) => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-seq-part-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(root)
+      for (rf <- Seq("A", "N", "R")) {
+        t(s, dir, "lineitem").filter(col("l_returnflag") === rf)
+          .select(col("l_orderkey").as("key"), col("l_quantity").as("value"))
+          .write.format("seqfile").mode("overwrite").save(s"$root/rf=$rf")
+      }
+      s.read.format("seqfile").load(root)
+        .filter(col("rf") === "R")
+        .groupBy((col("key") % 7).as("key_mod"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_qty"))
+        .orderBy(col("key_mod"))
+    }),
+
     // ---- LIKE-pattern filters ----
     "q_like_filter" -> ((s, dir) => {
       t(s, dir, "part")
@@ -1228,6 +1248,14 @@ object SparkEntry {
       """SELECT l_orderkey % 10 AS key_mod, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY key_mod""".stripMargin,
+
+    "q_seqfile_partitioned" ->
+      """SELECT l_orderkey % 7 AS key_mod, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_returnflag = 'R'
         |GROUP BY 1
         |ORDER BY key_mod""".stripMargin,
 

@@ -34,14 +34,23 @@ class SeqFileDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val paths = SeqFileDataSource.resolvePaths(options)
     val conf = new Configuration()
-    val files = SeqFileDataSource.listFiles(paths, conf)
+    val files = SeqFileDataSource.listPartitionedFiles(paths, conf)
     if (files.isEmpty)
       throw new SeqFileFormatException(
         s"no sequence files found at ${paths.mkString(",")}")
     // Schema comes from the first file's header (class names → Catalyst
-    // types), exactly the reference's header-driven schema resolution.
-    val header = SeqFileDataSource.readHeader(files.head.getPath, conf)
-    SeqFileSchema.schemaFor(header.keyType, header.valueType)
+    // types), exactly the reference's header-driven schema resolution —
+    // plus hive-style partition columns (`k=v` directory levels), if any.
+    val header = SeqFileDataSource.readHeader(files.head.status.getPath, conf)
+    val dataSchema = SeqFileSchema.schemaFor(header.keyType, header.valueType)
+    val partKeys = SeqFileDataSource.validatePartitionKeys(files)
+    partKeys.foreach { k =>
+      if (dataSchema.fieldNames.exists(_.equalsIgnoreCase(k)))
+        throw new SeqFileFormatException(
+          s"partition column '$k' collides with the format's $k column")
+    }
+    StructType(dataSchema.fields ++ partKeys.map(k =>
+      StructField(k, StringType, nullable = false)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -73,15 +82,28 @@ object SeqFileDataSource {
     * before commit are filtered out. */
   val MetadataDirName = "_seq_metadata"
 
+  /** A data file plus the hive-style partition values (`k=v` directory
+    * levels, outermost first) on its path. */
+  final case class PartitionedFile(status: FileStatus,
+                                   partitionValues: Seq[(String, String)])
+
   /** List data files under each path (directory, glob, or file), recursing
-    * into subdirectories (date-partitioned layouts like
-    * `/data/2024/01/part-*.seq`) and skipping hidden/_SUCCESS-style entries.
+    * into subdirectories and skipping hidden/_SUCCESS-style entries.
+    * `k=v`-named directory levels are collected as hive-style partition
+    * values (URL-decoded, like Spark's own file sources write them).
     * A directory containing `_seq_metadata` is manifest-governed (it was
     * written by our streaming sink): only manifested file names are listed.
     * Uses the Hadoop FileSystem API so HDFS / S3 paths work unchanged on a
     * real cluster. */
-  def listFiles(paths: Seq[String], conf: Configuration): Seq[FileStatus] = {
-    def expand(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus): Seq[FileStatus] =
+  def listPartitionedFiles(paths: Seq[String], conf: Configuration): Seq[PartitionedFile] = {
+    def partOf(dirName: String): Option[(String, String)] = {
+      val i = dirName.indexOf('=')
+      if (i <= 0) None
+      else Some((java.net.URLDecoder.decode(dirName.substring(0, i), "UTF-8"),
+        java.net.URLDecoder.decode(dirName.substring(i + 1), "UTF-8")))
+    }
+    def expand(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus,
+               pvals: Seq[(String, String)]): Seq[PartitionedFile] =
       if (st.isDirectory) {
         if (hidden(st.getPath.getName)) Seq.empty
         else {
@@ -92,17 +114,36 @@ object SeqFileDataSource {
             case Some(md) =>
               val committed = readManifests(fs, md.getPath)
               children.filter(c => !c.isDirectory && committed(c.getPath.getName))
-            case None => children.flatMap(expand(fs, _))
+                .map(PartitionedFile(_, pvals))
+            case None => children.flatMap { c =>
+              val cp = if (c.isDirectory) partOf(c.getPath.getName) else None
+              expand(fs, c, pvals ++ cp)
+            }
           }
         }
-      } else Seq(st)
+      } else Seq(PartitionedFile(st, pvals))
     paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
       Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
-        .flatMap(expand(fs, _))
-    }.filter(st => !hidden(st.getPath.getName))
-      .sortBy(_.getPath.toString)
+        .flatMap(expand(fs, _, Nil))
+    }.filter(pf => !hidden(pf.status.getPath.getName))
+      .sortBy(_.status.getPath.toString)
+  }
+
+  def listFiles(paths: Seq[String], conf: Configuration): Seq[FileStatus] =
+    listPartitionedFiles(paths, conf).map(_.status)
+
+  /** Every file must carry the same partition-key sequence (a lake with
+    * files at inconsistent depths is a layout error, not data to guess at).
+    * Returns the common key sequence — empty for unpartitioned layouts. */
+  def validatePartitionKeys(files: Seq[PartitionedFile]): Seq[String] = {
+    val keySeqs = files.map(_.partitionValues.map(_._1)).distinct
+    if (keySeqs.size > 1)
+      throw new SeqFileFormatException(
+        s"inconsistent partition layout: found key sequences " +
+          keySeqs.map(_.mkString("/")).mkString("[", ", ", "]"))
+    keySeqs.headOption.getOrElse(Nil)
   }
 
   /** Union of committed file names across all epoch manifests. */

@@ -14,21 +14,82 @@ import graft.core.seqfile._
 /** Scan builder with column pruning — the connector-level optimization the
   * reference cannot do (it always decodes both columns, reference:
   * Parser.hs:109-110): a keys-only query never snappy-decompresses the value
-  * buffers, and a bare count() decompresses nothing at all. */
+  * buffers, and a bare count() decompresses nothing at all — plus partition
+  * pruning: filters over hive-style `k=v` directory columns skip whole
+  * files at planning time (the "free from Spark's file index" assumption in
+  * SURVEY §4 does NOT hold for a custom DSv2 connector; this supplies it). */
 class SeqFileScanBuilder(tableSchema: StructType, paths: Seq[String],
                          options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
 
   private var required: StructType = tableSchema
+  private var partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  private val partCols: Set[String] =
+    tableSchema.fieldNames.filterNot(n =>
+      n.equalsIgnoreCase("key") || n.equalsIgnoreCase("value"))
+      .map(_.toLowerCase).toSet
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    partFilters = filters.filter(f =>
+      f.references.forall(r => partCols.contains(r.toLowerCase))
+        && PartitionFilters.supported(f))
+    // ALL filters stay residual: Spark re-evaluates them on surviving rows,
+    // so correctness never depends on the pruning logic.
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    partFilters
 
   override def build(): Scan =
     new SeqFileScan(tableSchema, required, paths,
       maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
         .getOrElse(128L * 1024 * 1024),
-      mode = ReadMode.parse(Option(options.get("mode")).getOrElse("FAILFAST")))
+      mode = ReadMode.parse(Option(options.get("mode")).getOrElse("FAILFAST")),
+      partitionFilters = partFilters)
+}
+
+/** Evaluate pushed filters against a file's partition values. Only shapes
+  * `supported` admits are ever evaluated, so evaluation is total; values
+  * compare as strings (partition columns are StringType by construction). */
+object PartitionFilters {
+  import org.apache.spark.sql.sources._
+
+  def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: EqualNullSafe | _: In | _: IsNull | _: IsNotNull |
+         _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
+         _: LessThanOrEqual | _: StringStartsWith => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case Not(c) => supported(c)
+    case _ => false
+  }
+
+  def eval(f: Filter, vals: Map[String, String]): Boolean = {
+    def v(attr: String): Option[String] = vals.get(attr.toLowerCase)
+    f match {
+      case EqualTo(a, x) => v(a).contains(String.valueOf(x))
+      case EqualNullSafe(a, x) => v(a).contains(String.valueOf(x))
+      case In(a, xs) => v(a).exists(s => xs.exists(x => String.valueOf(x) == s))
+      case IsNull(a) => v(a).isEmpty
+      case IsNotNull(a) => v(a).nonEmpty
+      case GreaterThan(a, x) => v(a).exists(_ > String.valueOf(x))
+      case GreaterThanOrEqual(a, x) => v(a).exists(_ >= String.valueOf(x))
+      case LessThan(a, x) => v(a).exists(_ < String.valueOf(x))
+      case LessThanOrEqual(a, x) => v(a).exists(_ <= String.valueOf(x))
+      case StringStartsWith(a, x) => v(a).exists(_.startsWith(x))
+      case And(l, r) => eval(l, vals) && eval(r, vals)
+      case Or(l, r) => eval(l, vals) || eval(r, vals)
+      case Not(c) => !eval(c, vals)
+      case _ => true // unreachable given `supported`; keep = never mis-prune
+    }
+  }
 }
 
 /** Malformed-record handling, mirroring Spark's JSON/CSV source modes.
@@ -55,8 +116,13 @@ object SeqFileScan {
 
 class SeqFileScan(tableSchema: StructType, required: StructType,
                   paths: Seq[String], maxSplitBytes: Long,
-                  mode: String = ReadMode.FailFast)
+                  mode: String = ReadMode.FailFast,
+                  partitionFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch with SupportsReportStatistics {
+
+  private def hasPartitionCols: Boolean =
+    tableSchema.fieldNames.exists(n =>
+      !n.equalsIgnoreCase("key") && !n.equalsIgnoreCase("value"))
 
   /** Size estimate so Catalyst's join planning can broadcast small seqfile
     * tables: on-disk bytes × a snappy decompression factor, scaled by the
@@ -83,9 +149,14 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (hasPartitionCols)
+      throw new UnsupportedOperationException(
+        "seqfile streaming reads over hive-partitioned directories are not " +
+          "supported yet; stream each partition directory separately")
     new SeqFileMicroBatchStream(tableSchema, required, paths, maxSplitBytes, mode,
       checkpointLocation)
+  }
 
   /** One partition per `maxSplitBytes` byte range per file; ranges align
     * themselves to record-block boundaries at read time by scanning for the
@@ -94,13 +165,17 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
     * tune `maxSplitBytes` upward for very large clusters. */
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
-    val files = SeqFileDataSource.listFiles(paths, conf)
-    files.flatMap { st =>
-      val len = st.getLen
+    val files = SeqFileDataSource.listPartitionedFiles(paths, conf)
+      .filter { pf =>
+        val vals = pf.partitionValues.map { case (k, v) => k.toLowerCase -> v }.toMap
+        partitionFilters.forall(PartitionFilters.eval(_, vals))
+      }
+    files.flatMap { pf =>
+      val len = pf.status.getLen
       val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
       (0L until n).map { i =>
-        SeqFilePartition(st.getPath.toString, i * maxSplitBytes,
-          math.min((i + 1) * maxSplitBytes, len))
+        SeqFilePartition(pf.status.getPath.toString, i * maxSplitBytes,
+          math.min((i + 1) * maxSplitBytes, len), pf.partitionValues)
       }
     }.toArray
   }
@@ -109,7 +184,9 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
     new SeqFileReaderFactory(tableSchema, required, mode)
 }
 
-case class SeqFilePartition(path: String, start: Long, end: Long) extends InputPartition
+case class SeqFilePartition(path: String, start: Long, end: Long,
+                            partValues: Seq[(String, String)] = Nil)
+  extends InputPartition
 
 class SeqFileReaderFactory(tableSchema: StructType, required: StructType,
                            mode: String)
@@ -121,9 +198,11 @@ class SeqFileReaderFactory(tableSchema: StructType, required: StructType,
   /** Columnar read path: one ColumnarBatch per record block with zero-copy
     * vectors (the reference's columnar RecordBlock model) — Spark's
     * vectorized operators and ColumnarToRow consume it directly. NullType
-    * columns fall back to the row reader. */
+    * columns and hive-partition constant columns fall back to the row
+    * reader (a ConstantColumnVector variant is a possible follow-up). */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    required.fields.forall(_.dataType != NullType)
+    required.fields.forall(f => f.dataType != NullType
+      && (f.name.equalsIgnoreCase("key") || f.name.equalsIgnoreCase("value")))
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
@@ -172,24 +251,38 @@ class SeqFilePartitionReader(part: SeqFilePartition, tableSchema: StructType,
   private val getters: Array[(DecodedBlock, Int) => Any] =
     required.fields.map { f =>
       val fromKey = f.name.equalsIgnoreCase("key")
-      if (!fromKey && !f.name.equalsIgnoreCase("value"))
-        throw new SeqFileFormatException(s"unknown column '${f.name}' (expect key/value)")
+      val isData = fromKey || f.name.equalsIgnoreCase("value")
       def col(b: DecodedBlock): ColumnData = if (fromKey) b.keys.get else b.values.get
-      val g: (DecodedBlock, Int) => Any = f.dataType match {
-        case NullType => (_, _) => null
-        case ShortType => (b, i) => col(b).asInstanceOf[ShortColumn].values(i)
-        case IntegerType => (b, i) => col(b).asInstanceOf[IntColumn].values(i)
-        case LongType => (b, i) => col(b).asInstanceOf[LongColumn].values(i)
-        case FloatType => (b, i) => col(b).asInstanceOf[FloatColumn].values(i)
-        case DoubleType => (b, i) => col(b).asInstanceOf[DoubleColumn].values(i)
-        case StringType => (b, i) => {
-          val c = col(b).asInstanceOf[BinaryColumn]
-          UTF8String.fromBytes(c.bytes, c.starts(i), c.lens(i))
+      if (!isData) {
+        // hive-style partition column: constant per split
+        part.partValues.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(f.name) => v
+        } match {
+          case Some(v) =>
+            val const = UTF8String.fromString(v)
+            val g: (DecodedBlock, Int) => Any = (_, _) => const
+            g
+          case None =>
+            throw new SeqFileFormatException(
+              s"unknown column '${f.name}' (expect key/value or a partition column)")
         }
-        case BinaryType => (b, i) => col(b).asInstanceOf[BinaryColumn].slice(i)
-        case other => throw new SeqFileFormatException(s"unsupported read type $other")
+      } else {
+        val g: (DecodedBlock, Int) => Any = f.dataType match {
+          case NullType => (_, _) => null
+          case ShortType => (b, i) => col(b).asInstanceOf[ShortColumn].values(i)
+          case IntegerType => (b, i) => col(b).asInstanceOf[IntColumn].values(i)
+          case LongType => (b, i) => col(b).asInstanceOf[LongColumn].values(i)
+          case FloatType => (b, i) => col(b).asInstanceOf[FloatColumn].values(i)
+          case DoubleType => (b, i) => col(b).asInstanceOf[DoubleColumn].values(i)
+          case StringType => (b, i) => {
+            val c = col(b).asInstanceOf[BinaryColumn]
+            UTF8String.fromBytes(c.bytes, c.starts(i), c.lens(i))
+          }
+          case BinaryType => (b, i) => col(b).asInstanceOf[BinaryColumn].slice(i)
+          case other => throw new SeqFileFormatException(s"unsupported read type $other")
+        }
+        g
       }
-      g
     }
 
   override def next(): Boolean = {

@@ -354,4 +354,60 @@ class SeqFileConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (t == null) "" else t.getMessage + " | " + allMessages(t.getCause)
     assert(allMessages(ex).contains("NULL"))
   }
+
+  test("hive-partitioned directories: partition column in schema, values " +
+       "correct, equality filter prunes files at planning time") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("seqpart").toString
+    // two partitions with disjoint key ranges, one file each
+    (0L until 100L).map(i => (i, s"a$i")).toDF("key", "value")
+      .coalesce(1).write.format("seqfile").mode("overwrite").save(s"$root/rf=A")
+    (1000L until 1100L).map(i => (i, s"r$i")).toDF("key", "value")
+      .coalesce(1).write.format("seqfile").mode("overwrite").save(s"$root/rf=R")
+
+    val df = spark.read.format("seqfile").load(root)
+    assert(df.schema.fieldNames.toSeq === Seq("key", "value", "rf"))
+    assert(df.count() === 200L)
+    // partition values attach to the right rows
+    val byPart = df.groupBy("rf").agg(
+        org.apache.spark.sql.functions.min("key").as("mn"),
+        org.apache.spark.sql.functions.max("key").as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byPart === Set(("A", 0L, 99L), ("R", 1000L, 1099L)))
+
+    // filter on the partition column: results right AND the non-matching
+    // file is pruned from the scan (planning-time, not row-level)
+    val filtered = df.filter(col("rf") === "A")
+    assert(filtered.count() === 100L)
+    val scanned = filtered.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }
+    val scannedAll = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }
+    assert(scanned.get < scannedAll.get,
+      s"partition filter must prune input splits: $scanned vs $scannedAll")
+
+    // non-partition filters still work across partitions
+    assert(df.filter(col("key") >= 1050L).count() === 50L)
+    // IN-list pruning
+    assert(df.filter(col("rf").isin("R")).select("value").count() === 100L)
+  }
+
+  test("inconsistent partition layouts are rejected, not guessed at") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("seqbadpart").toString
+    Seq((1L, "x")).toDF("key", "value")
+      .coalesce(1).write.format("seqfile").mode("overwrite").save(s"$root/rf=A")
+    Seq((2L, "y")).toDF("key", "value")
+      .coalesce(1).write.format("seqfile").mode("overwrite").save(s"$root/plain")
+    def allMessages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + allMessages(t.getCause)
+    val ex = intercept[Exception] {
+      spark.read.format("seqfile").load(root).count()
+    }
+    assert(allMessages(ex).contains("inconsistent partition layout"))
+  }
 }
