@@ -23,15 +23,25 @@ object Dedup {
 
   /** Exact duplicate groups by normalized content. Returns one row per
     * document annotated with its group's representative (min id) — callers
-    * keep `is_rep` rows to deduplicate. Grouping key is the 64-bit content
-    * fingerprint; the full text never shuffles. */
+    * keep `is_rep` rows to deduplicate.
+    *
+    * Shuffle shape: only (fingerprint, id) pairs are aggregated (16-byte
+    * rows), and only groups with >1 member survive the aggregate — at
+    * realistic duplicate rates that table is a sliver of the corpus, so AQE
+    * turns the annotation join into a broadcast and the documents
+    * themselves (the text) never shuffle. A window over the fingerprint
+    * would instead drag every full row through an exchange. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = TextAnalysis.fingerprint(col(textCol))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    df.withColumn("fp", fp)
-      .withColumn("rep_id", min(col(idCol)).over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
+    val withFp = df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+    val dupGroups = withFp
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("g_rep"), count(lit(1)).as("g_n"))
+      .filter(col("g_n") > 1)
+    withFp.join(dupGroups, Seq("fp"), "left")
+      .withColumn("rep_id", coalesce(col("g_rep"), col(idCol)))
+      .withColumn("group_size", coalesce(col("g_n"), lit(1L)))
       .withColumn("is_rep", col(idCol) === col("rep_id"))
+      .drop("g_rep", "g_n")
   }
 
   /** Exact word-n-gram Jaccard similarity pairs with sim >= threshold.
