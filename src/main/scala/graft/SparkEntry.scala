@@ -597,6 +597,19 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     }),
 
+    // ---- explicit GROUPING SETS (non-hierarchical — neither rollup nor
+    //      cube expresses {by-flag} ∪ {by-status}) ----
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // ---- pivot (conditional aggregation matrix) ----
     "q_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1301,6 +1314,13 @@ object SparkEntry {
         |GROUP BY l_suppkey
         |HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 2000000
         |ORDER BY l_suppkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_linestatus,

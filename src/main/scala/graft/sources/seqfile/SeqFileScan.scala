@@ -128,8 +128,14 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
     * tables: on-disk bytes × a snappy decompression factor, scaled by the
     * fraction of columns read (pruned columns are never decompressed). */
   override def estimateStatistics(): Statistics = new Statistics {
+    // partition-filter-aware: a scan of one partition out of hundreds
+    // reports that partition's bytes, keeping it broadcast-eligible
     private val diskBytes =
-      try SeqFileDataSource.listFiles(paths, new Configuration()).map(_.getLen).sum
+      try SeqFileDataSource.listPartitionedFiles(paths, new Configuration())
+        .filter { pf =>
+          val vals = pf.partitionValues.map { case (k, v) => k.toLowerCase -> v }.toMap
+          partitionFilters.forall(PartitionFilters.eval(_, vals))
+        }.map(_.status.getLen).sum
       catch { case _: Exception => -1L }
     override def sizeInBytes(): java.util.OptionalLong =
       if (diskBytes < 0) java.util.OptionalLong.empty()
