@@ -57,6 +57,32 @@ final class SeqFileColumnVector(dataType: DataType, data: ColumnData)
     throw new UnsupportedOperationException
 }
 
+/** Constant string vector for hive-partition columns in the columnar path:
+  * every row of a split shares the split's partition value, so the "vector"
+  * is one UTF8String. (Spark's own ConstantColumnVector is the same idea;
+  * a local 20-line class avoids depending on an execution-internal.) */
+final class SeqFileConstantStringVector(value: UTF8String)
+  extends ColumnVector(StringType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(rowId: Int): Boolean = false
+  override def getUTF8String(rowId: Int): UTF8String = value
+  override def getBoolean(rowId: Int): Boolean = throw new UnsupportedOperationException
+  override def getByte(rowId: Int): Byte = throw new UnsupportedOperationException
+  override def getShort(rowId: Int): Short = throw new UnsupportedOperationException
+  override def getInt(rowId: Int): Int = throw new UnsupportedOperationException
+  override def getLong(rowId: Int): Long = throw new UnsupportedOperationException
+  override def getFloat(rowId: Int): Float = throw new UnsupportedOperationException
+  override def getDouble(rowId: Int): Double = throw new UnsupportedOperationException
+  override def getBinary(rowId: Int): Array[Byte] = throw new UnsupportedOperationException
+  override def getArray(rowId: Int): ColumnarArray = throw new UnsupportedOperationException
+  override def getMap(rowId: Int): ColumnarMap = throw new UnsupportedOperationException
+  override def getDecimal(rowId: Int, precision: Int, scale: Int) =
+    throw new UnsupportedOperationException
+  override def getChild(ordinal: Int): ColumnVector = throw new UnsupportedOperationException
+}
+
 /** Columnar partition reader: one ColumnarBatch per record block (the
   * reference's `Stream (RecordBlock k v)` pull model, batch-at-a-time).
   * Honors the malformed-record mode like the row reader. */
@@ -93,8 +119,15 @@ class SeqFileColumnarPartitionReader(part: SeqFilePartition, tableSchema: Struct
         if (!blocks.hasNext) return false
         val b = blocks.next()
         val vectors: Array[ColumnVector] = required.fields.map { f =>
-          val col = if (f.name.equalsIgnoreCase("key")) b.keys.get else b.values.get
-          new SeqFileColumnVector(f.dataType, col): ColumnVector
+          if (f.name.equalsIgnoreCase("key"))
+            new SeqFileColumnVector(f.dataType, b.keys.get): ColumnVector
+          else if (f.name.equalsIgnoreCase("value"))
+            new SeqFileColumnVector(f.dataType, b.values.get): ColumnVector
+          else part.partValues.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(f.name) =>
+              new SeqFileConstantStringVector(UTF8String.fromString(v)): ColumnVector
+          }.getOrElse(throw new SeqFileFormatException(
+            s"unknown column '${f.name}' (expect key/value or a partition column)"))
         }
         batch = new ColumnarBatch(vectors, b.count)
         return true

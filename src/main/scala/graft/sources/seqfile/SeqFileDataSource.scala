@@ -95,13 +95,29 @@ object SeqFileDataSource {
     * written by our streaming sink): only manifested file names are listed.
     * Uses the Hadoop FileSystem API so HDFS / S3 paths work unchanged on a
     * real cluster. */
-  def listPartitionedFiles(paths: Seq[String], conf: Configuration): Seq[PartitionedFile] = {
-    def partOf(dirName: String): Option[(String, String)] = {
-      val i = dirName.indexOf('=')
-      if (i <= 0) None
-      else Some((java.net.URLDecoder.decode(dirName.substring(0, i), "UTF-8"),
-        java.net.URLDecoder.decode(dirName.substring(i + 1), "UTF-8")))
+  /** Parse one directory name as a hive partition component. */
+  private def partOf(dirName: String): Option[(String, String)] = {
+    val i = dirName.indexOf('=')
+    if (i <= 0) None
+    else Some((java.net.URLDecoder.decode(dirName.substring(0, i), "UTF-8"),
+      java.net.URLDecoder.decode(dirName.substring(i + 1), "UTF-8")))
+  }
+
+  /** Re-derive partition values from a file path's `k=v` directory
+    * components (outermost first) — used by the streaming source, whose
+    * offset log stores only path strings. Matches what discovery collects
+    * for the same file. */
+  def partitionValuesFromPath(path: String): Seq[(String, String)] = {
+    var cur = new Path(path).getParent
+    var acc = List.empty[(String, String)]
+    while (cur != null && cur.getName.nonEmpty) {
+      partOf(cur.getName).foreach(kv => acc = kv :: acc)
+      cur = cur.getParent
     }
+    acc
+  }
+
+  def listPartitionedFiles(paths: Seq[String], conf: Configuration): Seq[PartitionedFile] = {
     def expand(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus,
                pvals: Seq[(String, String)]): Seq[PartitionedFile] =
       if (st.isDirectory) {

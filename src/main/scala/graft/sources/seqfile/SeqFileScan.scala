@@ -120,10 +120,6 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
                   partitionFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch with SupportsReportStatistics {
 
-  private def hasPartitionCols: Boolean =
-    tableSchema.fieldNames.exists(n =>
-      !n.equalsIgnoreCase("key") && !n.equalsIgnoreCase("value"))
-
   /** Size estimate so Catalyst's join planning can broadcast small seqfile
     * tables: on-disk bytes × a snappy decompression factor, scaled by the
     * fraction of columns read (pruned columns are never decompressed). */
@@ -155,14 +151,9 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    if (hasPartitionCols)
-      throw new UnsupportedOperationException(
-        "seqfile streaming reads over hive-partitioned directories are not " +
-          "supported yet; stream each partition directory separately")
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SeqFileMicroBatchStream(tableSchema, required, paths, maxSplitBytes, mode,
       checkpointLocation)
-  }
 
   /** One partition per `maxSplitBytes` byte range per file; ranges align
     * themselves to record-block boundaries at read time by scanning for the
@@ -203,12 +194,11 @@ class SeqFileReaderFactory(tableSchema: StructType, required: StructType,
 
   /** Columnar read path: one ColumnarBatch per record block with zero-copy
     * vectors (the reference's columnar RecordBlock model) — Spark's
-    * vectorized operators and ColumnarToRow consume it directly. NullType
-    * columns and hive-partition constant columns fall back to the row
-    * reader (a ConstantColumnVector variant is a possible follow-up). */
+    * vectorized operators and ColumnarToRow consume it directly. Hive-
+    * partition columns ride along as constant vectors; NullType columns
+    * fall back to the row reader. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    required.fields.forall(f => f.dataType != NullType
-      && (f.name.equalsIgnoreCase("key") || f.name.equalsIgnoreCase("value")))
+    required.fields.forall(_.dataType != NullType)
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =

@@ -394,6 +394,34 @@ class SeqFileConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter(col("key") >= 1050L).count() === 50L)
     // IN-list pruning
     assert(df.filter(col("rf").isin("R")).select("value").count() === 100L)
+
+    // the columnar path stays active with a partition column projected
+    // (constant vector, not a row-reader fallback)
+    val projected = df.select("key", "rf")
+    val plan = projected.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"partitioned projection must keep the columnar read path:\n${plan.take(1500)}")
+    assert(projected.filter(col("rf") === "R").count() === 100L)
+  }
+
+  test("streaming read over a hive-partitioned directory carries partition values") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("seqpartstream").toString
+    (0L until 50L).map(i => (i, s"a$i")).toDF("key", "value")
+      .coalesce(1).write.format("seqfile").mode("overwrite").save(s"$root/rf=A")
+    (100L until 180L).map(i => (i, s"r$i")).toDF("key", "value")
+      .coalesce(1).write.format("seqfile").mode("overwrite").save(s"$root/rf=R")
+    val schema = spark.read.format("seqfile").load(root).schema
+    val q = spark.readStream.format("seqfile").schema(schema).load(root)
+      .groupBy("rf").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("partstream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("partstream").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === Set(("A", 50L), ("R", 80L)))
+    } finally q.stop()
   }
 
   test("inconsistent partition layouts are rejected, not guessed at") {
