@@ -404,6 +404,39 @@ class SeqFileConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(projected.filter(col("rf") === "R").count() === 100L)
   }
 
+  test("filters mixing partition and data columns never over-prune") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("seqpartmix").toString
+    (0L until 100L).map(i => (i, s"a$i")).toDF("key", "value")
+      .coalesce(1).write.format("seqfile").mode("overwrite").save(s"$root/rf=A")
+    (1000L until 1100L).map(i => (i, s"r$i")).toDF("key", "value")
+      .coalesce(1).write.format("seqfile").mode("overwrite").save(s"$root/rf=R")
+    val df = spark.read.format("seqfile").load(root)
+    // OR across a partition column and a data column references both →
+    // not pushable → must scan every file and return the exact union
+    assert(df.filter(col("rf") === "A" || col("key") >= 1090L).count() === 110L)
+    // AND splits: the partition conjunct prunes, the data conjunct filters
+    assert(df.filter(col("rf") === "R" && col("key") < 1010L).count() === 10L)
+    // NOT over a partition filter
+    assert(df.filter(!(col("rf") === "A")).count() === 100L)
+  }
+
+  test("multi-level partitioning (two keys) discovers, reads and prunes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("seqpart2").toString
+    for ((y, rf) <- Seq(("1997", "A"), ("1997", "R"), ("1998", "A"))) {
+      Seq((s"$y-$rf".hashCode.toLong, s"$y/$rf")).toDF("key", "value")
+        .coalesce(1).write.format("seqfile").mode("overwrite")
+        .save(s"$root/year=$y/rf=$rf")
+    }
+    val df = spark.read.format("seqfile").load(root)
+    assert(df.schema.fieldNames.toSeq === Seq("key", "value", "year", "rf"))
+    assert(df.count() === 3L)
+    assert(df.filter(col("year") === "1997").count() === 2L)
+    assert(df.filter(col("year") === "1997" && col("rf") === "R")
+      .select("value").head().getString(0) === "1997/R")
+  }
+
   test("streaming read over a hive-partitioned directory carries partition values") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("seqpartstream").toString

@@ -46,6 +46,24 @@ class SeqFileSqlDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE seq_sink")
   }
 
+  test("SQL over a hive-partitioned seqfile table filters by partition column") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sqlpart").toString
+    for (rf <- Seq("A", "R")) {
+      (0 until 20).map(i => (i.toLong, s"$rf$i")).toDF("key", "value")
+        .coalesce(1).write.format("seqfile").mode("overwrite").save(s"$root/rf=$rf")
+    }
+    spark.sql("DROP TABLE IF EXISTS seq_part")
+    spark.sql(
+      s"""CREATE TABLE seq_part (key BIGINT, value STRING, rf STRING)
+         |USING seqfile OPTIONS (path '$root')""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM seq_part").head().getLong(0) === 40L)
+    val r = spark.sql(
+      "SELECT rf, count(*) n FROM seq_part WHERE rf = 'R' GROUP BY rf").head()
+    assert((r.getString(0), r.getLong(1)) === ("R", 20L))
+    spark.sql("DROP TABLE seq_part")
+  }
+
   test("streaming sink via foreachBatch writes seqfile output") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
