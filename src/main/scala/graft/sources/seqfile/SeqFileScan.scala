@@ -118,7 +118,24 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
                   paths: Seq[String], maxSplitBytes: Long,
                   mode: String = ReadMode.FailFast,
                   partitionFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
+
+  /** Dynamic partition pruning: Spark may call filter() AFTER planning,
+    * with runtime filters derived from a joined dimension (e.g. the rf
+    * values that survived the dim's WHERE). They compose with the static
+    * pushed filters; like those, they only ever SKIP files — rows are
+    * still verified by the residual join/filter, so an over-broad runtime
+    * filter can't break correctness. */
+  private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    tableSchema.fieldNames
+      .filterNot(n => n.equalsIgnoreCase("key") || n.equalsIgnoreCase("value"))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimeFilters = filters.filter(PartitionFilters.supported)
 
   /** Size estimate so Catalyst's join planning can broadcast small seqfile
     * tables: on-disk bytes × a snappy decompression factor, scaled by the
@@ -165,7 +182,8 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
     val files = SeqFileDataSource.listPartitionedFiles(paths, conf)
       .filter { pf =>
         val vals = pf.partitionValues.map { case (k, v) => k.toLowerCase -> v }.toMap
-        partitionFilters.forall(PartitionFilters.eval(_, vals))
+        partitionFilters.forall(PartitionFilters.eval(_, vals)) &&
+          runtimeFilters.forall(PartitionFilters.eval(_, vals))
       }
     files.flatMap { pf =>
       val len = pf.status.getLen

@@ -437,6 +437,29 @@ class SeqFileConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("value").head().getString(0) === "1997/R")
   }
 
+  test("runtime (DPP-style) filters injected after planning skip partitions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("seqdpp").toString
+    for (rf <- Seq("A", "N", "R")) {
+      (0L until 10L).map(i => (i, s"$rf$i")).toDF("key", "value")
+        .coalesce(1).write.format("seqfile").mode("overwrite").save(s"$root/rf=$rf")
+    }
+    val schema = spark.read.format("seqfile").load(root).schema
+    val scan = new SeqFileScanBuilder(schema, Seq(root),
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build().asInstanceOf[SeqFileScan]
+    assert(scan.planInputPartitions().length === 3)
+    // what Spark's runtime filtering does at execution time: filter() after
+    // planning with values learned from a joined dim
+    assert(scan.filterAttributes().map(_.describe()).toSeq === Seq("rf"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("rf", Array("A", "R"))))
+    assert(scan.planInputPartitions().length === 2)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("rf", "N")))
+    assert(scan.planInputPartitions().length === 1)
+  }
+
   test("streaming read over a hive-partitioned directory carries partition values") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("seqpartstream").toString
