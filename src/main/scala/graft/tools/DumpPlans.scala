@@ -1,0 +1,35 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Regenerate PLANS.md: `sbt "runMain graft.tools.DumpPlans"` */
+object DumpPlans extends App {
+  val spark = SparkSession.builder().master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("ERROR")
+  val sf = "/root/testdata/sf0.01"
+  val picks = Seq(
+    "q3_shipping_priority" -> "broadcast dims, pushed filters, partial agg, top-k",
+    "q8_market_share" -> "9-table chain: every dim broadcast against one lineitem pass",
+    "q21_waiting_suppliers" -> "correlated EXISTS/NOT EXISTS as semi+anti joins on orderkey",
+    "q_dedup_minhash" -> "band-bucket equi-join + sorted-array merge verify",
+    "q_dedup_embedding_lsh" -> "LSH buckets carrying vectors, inline verify, no BNLJ",
+    "q_seqfile_partitioned" -> "partition-pruned seqfile scan feeding an aggregate")
+  val sb = new StringBuilder
+  sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
+  sb.append("GENERATED artifact — regenerate with `sbt \"runMain graft.tools.DumpPlans\"`.\n")
+  sb.append(s"Spark ${spark.version}, sf0.01, AQE on (initial plans shown).\n")
+  for ((q, why) <- picks) {
+    sb.append(s"\n## $q — $why\n\n```\n")
+    val df = graft.SparkEntry.queries(q)(spark, sf)
+    sb.append(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode).take(8000))
+    sb.append("\n```\n")
+  }
+  java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
+  println("PLANS.md written")
+  spark.stop()
+}
