@@ -91,40 +91,44 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
         TextAnalysis.wordShingles(col(textCol), n).as("shStr"))
       .filter(size(col("shStr")) > 0)
-      // ascending sort lets the exact-verify stage use the merge-walk
-      // sorted_intersect_size kernel instead of array_intersect's
-      // hash-set + result-array materialization
-      .select(col("id"), sort_array(transform(col("shStr"), s => xxhash64(s))).as("sh"))
+      .select(col("id"), transform(col("shStr"), s => xxhash64(s)).as("sh0"))
 
-    val exploded = docs.select(col("id"), explode(col("sh")).as("s"))
+    val exploded = docs.select(col("id"), explode(col("sh0")).as("s"))
     val docFreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
 
-    // per-doc shingles with global df, ordered rarest-first
-    val ranked = exploded.join(docFreq, "s")
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("df"), col("s"))))
-    val sizes = docs.select(col("id"), size(col("sh")).as("n_sh"))
-    // prefix length = |A| - ceil(t*|A|) + 1
-    val prefixes = ranked.join(sizes, "id")
-      .filter(col("rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
-      .select(col("id"), col("s"))
+    // One aggregation builds BOTH per-doc artifacts (a window + sizes-join
+    // formulation costs two extra stages for the same result):
+    //  - `sh`: the doc's shingle hashes ascending — lets the verify stage
+    //    use the merge-walk sorted_intersect_size kernel instead of
+    //    array_intersect's hash-set + result-array materialization;
+    //  - `pref`: the |A| - ceil(t*|A|) + 1 globally-rarest shingles
+    //    (ascending (df, s) sort = rarest first).
+    val prefLen = (size(col("ranked"))
+      - ceil(size(col("ranked")) * threshold) + 1).cast("int")
+    val docPrefix = exploded.join(docFreq, "s")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
+      .select(col("id"),
+        array_sort(transform(col("ranked"), r => r.getField("s"))).as("sh"),
+        slice(transform(col("ranked"), r => r.getField("s")), lit(1), prefLen)
+          .as("pref"))
 
-    val cand = prefixes.as("x").join(prefixes.as("y"),
-        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-
-    val withSets = cand
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
-    withSets
+    // PPJoin-style: prefix rows CARRY the doc's sorted hash set, so each
+    // bucket collision verifies inline — no candidate distinct() and no id
+    // joins back to the corpus. A pair sharing k prefix shingles verifies
+    // k times (k is tiny: prefixes are the rarest shingles); round() is
+    // deterministic, so the final distinct collapses survivors only.
+    val pref = docPrefix.select(col("id"), col("sh"), explode(col("pref")).as("ps"))
+    pref.as("x").join(pref.as("y"),
+        col("x.ps") === col("y.ps") && col("x.id") < col("y.id"))
       .withColumn("ix",
-        graft.functions.expressions.sorted_intersect_size(col("sha"), col("shb")))
+        graft.functions.expressions.sorted_intersect_size(col("x.sh"), col("y.sh")))
       .withColumn("jaccard",
-        col("ix") / (size(col("sha")) + size(col("shb")) - col("ix")))
+        col("ix") / (size(col("x.sh")) + size(col("y.sh")) - col("ix")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .distinct()
   }
 
   /** MinHash + LSH near-duplicate pairs: shingle → H seeded min-hashes →
