@@ -597,6 +597,28 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     }),
 
+    // ---- UNPIVOT (stack generator: wide columns → (metric, value) rows) ----
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "part")
+        .selectExpr("p_partkey",
+          "stack(2, 'size', cast(p_size AS double), 'price', p_retailprice) AS (metric, value)")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("metric"))
+    }),
+
+    // ---- multiset set ops (EXCEPT ALL keeps duplicate cardinality) ----
+    "q_setops_all" -> ((s, dir) => {
+      val big = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1998-01-01").select(col("o_custkey"))
+      big.exceptAll(recent)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // ---- explicit GROUPING SETS (non-hierarchical — neither rollup nor
     //      cube expresses {by-flag} ∪ {by-status}) ----
     "q_grouping_sets" -> ((s, dir) => {
@@ -1314,6 +1336,21 @@ object SparkEntry {
         |GROUP BY l_suppkey
         |HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 2000000
         |ORDER BY l_suppkey""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT metric, count(*) AS n, round(avg(value), 4) AS avg_value FROM (
+        |  SELECT 'size' AS metric, p_size * 1.0 AS value FROM part
+        |  UNION ALL SELECT 'price' AS metric, p_retailprice AS value FROM part)
+        |GROUP BY metric
+        |ORDER BY metric""".stripMargin,
+
+    "q_setops_all" ->
+      """SELECT o_custkey, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
