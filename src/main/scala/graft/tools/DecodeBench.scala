@@ -31,8 +31,56 @@ object DecodeBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val fixture = "/root/reference/tests/text-int.seq"
-    val reps = sys.env.getOrElse("SPARK_GRAFT_DECODE_REPS", "15").toInt
+    runOne("/root/reference/tests/text-int.seq") // variable-width (Text/Int)
+    runLongDouble("/root/reference/tests/long-double.seq") // fixed-width path
+  }
+
+  private def reps: Int = sys.env.getOrElse("SPARK_GRAFT_DECODE_REPS", "15").toInt
+
+  /** Fixed-width fixture (LongWritable/DoubleWritable): bulk-cast decode. */
+  private def runLongDouble(fixture: String): Unit = {
+    val ours = () => {
+      val in = new LocalSeekableInput(java.nio.file.Paths.get(fixture))
+      val header = SeqHeader.parse(new SeqInput(in))
+      val stream = SeqStream.openRange(in, header, 0, in.length,
+        decodeKey = true, decodeValue = true)
+      var n = 0L
+      var sink = 0.0
+      while (stream.hasNext) {
+        val b = stream.next()
+        val keys = b.keys.get.asInstanceOf[LongColumn]
+        val values = b.values.get.asInstanceOf[DoubleColumn]
+        var i = 0
+        while (i < b.count) { sink += keys.values(i) + values.values(i); i += 1 }
+        n += b.count
+      }
+      stream.close()
+      require(sink != 0.0)
+      n
+    }
+    val hadoop = () => {
+      val conf = new Configuration()
+      val rd = new SequenceFile.Reader(conf, SequenceFile.Reader.file(new Path(fixture)))
+      val k = new org.apache.hadoop.io.LongWritable()
+      val v = new org.apache.hadoop.io.DoubleWritable()
+      var n = 0L
+      var sink = 0.0
+      while (rd.next(k, v)) { sink += k.get() + v.get(); n += 1 }
+      rd.close()
+      require(sink != 0.0)
+      n
+    }
+    ours(); hadoop()
+    val (oursSec, n1) = timeBest(reps)(ours)
+    val (hadoopSec, n2) = timeBest(reps)(hadoop)
+    require(n1 == n2, s"record-count mismatch: ours=$n1 hadoop=$n2")
+    println(f"""{"fixture":"long-double.seq","records":$n1,"reps":$reps,""" +
+      f""""ours_sec":$oursSec%.4f,"hadoop_sec":$hadoopSec%.4f,""" +
+      f""""ours_mrec_s":${n1 / oursSec / 1e6}%.1f,"hadoop_mrec_s":${n2 / hadoopSec / 1e6}%.1f,""" +
+      f""""speedup_vs_hadoop":${hadoopSec / oursSec}%.2f}""")
+  }
+
+  private def runOne(fixture: String): Unit = {
 
     // ours: stream decoded blocks, touch every key slice + value
     val ours = () => {
