@@ -810,6 +810,17 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- IVF with k-means-trained centroids — the production variant
+    //      (seeded => deterministic rows, but MLlib's float iteration order
+    //      isn't SQL-replicable => rows-only check; recall vs brute force
+    //      asserted in SimilaritySearchSpec) ----
+    "q_ann_ivf_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.ivfTopKKMeans(
+          emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- tf-idf: top-3 terms per document ----
     "q_tfidf" -> ((s, dir) => {
       graft.operators.TextRanking.tfidfTopTerms(
