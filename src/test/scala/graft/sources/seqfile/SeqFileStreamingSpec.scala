@@ -169,5 +169,21 @@ class SeqFileStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       new org.apache.hadoop.fs.Path(out, orphanName).toString)))
     assert(spark.read.format("seqfile").load(out).count() === 110L,
       "committed epoch rows must appear exactly once")
+
+    // foreign-reader compatibility: the sink's data files are plain
+    // SequenceFiles — Hadoop's own reader consumes them directly (a
+    // manifest-unaware reader just sees at-least-once output)
+    val part = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-e") && f.getName.endsWith(".seq")).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val rd = new org.apache.hadoop.io.SequenceFile.Reader(conf,
+      org.apache.hadoop.io.SequenceFile.Reader.file(
+        new org.apache.hadoop.fs.Path(part.toString)))
+    val k = new org.apache.hadoop.io.LongWritable()
+    val v = new org.apache.hadoop.io.Text()
+    var n = 0
+    while (rd.next(k, v)) n += 1
+    rd.close()
+    assert(n > 0, "Hadoop's reader must decode the sink's part files")
   }
 }
