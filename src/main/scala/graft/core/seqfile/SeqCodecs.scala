@@ -79,11 +79,38 @@ object SeqCodecs {
     }
   }
 
+  val ZstdClass = "org.apache.hadoop.io.compress.ZStandardCodec"
+
+  /** Hadoop ZStandardCodec: each compressed buffer is one standard zstd
+    * frame (CompressorStream family, like gzip — no extra chunk framing).
+    * Implemented over zstd-jni (ships with Spark). Streaming API on both
+    * sides: Hadoop's compressor emits frames without the content-size
+    * header field, so decompression must not rely on it. Round-trip is
+    * spec-verified against our own reader; Hadoop-native interop can't be
+    * exercised in this container (its ZStandardCodec needs libhadoop), but
+    * the bytes are plain zstd frames in the standard SequenceFile layout. */
+  object ZstdCodec extends SeqBlockCodec {
+    val javaClass: String = ZstdClass
+    def decompress(buf: Array[Byte], off: Int, len: Int): Array[Byte] =
+      try drain(new com.github.luben.zstd.ZstdInputStream(
+        new ByteArrayInputStream(buf, off, len)))
+      catch { case e: java.io.IOException =>
+        throw new SeqFileFormatException(s"corrupt zstd buffer: ${e.getMessage}") }
+    def compress(raw: Array[Byte], rawLen: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(rawLen / 3 + 64)
+      val z = new com.github.luben.zstd.ZstdOutputStream(out)
+      z.write(raw, 0, rawLen)
+      z.close()
+      out.toByteArray
+    }
+  }
+
   private val byClass: Map[String, SeqBlockCodec] = Map(
     SnappyClass -> SnappyCodec,
     GzipClass -> GzipCodec,
     DefaultClass -> DeflateCodec,
-    DeflateClass -> DeflateCodec)
+    DeflateClass -> DeflateCodec,
+    ZstdClass -> ZstdCodec)
 
   def forClass(name: String): Option[SeqBlockCodec] = byClass.get(name)
 

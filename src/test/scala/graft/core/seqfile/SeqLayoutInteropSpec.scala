@@ -146,6 +146,32 @@ class SeqLayoutInteropSpec extends AnyFunSuite {
       } finally { reader.close(); Files.delete(tmp) }
     }
 
+  for ((name, compression) <- Seq(("block+zstd", SeqCompression.Block),
+                                  ("record+zstd", SeqCompression.Record)))
+    test(s"our $name writer round-trips through our reader (zstd frames)") {
+      // Hadoop's ZStandardCodec needs libhadoop (absent in this container),
+      // so the foreign-reader leg is skipped; the buffers are standard zstd
+      // frames in the standard SequenceFile layout, asserted via the frame
+      // magic below.
+      val tmp = Files.createTempFile(s"w-$name", ".seq")
+      val w = new SeqFileWriter(Files.newOutputStream(tmp),
+        WritableType.TextW, WritableType.IntW, syncSeed = 13L,
+        compression = compression, codec = SeqCodecs.ZstdCodec)
+      val m = 5000
+      (0 until m).foreach(i => w.append(f"K$i%06d", i * 7))
+      w.close()
+      assert(readAll(tmp.toString) === (0 until m).map(i => (f"K$i%06d", i * 7)))
+      assert(SeqFile.readHeader(tmp.toString).codecClass
+        .contains("ZStandardCodec"))
+      // zstd frame magic 0xFD2FB528 (little-endian on disk: 28 B5 2F FD)
+      // must appear in the body — proves real zstd frames, not passthrough
+      val bytes = Files.readAllBytes(tmp)
+      val magic = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte)
+      val found = bytes.sliding(4).exists(_.sameElements(magic))
+      assert(found, "no zstd frame magic found in file body")
+      Files.delete(tmp)
+    }
+
   test("corrupt record-layout bytes raise SeqFileFormatException (not crashes)") {
     val path = writeFixture(CompressionType.NONE, new DefaultCodec)
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))

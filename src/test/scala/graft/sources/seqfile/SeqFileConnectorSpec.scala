@@ -28,7 +28,8 @@ class SeqFileConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((comp, codec, expected) <- Seq(
         ("none", "snappy", SeqCompression.None),
         ("record", "deflate", SeqCompression.Record),
-        ("block", "gzip", SeqCompression.Block))) {
+        ("block", "gzip", SeqCompression.Block),
+        ("block", "zstd", SeqCompression.Block))) {
       val dir = java.nio.file.Files.createTempDirectory(s"wopt-$comp").toString
       in.repartition(2).write.format("seqfile")
         .option("compression", comp).option("codec", codec)
