@@ -105,12 +105,26 @@ object SeqCodecs {
     }
   }
 
+  val Lz4Class = "org.apache.hadoop.io.compress.Lz4Codec"
+
+  /** Hadoop Lz4Codec: snappy-style BlockCompressorStream framing with lz4
+    * BLOCK chunks (pure-Java in Hadoop 3.3+, so real-Hadoop interop holds —
+    * see Lz4BlockCodec). */
+  object Lz4Codec extends SeqBlockCodec {
+    val javaClass: String = Lz4Class
+    def decompress(buf: Array[Byte], off: Int, len: Int): Array[Byte] =
+      Lz4BlockCodec.decompress(buf, off, len)
+    def compress(raw: Array[Byte], rawLen: Int): Array[Byte] =
+      Lz4BlockCodec.compress(raw, rawLen)
+  }
+
   private val byClass: Map[String, SeqBlockCodec] = Map(
     SnappyClass -> SnappyCodec,
     GzipClass -> GzipCodec,
     DefaultClass -> DeflateCodec,
     DeflateClass -> DeflateCodec,
-    ZstdClass -> ZstdCodec)
+    ZstdClass -> ZstdCodec,
+    Lz4Class -> Lz4Codec)
 
   def forClass(name: String): Option[SeqBlockCodec] = byClass.get(name)
 

@@ -34,7 +34,7 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
       s"seqfile schema must have exactly 2 columns (key, value); got ${schema.catalogString}")
     // options: blockSize (uncompressed flush threshold, default 1 MiB =
     // Hadoop's io.seqfile.compress.blocksize); compression = none|record|
-    // block; codec = snappy|gzip|deflate|zstd; metadata.<k>=<v> pairs go
+    // block; codec = snappy|gzip|deflate|zstd|lz4; metadata.<k>=<v> pairs go
     // into the file header (surfaced back via Table.properties()).
     val blockSize = Option(options.get("blockSize")).map(_.toInt).getOrElse(1 << 20)
     require(blockSize >= 1024, s"blockSize must be >= 1024, got $blockSize")
@@ -51,8 +51,9 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
         case "gzip" => SeqCodecs.GzipClass
         case "deflate" | "default" => SeqCodecs.DefaultClass
         case "zstd" => SeqCodecs.ZstdClass
+        case "lz4" => SeqCodecs.Lz4Class
         case other => throw new IllegalArgumentException(
-          s"seqfile codec must be snappy, gzip, deflate or zstd; got $other")
+          s"seqfile codec must be snappy, gzip, deflate, zstd or lz4; got $other")
       })
     import scala.jdk.CollectionConverters._
     // asCaseSensitiveMap preserves the user's original key casing

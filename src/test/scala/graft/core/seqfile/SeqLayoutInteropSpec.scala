@@ -8,7 +8,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.{IntWritable, SequenceFile, Text}
 import org.apache.hadoop.io.SequenceFile.CompressionType
-import org.apache.hadoop.io.compress.{CompressionCodec, DefaultCodec, GzipCodec, SnappyCodec}
+import org.apache.hadoop.io.compress.{CompressionCodec, DefaultCodec, GzipCodec, Lz4Codec, SnappyCodec}
 
 /** Interop-by-construction for the layouts the reference hard-rejects
   * (Parser.hs:56-65): files written by Hadoop's OWN SequenceFile.Writer in
@@ -55,7 +55,8 @@ class SeqLayoutInteropSpec extends AnyFunSuite {
     ("record+default", CompressionType.RECORD, new DefaultCodec, SeqCompression.Record),
     ("record+snappy", CompressionType.RECORD, new SnappyCodec, SeqCompression.Record),
     ("block+gzip", CompressionType.BLOCK, new GzipCodec, SeqCompression.Block),
-    ("block+default", CompressionType.BLOCK, new DefaultCodec, SeqCompression.Block))
+    ("block+default", CompressionType.BLOCK, new DefaultCodec, SeqCompression.Block),
+    ("block+lz4", CompressionType.BLOCK, new Lz4Codec, SeqCompression.Block))
 
   for ((name, ct, codec, expectedCompression) <- layouts)
     test(s"hadoop-written $name file decodes identically through our reader") {
@@ -107,7 +108,9 @@ class SeqLayoutInteropSpec extends AnyFunSuite {
     ("record+snappy", SeqCompression.Record, SeqCodecs.SnappyCodec),
     ("record+deflate", SeqCompression.Record, SeqCodecs.DeflateCodec),
     ("block+gzip", SeqCompression.Block, SeqCodecs.GzipCodec),
-    ("block+deflate", SeqCompression.Block, SeqCodecs.DeflateCodec))
+    ("block+deflate", SeqCompression.Block, SeqCodecs.DeflateCodec),
+    ("block+lz4", SeqCompression.Block, SeqCodecs.Lz4Codec),
+    ("record+lz4", SeqCompression.Record, SeqCodecs.Lz4Codec))
 
   for ((name, compression, codec) <- writeLayouts)
     test(s"our $name writer round-trips through BOTH our reader and Hadoop's") {
