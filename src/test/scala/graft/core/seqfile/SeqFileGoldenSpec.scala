@@ -244,10 +244,13 @@ class SeqFileGoldenSpec extends AnyFunSuite {
       assert(h.compression === SeqCompression.Block)
       assert(h.codecClass === c)
     }
+    // lz4/zstd joined the registry in round 4 — they parse too
+    for (c <- Seq(SeqCodecs.Lz4Class, SeqCodecs.ZstdClass))
+      assert(parse(c).codecClass === c)
     // a genuinely unknown codec still fails at the header, with the list
     val ex = intercept[SeqFileFormatException](
-      parse("org.apache.hadoop.io.compress.Lz4Codec"))
+      parse("org.apache.hadoop.io.compress.BZip2Codec"))
     assert(ex.getMessage.contains("unsupported codec"))
-    assert(ex.getMessage.contains("Lz4Codec"))
+    assert(ex.getMessage.contains("BZip2Codec"))
   }
 }
