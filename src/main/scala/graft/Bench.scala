@@ -70,6 +70,8 @@ object Bench {
 
     def jsonMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jsonMap2(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     // A query that failed every round (median -1) must not silently shrink
     // the total — a run that BROKE a query would read as a speedup to any
     // harness comparing totals. Surface failures as a first-class field and
@@ -86,9 +88,19 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failCountsJson = failCounts
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$reps,""" +
-      s""""failed":$failedJson,"round_failures":$failCountsJson,""" +
+    // Full-precision medians/mins/failure counts go on a diagnostic line
+    // that deliberately does NOT start with '{' so downstream tooling that
+    // scans output for the metric JSON can't pick it up by mistake.
+    println(s"""bench-detail {"runs":$reps,"round_failures":$failCountsJson,""" +
       s""""queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},"sf":"$sfDir"}""")
+    // The ONE machine-readable line, last and kept compact (2-decimal values,
+    // numeric sf): harnesses that capture only the final ~2000 chars of a
+    // run's output must see this line in full — with ~70 queries the
+    // full-precision form grew past that window and never parsed.
+    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$reps,""" +
+      s""""failed":$failedJson,"queries":${jsonMap2(med)},"sf":$sfNum}""")
     spark.stop()
   }
 }

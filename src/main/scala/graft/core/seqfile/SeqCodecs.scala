@@ -99,6 +99,11 @@ object SeqCodecs {
     def compress(raw: Array[Byte], rawLen: Int): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream(rawLen / 3 + 64)
       val z = new com.github.luben.zstd.ZstdOutputStream(out)
+      // zstd's default leaves the optional frame checksum off, which lets
+      // mid-frame corruption in literal sections decompress "cleanly" into
+      // garbage. The checksum bit is part of the standard frame format (any
+      // decoder, incl. Hadoop's, handles it) and makes corruption an error.
+      z.setChecksum(true)
       z.write(raw, 0, rawLen)
       z.close()
       out.toByteArray

@@ -56,7 +56,8 @@ class SeqLayoutInteropSpec extends AnyFunSuite {
     ("record+snappy", CompressionType.RECORD, new SnappyCodec, SeqCompression.Record),
     ("block+gzip", CompressionType.BLOCK, new GzipCodec, SeqCompression.Block),
     ("block+default", CompressionType.BLOCK, new DefaultCodec, SeqCompression.Block),
-    ("block+lz4", CompressionType.BLOCK, new Lz4Codec, SeqCompression.Block))
+    ("block+lz4", CompressionType.BLOCK, new Lz4Codec, SeqCompression.Block),
+    ("record+lz4", CompressionType.RECORD, new Lz4Codec, SeqCompression.Record))
 
   for ((name, ct, codec, expectedCompression) <- layouts)
     test(s"hadoop-written $name file decodes identically through our reader") {
@@ -172,6 +173,35 @@ class SeqLayoutInteropSpec extends AnyFunSuite {
       val magic = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte)
       val found = bytes.sliding(4).exists(_.sameElements(magic))
       assert(found, "no zstd frame magic found in file body")
+      Files.delete(tmp)
+    }
+
+  for ((name, codec) <- Seq(("lz4", SeqCodecs.Lz4Codec: SeqBlockCodec),
+                            ("zstd", SeqCodecs.ZstdCodec: SeqBlockCodec)))
+    test(s"corrupt $name chunk bytes raise SeqFileFormatException (not crashes)") {
+      val tmp = Files.createTempFile(s"corrupt-$name", ".seq")
+      val w = new SeqFileWriter(Files.newOutputStream(tmp),
+        WritableType.TextW, WritableType.IntW, syncSeed = 17L,
+        compression = SeqCompression.Block, codec = codec)
+      (0 until 3000).foreach(i => w.append(f"K$i%06d", i))
+      w.close()
+      val bytes = Files.readAllBytes(tmp)
+      val h = SeqFile.readHeader(tmp.toString)
+      // clobber a stretch of compressed payload mid-file; read keys AND
+      // values so every one of the block's four buffers gets decompressed —
+      // the corruption must surface either in the codec or in the writable
+      // size accounting, never as silent garbage
+      val target = (h.dataStart + 400).toInt
+      (0 until 64).foreach(i => bytes(target + i) = (i * 37).toByte)
+      Files.write(tmp, bytes)
+      intercept[SeqFileFormatException] {
+        val r = SeqFile.open(tmp.toString)
+        try { for (b <- r; i <- 0 until b.count) {
+          b.keys.get.asInstanceOf[BinaryColumn].sliceString(i)
+          b.values.get.asInstanceOf[IntColumn].values(i)
+        } }
+        finally r.close()
+      }
       Files.delete(tmp)
     }
 
