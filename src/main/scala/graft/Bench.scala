@@ -50,7 +50,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional focus list for local iteration: comma-separated query names.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Warm-up: run everything once at sf0.001 (~6k lineitem rows) so the
     // timed rounds see steady-state JIT/codegen and a hot FS cache.

@@ -653,18 +653,22 @@ object SparkEntry {
 
     // ---- exact percentiles with interpolation ----
     "q_percentiles" -> ((s, dir) => {
-      // both l_quantity percentiles share ONE aggregation buffer (array
-      // form) — separate percentile() calls each maintain their own
-      // per-group value map over the same column
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_quantity, array(0.5D, 0.9D))").as("pq"),
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"))
+      // Cardinality decides the algorithm per column (both exact and
+      // bit-identical): l_quantity has ~50 distinct values, so the built-in
+      // percentile()'s value→count map stays tiny and map-merging wins;
+      // l_extendedprice is ~one distinct value per row, where those maps
+      // are the whole column and ExactPercentiles' sort path is faster.
+      val li = t(s, dir, "lineitem")
+      val qty = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, array(0.5D, 0.9D))").as("pq"))
         .select(col("l_returnflag"),
           round(element_at(col("pq"), 1), 4).as("p50"),
-          round(element_at(col("pq"), 2), 4).as("p90"),
-          col("price_p25"))
-        .orderBy(col("l_returnflag"))
+          round(element_at(col("pq"), 2), 4).as("p90"))
+      val price = graft.operators.ExactPercentiles.byGroup(
+          li, "l_returnflag", "l_extendedprice", Seq(0.25))
+        .select(col("l_returnflag"),
+          round(element_at(col("pcts"), 1), 4).as("price_p25"))
+      qty.join(price, "l_returnflag").orderBy(col("l_returnflag"))
     }),
 
     // ---- array ops: per-dimension embedding statistics ----

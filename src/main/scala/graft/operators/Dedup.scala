@@ -94,7 +94,14 @@ object Dedup {
       .select(col("id"), transform(col("shStr"), s => xxhash64(s)).as("sh0"))
 
     val exploded = docs.select(col("id"), explode(col("sh0")).as("s"))
-    val docFreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // Document frequency AND the posting list in ONE aggregation: a
+    // groupBy(s).count + join-back formulation scans the shingle pipeline
+    // (tokenize → shingle → hash, the CPU-heavy part) twice and pays an
+    // extra full shuffle of `exploded` for the join; collecting the doc ids
+    // alongside the count shuffles the same bytes once. Posting-list length
+    // is bounded by df (AQE splits the skewed ultra-frequent shingles).
+    val postings = exploded.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), collect_list(col("id")).as("ids"))
 
     // One aggregation builds BOTH per-doc artifacts (a window + sizes-join
     // formulation costs two extra stages for the same result):
@@ -105,7 +112,8 @@ object Dedup {
     //    (ascending (df, s) sort = rarest first).
     val prefLen = (size(col("ranked"))
       - ceil(size(col("ranked")) * threshold) + 1).cast("int")
-    val docPrefix = exploded.join(docFreq, "s")
+    val docPrefix = postings
+      .select(col("s"), col("df"), explode(col("ids")).as("id"))
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
       .select(col("id"),

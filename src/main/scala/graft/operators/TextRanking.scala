@@ -26,10 +26,21 @@ object TextRanking {
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df and the per-term posting list in ONE aggregation: the
+    // groupBy(term).count + join-back-to-tf formulation shuffles tf by term
+    // twice (once for the count, once for the join); collecting (id, tf)
+    // alongside the count shuffles it once. Posting-list length is bounded
+    // by df; AQE splits skewed stopword-like terms.
+    val byTerm = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        collect_list(struct(col("id"), col("tf"))).as("ids"))
     val nDocs = df.agg(count(lit(1)).as("n_total"))
-    val scored = tf.join(dfreq, "term")
+    val scored = byTerm
       .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"), col("n_total"),
+        explode(col("ids")).as("e"))
+      .select(col("term"), col("e.id").as("id"), col("e.tf").as("tf"),
+        col("df"), col("n_total"))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_total") / col("df").cast("double")), 6))
     val w = Window.partitionBy(col("id"))
