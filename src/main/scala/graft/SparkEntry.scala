@@ -525,6 +525,31 @@ object SparkEntry {
         .orderBy(col("key_mod"))
     }),
 
+    // ---- zone-map key-range scan: write a KEY-SORTED seqfile (the writer
+    //      records per-block min/max in a sidecar), read back with a key
+    //      range predicate — the readers seek straight to the qualifying
+    //      blocks and never decompress the rest. Oracle runs the same
+    //      range on the original parquet. ----
+    "q_seqfile_keyrange" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-seq-zr-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("key"),
+          col("l_extendedprice").as("value"))
+        .repartition(4).sortWithinPartitions("key")
+        .write.format("seqfile").option("blockSize", (64 << 10).toString)
+        .mode("overwrite").save(tmp)
+      val hi = s.read.format("seqfile").load(tmp)
+        .agg(max(col("key"))).head.getLong(0)
+      s.read.format("seqfile").load(tmp)
+        .filter(col("key") > hi - (hi / 10) || col("key") <= 100L)
+        .groupBy((col("key") % 5).as("key_mod"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_price"))
+        .orderBy(col("key_mod"))
+    }),
+
     // ---- hive-partitioned seqfile lake: write per-partition dirs, read
     //      with a partition filter (files pruned at planning), aggregate.
     //      Oracle runs the equivalent WHERE on the original parquet. ----
@@ -1293,6 +1318,14 @@ object SparkEntry {
         |      FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_seqfile_keyrange" ->
+      """WITH hi AS (SELECT max(l_orderkey) AS h FROM lineitem)
+        |SELECT l_orderkey % 5 AS key_mod, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem, hi
+        |WHERE l_orderkey > h - (h // 10) OR l_orderkey <= 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_seqfile_roundtrip" ->
       """SELECT l_orderkey % 10 AS key_mod, count(*) AS n,

@@ -29,14 +29,21 @@ final class SeqBlockReader(
     start: Long,
     end: Long,
     decodeKey: Boolean = true,
-    decodeValue: Boolean = true)
+    decodeValue: Boolean = true,
+    plannedOffsets: Option[Array[Long]] = None)
   extends SeqStream {
 
   private val in = new SeqInput(input)
   private val sync = header.sync
   private val codec = header.codec
+  // Zone-map path: exact block offsets were planned ahead (sidecar), so no
+  // sync scanning and non-qualifying blocks are never read. Offsets remain
+  // verified by the sync-marker check at each seek.
+  private val planned: Array[Long] = plannedOffsets.orNull
+  private var plannedIdx = 0
   private var nextPos: Long = {
-    if (start <= header.dataStart) header.dataStart
+    if (planned != null) { if (planned.isEmpty) -1L else planned(0) }
+    else if (start <= header.dataStart) header.dataStart
     else SyncScanner.nextBlockStart(input, sync, start, end)
   }
   private var finished = nextPos < 0 || nextPos >= end
@@ -51,15 +58,26 @@ final class SeqBlockReader(
     if (!hasNext) throw new NoSuchElementException
     in.seek(nextPos)
     val block = readBlock()
-    nextPos = in.pos
+    nextPos =
+      if (planned != null) {
+        plannedIdx += 1
+        if (plannedIdx < planned.length) planned(plannedIdx) else end
+      } else in.pos
     block
   }
 
   /** Recovery for DROPMALFORMED consumers: after next() threw, scan forward
     * from just past the failed block's start for the next sync marker within
     * this split; position there. Returns false when no further block exists
-    * (reader is then exhausted). */
+    * (reader is then exhausted). With planned offsets, recovery advances to
+    * the next planned block instead of byte-scanning. */
   def skipToNextSync(): Boolean = {
+    if (planned != null) {
+      plannedIdx += 1
+      if (plannedIdx >= planned.length) { finished = true; return false }
+      nextPos = planned(plannedIdx)
+      return true
+    }
     val p = SyncScanner.nextBlockStart(input, sync, nextPos + 1, end)
     if (p < 0 || p >= end) { finished = true; false }
     else { nextPos = p; true }

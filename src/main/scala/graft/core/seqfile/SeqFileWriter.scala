@@ -37,7 +37,20 @@ final class SeqFileWriter(
 
   import SeqFileWriter.SyncInterval
 
-  private val os = new BufferedOutputStream(out, 1 << 16)
+  /** Logical bytes handed to the stream so far — counted UNDER the buffer,
+    * so the count is current even while bytes sit unflushed. Block offsets
+    * recorded for the zone map come from this. */
+  private object counting extends OutputStream {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); count += len
+    }
+    override def flush(): Unit = out.flush()
+    override def close(): Unit = out.close()
+  }
+  private val os = new BufferedOutputStream(counting, 1 << 16)
+  private def logicalPos: Long = counting.count // call only right after os.flush()
   private val sync: Array[Byte] = {
     val md = MessageDigest.getInstance("MD5")
     md.update(s"graft.seqfile.$syncSeed".getBytes(StandardCharsets.UTF_8))
@@ -55,6 +68,11 @@ final class SeqFileWriter(
   private val recVal = new GrowBuf(256)
   private var bodyPos = 0L   // bytes written after the header
   private var lastSync = 0L
+
+  // zone-map collection (BLOCK mode, ordered key types only)
+  private var zMin: ZoneKey = null
+  private var zMax: ZoneKey = null
+  private val zEntries = scala.collection.mutable.ArrayBuffer.empty[ZoneEntry]
 
   writeHeader()
 
@@ -95,6 +113,10 @@ final class SeqFileWriter(
       val v0 = valData.size
       serialize(valueType, value, valData)
       valLens.appendVInt(valData.size - v0)
+      ZoneKey.forValue(keyType, key).foreach { zk =>
+        if (zMin == null || zk.cmp(zMin) < 0) zMin = zk
+        if (zMax == null || zk.cmp(zMax) > 0) zMax = zk
+      }
       nBuffered += 1
       if (keyData.size + valData.size >= blockSize) flushBlock()
     } else appendRecord(key, value)
@@ -155,6 +177,14 @@ final class SeqFileWriter(
 
   private def flushBlock(): Unit = {
     if (nBuffered == 0) return
+    // zone-map entry: record where this block's sync escape lands (flush
+    // the buffer so the counting layer is current — one flush per ~1 MiB
+    // block is noise)
+    if (zMin != null) {
+      os.flush()
+      zEntries += ZoneEntry(logicalPos, nBuffered.toLong, zMin, zMax)
+      zMin = null; zMax = null
+    }
     // sync escape + sync before every block (reference: Parser.hs:93-101)
     os.write(Array[Byte](-1, -1, -1, -1))
     os.write(sync)
@@ -179,6 +209,14 @@ final class SeqFileWriter(
     os.close()
     closed = true
   }
+
+  /** Per-block zone-map entries collected so far (BLOCK mode with an
+    * ordered key type; empty otherwise). Call after close(); callers
+    * persist these via ZoneMap.write as a sidecar. */
+  def zoneEntries: Seq[ZoneEntry] = zEntries.toSeq
+
+  /** Total bytes emitted (exact after close()). */
+  def bytesWritten: Long = counting.count
 }
 
 object SeqFileWriter {

@@ -94,14 +94,19 @@ class SeqFileColumnarPartitionReader(part: SeqFilePartition, tableSchema: Struct
     new org.apache.hadoop.fs.Path(part.path), new org.apache.hadoop.conf.Configuration())
   // see SeqFilePartitionReader: header failures yield an empty partition
   // under PERMISSIVE/DROPMALFORMED; input closed on constructor failure
+  private var planned: Option[ZoneMapPruning.PlannedBlocks] = None
   private val blocks: SeqStream =
     try {
       val header = SeqHeader.parse(new SeqInput(input))
       SeqFileSchema.validate(tableSchema, header, part.path)
       val needKey = required.fieldNames.exists(_.equalsIgnoreCase("key"))
       val needValue = required.fieldNames.exists(_.equalsIgnoreCase("value"))
+      planned = ZoneMapPruning.plannedOffsets(
+        new org.apache.hadoop.conf.Configuration(),
+        part.path, header, input.length, part.start, part.end, part.keyFilters)
       SeqStream.openRange(input, header, part.start, part.end,
-        decodeKey = needKey, decodeValue = needValue)
+        decodeKey = needKey, decodeValue = needValue,
+        plannedOffsets = planned.map(_.offsets))
     } catch {
       case scala.util.control.NonFatal(e) =>
         input.close()
@@ -143,6 +148,15 @@ class SeqFileColumnarPartitionReader(part: SeqFilePartition, tableSchema: Struct
   }
 
   override def get(): ColumnarBatch = batch
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    planned match {
+      case Some(p) => Array(
+        SeqZoneTaskMetric("seqfileZoneBlocksSkipped", p.skipped),
+        SeqZoneTaskMetric("seqfileZoneBlocksRead", p.offsets.length.toLong))
+      case None => Array.empty
+    }
 
   override def close(): Unit = if (blocks != null) blocks.close()
 }

@@ -25,6 +25,7 @@ class SeqFileScanBuilder(tableSchema: StructType, paths: Seq[String],
 
   private var required: StructType = tableSchema
   private var partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var keyFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   private val partCols: Set[String] =
     tableSchema.fieldNames.filterNot(n =>
@@ -39,20 +40,23 @@ class SeqFileScanBuilder(tableSchema: StructType, paths: Seq[String],
     partFilters = filters.filter(f =>
       f.references.forall(r => partCols.contains(r.toLowerCase))
         && PartitionFilters.supported(f))
+    // key predicates drive zone-map block skipping in the readers
+    keyFilters = filters.filter(ZoneMapPruning.usable(_))
     // ALL filters stay residual: Spark re-evaluates them on surviving rows,
     // so correctness never depends on the pruning logic.
     filters
   }
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
-    partFilters
+    partFilters ++ keyFilters
 
   override def build(): Scan =
     new SeqFileScan(tableSchema, required, paths,
       maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
         .getOrElse(128L * 1024 * 1024),
       mode = ReadMode.parse(Option(options.get("mode")).getOrElse("FAILFAST")),
-      partitionFilters = partFilters)
+      partitionFilters = partFilters,
+      keyFilters = keyFilters)
 }
 
 /** Evaluate pushed filters against a file's partition values. Only shapes
@@ -117,7 +121,8 @@ object SeqFileScan {
 class SeqFileScan(tableSchema: StructType, required: StructType,
                   paths: Seq[String], maxSplitBytes: Long,
                   mode: String = ReadMode.FailFast,
-                  partitionFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                  partitionFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                  keyFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering {
 
@@ -190,17 +195,23 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
       val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
       (0L until n).map { i =>
         SeqFilePartition(pf.status.getPath.toString, i * maxSplitBytes,
-          math.min((i + 1) * maxSplitBytes, len), pf.partitionValues)
+          math.min((i + 1) * maxSplitBytes, len), pf.partitionValues,
+          keyFilters.toSeq)
       }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqFileReaderFactory(tableSchema, required, mode)
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new SeqZoneBlocksSkippedMetric, new SeqZoneBlocksReadMetric)
 }
 
 case class SeqFilePartition(path: String, start: Long, end: Long,
-                            partValues: Seq[(String, String)] = Nil)
+                            partValues: Seq[(String, String)] = Nil,
+                            keyFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
   extends InputPartition
 
 class SeqFileReaderFactory(tableSchema: StructType, required: StructType,
@@ -232,6 +243,7 @@ class SeqFilePartitionReader(part: SeqFilePartition, tableSchema: StructType,
   extends PartitionReader[InternalRow] {
 
   private val input = new HadoopSeekableInput(new Path(part.path), new Configuration())
+  private var planned: Option[ZoneMapPruning.PlannedBlocks] = None
   // Header parse + FULL-schema validation (the reference fails the whole
   // stream on a type mismatch even if the consumer never touches the
   // column, reference: Parser.hs:84-91; a bare count() prunes everything).
@@ -244,8 +256,11 @@ class SeqFilePartitionReader(part: SeqFilePartition, tableSchema: StructType,
       SeqFileSchema.validate(tableSchema, header, part.path)
       val needKey = required.fieldNames.exists(_.equalsIgnoreCase("key"))
       val needValue = required.fieldNames.exists(_.equalsIgnoreCase("value"))
+      planned = ZoneMapPruning.plannedOffsets(new Configuration(),
+        part.path, header, input.length, part.start, part.end, part.keyFilters)
       SeqStream.openRange(input, header, part.start, part.end,
-        decodeKey = needKey, decodeValue = needValue)
+        decodeKey = needKey, decodeValue = needValue,
+        plannedOffsets = planned.map(_.offsets))
     } catch {
       case scala.util.control.NonFatal(e) =>
         input.close()
@@ -336,6 +351,15 @@ class SeqFilePartitionReader(part: SeqFilePartition, tableSchema: StructType,
   }
 
   override def get(): InternalRow = row
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    planned match {
+      case Some(p) => Array(
+        SeqZoneTaskMetric("seqfileZoneBlocksSkipped", p.skipped),
+        SeqZoneTaskMetric("seqfileZoneBlocksRead", p.offsets.length.toLong))
+      case None => Array.empty
+    }
 
   override def close(): Unit = if (blocks != null) blocks.close()
 }

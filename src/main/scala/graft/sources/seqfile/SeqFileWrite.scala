@@ -269,6 +269,16 @@ class SeqFileDataWriter(schema: StructType, dir: String, partitionId: Int, taskI
     if (epoch.isDefined && fs.exists(finalPath)) fs.delete(finalPath, false)
     if (!fs.rename(tempPath, finalPath))
       throw new java.io.IOException(s"failed to commit $tempPath -> $finalPath")
+    // Zone-map sidecar AFTER the rename: a failed attempt leaves no sidecar
+    // for the final name, and a replayed epoch overwrites it together with
+    // the data file. Readers validate recorded-vs-actual file length before
+    // trusting it, so a torn sidecar degrades to a full scan, never a
+    // mis-prune. Best-effort: the data commit already happened.
+    if (writer.zoneEntries.nonEmpty)
+      try ZoneMap.write(fs, finalPath, keyType.javaClass,
+        writer.bytesWritten, writer.zoneEntries)
+      catch { case scala.util.control.NonFatal(e) =>
+        SeqFileScan.log.warn(s"zone-map sidecar write failed for $finalPath: $e") }
     SeqFileCommitMessage(finalPath.toString)
   }
 
