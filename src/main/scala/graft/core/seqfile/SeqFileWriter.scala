@@ -69,9 +69,11 @@ final class SeqFileWriter(
   private var bodyPos = 0L   // bytes written after the header
   private var lastSync = 0L
 
-  // zone-map collection (BLOCK mode, ordered key types only)
+  // zone-map collection (BLOCK mode; keys mandatory, values when ordered)
   private var zMin: ZoneKey = null
   private var zMax: ZoneKey = null
+  private var zvMin: ZoneKey = null
+  private var zvMax: ZoneKey = null
   private val zEntries = scala.collection.mutable.ArrayBuffer.empty[ZoneEntry]
 
   writeHeader()
@@ -116,6 +118,10 @@ final class SeqFileWriter(
       ZoneKey.forValue(keyType, key).foreach { zk =>
         if (zMin == null || zk.cmp(zMin) < 0) zMin = zk
         if (zMax == null || zk.cmp(zMax) > 0) zMax = zk
+      }
+      ZoneKey.forValue(valueType, value).foreach { zv =>
+        if (zvMin == null || zv.cmp(zvMin) < 0) zvMin = zv
+        if (zvMax == null || zv.cmp(zvMax) > 0) zvMax = zv
       }
       nBuffered += 1
       if (keyData.size + valData.size >= blockSize) flushBlock()
@@ -180,10 +186,11 @@ final class SeqFileWriter(
     // zone-map entry: record where this block's sync escape lands (flush
     // the buffer so the counting layer is current — one flush per ~1 MiB
     // block is noise)
-    if (zMin != null) {
+    if (zMin != null || zvMin != null) {
       os.flush()
-      zEntries += ZoneEntry(logicalPos, nBuffered.toLong, zMin, zMax)
-      zMin = null; zMax = null
+      zEntries += ZoneEntry(logicalPos, nBuffered.toLong,
+        Option(zMin), Option(zMax), Option(zvMin), Option(zvMax))
+      zMin = null; zMax = null; zvMin = null; zvMax = null
     }
     // sync escape + sync before every block (reference: Parser.hs:93-101)
     os.write(Array[Byte](-1, -1, -1, -1))

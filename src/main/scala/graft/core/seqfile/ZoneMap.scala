@@ -76,11 +76,15 @@ object ZoneKey {
 }
 
 /** One record block's statistics. `offset` is the absolute file position of
-  * the block's sync escape word. */
-final case class ZoneEntry(offset: Long, count: Long, min: ZoneKey, max: ZoneKey)
+  * the block's sync escape word. Either column's stats are absent when its
+  * type is unordered (NullWritable). */
+final case class ZoneEntry(offset: Long, count: Long,
+                           kmin: Option[ZoneKey], kmax: Option[ZoneKey],
+                           vmin: Option[ZoneKey] = None,
+                           vmax: Option[ZoneKey] = None)
 
 object ZoneMap {
-  val FormatHeader = "graft.zonemap 1"
+  val FormatHeader = "graft.zonemap 2"
 
   /** Hidden sidecar name: `.NAME.zmap` — invisible to data-file listing
     * (hidden-prefix rule) and to real Hadoop readers. */
@@ -104,44 +108,54 @@ object ZoneMap {
     }
   }
 
-  def render(keyClass: String, fileLen: Long, entries: Seq[ZoneEntry]): String = {
+  private def encOpt(k: Option[ZoneKey]): String = k.map(enc).getOrElse("-")
+  private def decOpt(s: String): Option[ZoneKey] =
+    if (s == "-") None else Some(dec(s))
+
+  def render(keyClass: String, valueClass: String, fileLen: Long,
+             entries: Seq[ZoneEntry]): String = {
     val sb = new StringBuilder
     sb.append(FormatHeader).append('\n')
-    sb.append(keyClass).append(' ').append(fileLen).append('\n')
+    sb.append(keyClass).append(' ').append(valueClass).append(' ')
+      .append(fileLen).append('\n')
     entries.foreach { e =>
       sb.append(e.offset).append(' ').append(e.count).append(' ')
-        .append(enc(e.min)).append(' ').append(enc(e.max)).append('\n')
+        .append(encOpt(e.kmin)).append(' ').append(encOpt(e.kmax)).append(' ')
+        .append(encOpt(e.vmin)).append(' ').append(encOpt(e.vmax)).append('\n')
     }
     sb.toString
   }
 
-  def parse(content: String): (String, Long, Seq[ZoneEntry]) = {
+  def parse(content: String): (String, String, Long, Seq[ZoneEntry]) = {
     val lines = content.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
     if (lines.isEmpty || lines.head != FormatHeader)
-      throw new SeqFileFormatException("not a graft.zonemap v1 sidecar")
+      throw new SeqFileFormatException("not a graft.zonemap v2 sidecar")
     val hdr = lines(1).split(' ')
     val entries = lines.drop(2).map { l =>
       val f = l.split(' ')
-      ZoneEntry(f(0).toLong, f(1).toLong, dec(f(2)), dec(f(3)))
+      ZoneEntry(f(0).toLong, f(1).toLong, decOpt(f(2)), decOpt(f(3)),
+        decOpt(f(4)), decOpt(f(5)))
     }
-    (hdr(0), hdr(1).toLong, entries)
+    (hdr(0), hdr(1), hdr(2).toLong, entries)
   }
 
   /** Write the sidecar for `dataPath` (overwrites any previous one). */
-  def write(fs: FileSystem, dataPath: Path, keyClass: String, fileLen: Long,
+  def write(fs: FileSystem, dataPath: Path, keyClass: String,
+            valueClass: String, fileLen: Long,
             entries: Seq[ZoneEntry]): Unit = {
     val out = fs.create(sidecarPath(dataPath), true)
-    try out.write(render(keyClass, fileLen, entries)
+    try out.write(render(keyClass, valueClass, fileLen, entries)
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
   /** Load and validate the sidecar for `dataPath`. None when absent,
-    * unparsable, or STALE — recorded file length or key class disagrees
-    * with the actual file (e.g. the data file was rewritten by a foreign
-    * writer and the sidecar survived). */
+    * unparsable (incl. other format versions), or STALE — recorded file
+    * length or key/value class disagrees with the actual file (e.g. the
+    * data file was rewritten by a foreign writer and the sidecar
+    * survived). */
   def readValidated(conf: Configuration, dataPath: Path, keyClass: String,
-                    actualLen: Long): Option[Seq[ZoneEntry]] =
+                    valueClass: String, actualLen: Long): Option[Seq[ZoneEntry]] =
     try {
       val fs = dataPath.getFileSystem(conf)
       val sp = sidecarPath(dataPath)
@@ -151,8 +165,10 @@ object ZoneMap {
         val content =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        val (kc, len, entries) = parse(content)
-        if (kc == keyClass && len == actualLen) Some(entries) else None
+        val (kc, vc, len, entries) = parse(content)
+        if (kc == keyClass && vc == valueClass && len == actualLen)
+          Some(entries)
+        else None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 }

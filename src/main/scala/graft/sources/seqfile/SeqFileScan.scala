@@ -40,8 +40,8 @@ class SeqFileScanBuilder(tableSchema: StructType, paths: Seq[String],
     partFilters = filters.filter(f =>
       f.references.forall(r => partCols.contains(r.toLowerCase))
         && PartitionFilters.supported(f))
-    // key predicates drive zone-map block skipping in the readers
-    keyFilters = filters.filter(ZoneMapPruning.usable(_))
+    // key/value predicates drive zone-map block skipping in the readers
+    keyFilters = filters.filter(ZoneMapPruning.usableAny)
     // ALL filters stay residual: Spark re-evaluates them on surviving rows,
     // so correctness never depends on the pruning logic.
     filters

@@ -275,7 +275,7 @@ class SeqFileDataWriter(schema: StructType, dir: String, partitionId: Int, taskI
     // trusting it, so a torn sidecar degrades to a full scan, never a
     // mis-prune. Best-effort: the data commit already happened.
     if (writer.zoneEntries.nonEmpty)
-      try ZoneMap.write(fs, finalPath, keyType.javaClass,
+      try ZoneMap.write(fs, finalPath, keyType.javaClass, valueType.javaClass,
         writer.bytesWritten, writer.zoneEntries)
       catch { case scala.util.control.NonFatal(e) =>
         SeqFileScan.log.warn(s"zone-map sidecar write failed for $finalPath: $e") }

@@ -23,20 +23,24 @@ object ZoneMapPruning {
   val blocksSkipped = new java.util.concurrent.atomic.LongAdder
   val blocksPlanned = new java.util.concurrent.atomic.LongAdder
 
-  /** Is `f` usable for zone pruning: references exactly the key column and
-    * only shapes mightMatch understands. */
-  def usable(f: Filter, keyCol: String = "key"): Boolean = {
-    def refsKeyOnly = f.references.nonEmpty &&
-      f.references.forall(_.equalsIgnoreCase(keyCol))
+  /** Is `f` usable for zone pruning against column `col` ("key"/"value"):
+    * references exactly that column and only shapes mightMatch
+    * understands. */
+  def usable(f: Filter, col: String = "key"): Boolean = {
+    def refsColOnly = f.references.nonEmpty &&
+      f.references.forall(_.equalsIgnoreCase(col))
     f match {
       case _: EqualTo | _: EqualNullSafe | _: In | _: GreaterThan |
            _: GreaterThanOrEqual | _: LessThan | _: LessThanOrEqual |
-           _: StringStartsWith | _: IsNull | _: IsNotNull => refsKeyOnly
-      case And(l, r) => usable(l, keyCol) && usable(r, keyCol)
-      case Or(l, r) => usable(l, keyCol) && usable(r, keyCol)
+           _: StringStartsWith | _: IsNull | _: IsNotNull => refsColOnly
+      case And(l, r) => usable(l, col) && usable(r, col)
+      case Or(l, r) => usable(l, col) && usable(r, col)
       case _ => false
     }
   }
+
+  /** Usable against either data column (what the scan builder collects). */
+  def usableAny(f: Filter): Boolean = usable(f, "key") || usable(f, "value")
 
   private def toKey(t: WritableType, v: Any): Option[ZoneKey] = (t, v) match {
     case (WritableType.ShortW | WritableType.IntW | WritableType.LongW,
@@ -49,7 +53,7 @@ object ZoneMapPruning {
     case _ => None
   }
 
-  /** Could any key in [min, max] satisfy `f`? Conservative true. */
+  /** Could any value in [min, max] satisfy `f`? Conservative true. */
   def mightMatch(f: Filter, min: ZoneKey, max: ZoneKey,
                  t: WritableType): Boolean = {
     def k(v: Any): Option[ZoneKey] = toKey(t, v)
@@ -69,12 +73,13 @@ object ZoneMapPruning {
         (min, max) match {
           case (ZoneKey.B(lo), ZoneKey.B(hi)) =>
             val p = prefix.getBytes(StandardCharsets.UTF_8)
-            // all keys < prefix, or all keys' prefix-length head > prefix
+            // all values < prefix, or all values' prefix-length head > prefix
             !(ZoneKey.compareBytes(hi, p) < 0 ||
               ZoneKey.compareBytes(lo.take(p.length), p) > 0)
           case _ => true
         }
-      // the format cannot encode a null key, so IsNull matches no row
+      // the format cannot encode a null within a column, so IsNull
+      // matches no row of an ordered-typed column
       case IsNull(_) => false
       case IsNotNull(_) => true
       case And(l, r) => mightMatch(l, min, max, t) && mightMatch(r, min, max, t)
@@ -82,6 +87,14 @@ object ZoneMapPruning {
       case _ => true
     }
   }
+
+  /** mightMatch against optional per-block stats (absent stats keep). */
+  private def mightMatchOpt(f: Filter, min: Option[ZoneKey],
+                            max: Option[ZoneKey], t: WritableType): Boolean =
+    (min, max) match {
+      case (Some(lo), Some(hi)) => mightMatch(f, lo, hi, t)
+      case _ => true
+    }
 
   /** One split's pruning outcome: exact offsets to read + how many owned
     * blocks the zone map proved unmatchable. */
@@ -93,17 +106,21 @@ object ZoneMapPruning {
   def plannedOffsets(conf: Configuration, path: String, header: SeqHeader,
                      fileLen: Long, start: Long, end: Long,
                      filters: Seq[Filter]): Option[PlannedBlocks] = {
-    val t = header.keyType
-    val use = filters.filter(usable(_))
-    if (use.isEmpty || header.compression != SeqCompression.Block ||
-        t == WritableType.NullW) return None
-    ZoneMap.readValidated(conf, new Path(path), header.keyClass, fileLen)
+    val kt = header.keyType
+    val vt = header.valueType
+    val useK = filters.filter(usable(_, "key"))
+    val useV = filters.filter(usable(_, "value"))
+    if ((useK.isEmpty && useV.isEmpty) ||
+        header.compression != SeqCompression.Block) return None
+    ZoneMap.readValidated(conf, new Path(path), header.keyClass,
+        header.valueClass, fileLen)
       .map { entries =>
         // split contract: this reader owns blocks whose escape starts in
         // [start, end) — identical to the sync-scan discovery rule
         val owned = entries.filter(e => e.offset >= start && e.offset < end)
         val kept = owned.filter(e =>
-          use.forall(mightMatch(_, e.min, e.max, t)))
+          useK.forall(mightMatchOpt(_, e.kmin, e.kmax, kt)) &&
+            useV.forall(mightMatchOpt(_, e.vmin, e.vmax, vt)))
         blocksPlanned.add(owned.size.toLong)
         blocksSkipped.add((owned.size - kept.size).toLong)
         PlannedBlocks(kept.map(_.offset).toArray, (owned.size - kept.size).toLong)

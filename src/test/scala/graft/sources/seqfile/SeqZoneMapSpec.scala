@@ -42,11 +42,13 @@ class SeqZoneMapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(entries.size > 1, "small blockSize must produce multiple blocks")
     assert(entries.map(_.count).sum === 5000L)
     assert(w.bytesWritten === Files.size(tmp))
-    // min/max per entry are consistent and cover the keyspace in order
+    // min/max per entry are consistent and cover the keyspace in order;
+    // value stats track the text payloads
     var expectedStart = 0L
     entries.foreach { e =>
-      assert(e.min === ZoneKey.L(expectedStart))
-      assert(e.max === ZoneKey.L(expectedStart + e.count - 1))
+      assert(e.kmin === Some(ZoneKey.L(expectedStart)))
+      assert(e.kmax === Some(ZoneKey.L(expectedStart + e.count - 1)))
+      assert(e.vmin.isDefined && e.vmax.isDefined)
       expectedStart += e.count
     }
     // offsets are REAL block starts: a reader given exactly these offsets
@@ -63,19 +65,23 @@ class SeqZoneMapSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("sidecar render/parse round-trips all key encodings exactly") {
     val entries = Seq(
-      ZoneEntry(100L, 10L, ZoneKey.L(-5L), ZoneKey.L(Long.MaxValue)),
-      ZoneEntry(200L, 20L, ZoneKey.D(-0.0), ZoneKey.D(Double.NaN)),
-      ZoneEntry(300L, 30L, ZoneKey.B(Array[Byte](0, -1, 127)),
-        ZoneKey.B("日本語".getBytes("UTF-8"))))
-    val (kc, len, back) = ZoneMap.parse(ZoneMap.render("K", 12345L, entries))
-    assert(kc === "K" && len === 12345L)
+      ZoneEntry(100L, 10L, Some(ZoneKey.L(-5L)), Some(ZoneKey.L(Long.MaxValue)),
+        Some(ZoneKey.D(1.5)), Some(ZoneKey.D(2.5))),
+      ZoneEntry(200L, 20L, Some(ZoneKey.D(-0.0)), Some(ZoneKey.D(Double.NaN)),
+        None, None), // NullWritable value column
+      ZoneEntry(300L, 30L, Some(ZoneKey.B(Array[Byte](0, -1, 127))),
+        Some(ZoneKey.B("日本語".getBytes("UTF-8"))), None, None))
+    val (kc, vc, len, back) =
+      ZoneMap.parse(ZoneMap.render("K", "V", 12345L, entries))
+    assert(kc === "K" && vc === "V" && len === 12345L)
     assert(back.size === 3)
     assert(back(0) === entries(0))
+    assert(back(1).vmin === None && back(1).vmax === None)
     assert(java.lang.Double.doubleToLongBits(
-      back(1).max.asInstanceOf[ZoneKey.D].v) ==
+      back(1).kmax.get.asInstanceOf[ZoneKey.D].v) ==
       java.lang.Double.doubleToLongBits(Double.NaN))
-    assert(ZoneKey.compareBytes(back(2).min.asInstanceOf[ZoneKey.B].v,
-      entries(2).min.asInstanceOf[ZoneKey.B].v) === 0)
+    assert(ZoneKey.compareBytes(back(2).kmin.get.asInstanceOf[ZoneKey.B].v,
+      entries(2).kmin.get.asInstanceOf[ZoneKey.B].v) === 0)
   }
 
   // ---- mightMatch semantics ----
@@ -192,10 +198,11 @@ class SeqZoneMapSpec extends AnyFunSuite with BeforeAndAfterAll {
     // readers must refuse it and fall back to the full scan
     val conf = new Configuration()
     val entries = ZoneMap.readValidated(conf, dataFile,
-      WritableType.LongW.javaClass,
+      WritableType.LongW.javaClass, WritableType.TextW.javaClass,
       dataFile.getFileSystem(conf).getFileStatus(dataFile).getLen).get
     ZoneMap.write(dataFile.getFileSystem(conf), dataFile,
-      WritableType.LongW.javaClass, 1L /* wrong */, entries)
+      WritableType.LongW.javaClass, WritableType.TextW.javaClass,
+      1L /* wrong */, entries)
     resetCounters()
     val got = spark.read.format("seqfile").load(dir)
       .filter(col("key") >= 19990L).collect()
@@ -217,6 +224,30 @@ class SeqZoneMapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withFilter.count() === 100000L)
     assert(withFilter.agg(sum("key")).as[Long].head() ===
       (100000L until 200000L).sum)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("value-column predicates prune blocks too") {
+    val dir = Files.createTempDirectory("zm-val").toString
+    // keys unsorted, VALUES sorted — only value stats can prune here
+    (0L until 80000L).map(i => ((i * 2654435761L) % 1000003L, i))
+      .toDF("key", "value")
+      .coalesce(1).sortWithinPartitions("value")
+      .write.format("seqfile").option("blockSize", "65536")
+      .mode("overwrite").save(dir)
+    resetCounters()
+    val got = spark.read.format("seqfile").load(dir)
+      .filter(col("value") >= 79990L).collect()
+    assert(got.length === 10)
+    val plannedN = ZoneMapPruning.blocksPlanned.sum()
+    assert(plannedN > 3)
+    assert(ZoneMapPruning.blocksSkipped.sum() >= plannedN - 2,
+      "value-sorted tail range must skip nearly all blocks")
+    // combined: impossible key+value conjunction prunes everything the
+    // value range allows, and returns no rows
+    val none = spark.read.format("seqfile").load(dir)
+      .filter(col("value") >= 79990L && col("value") < 79990L).collect()
+    assert(none.isEmpty)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
