@@ -126,21 +126,32 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering {
 
-  /** Dynamic partition pruning: Spark may call filter() AFTER planning,
-    * with runtime filters derived from a joined dimension (e.g. the rf
-    * values that survived the dim's WHERE). They compose with the static
-    * pushed filters; like those, they only ever SKIP files — rows are
-    * still verified by the residual join/filter, so an over-broad runtime
-    * filter can't break correctness. */
+  /** Dynamic pruning: Spark may call filter() AFTER planning, with runtime
+    * filters derived from a joined dimension (e.g. the join keys that
+    * survived the dim's WHERE). Partition-column filters skip whole files;
+    * key/value filters feed zone-map BLOCK skipping in the readers (runtime
+    * data skipping — the seqfile analog of DPP on a fact table joined by
+    * key). Both compose with the static pushed filters and only ever SKIP
+    * data; rows are still verified by the residual join/filter, so an
+    * over-broad runtime filter can't break correctness. */
   private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var runtimeDataFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  private def isDataCol(n: String): Boolean =
+    n.equalsIgnoreCase("key") || n.equalsIgnoreCase("value")
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     tableSchema.fieldNames
-      .filterNot(n => n.equalsIgnoreCase("key") || n.equalsIgnoreCase("value"))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
-  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    runtimeFilters = filters.filter(PartitionFilters.supported)
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    // partition filters must reference ONLY partition columns — a filter on
+    // `key` would evaluate as non-matching against partition values and
+    // mis-prune whole files
+    runtimeFilters = filters.filter(f =>
+      f.references.forall(r => !isDataCol(r)) && PartitionFilters.supported(f))
+    runtimeDataFilters = filters.filter(ZoneMapPruning.usableAny)
+  }
 
   /** Size estimate so Catalyst's join planning can broadcast small seqfile
     * tables: on-disk bytes × a snappy decompression factor, scaled by the
@@ -196,7 +207,7 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
       (0L until n).map { i =>
         SeqFilePartition(pf.status.getPath.toString, i * maxSplitBytes,
           math.min((i + 1) * maxSplitBytes, len), pf.partitionValues,
-          keyFilters.toSeq)
+          (keyFilters ++ runtimeDataFilters).toSeq)
       }
     }.toArray
   }

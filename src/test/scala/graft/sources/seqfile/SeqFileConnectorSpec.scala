@@ -452,7 +452,10 @@ class SeqFileConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan.planInputPartitions().length === 3)
     // what Spark's runtime filtering does at execution time: filter() after
     // planning with values learned from a joined dim
-    assert(scan.filterAttributes().map(_.describe()).toSeq === Seq("rf"))
+    // every column is advertised: partition cols for file pruning, data
+    // cols for runtime zone-map block skipping
+    assert(scan.filterAttributes().map(_.describe()).toSet ===
+      Set("key", "value", "rf"))
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("rf", Array("A", "R"))))
     assert(scan.planInputPartitions().length === 2)

@@ -251,6 +251,35 @@ class SeqZoneMapSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("runtime (join-derived) key filters skip blocks like static ones") {
+    val dir = Files.createTempDirectory("zm-rt").toString
+    (0L until 100000L).map(i => (i, s"v$i")).toDF("key", "value")
+      .coalesce(1).sortWithinPartitions("key")
+      .write.format("seqfile").option("blockSize", "65536")
+      .mode("overwrite").save(dir)
+    val schema = spark.read.format("seqfile").load(dir).schema
+    val scan = new SeqFileScanBuilder(schema, Seq(dir),
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build().asInstanceOf[SeqFileScan]
+    // what Spark's runtime filtering does at execution time: join keys
+    // learned from a broadcast dim arrive as an In filter after planning
+    scan.filter(Array[Filter](In("key", Array(17L, 99999L))))
+    val parts = scan.planInputPartitions()
+    resetCounters()
+    val factory = scan.createReaderFactory()
+    var rows = 0L
+    parts.foreach { p =>
+      val r = factory.createReader(p)
+      try { while (r.next()) rows += 1 } finally r.close()
+    }
+    val plannedN = ZoneMapPruning.blocksPlanned.sum()
+    val skipped = ZoneMapPruning.blocksSkipped.sum()
+    assert(plannedN > 3)
+    assert(plannedN - skipped <= 2, "two-point In must read at most 2 blocks")
+    assert(rows > 0 && rows < 100000L, "reader emits only surviving blocks' rows")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("unsorted keys still answer correctly (zone map just prunes less)") {
     val dir = Files.createTempDirectory("zm-unsorted").toString
     val rnd = new scala.util.Random(11)
