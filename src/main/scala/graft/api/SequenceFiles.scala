@@ -37,4 +37,15 @@ object SequenceFiles {
     * SequenceFile.hs:31-36). */
   def recordCount(spark: SparkSession, paths: String*): Long =
     read(spark, paths: _*).count()
+
+  /** Compact a leaf seqfile directory's committed files into
+    * ~`targetFileBytes` files, key-sorted by default (zone-map friendly).
+    * Readers never observe duplicates or gaps, and a live streaming sink
+    * can keep appending throughout; see SeqFileCompaction for the manifest
+    * protocol. Returns the number of data files after compaction. */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 512L * 1024 * 1024,
+              sortByKey: Boolean = true): Int =
+    graft.sources.seqfile.SeqFileCompaction.compact(
+      spark, dir, targetFileBytes, sortByKey)
 }

@@ -162,15 +162,46 @@ object SeqFileDataSource {
     keySeqs.headOption.getOrElse(Nil)
   }
 
-  /** Union of committed file names across all epoch manifests. */
-  private def readManifests(fs: FileSystem, metaDir: Path): Set[String] = {
-    val entries = Option(fs.listStatus(metaDir)).map(_.toSeq).getOrElse(Seq.empty)
-    entries.filter(e => e.isFile && !hidden(e.getPath.getName)).flatMap { e =>
-      val in = fs.open(e.getPath)
-      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+  val CompactionPrefix = "compact-"
+
+  /** Committed data file names for a manifest-managed directory.
+    *
+    * Epoch manifests (streaming sink commits) are plain name-per-line
+    * files. A COMPACTION manifest (`compact-<seq>`, written by
+    * `SeqFileCompaction`) atomically supersedes the epoch manifests it
+    * absorbed: the newest compaction manifest contributes its own file
+    * list, absorbed manifests are ignored even if their deletion crashed
+    * mid-way, and epoch manifests committed AFTER the compaction snapshot
+    * (not in its absorbed list) remain visible — so a live streaming sink
+    * keeps appending through a concurrent compaction. */
+  private[seqfile] def readManifests(fs: FileSystem, metaDir: Path): Set[String] =
+    readManifestsFrom(fs, metaDir,
+      Option(fs.listStatus(metaDir)).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(e => e.isFile && !hidden(e.getPath.getName))
+        .map(_.getPath.getName))
+
+  /** Same, over an explicit snapshot of manifest names — compaction uses
+    * this so its input set and its absorbed set are the SAME snapshot (a
+    * re-list could see an epoch committed in between: its files would be
+    * compacted but its manifest not absorbed → duplicates). */
+  private[seqfile] def readManifestsFrom(fs: FileSystem, metaDir: Path,
+                                         names: Seq[String]): Set[String] = {
+    def contentOf(name: String): String = {
+      val in = fs.open(new Path(metaDir, name))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      content.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-    }.toSet
+    }
+    val (compactions, epochs) = names.partition(_.startsWith(CompactionPrefix))
+    compactions.sorted.lastOption match {
+      case None =>
+        epochs.flatMap(n => contentOf(n)
+          .split("\n").iterator.map(_.trim).filter(_.nonEmpty)).toSet
+      case Some(c) =>
+        val (absorbed, files) = SeqFileCompaction.parseManifest(contentOf(c))
+        val live = epochs.filterNot(absorbed.contains)
+        files ++ live.flatMap(n => contentOf(n)
+          .split("\n").iterator.map(_.trim).filter(_.nonEmpty))
+    }
   }
 
   private def hidden(name: String): Boolean =
