@@ -550,6 +550,27 @@ object SparkEntry {
         .orderBy(col("key_mod"))
     }),
 
+    // ---- small-files compaction: sink-shaped fragmented dir -> compact
+    //      (crash-safe manifest swap, key-sorted output) -> key-range read
+    //      that exercises the compacted files' zone maps. Oracle runs the
+    //      same range on the original parquet. ----
+    "q_seqfile_compact" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-seq-cp-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("key"), col("o_totalprice").as("value"))
+        .repartition(24)
+        .write.format("seqfile").mode("overwrite").save(tmp)
+      graft.api.SequenceFiles.compact(s, tmp, targetFileBytes = 8L << 20)
+      s.read.format("seqfile").load(tmp)
+        .filter(col("key") <= 1000L)
+        .groupBy((col("key") % 3).as("key_mod"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_price"))
+        .orderBy(col("key_mod"))
+    }),
+
     // ---- hive-partitioned seqfile lake: write per-partition dirs, read
     //      with a partition filter (files pruned at planning), aggregate.
     //      Oracle runs the equivalent WHERE on the original parquet. ----
@@ -1318,6 +1339,13 @@ object SparkEntry {
         |      FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_seqfile_compact" ->
+      """SELECT o_orderkey % 3 AS key_mod, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey <= 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_seqfile_keyrange" ->
       """WITH hi AS (SELECT max(l_orderkey) AS h FROM lineitem)
