@@ -21,11 +21,13 @@ import graft.core.seqfile._
 class SeqFileScanBuilder(tableSchema: StructType, paths: Seq[String],
                          options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var keyFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var aggScan: Option[SeqFileAggScan] = None
 
   private val partCols: Set[String] =
     tableSchema.fieldNames.filterNot(n =>
@@ -50,13 +52,42 @@ class SeqFileScanBuilder(tableSchema: StructType, paths: Seq[String],
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     partFilters ++ keyFilters
 
-  override def build(): Scan =
+  /** MIN/MAX/COUNT without groupBy, served exactly from zone-map sidecars —
+    * the data files are never opened (see SeqFileAggPushdown). Partial
+    * pushdown only: Spark's aggregate still merges, so empty tables and
+    * mixed plans behave normally. Declined whenever any filter is present
+    * or any file lacks validated stats. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // Spark only pushes aggregates below fully-consumed filters, and ours
+    // all stay residual — but keep the explicit guard for safety
+    if (partFilters.nonEmpty || keyFilters.nonEmpty) return false
+    SeqFileAggPushdown.specsFor(agg, tableSchema) match {
+      case Some(specs) if specs.nonEmpty =>
+        val out = SeqFileAggPushdown.schemaFor(specs, tableSchema)
+        SeqFileAggPushdown.partialRow(paths, specs, tableSchema,
+            new org.apache.hadoop.conf.Configuration()) match {
+          case Some(row) =>
+            aggScan = Some(new SeqFileAggScan(out, row,
+              s"seqfile agg-pushdown paths=${paths.mkString(",")} " +
+                s"aggs=${specs.mkString(",")}"))
+            true
+          case None => false
+        }
+      case _ => false
+    }
+  }
+
+  override def build(): Scan = aggScan.getOrElse(
     new SeqFileScan(tableSchema, required, paths,
       maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
         .getOrElse(128L * 1024 * 1024),
       mode = ReadMode.parse(Option(options.get("mode")).getOrElse("FAILFAST")),
       partitionFilters = partFilters,
-      keyFilters = keyFilters)
+      keyFilters = keyFilters))
 }
 
 /** Evaluate pushed filters against a file's partition values. Only shapes
