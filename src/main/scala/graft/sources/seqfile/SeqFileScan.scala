@@ -155,7 +155,33 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
                   partitionFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                   keyFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsRuntimeFiltering {
+  with SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** Storage-partitioned execution: a hive-partitioned lake reports
+    * KeyGroupedPartitioning over its partition columns, so (with
+    * spark.sql.sources.v2.bucketing.enabled) a groupBy on partition
+    * columns runs shuffle-free and a join of two co-partitioned seqfile
+    * lakes becomes a storage-partitioned join — at 100 TB the difference
+    * between a full-corpus exchange and none. Unpartitioned tables report
+    * UnknownPartitioning (grouping everything into one key would serialize
+    * the scan). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val parts = planInputPartitions()
+    val partCols = parts.headOption
+      .map(_.asInstanceOf[SeqFilePartition].partValues.map(_._1))
+      .getOrElse(Nil)
+    if (partCols.nonEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        partCols.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray,
+        parts.length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        parts.length)
+  }
 
   /** Dynamic pruning: Spark may call filter() AFTER planning, with runtime
     * filters derived from a joined dimension (e.g. the join keys that
@@ -171,8 +197,11 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
   private def isDataCol(n: String): Boolean =
     n.equalsIgnoreCase("key") || n.equalsIgnoreCase("value")
 
+  // only columns present in the (pruned) output: Spark's pruning rules
+  // resolve these refs against the scan output and throw on a column the
+  // projection dropped
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    tableSchema.fieldNames
+    required.fieldNames
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
@@ -254,7 +283,13 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
 case class SeqFilePartition(path: String, start: Long, end: Long,
                             partValues: Seq[(String, String)] = Nil,
                             keyFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
-  extends InputPartition
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** Hive-partition values as the partition key (only consulted when the
+    * scan reports KeyGroupedPartitioning, i.e. partValues nonEmpty). */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(
+      partValues.map(v => UTF8String.fromString(v._2): Any).toArray)
+}
 
 class SeqFileReaderFactory(tableSchema: StructType, required: StructType,
                            mode: String)
