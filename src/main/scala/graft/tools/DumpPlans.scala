@@ -17,7 +17,9 @@ object DumpPlans extends App {
     "q21_waiting_suppliers" -> "correlated EXISTS/NOT EXISTS as semi+anti joins on orderkey",
     "q_dedup_minhash" -> "band-bucket equi-join + sorted-array merge verify",
     "q_dedup_embedding_lsh" -> "LSH buckets carrying vectors, inline verify, no BNLJ",
-    "q_seqfile_partitioned" -> "partition-pruned seqfile scan feeding an aggregate")
+    "q_seqfile_partitioned" -> "partition-pruned seqfile scan feeding an aggregate",
+    "q_seqfile_keyrange" -> "zone-map block skipping: key-range over a sorted seqfile copy",
+    "q_seqfile_compact" -> "compacted (key-sorted, zone-mapped) files answering a key range")
   val sb = new StringBuilder
   sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
   sb.append("GENERATED artifact — regenerate with `sbt \"runMain graft.tools.DumpPlans\"`.\n")
