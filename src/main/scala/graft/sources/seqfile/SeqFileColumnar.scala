@@ -101,9 +101,14 @@ class SeqFileColumnarPartitionReader(part: SeqFilePartition, tableSchema: Struct
       SeqFileSchema.validate(tableSchema, header, part.path)
       val needKey = required.fieldNames.exists(_.equalsIgnoreCase("key"))
       val needValue = required.fieldNames.exists(_.equalsIgnoreCase("value"))
-      planned = ZoneMapPruning.plannedOffsets(
-        new org.apache.hadoop.conf.Configuration(),
-        part.path, header, input.length, part.start, part.end, part.keyFilters)
+      planned = part.fixedOffsets match {
+        // TopN pushdown planned the exact blocks already
+        case Some(offs) =>
+          Some(ZoneMapPruning.PlannedBlocks(offs.toArray, 0L))
+        case None => ZoneMapPruning.plannedOffsets(
+          new org.apache.hadoop.conf.Configuration(),
+          part.path, header, input.length, part.start, part.end, part.keyFilters)
+      }
       SeqStream.openRange(input, header, part.start, part.end,
         decodeKey = needKey, decodeValue = needValue,
         plannedOffsets = planned.map(_.offsets))

@@ -22,7 +22,8 @@ class SeqFileScanBuilder(tableSchema: StructType, paths: Seq[String],
                          options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = tableSchema
   private var partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -51,6 +52,34 @@ class SeqFileScanBuilder(tableSchema: StructType, paths: Seq[String],
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     partFilters ++ keyFilters
+
+  /** ORDER BY key/value LIMIT n: zone maps select a provably sufficient
+    * block subset per file (see SeqFileTopNPushdown) — partially pushed,
+    * Spark's TakeOrdered still runs over the emitted superset. Offered only
+    * with no filters and full sidecar coverage. */
+  private var topNPlan: Option[Seq[(SeqFileDataSource.PartitionedFile, Seq[Long])]] = None
+
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    if (partFilters.nonEmpty || keyFilters.nonEmpty || aggScan.nonEmpty)
+      return false
+    SeqFileTopNPushdown.orderFor(orders) match {
+      case Some(key) if tableSchema.fields.exists(f =>
+          f.name.equalsIgnoreCase(key.col) && f.dataType != NullType) =>
+        SeqFileTopNPushdown.planFiles(paths, key, limit,
+            new Configuration()) match {
+          case Some(plan) =>
+            topNPlan = Some(plan)
+            SeqFileTopNPushdown.pushes.increment()
+            true
+          case None => false
+        }
+      case _ => false
+    }
+  }
 
   /** MIN/MAX/COUNT without groupBy, served exactly from zone-map sidecars —
     * the data files are never opened (see SeqFileAggPushdown). Partial
@@ -87,7 +116,8 @@ class SeqFileScanBuilder(tableSchema: StructType, paths: Seq[String],
         .getOrElse(128L * 1024 * 1024),
       mode = ReadMode.parse(Option(options.get("mode")).getOrElse("FAILFAST")),
       partitionFilters = partFilters,
-      keyFilters = keyFilters))
+      keyFilters = keyFilters,
+      topNPlan = topNPlan))
 }
 
 /** Evaluate pushed filters against a file's partition values. Only shapes
@@ -153,7 +183,8 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
                   paths: Seq[String], maxSplitBytes: Long,
                   mode: String = ReadMode.FailFast,
                   partitionFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-                  keyFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                  keyFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                  topNPlan: Option[Seq[(SeqFileDataSource.PartitionedFile, Seq[Long])]] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -254,6 +285,17 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
     * this yields ~800k splits of 128 MiB — Spark's scheduler handles that;
     * tune `maxSplitBytes` upward for very large clusters. */
   override def planInputPartitions(): Array[InputPartition] = {
+    // TopN pushdown: one partition per file with an explicit block list
+    // (the selection already read every sidecar at planning)
+    topNPlan match {
+      case Some(plan) =>
+        return plan.map { case (pf, offs) =>
+          SeqFilePartition(pf.status.getPath.toString, 0L,
+            pf.status.getLen, pf.partitionValues,
+            fixedOffsets = Some(offs)): InputPartition
+        }.toArray
+      case None => ()
+    }
     val conf = new Configuration()
     val files = SeqFileDataSource.listPartitionedFiles(paths, conf)
       .filter { pf =>
@@ -282,7 +324,8 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
 
 case class SeqFilePartition(path: String, start: Long, end: Long,
                             partValues: Seq[(String, String)] = Nil,
-                            keyFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+                            keyFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+                            fixedOffsets: Option[Seq[Long]] = None)
   extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** Hive-partition values as the partition key (only consulted when the
     * scan reports KeyGroupedPartitioning, i.e. partValues nonEmpty). */
@@ -333,8 +376,13 @@ class SeqFilePartitionReader(part: SeqFilePartition, tableSchema: StructType,
       SeqFileSchema.validate(tableSchema, header, part.path)
       val needKey = required.fieldNames.exists(_.equalsIgnoreCase("key"))
       val needValue = required.fieldNames.exists(_.equalsIgnoreCase("value"))
-      planned = ZoneMapPruning.plannedOffsets(new Configuration(),
-        part.path, header, input.length, part.start, part.end, part.keyFilters)
+      planned = part.fixedOffsets match {
+        // TopN pushdown planned the exact blocks already
+        case Some(offs) =>
+          Some(ZoneMapPruning.PlannedBlocks(offs.toArray, 0L))
+        case None => ZoneMapPruning.plannedOffsets(new Configuration(),
+          part.path, header, input.length, part.start, part.end, part.keyFilters)
+      }
       SeqStream.openRange(input, header, part.start, part.end,
         decodeKey = needKey, decodeValue = needValue,
         plannedOffsets = planned.map(_.offsets))
