@@ -759,6 +759,20 @@ object SparkEntry {
     // ================= LLM-pipeline operators =================
 
     // ---- exact dedup via 64-bit content fingerprint ----
+    // ---- exact dedup with a quality policy: keep the LONGEST copy of
+    //      each duplicate group (ties -> min id), the policy a training
+    //      pipeline wants over blind min-id. ----
+    "q_dedup_keepbest" -> ((s, dir) => {
+      graft.operators.Dedup.exactDedupKeepBest(
+          t(s, dir, "documents"), "doc_id", "text", octet_length(col("text")))
+        .filter(col("is_rep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_reps"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(octet_length(col("text")).cast("long")).as("len_sum"))
+        .orderBy(col("source"))
+    }),
+
     "q_dedup_exact" -> ((s, dir) => {
       // n_dup_docs is WITHIN-source (n_docs - distinct fingerprints): a
       // duplicate pair spanning two sources counts in neither, matching the
@@ -1484,6 +1498,19 @@ object SparkEntry {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_dedup_keepbest" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, text,
+        |    row_number() OVER (
+        |      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |      ORDER BY strlen(text) DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS n_reps,
+        |  sum(doc_id)::BIGINT AS id_sum,
+        |  sum(strlen(text))::BIGINT AS len_sum
+        |FROM g WHERE rn = 1
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,

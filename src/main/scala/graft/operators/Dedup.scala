@@ -44,6 +44,29 @@ object Dedup {
       .drop("g_rep", "g_n")
   }
 
+  /** exactDedup with a QUALITY policy: the group representative is the row
+    * maximizing `preferCol` (ties broken by min id) instead of blindly the
+    * min id — what a training-data pipeline actually wants ("keep the
+    * longest / highest-quality copy"). Same shuffle shape as exactDedup:
+    * only (fp, id, prefer) triples aggregate (max_by keeps one struct per
+    * group, mergeable map-side), the text never moves, and the annotation
+    * join broadcasts under AQE at realistic duplicate rates. */
+  def exactDedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+                         preferCol: Column): DataFrame = {
+    val withFp = df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("pref_", preferCol)
+    val groups = withFp
+      .groupBy(col("fp"))
+      .agg(expr(s"max_by(`$idCol`, struct(pref_, -`$idCol`))").as("g_rep"),
+        count(lit(1)).as("g_n"))
+      .filter(col("g_n") > 1)
+    withFp.join(groups, Seq("fp"), "left")
+      .withColumn("rep_id", coalesce(col("g_rep"), col(idCol)))
+      .withColumn("group_size", coalesce(col("g_n"), lit(1L)))
+      .withColumn("is_rep", col(idCol) === col("rep_id"))
+      .drop("g_rep", "g_n", "pref_")
+  }
+
   /** Exact word-n-gram Jaccard similarity pairs with sim >= threshold.
     * Formulation: explode distinct shingles, self-join on shingle (only
     * docs sharing at least one shingle ever meet), aggregate intersection

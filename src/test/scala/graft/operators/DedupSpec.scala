@@ -33,6 +33,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 1L, 3L, false), (4L, 4L, 1L, true)))
   }
 
+  test("exactDedupKeepBest keeps the copy maximizing preferCol, ties -> min id") {
+    val df = docs(
+      1L -> "Hello World",            // 11 bytes
+      2L -> "  hello   world ",       // 16 bytes — longest copy wins
+      3L -> "HELLO WORLD",            // 11 bytes
+      5L -> "solo document",
+      6L -> "tie breaker",            // same length as 7 — min id wins
+      7L -> "TIE BREAKER")
+    val out = Dedup.exactDedupKeepBest(df, "doc_id", "text",
+        octet_length(col("text")))
+      .select("doc_id", "rep_id", "group_size", "is_rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(out === Set(
+      (1L, 2L, 3L, false), (2L, 2L, 3L, true), (3L, 2L, 3L, false),
+      (5L, 5L, 1L, true),
+      (6L, 6L, 2L, true), (7L, 6L, 2L, false)))
+  }
+
   test("ngramJaccardPairs finds a planted near-duplicate and scores it exactly") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
