@@ -903,6 +903,75 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- sequence packing: documents → contiguous token-budget bins
+    //      (context windows) in doc_id order, via the two-phase distributed
+    //      prefix sum (no single-partition global window). ----
+    "q_pack_sequences" -> ((s, dir) => {
+      graft.operators.Packing.packByBudget(
+          t(s, dir, "documents"), "doc_id",
+          graft.functions.TextAnalysis.tokenCount(col("text")), budget = 1000L)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("weight")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bin"))
+    }),
+
+    // ---- deterministic shuffle-shard: reproducible pseudo-random corpus
+    //      permutation + round-robin shard split (balanced to ±1 row). ----
+    "q_shard_assign" -> ((s, dir) => {
+      graft.operators.Sharding.shuffleShard(
+          t(s, dir, "documents"), "doc_id", nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          max(col("shard_pos")).as("max_pos"))
+        .orderBy(col("shard"))
+    }),
+
+    // ---- PII scrub: detect + redact emails/URLs. The synthetic corpus has
+    //      no PII, so both sides inject it deterministically from doc_id
+    //      arithmetic first — the scrubber is then exercised on real
+    //      matches, and the redacted-length sum certifies the rewrite. ----
+    "q_pii_scrub" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      val injected = when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+        .when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" see https://example.org/d/"),
+            col("doc_id").cast("string"), lit(" for details")))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .withColumn("t2", injected)
+        .select(col("source"),
+          TextAnalysis.emailCount(col("t2")).as("n_em"),
+          TextAnalysis.urlCount(col("t2")).as("n_url"),
+          length(TextAnalysis.scrubPii(col("t2"))).as("clean_len"))
+        .groupBy(col("source"))
+        .agg(count(when(col("n_em") + col("n_url") > 0, 1)).as("n_pii_docs"),
+          sum(col("n_em")).cast("long").as("n_emails"),
+          sum(col("n_url")).cast("long").as("n_urls"),
+          sum(col("clean_len")).cast("long").as("clean_len_sum"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- within-document repetition signals (Gopher-style quality
+    //      filters): most-frequent-token fraction and duplicate-bigram
+    //      fraction — all row-local kernels, zero shuffles. ----
+    "q_doc_repetition" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      val nTok = TextAnalysis.tokenCount(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          nTok.as("n_tokens"),
+          round(TextAnalysis.topTokenCount(col("text"))
+            / greatest(nTok, lit(1)).cast("double"), 4).as("top_token_frac"),
+          round(TextAnalysis.dupBigramFrac(col("text")), 4).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- text statistics ----
     "q_text_stats" -> ((s, dir) => {
       import graft.functions.TextAnalysis._
@@ -1615,6 +1684,75 @@ object SparkEntry {
         |SELECT q_id, c_id AS n_id, rank, round(cos, 6) AS cosine
         |FROM ranked WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM w)
+        |SELECT cum_before // 1000 AS bin, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_shard_assign" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rn
+        |  FROM documents)
+        |SELECT CAST(rn % 8 AS INTEGER) AS shard, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  max(rn // 8) AS max_pos
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |    WHEN doc_id % 7 = 3
+        |      THEN text || ' see https://example.org/d/' || CAST(doc_id AS VARCHAR) || ' for details'
+        |    ELSE text END AS t2
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_em,
+        |    len(regexp_extract_all(t2, 'https?://[A-Za-z0-9./_%?=&#~-]+')) AS n_url,
+        |    length(regexp_replace(
+        |      regexp_replace(t2, 'https?://[A-Za-z0-9./_%?=&#~-]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS clean_len
+        |  FROM inj)
+        |SELECT source, count(CASE WHEN n_em + n_url > 0 THEN 1 END) AS n_pii_docs,
+        |  CAST(sum(n_em) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_url) AS BIGINT) AS n_urls,
+        |  CAST(sum(clean_len) AS BIGINT) AS clean_len_sum
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_doc_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |sized AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM base),
+        |tc AS (
+        |  SELECT doc_id, max(c) AS top_c FROM (
+        |    SELECT doc_id, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS tok FROM sized)
+        |    GROUP BY doc_id, tok)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_tokens,
+        |  round(coalesce(tc.top_c, 0) * 1.0 / greatest(s.n_tokens, 1), 4) AS top_token_frac,
+        |  round(CASE WHEN s.n_tokens > 1 THEN
+        |      1.0 - len(list_distinct(list_transform(range(1, s.n_tokens),
+        |        i -> toks[i] || ' ' || toks[i + 1]))) * 1.0 / (s.n_tokens - 1)
+        |    ELSE 0.0 END, 4) AS dup_bigram_frac
+        |FROM sized s LEFT JOIN tc ON s.doc_id = tc.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,

@@ -100,6 +100,57 @@ object TextAnalysis {
     round(greatest(least(score, lit(1.0)), lit(0.0)), 4)
   }
 
+  // --- PII detection / scrubbing -----------------------------------------
+
+  /** Conservative PII patterns, restricted to syntax with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB): plain classes,
+    * greedy quantifiers, no lookaround/backrefs — so the oracle can run the
+    * very same pattern. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[A-Za-z0-9./_%?=&#~-]+"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(urlPattern), lit(0)))
+
+  /** Redact URLs then emails (URLs first: a URL can embed an @userinfo
+    * part; scrubbing emails first would leave a mangled half-URL). Row
+    * -local → scan speed at any scale. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, urlPattern, "<URL>"),
+      emailPattern, "<EMAIL>")
+
+  // --- within-document repetition (Gopher-style quality signals) ---------
+
+  /** Multiplicity of the most frequent token — computed ROW-LOCALLY with a
+    * sort + single-pass max-run-length fold over the token array, not via
+    * explode/groupBy: no shuffle, scan speed at 100 TB, same result as the
+    * oracle's unnest→group→max. */
+  def topTokenCount(text: Column): Column = {
+    val sorted = sort_array(tokens(text))
+    val folded = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x === st("prev"), st("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st("best"), run).as("best"))
+      })
+    folded("best")
+  }
+
+  /** Fraction of bigram slots occupied by a repeated bigram, in [0,1]:
+    * 1 - distinct_bigrams / (n_tokens - 1); 0 for docs under two tokens.
+    * Distinct count comes from the WordShingles kernel (single pass), total
+    * from the token count — both row-local. */
+  def dupBigramFrac(text: Column): Column = {
+    val total = tokenCount(text) - 1
+    when(total > 0,
+      lit(1.0) - size(wordShingles(text, 2)) / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** 64-bit content fingerprint (whitespace/case-normalized rolling hash),
     * via the codegen'd Fingerprint64 expression. */
   def fingerprint(text: Column): Column = expressions.fingerprint64(text)

@@ -27,6 +27,41 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("one", TextAnalysis.tokenCount(col("t"))) === 1)
   }
 
+  test("PII: email/url counts and scrub, urls redacted before emails") {
+    val t = "mail a.b+c@ex-1.org or see https://h.io/p?q=1#f and x@y.co end"
+    assert(one(t, TextAnalysis.emailCount(col("t"))) === 2)
+    assert(one(t, TextAnalysis.urlCount(col("t"))) === 1)
+    assert(one(t, TextAnalysis.scrubPii(col("t"))) ===
+      "mail <EMAIL> or see <URL> and <EMAIL> end")
+    // @userinfo inside a URL must not leave a mangled half-URL behind
+    assert(one("go https://u.x@host.com/p now", TextAnalysis.scrubPii(col("t"))) ===
+      "go <URL> now")
+    assert(one("no pii here", TextAnalysis.scrubPii(col("t"))) === "no pii here")
+    assert(one("", TextAnalysis.emailCount(col("t"))) === 0)
+  }
+
+  test("topTokenCount: max multiplicity via row-local fold equals brute force") {
+    assert(one("a b a c a b", TextAnalysis.topTokenCount(col("t"))) === 3L)
+    assert(one("x", TextAnalysis.topTokenCount(col("t"))) === 1L)
+    assert(one("", TextAnalysis.topTokenCount(col("t"))) === 0L)
+    assert(one("A a aA Aa aa", TextAnalysis.topTokenCount(col("t"))) === 2L)
+    // random fuzz vs a Scala-side brute force
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val toks = Array.fill(rnd.nextInt(50))("t" + rnd.nextInt(8))
+      val expected = if (toks.isEmpty) 0L
+        else toks.groupBy(identity).values.map(_.length).max.toLong
+      assert(one(toks.mkString(" "), TextAnalysis.topTokenCount(col("t"))) === expected)
+    }
+  }
+
+  test("dupBigramFrac: repeated bigrams counted, short docs zero") {
+    assert(one("a b a b a", TextAnalysis.dupBigramFrac(col("t"))) === 0.5) // 4 slots, 2 distinct
+    assert(one("a b c d", TextAnalysis.dupBigramFrac(col("t"))) === 0.0)
+    assert(one("one", TextAnalysis.dupBigramFrac(col("t"))) === 0.0)
+    assert(one("", TextAnalysis.dupBigramFrac(col("t"))) === 0.0)
+  }
+
   test("wordShingles: count, content, short-doc edge") {
     val sh = one("a b c d", TextAnalysis.wordShingles(col("t"), 3))
       .asInstanceOf[scala.collection.Seq[String]].toSeq
