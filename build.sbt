@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the LAST stdout line as JSON. Two sbt
+// behaviors break that: forked-run output gets an "[info] " prefix, and
+// "[success] Total time..." prints after the metric line. Pass the child's
+// stdout through raw and drop the success banner so the metric JSON is the
+// final, unprefixed line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

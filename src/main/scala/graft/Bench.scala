@@ -29,11 +29,16 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Median across rounds — POISONED (-1) if any round failed. A query
+    * that crashes 1-of-3 rounds must not report a healthy-looking median
+    * from the survivors; intermittent breakage is a failure, not noise. */
   private def median(xs: Seq[Double]): Double = {
-    val ok = xs.filter(_ >= 0).sorted
-    if (ok.isEmpty) -1.0
-    else if (ok.size % 2 == 1) ok(ok.size / 2)
-    else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    if (xs.exists(_ < 0) || xs.isEmpty) -1.0
+    else {
+      val ok = xs.sorted
+      if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -103,8 +108,18 @@ object Bench {
     // full-precision form grew past that window and never parsed.
     val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$reps,""" +
-      s""""failed":$failedJson,"queries":${jsonMap2(med)},"sf":$sfNum}""")
+    val metricLine =
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$reps,""" +
+      s""""failed":$failedJson,"queries":${jsonMap2(med)},"sf":$sfNum}"""
+    // Belt and braces: persist the metric line to a stable path too, so a
+    // harness that loses the stdout tail can still recover the numbers.
+    try {
+      val out = new java.io.PrintWriter("/tmp/graft-bench.json")
+      try out.println(metricLine) finally out.close()
+    } catch { case _: Throwable => () }
     spark.stop()
+    // Print LAST, after spark.stop(), so no shutdown chatter can land
+    // between the metric line and process exit.
+    println(metricLine)
   }
 }

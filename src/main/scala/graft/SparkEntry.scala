@@ -1639,25 +1639,23 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
 
-    // Exact replica of ivfTopK's deterministic pipeline: sampled centroids
-    // (every step-th vector by id RANK, step = max(1, N/16), 16 of them —
-    // rank-based so any id space works), nearest-centroid assignment,
-    // nProbe=4 probing, top-10 per query. Dot products are sequential
-    // double folds on both engines, so ranking and rounded cosines agree
-    // bit-for-bit (same as q_ann_bruteforce).
+    // Exact replica of ivfTopK's deterministic pipeline: centroids are the
+    // 16 vectors with the smallest multiplicative id-hash
+    // (id*2654435761 mod 2^32, ties by id — pure integer arithmetic both
+    // engines compute identically; distributed top-C on the Spark side),
+    // nearest-centroid assignment, nProbe=4 probing, top-10 per query.
+    // Dot products are sequential double folds on both engines, so ranking
+    // and rounded cosines agree bit-for-bit (same as q_ann_bruteforce).
     "q_ann_ivf" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         |  FROM embeddings),
-        |stats AS (SELECT greatest(1, count(*) // 16) AS step FROM v),
-        |ranked_v AS (
-        |  SELECT vec_id, v, nrm, row_number() OVER (ORDER BY vec_id) - 1 AS rn
-        |  FROM v),
         |cents AS (
         |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn
-        |  FROM ranked_v, stats
-        |  WHERE rn % step = 0 AND rn < step * 16),
+        |  FROM v
+        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |  LIMIT 16),
         |assign AS (
         |  SELECT c_id, c_v, c_n, cent_id FROM (
         |    SELECT v.vec_id AS c_id, v.v AS c_v, v.nrm AS c_n, cent_id,
@@ -1722,9 +1720,9 @@ object SparkEntry {
         |m AS (
         |  SELECT source,
         |    len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_em,
-        |    len(regexp_extract_all(t2, 'https?://[A-Za-z0-9./_%?=&#~-]+')) AS n_url,
+        |    len(regexp_extract_all(t2, 'https?://[A-Za-z0-9./_%?=&#~@:-]+')) AS n_url,
         |    length(regexp_replace(
-        |      regexp_replace(t2, 'https?://[A-Za-z0-9./_%?=&#~-]+', '<URL>', 'g'),
+        |      regexp_replace(t2, 'https?://[A-Za-z0-9./_%?=&#~@:-]+', '<URL>', 'g'),
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS clean_len
         |  FROM inj)
         |SELECT source, count(CASE WHEN n_em + n_url > 0 THEN 1 END) AS n_pii_docs,

@@ -18,13 +18,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Optional focus list for local iteration: comma-separated query names.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
-    }
+    if (only.isEmpty) writeNoOracleEvidence(spark, sfDir, outDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -41,5 +47,60 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  /** Quantitative evidence for the queries that have no SQL oracle (the
+    * approximate-by-design ones). The correctness gate records them as
+    * rows-only; this emits MEASURED recall/exactness numbers alongside, so
+    * the artifact distinguishes "approximate, recall 0.97" from
+    * "unchecked". Reads back the parquet dumps written above; every metric
+    * is wrapped so a failure degrades to an "error" field, never a crash
+    * of the verify pass. */
+  private def writeNoOracleEvidence(spark: SparkSession, sfDir: String,
+                                    outDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import scala.util.Try
+    def load(name: String) = spark.read.parquet(s"$outDir/$name")
+    // recall@10 of an approximate ANN result vs the exact brute-force dump:
+    // fraction of true (q_id, n_id) neighbor pairs the approx method found.
+    def annRecall(approx: String): String = Try {
+      val truth = load("q_ann_bruteforce").select("q_id", "n_id")
+      val got = load(approx).select("q_id", "n_id")
+      val hit = truth.join(got, Seq("q_id", "n_id"), "left_semi").count()
+      f"""{"metric":"recall_at_10_vs_bruteforce","value":${
+        hit.toDouble / truth.count()}%.4f}"""
+    }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
+    // simhash pair recall vs the exact-verified Jaccard pair dump (the
+    // ground truth the ngram/minhash/prefix gates share).
+    def simhashRecall: String = Try {
+      val truth = load("q_dedup_ngram").select("id_a", "id_b")
+      val got = load("q_dedup_simhash").select("id_a", "id_b")
+      val hit = truth.join(got, Seq("id_a", "id_b"), "left_semi").count()
+      f"""{"metric":"pair_recall_vs_exact_jaccard","value":${
+        hit.toDouble / math.max(1L, truth.count())}%.4f,"truth_pairs":${truth.count()}}"""
+    }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
+    // Count-Min estimates vs exact counts for the same probe tokens: CMS
+    // must never undercount; report the worst overcount ratio.
+    def cmsExactness: String = Try {
+      val est = load("q_sketch_tokens")
+      val exact = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").count()
+      val joined = est.join(exact, Seq("token"), "left")
+        .select(col("token"), col("est_count"),
+          coalesce(col("count"), lit(0L)).as("exact_count"))
+        .collect()
+      val under = joined.count(r => r.getLong(1) < r.getLong(2))
+      val worst = joined.map(r => if (r.getLong(2) == 0) r.getLong(1).toDouble
+        else r.getLong(1).toDouble / r.getLong(2)).max
+      f"""{"metric":"cms_no_undercount","undercounts":$under,"worst_overcount_ratio":$worst%.4f,"probes":${joined.length}}"""
+    }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
+    val body =
+      s"""{"q_ann_lsh": ${annRecall("q_ann_lsh")},
+         |"q_ann_ivf_kmeans": ${annRecall("q_ann_ivf_kmeans")},
+         |"q_dedup_simhash": $simhashRecall,
+         |"q_sketch_tokens": $cmsExactness}""".stripMargin
+    Files.writeString(Paths.get(s"$outDir/no_oracle_evidence.json"), body)
+    println(s"no-oracle-evidence $body")
   }
 }

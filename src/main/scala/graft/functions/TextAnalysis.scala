@@ -107,7 +107,7 @@ object TextAnalysis {
     * greedy quantifiers, no lookaround/backrefs — so the oracle can run the
     * very same pattern. */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val urlPattern = "https?://[A-Za-z0-9./_%?=&#~-]+"
+  val urlPattern = "https?://[A-Za-z0-9./_%?=&#~@:-]+"
 
   def emailCount(text: Column): Column =
     size(regexp_extract_all(text, lit(emailPattern), lit(0)))

@@ -73,11 +73,17 @@ object SimilaritySearch {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** IVF-flat ANN. Centroids: a deterministic corpus sample — every
-    * step-th vector by id rank (step = max(1, N/C)), C of them. Pure rank
-    * arithmetic (no unordered limit), so an exact SQL oracle can replicate
-    * centroid choice, list assignment, and probing bit-for-bit. At real
-    * scale centroids come from k-means (ivfTopKKMeans), but the
+  /** IVF-flat ANN. Centroids: a deterministic pseudo-random corpus sample —
+    * the C vectors with the smallest multiplicative hash of their id
+    * (Knuth's 2654435761, mod 2^32; ties broken by id). orderBy+limit
+    * compiles to TakeOrderedAndProject: each partition keeps its local
+    * top-C and the driver merges C·P rows — fully distributed, no global
+    * sort, no extra count() pass (this replaced a partition-less
+    * row_number() window that funnelled the whole corpus through one task).
+    * Pure integer arithmetic, so an exact SQL oracle replicates centroid
+    * choice, list assignment, and probing bit-for-bit (ids must stay below
+    * ~3.4e9 so id*2654435761 fits in a signed 64-bit on the oracle side).
+    * At real scale centroids come from k-means (ivfTopKKMeans), but the
     * assignment/probe mechanics are identical. Corpus partitions into
     * inverted lists by nearest centroid; each query searches its nProbe
     * nearest lists. Output: (q_id, n_id, rank, cosine). */
@@ -85,17 +91,8 @@ object SimilaritySearch {
               vecCol: String, k: Int, numCentroids: Int = 16,
               nProbe: Int = 4): DataFrame = {
     val c = prepared(corpus, idCol, vecCol)
-    val n = c.count()
-    val step = math.max(1L, n / numCentroids)
-    // Select by id RANK, not raw id value: robust to any id space (offset,
-    // sparse, non-zero-based — raw-id modulo silently yields zero centroids
-    // there) and still pure arithmetic a SQL oracle replicates exactly. The
-    // global row_number is a one-off single-partition sort — fine for a
-    // training pass; the real-scale path is ivfTopKKMeans.
-    val rw = Window.orderBy(col("id"))
-    val cents = c.withColumn("rn", row_number().over(rw).cast("long") - 1)
-      .filter(pmod(col("rn"), lit(step)) === 0
-        && col("rn") < lit(step * numCentroids))
+    val hkey = pmod(col("id").cast("long") * lit(2654435761L), lit(4294967296L))
+    val cents = c.orderBy(hkey, col("id")).limit(numCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     ivfWithCentroids(c, queries, idCol, vecCol, cents, k, nProbe)
   }

@@ -205,6 +205,50 @@ class SeqLayoutInteropSpec extends AnyFunSuite {
       Files.delete(tmp)
     }
 
+  /** Full bidirectional interop with Hadoop's OWN ZStandardCodec — the one
+    * leg the in-container suite can't cover, because that codec needs
+    * libhadoop.so (absent here). `assume`-skipped when the native lib is
+    * missing; on a real cluster with libhadoop+zstd it runs and pins the
+    * framing: Hadoop's codec emits standard zstd frames (magic
+    * 28 B5 2F FD little-endian) per compressed buffer, which is exactly
+    * what our ZstdCodec writes via zstd-jni — so both directions must
+    * decode bit-identically. */
+  test("hadoop-native zstd bidirectional interop (auto-skip without libhadoop)") {
+    import org.apache.hadoop.io.compress.ZStandardCodec
+    val nativeZstd =
+      try ZStandardCodec.isNativeCodeLoaded()
+      catch { case _: Throwable => false }
+    assume(nativeZstd, "libhadoop with zstd support not loaded in this environment")
+    // leg 1: Hadoop writes (both layouts), our reader decodes
+    for (ct <- Seq(CompressionType.BLOCK, CompressionType.RECORD)) {
+      val codec = new ZStandardCodec
+      codec.setConf(new Configuration())
+      val path = writeFixture(ct, codec)
+      assert(SeqFile.readHeader(path).codecClass.contains("ZStandardCodec"))
+      assert(readAll(path) === expected)
+    }
+    // leg 2: our writer, Hadoop's reader
+    val tmp = Files.createTempFile("w-zstd-native", ".seq")
+    val w = new SeqFileWriter(Files.newOutputStream(tmp),
+      WritableType.TextW, WritableType.IntW, syncSeed = 19L,
+      compression = SeqCompression.Block, codec = SeqCodecs.ZstdCodec)
+    val m = 5000
+    (0 until m).foreach(i => w.append(f"K$i%06d", i * 7))
+    w.close()
+    val reader = new SequenceFile.Reader(new Configuration(),
+      SequenceFile.Reader.file(new Path(tmp.toString)))
+    try {
+      val k = new Text(); val v = new IntWritable()
+      var i = 0
+      while (reader.next(k, v)) {
+        assert(k.toString === f"K$i%06d")
+        assert(v.get === i * 7)
+        i += 1
+      }
+      assert(i === m)
+    } finally { reader.close(); Files.delete(tmp) }
+  }
+
   test("corrupt record-layout bytes raise SeqFileFormatException (not crashes)") {
     val path = writeFixture(CompressionType.NONE, new DefaultCodec)
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))

@@ -36,6 +36,9 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     // @userinfo inside a URL must not leave a mangled half-URL behind
     assert(one("go https://u.x@host.com/p now", TextAnalysis.scrubPii(col("t"))) ===
       "go <URL> now")
+    // explicit port must be swallowed by the URL match too
+    assert(one("at http://host.com:8080/p end", TextAnalysis.scrubPii(col("t"))) ===
+      "at <URL> end")
     assert(one("no pii here", TextAnalysis.scrubPii(col("t"))) === "no pii here")
     assert(one("", TextAnalysis.emailCount(col("t"))) === 0)
   }
@@ -44,7 +47,8 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("a b a c a b", TextAnalysis.topTokenCount(col("t"))) === 3L)
     assert(one("x", TextAnalysis.topTokenCount(col("t"))) === 1L)
     assert(one("", TextAnalysis.topTokenCount(col("t"))) === 0L)
-    assert(one("A a aA Aa aa", TextAnalysis.topTokenCount(col("t"))) === 2L)
+    // tokens are lowercased: [a, a, aa, aa, aa] -> top multiplicity 3
+    assert(one("A a aA Aa aa", TextAnalysis.topTokenCount(col("t"))) === 3L)
     // random fuzz vs a Scala-side brute force
     val rnd = new scala.util.Random(42)
     (1 to 20).foreach { _ =>

@@ -78,6 +78,20 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kmeans >= sampled - 0.1, s"kmeans $kmeans well below sampled $sampled")
   }
 
+  test("ivfTopK centroid selection is distributed (no partition-less Window)") {
+    // the centroid sample must come from a TakeOrderedAndProject (per-
+    // partition top-C + driver merge), never a global row_number() window
+    // that funnels the whole corpus through one task
+    val plan = SimilaritySearch.ivfTopK(emb, queries, "vec_id", "embedding", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected distributed top-C:\n$plan")
+    // every Window in the plan must carry a partition spec (q_id / id);
+    // a partition-less Window prints as "Window [...], [...ORDER BY...]"
+    // with an empty partition list
+    val badWindow = "Window \\[[^\\]]*\\], \\[\\]".r
+    assert(badWindow.findFirstIn(plan).isEmpty, s"partition-less Window in:\n$plan")
+  }
+
   test("ivfTopK scans a bounded fraction of the corpus (nProbe/C lists)") {
     // with 16 centroids and nProbe=4, each query's candidate set must be
     // well under the full corpus
