@@ -807,6 +807,42 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- benchmark decontamination: corpus docs sharing >= 2 distinct
+    //      word-trigrams with any single benchmark doc (the n-gram
+    //      collision rule used to keep eval sets out of training data).
+    //      Benchmark = the deterministic doc_id % 97 == 0 slice; corpus =
+    //      the rest. Hash-join equals the oracle's string join modulo
+    //      2^-64 collisions (same equivalence as the Jaccard gates). ----
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontamination.contaminationReport(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", "doc_id", "text", n = 3, minOverlap = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- line-level boilerplate removal (CCNet-style): the corpus has no
+    //      newlines, so both sides deterministically inject them first —
+    //      two boilerplate lines (in ~1/3 and ~1/5 of docs, WELL above the
+    //      doc-frequency cutoff) plus organic line breaks at ' table '.
+    //      The operator must drop exactly the over-frequent lines and
+    //      reassemble the rest in order; clean_len certifies the rewrite. ----
+    "q_line_dedup" -> ((s, dir) => {
+      val injected = concat(
+        when(col("doc_id") % 3 === 0, lit("Subscribe to our newsletter\n"))
+          .otherwise(lit("")),
+        regexp_replace(col("text"), " table ", "\n"),
+        when(col("doc_id") % 5 === 0, lit("\nAll rights reserved"))
+          .otherwise(lit("")))
+      graft.operators.Dedup.removeBoilerplateLines(
+          t(s, dir, "documents").withColumn("text", injected),
+          "doc_id", "text", maxDocFreq = 10)
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          length(col("text")).cast("long").as("clean_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- SimHash near-dup pairs (hash not SQL-replicable → rows-only) ----
     // maxHamming=3 over 4 x 16-bit chunks is the standard 64-bit simhash
     // near-dup setting (Manku et al., WWW'07). 16-bit block keys give 65536
@@ -1588,6 +1624,65 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // String-join replica of the hash-join decontamination report; same
+    // shingle construction as the Jaccard oracle.
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+        |ovl AS (
+        |  SELECT d.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS overlap
+        |  FROM sh d JOIN sh b ON d.s = b.s
+        |  WHERE b.doc_id % 97 = 0 AND d.doc_id % 97 <> 0
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bench_hits, max(overlap) AS max_overlap
+        |  FROM ovl GROUP BY doc_id),
+        |worst AS (
+        |  SELECT o.doc_id, min(o.bench_id) AS worst_bench_id
+        |  FROM ovl o JOIN agg a ON o.doc_id = a.doc_id AND o.overlap = a.max_overlap
+        |  GROUP BY o.doc_id)
+        |SELECT a.doc_id, n_bench_hits, max_overlap, worst_bench_id
+        |FROM agg a JOIN worst w ON a.doc_id = w.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // Line-level boilerplate removal with the same deterministic newline /
+    // boilerplate injection as the Spark side; lines in more than 10
+    // distinct docs (normalized lower+trim) are dropped, the rest
+    // reassembled in order.
+    "q_line_dedup" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter' || chr(10) ELSE '' END)
+        |    || regexp_replace(text, ' table ', chr(10), 'g')
+        |    || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'All rights reserved' ELSE '' END) AS t
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS L FROM inj),
+        |lp AS (
+        |  SELECT doc_id, i, L[i] AS line
+        |  FROM ls, unnest(range(1, len(L) + 1)) AS u(i)),
+        |freq AS (
+        |  SELECT lower(trim(line)) AS k
+        |  FROM lp WHERE length(trim(line)) > 0
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 10),
+        |kept AS (
+        |  SELECT doc_id, i, line FROM lp
+        |  WHERE lower(trim(line)) NOT IN (SELECT k FROM freq)),
+        |reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT ls.doc_id, CAST(len(L) AS BIGINT) AS n_lines,
+        |  CAST(len(L) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |  CAST(length(coalesce(clean, '')) AS BIGINT) AS clean_len
+        |FROM ls LEFT JOIN reb ON ls.doc_id = reb.doc_id
+        |ORDER BY ls.doc_id""".stripMargin,
 
     "q_dedup_ngram" -> SparkEntryOracles.ngramJaccardPairsSql,
     "q_dedup_ngram_prefix" -> SparkEntryOracles.ngramJaccardPairsSql,

@@ -322,4 +322,45 @@ object Dedup {
         round(col("cosine"), 6).as("cosine"))
       .distinct()
   }
+
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb pre-filter):
+    * drop every line whose normalized form (lowercased, trimmed) appears in
+    * MORE than `maxDocFreq` distinct documents — navbars, cookie banners,
+    * legal footers — and reassemble each document's surviving lines in
+    * their original order. Whitespace-only lines are structural and never
+    * counted or dropped.
+    *
+    * Scale design: the document text itself NEVER shuffles. Exploded
+    * (id, pos, line-hash) triples (24-byte rows) feed the document-
+    * frequency aggregate; only occurrences of the frequent lines — by
+    * definition a sliver of the corpus — come back as per-doc drop-position
+    * lists, which broadcast-join (AQE) onto the original rows; the actual
+    * line removal is then a row-local array filter. This beats the classic
+    * shuffle-all-lines formulation by the full text volume.
+    *
+    * Output: the input row (textCol rewritten) plus n_lines (original) and
+    * n_removed. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1)
+    val withLines = df.withColumn("_lines", split(col(textCol), "\n"))
+    val keyed = withLines
+      .select(col(idCol).as("_id"), posexplode(col("_lines")).as(Seq("_pos", "_line")))
+      .filter(length(trim(col("_line"))) > 0)
+      .select(col("_id"), col("_pos"), xxhash64(lower(trim(col("_line")))).as("_k"))
+    val frequent = keyed.groupBy(col("_k"))
+      .agg(countDistinct(col("_id")).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+    val drops = keyed.join(frequent, "_k")
+      .groupBy(col("_id"))
+      .agg(collect_set(col("_pos")).as("_drop"))
+    withLines.join(drops, col(idCol) === col("_id"), "left")
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("n_removed", coalesce(size(col("_drop")), lit(0)).cast("long"))
+      .withColumn(textCol,
+        when(col("_drop").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(col("_lines"), (l, i) => !array_contains(col("_drop"), i)), "\n")))
+      .drop("_lines", "_id", "_drop")
+  }
 }

@@ -203,4 +203,43 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(candidates < allPairs / 10,
       s"pruning failed: $candidates distinct candidates vs $allPairs pairs")
   }
+
+  test("removeBoilerplateLines drops over-frequent lines, keeps order and structure") {
+    val df = docs(
+      1L -> "COOKIE BANNER\nunique line one\n\nunique line two",
+      2L -> "cookie banner\nanother unique line",
+      3L -> "  Cookie Banner  \nthird doc content",
+      4L -> "no boilerplate here at all")
+    // "cookie banner" (normalized) appears in 3 docs > maxDocFreq=2 -> dropped
+    val out = Dedup.removeBoilerplateLines(df, "doc_id", "text", maxDocFreq = 2)
+      .select("doc_id", "text", "n_lines", "n_removed").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("unique line one\n\nunique line two", 4L, 1L)))
+    assert(out(2L) === (("another unique line", 2L, 1L)))
+    assert(out(3L) === (("third doc content", 2L, 1L)))
+    assert(out(4L) === (("no boilerplate here at all", 1L, 0L)))
+  }
+
+  test("removeBoilerplateLines: doc of only boilerplate becomes empty but survives") {
+    val df = docs(
+      1L -> "spam", 2L -> "spam", 3L -> "spam",
+      4L -> "spam\nreal content")
+    val out = Dedup.removeBoilerplateLines(df, "doc_id", "text", maxDocFreq = 2)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L) === "")
+    assert(out(4L) === "real content")
+  }
+
+  test("removeBoilerplateLines: whitespace-only lines never counted as boilerplate") {
+    val df = docs(
+      1L -> "a\n\nb", 2L -> "c\n\nd", 3L -> "e\n\nf", 4L -> "g\n\nh")
+    // the empty middle line appears in 4 docs but must NOT be dropped
+    val out = Dedup.removeBoilerplateLines(df, "doc_id", "text", maxDocFreq = 2)
+      .select("doc_id", "text", "n_removed").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("a\n\nb", 0L)))
+    assert(out(3L) === (("e\n\nf", 0L)))
+  }
 }
