@@ -1113,6 +1113,25 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    // ---- HLL++ approximate distinct counts per source over trigram
+    //      shingles (high-cardinality on purpose — tokens alone have a
+    //      tiny vocabulary here). Sketch internals aren't SQL-replicable
+    //      → rows-only; measured relative error lands in
+    //      no_oracle_evidence.json and is asserted in the spec. ----
+    "q_approx_distinct" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("sh"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("sh")).as("n_exact"),
+          approx_count_distinct(col("sh"), 0.02).as("n_approx"))
+        .withColumn("rel_err",
+          round(abs(col("n_approx") - col("n_exact"))
+            / col("n_exact").cast("double"), 4))
+        .orderBy(col("source"))
+    }),
+
     // ---- document fingerprinting (counts are oracle-checkable) ----
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")

@@ -95,11 +95,19 @@ object Verify {
         else r.getLong(1).toDouble / r.getLong(2)).max
       f"""{"metric":"cms_no_undercount","undercounts":$under,"worst_overcount_ratio":$worst%.4f,"probes":${joined.length}}"""
     }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
+    // HLL++ approximate distinct: worst per-source relative error vs the
+    // exact count computed in the same dumped row.
+    def hllError: String = Try {
+      val rows = load("q_approx_distinct").select("rel_err").collect()
+      val worst = rows.map(_.getDouble(0)).max
+      f"""{"metric":"hll_max_rel_err","value":$worst%.4f,"groups":${rows.length}}"""
+    }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
     val body =
       s"""{"q_ann_lsh": ${annRecall("q_ann_lsh")},
          |"q_ann_ivf_kmeans": ${annRecall("q_ann_ivf_kmeans")},
          |"q_dedup_simhash": $simhashRecall,
-         |"q_sketch_tokens": $cmsExactness}""".stripMargin
+         |"q_sketch_tokens": $cmsExactness,
+         |"q_approx_distinct": $hllError}""".stripMargin
     Files.writeString(Paths.get(s"$outDir/no_oracle_evidence.json"), body)
     println(s"no-oracle-evidence $body")
   }

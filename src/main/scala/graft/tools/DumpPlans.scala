@@ -19,7 +19,10 @@ object DumpPlans extends App {
     "q_dedup_embedding_lsh" -> "LSH buckets carrying vectors, inline verify, no BNLJ",
     "q_seqfile_partitioned" -> "partition-pruned seqfile scan feeding an aggregate",
     "q_seqfile_keyrange" -> "zone-map block skipping: key-range over a sorted seqfile copy",
-    "q_seqfile_compact" -> "compacted (key-sorted, zone-mapped) files answering a key range")
+    "q_seqfile_compact" -> "compacted (key-sorted, zone-mapped) files answering a key range",
+    "q_decontaminate" -> "bench side broadcast; corpus shingles never shuffle before the hit filter",
+    "q_line_dedup" -> "doc-frequency line filter: text stays put, drop-lists join back",
+    "q_ann_ivf" -> "distributed centroid top-C (TakeOrderedAndProject), broadcast probes")
   val sb = new StringBuilder
   sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
   sb.append("GENERATED artifact — regenerate with `sbt \"runMain graft.tools.DumpPlans\"`.\n")

@@ -117,4 +117,19 @@ class ExtensionsAndSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // still readable through the connector and by Hadoop
     assert(spark.read.format("seqfile").load(dir).count() === 20000L)
   }
+
+  test("HLL approx distinct over real shingles stays within the configured rsd") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val row = docs
+      .select(explode(graft.functions.TextAnalysis.wordShingles(col("text"), 3)).as("sh"))
+      .agg(countDistinct(col("sh")).as("exact"),
+        approx_count_distinct(col("sh"), 0.02).as("approx"))
+      .head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(exact > 1000L, s"shingle cardinality too low to test HLL: $exact")
+    val relErr = math.abs(approx - exact).toDouble / exact
+    // rsd 0.02 -> 3 sigma = 0.06; generous but catches a broken sketch
+    assert(relErr < 0.06, s"HLL rel err $relErr (exact=$exact approx=$approx)")
+  }
 }
