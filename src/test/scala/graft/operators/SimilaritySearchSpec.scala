@@ -53,9 +53,10 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val bruteSet = brute.map(r => (r._1, r._2)).toSet
     val recall = bruteSet.count(lsh.contains).toDouble / bruteSet.size
-    // random-ish 64-dim embeddings: hyperplane LSH recall is modest but must
-    // clearly beat chance (10/500 ≈ 2%)
-    assert(recall >= 0.25, s"lsh recall $recall")
+    // random-ish 64-dim embeddings are the hardest case for hyperplane
+    // LSH; the tuned (8,48) default measured 0.63 at sf0.01 — assert a
+    // margin below that (smaller corpus here)
+    assert(recall >= 0.4, s"lsh recall $recall")
   }
 
   test("ivfTopK recall@10 against brute force is substantial") {
