@@ -939,6 +939,23 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- mixture resampling: build a training mix — uniform target share
+    //      per source under a 8000-token budget; each source down-samples
+    //      by deterministic md5 thresholding (frac = share x budget /
+    //      source_tokens). Certifies counts AND sampled token mass. ----
+    "q_mixture_sample" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      val shares = (0 until 20).map(i => s"src$i" -> 0.05).toMap
+      graft.operators.Sampling.mixtureSample(
+          t(s, dir, "documents"), "source", "doc_id",
+          TextAnalysis.tokenCount(col("text")), shares, totalBudget = 8000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("sampled_tokens"),
+          sum(col("doc_id")).as("sampled_id_sum"))
+        .orderBy(col("source"))
+    }),
+
     // ---- sequence packing: documents → contiguous token-budget bins
     //      (context windows) in doc_id order, via the two-phase distributed
     //      prefix sum (no single-partition global window). ----
@@ -1896,6 +1913,27 @@ object SparkEntry {
         |SELECT doc_id, rank, term, tfidf
         |FROM ranked WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // Mixture resampling replica: same per-source token sums, same
+    // frac = min(1, 0.05 x 8000 / cur), same md5-vs-%08x threshold.
+    "q_mixture_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |cur AS (SELECT source, sum(n_tok) AS tot FROM w GROUP BY source),
+        |frac AS (
+        |  SELECT source, least(1.0, 0.05 * 8000 / tot) AS f FROM cur),
+        |samp AS (
+        |  SELECT w.source, w.doc_id, w.n_tok
+        |  FROM w JOIN frac USING (source)
+        |  WHERE f >= 1.0 OR md5(CAST(doc_id AS VARCHAR)) <
+        |    printf('%08x', CAST(floor(f * 4294967296) AS BIGINT)))
+        |SELECT source, count(*) AS n_sampled,
+        |  CAST(sum(n_tok) AS BIGINT) AS sampled_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS sampled_id_sum
+        |FROM samp GROUP BY source ORDER BY source""".stripMargin,
 
     "q_sample_stratified" ->
       """WITH r AS (

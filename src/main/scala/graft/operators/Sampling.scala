@@ -52,4 +52,44 @@ object Sampling {
       .filter(col(rk) <= ceil(col(n) * fraction))
       .drop(rk, n)
   }
+
+  /** Mixture resampling — construct a training mix: down-sample each
+    * stratum (source/domain/language) so its share of the sampled corpus's
+    * total weight (tokens, bytes, ...) approaches `targetShare` of
+    * `totalBudget`:  frac_s = min(1, share_s x budget / weight_s).
+    * A stratum can only be down-sampled (no duplication); strata missing
+    * from `targetShare` are dropped.
+    *
+    * Membership is deterministic content-hash thresholding, so the same
+    * rows are picked on any cluster size, retry, or engine — and the hash
+    * arithmetic (md5 hex vs a per-stratum %08x threshold) is replicable in
+    * ANSI SQL for the oracle.
+    *
+    * Scale: one tiny per-stratum aggregate (S rows), a broadcast join of
+    * those S fraction rows, and a row-local hash filter. The corpus itself
+    * never shuffles. */
+  def mixtureSample(df: DataFrame, strataCol: String, keyCol: String,
+                    weight: Column, targetShare: Map[String, Double],
+                    totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"totalBudget $totalBudget")
+    require(targetShare.values.forall(_ >= 0), "negative target share")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var wcol = "__w"; var fcol = "__frac"; var tcol = "__thr"
+    while (df.columns.contains(wcol)) wcol += "_"
+    while (df.columns.contains(fcol)) fcol += "_"
+    while (df.columns.contains(tcol)) tcol += "_"
+    val shares = targetShare.toSeq.toDF(strataCol, fcol + "s")
+    val fracs = df.withColumn(wcol, weight.cast("double"))
+      .groupBy(col(strataCol)).agg(sum(col(wcol)).as(wcol))
+      .join(shares, strataCol)
+      .withColumn(fcol,
+        least(lit(1.0), col(fcol + "s") * totalBudget / col(wcol)))
+      .select(col(strataCol), col(fcol))
+    df.join(broadcast(fracs), strataCol)
+      .withColumn(tcol, format_string("%08x",
+        floor(col(fcol) * 4294967296L).cast("bigint")))
+      .filter(col(fcol) >= 1.0 || hashKey(keyCol) < col(tcol))
+      .drop(fcol, tcol)
+  }
 }

@@ -55,6 +55,31 @@ class SamplingRankingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("__rk").collect().forall(_.getString(0).startsWith("keep")))
   }
 
+  test("mixtureSample hits target shares within hash-sampling noise") {
+    // stratum a: 300 rows x 10 tokens = 3000; b: 100 x 10 = 1000; c: 50 x 10 = 500
+    val df = ((1L to 300L).map(i => ("a", i)) ++ (301L to 400L).map(i => ("b", i))
+      ++ (401L to 450L).map(i => ("c", i))).toDF("src", "id")
+      .withColumn("tok", lit(10L))
+    // budget 1500, uniform thirds -> a: frac 500/3000, b: 500/1000, c: min(1, 500/500)=1
+    val out = Sampling.mixtureSample(df, "src", "id", col("tok"),
+      Map("a" -> (1.0 / 3), "b" -> (1.0 / 3), "c" -> (1.0 / 3)), 1500L)
+    val n = out.groupBy("src").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("c") === 50L, s"undersized stratum must keep everything: $n")
+    assert(n("a") > 25 && n("a") < 75, s"a ~ 50 expected: $n")      // 300 * 1/6
+    assert(n("b") > 30 && n("b") < 70, s"b ~ 50 expected: $n")      // 100 * 1/2
+    // deterministic across partitioning
+    val ids1 = out.select("id").as[Long].collect().sorted
+    val ids2 = Sampling.mixtureSample(df.repartition(13), "src", "id", col("tok"),
+        Map("a" -> (1.0 / 3), "b" -> (1.0 / 3), "c" -> (1.0 / 3)), 1500L)
+      .select("id").as[Long].collect().sorted
+    assert(ids1 sameElements ids2)
+    // strata missing from the target mix are dropped
+    val dropped = Sampling.mixtureSample(df, "src", "id", col("tok"),
+      Map("a" -> 1.0), 1500L)
+    assert(dropped.select("src").distinct().collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones") {
     val df = Seq(
       (1L, "common common common rare"),
