@@ -870,6 +870,21 @@ object SparkEntry {
         .orderBy(col("component"))
     }),
 
+    // ---- near-dup cluster representatives with a QUALITY policy: every
+    //      doc annotated with its component, the longest member as rep
+    //      (ties -> min id), cluster size, is_rep — i.e. exactDedupKeepBest
+    //      lifted from exact-duplicate groups to near-dup clusters. ----
+    "q_dedup_cluster_keepbest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.ngramJaccardPairsPrefix(
+        docs, "doc_id", "text", n = 3, threshold = 0.8)
+      graft.operators.ConnectedComponents.representatives(
+          docs, pairs, "doc_id", "id_a", "id_b", length(col("text")))
+        .select(col("doc_id"), col("component"), col("cluster_size"),
+          col("rep_id"), col("is_rep").cast("int").as("is_rep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- embedding-cosine near-dup pairs ----
     "q_dedup_embedding" -> ((s, dir) => {
       graft.operators.Dedup.cosineNeardupPairs(
@@ -1726,6 +1741,7 @@ object SparkEntry {
     // shares the exact-Jaccard oracle.
     "q_dedup_minhash" -> SparkEntryOracles.ngramJaccardPairsSql,
     "q_dedup_clusters" -> SparkEntryOracles.dedupClustersSql,
+    "q_dedup_cluster_keepbest" -> SparkEntryOracles.dedupClusterKeepBestSql,
 
     "q_dedup_embedding" ->
       """WITH v AS (

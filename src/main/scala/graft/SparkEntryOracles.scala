@@ -65,6 +65,30 @@ object SparkEntryOracles {
       |GROUP BY component
       |ORDER BY component""".stripMargin
 
+  /** Cluster keep-best replica: same recursive-CTE components as
+    * dedupClustersSql, then per-component best member by (length(text)
+    * DESC, doc_id ASC), singletons = their own component. */
+  val dedupClusterKeepBestSql: String = {
+    val prefix = dedupClustersSql.substring(0,
+      dedupClustersSql.indexOf("comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)"))
+    prefix +
+      """comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+        |j AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+        |    length(d.text) AS pref
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |cl AS (SELECT component, count(*) AS cluster_size FROM j GROUP BY component),
+        |best AS (
+        |  SELECT j.component, min(j.doc_id) AS rep_id
+        |  FROM j JOIN (SELECT component, max(pref) AS mp FROM j GROUP BY component) m
+        |    ON j.component = m.component AND j.pref = m.mp
+        |  GROUP BY j.component)
+        |SELECT j.doc_id, j.component, cl.cluster_size, best.rep_id,
+        |  CAST(j.doc_id = best.rep_id AS INT) AS is_rep
+        |FROM j JOIN cl USING (component) JOIN best USING (component)
+        |ORDER BY j.doc_id""".stripMargin
+  }
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the clustering step a
@@ -134,5 +134,40 @@ object ConnectedComponents {
         s"connected components did not converge in $maxIter rounds " +
         "(graph diameter > 2^maxIter is not plausible — check for label churn)")
     labels
+  }
+
+  /** Cluster-representative selection with a QUALITY policy — the missing
+    * last step between near-dup pairs and a deduplicated corpus: every
+    * document is annotated with its near-dup component, the component's
+    * representative (the member maximizing `preferCol`, ties toward the
+    * smallest id), the cluster size, and `is_rep`. Docs in no pair form
+    * their own singleton component. Callers keep `is_rep` rows.
+    *
+    * Scale design: components() runs on the PAIRS (a sliver of the corpus
+    * at realistic duplicate rates); both the (id, comp) labels and the
+    * per-component best table are small, so their joins onto the corpus
+    * broadcast under AQE — the documents themselves never shuffle, exactly
+    * like exactDedupKeepBest. */
+  def representatives(docs: DataFrame, edges: DataFrame, idCol: String,
+                      aCol: String, bCol: String, preferCol: Column,
+                      maxIter: Int = 30, reliable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val comps = components(edges, aCol, bCol, maxIter, reliable)
+    var pref = "__pref"
+    while (docs.columns.contains(pref)) pref += "_"
+    // only clustered docs participate in the best-of-group aggregate
+    val clustered = docs.withColumn(pref, preferCol)
+      .join(comps, docs(idCol) === comps("id"), "inner")
+      .select(col("comp"), col(idCol), col(pref))
+    val best = clustered.groupBy(col("comp"))
+      .agg(expr(s"max_by(`$idCol`, struct(`$pref`, -`$idCol`))").as("rep_id"),
+        count(lit(1)).as("cluster_size"))
+    docs.join(comps, docs(idCol) === comps("id"), "left")
+      .withColumn("component", coalesce(col("comp"), docs(idCol)))
+      .drop("id", "comp")
+      .join(best.withColumnRenamed("comp", "component"), Seq("component"), "left")
+      .withColumn("rep_id", coalesce(col("rep_id"), col(idCol)))
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("is_rep", col(idCol) === col("rep_id"))
   }
 }

@@ -53,4 +53,30 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = comps((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L))
     assert(got === Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("representatives: quality policy picks best member per cluster, singletons self-rep") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "short"),            // cluster {1,2,3}: doc 2 is longest
+      (2L, "the longest text"),
+      (3L, "mid text"),
+      (4L, "also long text x"), // cluster {4,5}: tie on length -> min id 4
+      (5L, "also long text y"),
+      (9L, "a singleton")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = ConnectedComponents.representatives(
+        docs, pairs, "doc_id", "id_a", "id_b", length(col("text")))
+      .select("doc_id", "component", "cluster_size", "rep_id", "is_rep")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((1L, 3L, 2L, false)))
+    assert(out(2L) === ((1L, 3L, 2L, true)))
+    assert(out(3L) === ((1L, 3L, 2L, false)))
+    assert(out(4L) === ((4L, 2L, 4L, true)))
+    assert(out(5L) === ((4L, 2L, 4L, false)))
+    assert(out(9L) === ((9L, 1L, 9L, true)))
+    // exactly one representative per component
+    assert(out.values.groupBy(_._1).forall(_._2.count(_._4) == 1))
+  }
 }
