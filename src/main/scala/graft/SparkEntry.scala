@@ -954,6 +954,32 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- token-window chunking (RAG / context-shard unit): 40-token
+    //      windows, stride 30 (overlapping); certifies boundaries, counts
+    //      and reassembled chunk text. ----
+    "q_chunk_tokens" -> ((s, dir) => {
+      graft.operators.Chunking.tokenChunks(
+          t(s, dir, "documents"), "doc_id", "text", chunkSize = 40, stride = 30)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          col("n_chunk_tokens"), length(col("chunk_text")).as("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // ---- leakage-safe split: holdout membership decided by near-dup
+    //      COMPONENT hash, so near-copies never straddle the split. ----
+    "q_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.ngramJaccardPairsPrefix(
+        docs, "doc_id", "text", n = 3, threshold = 0.8)
+      graft.operators.Sampling.leakageSafeSplit(
+          docs, pairs, "doc_id", "id_a", "id_b", holdoutFraction = 0.2)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_components"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))
+    }),
+
     // ---- mixture resampling: build a training mix — uniform target share
     //      per source under a 8000-token budget; each source down-samples
     //      by deterministic md5 thresholding (frac = share x budget /
@@ -1742,6 +1768,25 @@ object SparkEntry {
     "q_dedup_minhash" -> SparkEntryOracles.ngramJaccardPairsSql,
     "q_dedup_clusters" -> SparkEntryOracles.dedupClustersSql,
     "q_dedup_cluster_keepbest" -> SparkEntryOracles.dedupClusterKeepBestSql,
+    "q_split_leakage" -> SparkEntryOracles.splitLeakageSql,
+
+    // Token-window chunking replica: same normalized token lists, starts
+    // 0,30,60,... (stride 30), 40-token 1-based inclusive slices.
+    "q_chunk_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w, CAST(s // 30 AS INTEGER) AS chunk_idx,
+        |    CAST(s AS INTEGER) AS chunk_start,
+        |    w[s + 1 : s + 40] AS chunk
+        |  FROM toks, unnest(range(0, len(w), 30)) AS t(s))
+        |SELECT doc_id, chunk_idx, chunk_start,
+        |  CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
+        |  CAST(length(array_to_string(chunk, ' ')) AS INTEGER) AS chunk_len
+        |FROM st
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_dedup_embedding" ->
       """WITH v AS (

@@ -89,6 +89,29 @@ object SparkEntryOracles {
         |ORDER BY j.doc_id""".stripMargin
   }
 
+  /** Leakage-safe split replica: recursive-CTE components, each doc's
+    * component (self for singletons) md5-thresholded at 0.2 of the hash
+    * space — identical arithmetic to Sampling.leakageSafeSplit. */
+  val splitLeakageSql: String = {
+    val prefix = dedupClustersSql.substring(0,
+      dedupClustersSql.indexOf("comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)"))
+    prefix +
+      """comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+        |j AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |s AS (
+        |  SELECT doc_id, component,
+        |    CASE WHEN md5(CAST(component AS VARCHAR)) <
+        |        printf('%08x', CAST(floor(0.2 * 4294967296) AS BIGINT))
+        |      THEN 'holdout' ELSE 'train' END AS split
+        |  FROM j)
+        |SELECT split, count(*) AS n_docs,
+        |  count(DISTINCT component) AS n_components,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin
+  }
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 

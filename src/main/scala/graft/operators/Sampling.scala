@@ -92,4 +92,29 @@ object Sampling {
       .filter(col(fcol) >= 1.0 || hashKey(keyCol) < col(tcol))
       .drop(fcol, tcol)
   }
+
+  /** Leakage-safe train/holdout split: near-duplicate documents must land
+    * on the SAME side (a holdout doc whose near-copy sits in training data
+    * leaks the eval), so membership is decided by hashing the near-dup
+    * COMPONENT id, not the document id. Docs in no pair split
+    * independently (their component is themselves).
+    *
+    * Output: the input plus `component` and `split` ('train' | 'holdout').
+    * Deterministic (md5 thresholding, like the samplers) and replicable in
+    * SQL. Scale: CC runs on the pairs only; the label join broadcasts;
+    * the split decision is row-local. */
+  def leakageSafeSplit(docs: DataFrame, edges: DataFrame, idCol: String,
+                       aCol: String, bCol: String,
+                       holdoutFraction: Double): DataFrame = {
+    require(holdoutFraction >= 0.0 && holdoutFraction <= 1.0,
+      s"holdoutFraction $holdoutFraction")
+    val comps = ConnectedComponents.components(edges, aCol, bCol)
+    val thr = f"${(holdoutFraction * (1L << 32)).toLong}%08x"
+    docs.join(comps, docs(idCol) === comps("id"), "left")
+      .withColumn("component", coalesce(col("comp"), docs(idCol)))
+      .drop("id", "comp")
+      .withColumn("split",
+        when(md5(col("component").cast("string")) < lit(thr), "holdout")
+          .otherwise("train"))
+  }
 }

@@ -80,6 +80,30 @@ class SamplingRankingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dropped.select("src").distinct().collect().map(_.getString(0)).toSeq === Seq("a"))
   }
 
+  test("leakageSafeSplit never splits a near-dup component across sides") {
+    val docs = (1L to 200L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    // chain pairs clustering ids into groups of 4: {1..4}, {5..8}, ...
+    val pairs = (1L to 199L).filter(i => i % 4 != 0).map(i => (i, i + 1))
+      .toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(docs, pairs, "doc_id", "id_a", "id_b", 0.3)
+    // each component lands entirely on one side
+    val mixed = out.groupBy("component")
+      .agg(countDistinct("split").as("sides")).filter(col("sides") > 1).count()
+    assert(mixed === 0L)
+    // both sides populated, holdout roughly 30%
+    val n = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n.keySet === Set("train", "holdout"))
+    assert(n("holdout") > 20 && n("holdout") < 120, s"holdout size: $n")
+    // deterministic across partitioning
+    val h1 = out.filter(col("split") === "holdout")
+      .select("doc_id").as[Long].collect().sorted
+    val h2 = Sampling.leakageSafeSplit(docs.repartition(7), pairs,
+        "doc_id", "id_a", "id_b", 0.3)
+      .filter(col("split") === "holdout").select("doc_id").as[Long].collect().sorted
+    assert(h1 sameElements h2)
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones") {
     val df = Seq(
       (1L, "common common common rare"),
