@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Standing scale guard over EVERY gated query's physical plan: the three
+  * operators that silently stop scaling — a partition-less Window (single
+  * task holds the whole input), a BroadcastNestedLoopJoin (per-row scan of
+  * the broadcast side), and a CartesianProduct — may only appear where a
+  * documented bounded-size argument exists, enumerated in the allowlists
+  * below. A new query that sneaks one in fails here with its plan. */
+class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries allowed a BroadcastNestedLoopJoin: every occurrence is a
+    * crossJoin against a broadcast CONSTANT-SIZE frame (a single scalar
+    * row or the <=16-row centroid table), so the "nested loop" is one
+    * in-memory pass of bounded width per row. */
+  private val bnljOk = Set(
+    "q_ann_ivf", "q_ann_ivf_kmeans",       // broadcast centroid table (<=16 rows)
+    "q15_top_supplier", "q22_global_sales", // broadcast scalar-aggregate row
+    "q_sketch_tokens", "q_corpus_clean",    // broadcast single-row threshold/sketch
+    "q_tfidf",                              // broadcast single-row doc count
+    "q_ann_bruteforce",  // the documented EXACT baseline: broadcast query set
+                         // vs corpus with a non-equi self-exclusion — the
+                         // bucketed lshTopK is the scale path
+    "q_dedup_embedding"  // documented all-pairs small-corpus baseline; the
+                         // bucketed LSH variant (same oracle) is the scale
+                         // path and stays BNLJ-free (asserted in DedupSpec)
+  )
+
+  /** Queries allowed a partition-less Window: the window runs over the
+    * per-bucket TOTALS of the two-phase distributed prefix sum (<=256
+    * rows), never over the data. */
+  private val globalWindowOk = Set("q_pack_sequences", "q_shard_assign")
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
+    (p +: p.children.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
+    test(s"plan guard: $name") {
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      val nodes = collectAll(plan)
+      val badWindow = nodes.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w }
+      if (!globalWindowOk(name))
+        assert(badWindow.isEmpty,
+          s"partition-less Window in $name:\n$plan")
+      val bnlj = nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
+      if (!bnljOk(name))
+        assert(bnlj.isEmpty, s"BroadcastNestedLoopJoin in $name:\n$plan")
+      val cart = nodes.collect { case j: CartesianProductExec => j }
+      assert(cart.isEmpty, s"CartesianProduct in $name:\n$plan")
+    }
+}
