@@ -954,6 +954,15 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- unigram-LM surprisal (perplexity-proxy quality filter): model
+    //      trained on the corpus itself (top-64 vocab here so the OOV
+    //      floor path is exercised), mean -log2 p per token. ----
+    "q_unigram_surprisal" -> ((s, dir) => {
+      graft.operators.UnigramLM.surprisal(
+          t(s, dir, "documents"), "doc_id", "text", maxVocab = 64)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- token-window chunking (RAG / context-shard unit): 40-token
     //      windows, stride 30 (overlapping); certifies boundaries, counts
     //      and reassembled chunk text. ----
@@ -1769,6 +1778,27 @@ object SparkEntry {
     "q_dedup_clusters" -> SparkEntryOracles.dedupClustersSql,
     "q_dedup_cluster_keepbest" -> SparkEntryOracles.dedupClusterKeepBestSql,
     "q_split_leakage" -> SparkEntryOracles.splitLeakageSql,
+
+    // Unigram surprisal replica: same top-64 vocab (count DESC, token ASC),
+    // OOV floor 1, -log2(count/total) averaged per doc.
+    "q_unigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |total AS (SELECT sum(cnt) AS tot FROM counts),
+        |vocab AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 64),
+        |scored AS (
+        |  SELECT t.doc_id, -log2(coalesce(v.cnt, 1) / tot) AS s
+        |  FROM toks t LEFT JOIN vocab v USING (tok) CROSS JOIN total),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens, round(avg(s), 4) AS surprisal
+        |  FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+        |  coalesce(a.surprisal, 0.0) AS surprisal
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Token-window chunking replica: same normalized token lists, starts
     // 0,30,60,... (stride 30), 40-token 1-based inclusive slices.

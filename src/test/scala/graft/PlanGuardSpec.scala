@@ -39,9 +39,10 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_ann_bruteforce",  // the documented EXACT baseline: broadcast query set
                          // vs corpus with a non-equi self-exclusion — the
                          // bucketed lshTopK is the scale path
-    "q_dedup_embedding"  // documented all-pairs small-corpus baseline; the
+    "q_dedup_embedding", // documented all-pairs small-corpus baseline; the
                          // bucketed LSH variant (same oracle) is the scale
                          // path and stays BNLJ-free (asserted in DedupSpec)
+    "q_unigram_surprisal" // broadcast single-row token total (tf-idf pattern)
   )
 
   /** Queries allowed a partition-less Window: the window runs over the

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class UnigramLMSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import spark.implicits._
+
+  test("rare-token docs score higher surprisal than common-token docs") {
+    // 'the' dominates the corpus; 'xylophone' is a hapax
+    val docs = (1L to 20L).map(i => (i, "the the the the")) :+
+      (21L, "xylophone qwerty zzyzx plugh")
+    val out = UnigramLM.surprisal(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(21L) > out(1L) + 1.0,
+      s"rare doc ${out(21L)} must clearly exceed common doc ${out(1L)}")
+  }
+
+  test("hand-computed two-doc corpus") {
+    // corpus tokens: a a a b  -> p(a)=3/4, p(b)=1/4
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val m = UnigramLM.surprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m(1L) === ((3L, math.rint(-math.log(3.0 / 4) / math.log(2) * 10000) / 10000)))
+    assert(m(2L) === ((1L, 2.0))) // -log2(1/4) = 2 bits
+  }
+
+  test("OOV floor: beyond-vocab tokens take count 1; empty docs score 0") {
+    val docs = Seq((1L, "common common common"), (2L, "outcast"), (3L, "  "))
+      .toDF("doc_id", "text")
+    // maxVocab=1 -> vocab = {common}; 'outcast' maps to the OOV floor
+    val m = UnigramLM.surprisal(docs, "doc_id", "text", maxVocab = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // total = 4 occurrences; p(common)=3/4, p(outcast floor)=1/4
+    assert(m(1L)._2 < m(2L)._2)
+    assert(m(2L) === ((1L, 2.0)))
+    assert(m(3L) === ((0L, 0.0)))
+  }
+}
