@@ -807,6 +807,32 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- incremental exact dedup: new batch (odd ids) vs the standing
+    //      corpus's fingerprint index (even ids) — the ingestion shape;
+    //      fingerprint-join equals the oracle's normalized-text join
+    //      modulo 2^-64 collisions. ----
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpusFps = docs.filter(col("doc_id") % 2 === 0)
+        .select(graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
+      // the synthetic corpus has no cross-parity duplicates, so inject
+      // them deterministically: every 7th batch doc takes the text of its
+      // even-id predecessor (a corpus member) — exercising the corpus-hit
+      // path on real data, mirrored in the oracle
+      val donor = docs.select(col("doc_id").as("d_id"), col("text").as("d_text"))
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .join(donor, col("doc_id") - 1 === col("d_id"), "left")
+        .withColumn("text",
+          when(col("doc_id") % 7 === 1 && col("d_text").isNotNull, col("d_text"))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("text"))
+      graft.operators.Dedup.exactDedupIncremental(
+          batch, "doc_id", "text", corpusFps, "fp")
+        .select(col("doc_id"), col("in_corpus").cast("int").as("in_corpus"),
+          col("is_new").cast("int").as("is_new"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing >= 2 distinct
     //      word-trigrams with any single benchmark doc (the n-gram
     //      collision rule used to keep eval sets out of training data).
@@ -1710,6 +1736,30 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // Incremental dedup replica: normalized-text membership instead of the
+    // fingerprint index (identical output modulo 2^-64 hash collisions).
+    "q_dedup_incremental" ->
+      """WITH inj AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.doc_id % 7 = 1 AND d.text IS NOT NULL
+        |      THEN d.text ELSE b.text END AS text
+        |  FROM documents b LEFT JOIN documents d ON d.doc_id = b.doc_id - 1
+        |  WHERE b.doc_id % 2 = 1),
+        |corpus AS (
+        |  SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+        |  FROM inj),
+        |rep AS (SELECT k, min(doc_id) AS rep_id FROM batch GROUP BY k)
+        |SELECT b.doc_id,
+        |  CAST(c.k IS NOT NULL AS INT) AS in_corpus,
+        |  CAST(c.k IS NULL AND b.doc_id = r.rep_id AS INT) AS is_new
+        |FROM batch b
+        |LEFT JOIN corpus c ON b.k = c.k
+        |JOIN rep r ON b.k = r.k
+        |ORDER BY b.doc_id""".stripMargin,
 
     // String-join replica of the hash-join decontamination report; same
     // shingle construction as the Jaccard oracle.

@@ -323,6 +323,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental exact dedup — dedupe a NEW batch against an existing
+    * corpus WITHOUT rescanning it: the production ingestion shape. The
+    * standing corpus is represented only by its 64-bit fingerprint index
+    * (8 bytes/doc — ~8 GB per billion docs, a normal shuffle-join side);
+    * each batch row is annotated `in_corpus` (its content already exists)
+    * and `is_new` (not in the corpus AND the first copy within the batch —
+    * the rows an ingestion job appends, together with their fingerprints
+    * to grow the index).
+    *
+    * Scale: one distinct over the index, one 8-byte-key join of the batch
+    * fingerprints against it, one within-batch min-id aggregate; the batch
+    * text never shuffles (both annotation joins are on `fp`, and AQE
+    * broadcasts the small sides at realistic batch/dup rates). */
+  def exactDedupIncremental(batch: DataFrame, idCol: String, textCol: String,
+                            corpusFingerprints: DataFrame,
+                            fpCol: String): DataFrame = {
+    val withFp = batch.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+    val corpus = corpusFingerprints.select(col(fpCol).as("fp")).distinct()
+      .withColumn("__hit", lit(1))
+    val reps = withFp.groupBy(col("fp")).agg(min(col(idCol)).as("__rep"))
+    withFp.join(corpus, Seq("fp"), "left")
+      .join(reps, Seq("fp"))
+      .withColumn("in_corpus", col("__hit").isNotNull)
+      .withColumn("is_new", col("__hit").isNull && col(idCol) === col("__rep"))
+      .drop("__hit", "__rep")
+  }
+
   /** Line-level boilerplate removal (the CCNet/RefinedWeb pre-filter):
     * drop every line whose normalized form (lowercased, trimmed) appears in
     * MORE than `maxDocFreq` distinct documents — navbars, cookie banners,

@@ -204,6 +204,26 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pruning failed: $candidates distinct candidates vs $allPairs pairs")
   }
 
+  test("exactDedupIncremental: corpus hits, within-batch dups, new docs") {
+    val corpus = docs(
+      100L -> "existing document one",
+      101L -> "existing document two")
+      .select(graft.functions.TextAnalysis.fingerprint(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+    val batch = docs(
+      1L -> "Existing   Document ONE",   // normalizes to a corpus doc
+      2L -> "fresh content here",
+      3L -> "fresh  CONTENT here",       // within-batch dup of 2
+      4L -> "another new one")
+    val out = Dedup.exactDedupIncremental(batch, "doc_id", "text", corpus, "fp")
+      .select("doc_id", "in_corpus", "is_new").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((true, false)))
+    assert(out(2L) === ((false, true)))
+    assert(out(3L) === ((false, false))) // dup within batch, 2 is the rep
+    assert(out(4L) === ((false, true)))
+  }
+
   test("removeBoilerplateLines drops over-frequent lines, keeps order and structure") {
     val df = docs(
       1L -> "COOKIE BANNER\nunique line one\n\nunique line two",
