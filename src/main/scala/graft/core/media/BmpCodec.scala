@@ -120,4 +120,28 @@ object BmpCodec {
   /** Solid-color image — the arithmetic-oracle fixture shape. */
   def encodeSolid(width: Int, height: Int, rgb: Int): Array[Byte] =
     encode(width, height, Array.fill(width * height)(rgb))
+
+  /** Nearest-neighbor resample (the standard cheap thumbnail transform):
+    * output pixel (x,y) copies input pixel (x*W/outW, y*H/outH). Pure
+    * integer source indexing — deterministic on any platform. */
+  def resize(img: BmpImage, outW: Int, outH: Int): BmpImage = {
+    require(outW > 0 && outH > 0, s"bad target ${outW}x$outH")
+    if (outW == img.width && outH == img.height) img
+    else {
+      val out = new Array[Int](outW * outH)
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * img.height / outH).toInt
+        val srcBase = sy * img.width
+        val dstBase = y * outW
+        var x = 0
+        while (x < outW) {
+          out(dstBase + x) = img.pixels(srcBase + (x.toLong * img.width / outW).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      BmpImage(outW, outH, out)
+    }
+  }
 }

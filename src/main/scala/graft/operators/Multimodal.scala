@@ -297,9 +297,38 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: recomputes the metadata shape a resize would produce (the
-    * pixel transform itself is behind the codec stub). Aspect-preserving
-    * fit into (maxW, maxH). */
+  /** REAL image resize over the decoded raster: aspect-preserving fit into
+    * (maxW, maxH) via nearest-neighbor resample, re-encoded as 24bpp BMP.
+    * Batched mapPartitions like the other media kernels; corrupt or
+    * non-image payloads are dropped (the meta pass reports them). Output:
+    * (media_id, out_width, out_height, out_bytes) — out_bytes is a valid
+    * BMP any downstream decode step (or image viewer) accepts. */
+  def resizeImages(media: Dataset[MediaRecord], maxW: Int,
+                   maxH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    import graft.core.media.BmpCodec
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          MediaCodec.decode(m.bytes) match {
+            case MediaCodec.DecodedImage(img) =>
+              val scale = math.min(1.0,
+                math.min(maxW.toDouble / img.width, maxH.toDouble / img.height))
+              val ow = math.max(1, math.floor(img.width * scale).toInt)
+              val oh = math.max(1, math.floor(img.height * scale).toInt)
+              val resized = BmpCodec.resize(img, ow, oh)
+              Some((m.media_id, ow, oh, BmpCodec.encode(ow, oh, resized.pixels)))
+            case _ => None
+          }
+        }
+      }
+    }.toDF("media_id", "out_width", "out_height", "out_bytes")
+  }
+
+  /** Metadata-only resize planning: recomputes the shape a resize would
+    * produce without touching pixels (cheap pre-pass for sizing/batching).
+    * Aspect-preserving fit into (maxW, maxH). */
   def resizeShapes(meta: Dataset[MediaMeta], maxW: Int, maxH: Int): DataFrame = {
     meta.toDF()
       .filter(col("valid") && col("kind") === KindImage)

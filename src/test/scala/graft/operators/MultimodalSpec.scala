@@ -77,6 +77,32 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("resizeImages: REAL pixel resample — valid BMP out, solid color preserved") {
+    import spark.implicits._
+    import graft.core.media.BmpCodec
+    // 100x40 solid orange + a 10x10 gradient that must not upscale
+    val solid = BmpCodec.encodeSolid(100, 40, 0xff8000)
+    val grad = BmpCodec.encode(10, 10,
+      Array.tabulate(100)(i => (i * 2) << 16 | (i % 10) << 8 | i))
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.KindImage, solid),
+      Multimodal.MediaRecord(2L, Multimodal.KindImage, grad),
+      Multimodal.MediaRecord(3L, Multimodal.KindImage, Array[Byte](1, 2))).toDS()
+    val out = Multimodal.resizeImages(ds, 32, 32).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3)))).toMap
+    assert(out.keySet === Set(1L, 2L))              // corrupt record dropped
+    val (w1, h1, b1) = out(1L)
+    assert(w1 === 32 && h1 === 12)                  // floor(40 * 32/100)
+    val img1 = BmpCodec.decode(b1).toOption.get     // output is a real BMP
+    assert(img1.width === 32 && img1.height === 12)
+    assert(img1.pixels.forall(_ === 0xff8000))      // solid color survives
+    val (w2, h2, b2) = out(2L)
+    assert(w2 === 10 && h2 === 10)                  // never upscales
+    // nearest-neighbor identity when dims unchanged
+    assert(BmpCodec.decode(b2).toOption.get.pixels
+      .sameElements(BmpCodec.decode(grad).toOption.get.pixels))
+  }
+
   test("sampleFrames: stride coverage with in-payload offsets") {
     val meta = Multimodal.decodeMeta(media)
     val frames = Multimodal.sampleFrames(meta, stride = 4)
