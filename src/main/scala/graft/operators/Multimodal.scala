@@ -340,9 +340,37 @@ object Multimodal {
         col("out_width"), col("out_height"))
   }
 
-  /** STUB frame sampling for video: emits every `stride`-th frame index with
-    * its (fake) byte offset — the explode pattern a real sampler uses, so
-    * per-frame downstream operators (decode, embed) fan out correctly. */
+  /** REAL frame sampling over the decoded video container: every
+    * `stride`-th frame of each valid GRFT/BMP-frame video, re-encoded as a
+    * standalone 24bpp BMP — the fan-out unit per-frame downstream
+    * operators (resize, embed, caption) consume. Batched mapPartitions;
+    * non-video / corrupt payloads are dropped.
+    * Output: (media_id, frame_idx, width, height, frame_bytes). */
+  def sampleFrameImages(media: Dataset[MediaRecord], stride: Int): DataFrame = {
+    require(stride >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    import graft.core.media.BmpCodec
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          MediaCodec.decode(m.bytes) match {
+            case MediaCodec.DecodedVideo(w, h, frames) =>
+              Iterator.range(0, frames.length, stride).map { i =>
+                val f = frames(i)
+                (m.media_id, i, f.width, f.height,
+                  BmpCodec.encode(f.width, f.height, f.pixels))
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "width", "height", "frame_bytes")
+  }
+
+  /** Metadata-only frame sampling plan: emits every `stride`-th frame index
+    * with its estimated byte offset — the cheap pre-pass when only the
+    * fan-out shape is needed, not the pixels. */
   def sampleFrames(meta: Dataset[MediaMeta], stride: Int): Dataset[Frame] = {
     val spark = meta.sparkSession
     import spark.implicits._

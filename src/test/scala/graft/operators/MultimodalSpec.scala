@@ -103,6 +103,32 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sameElements(BmpCodec.decode(grad).toOption.get.pixels))
   }
 
+  test("sampleFrameImages: REAL frames decoded, re-encoded, stride-sampled") {
+    import spark.implicits._
+    import graft.core.media.BmpCodec
+    // synthesizeMedia emits REAL BMP-frame video containers (2-5 frames)
+    val real = Multimodal.synthesizeMedia(docs)
+    val out = Multimodal.sampleFrameImages(real, stride = 2)
+    val byMedia = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](4)))
+      .groupBy(_._1)
+    val videos = real.collect().filter(_.kind == Multimodal.KindVideo)
+      .map(_.media_id).toSet
+    assert(byMedia.keySet === videos)
+    for ((id, fs) <- byMedia.take(5)) {
+      val nf = 2 + (id % 4).toInt
+      assert(fs.map(_._2).sorted.sameElements(0 until nf by 2))
+      // every sampled frame is a standalone decodable 16x16 BMP
+      fs.foreach { f =>
+        val img = BmpCodec.decode(f._3).toOption.get
+        assert(img.width === 16 && img.height === 16)
+        // solid gray frame c = (id*5 + frame_idx) % 256 survives the round trip
+        val c = ((id * 5 + f._2) % 256).toInt
+        assert(img.pixels.forall(_ === ((c << 16) | (c << 8) | c)))
+      }
+    }
+  }
+
   test("sampleFrames: stride coverage with in-payload offsets") {
     val meta = Multimodal.decodeMeta(media)
     val frames = Multimodal.sampleFrames(meta, stride = 4)
