@@ -1163,6 +1163,42 @@ object SparkEntry {
         .orderBy(col("kind"))
     }),
 
+    // ---- REAL image resize over decoded rasters: synthesizeMedia's solid
+    //      images have closed-form dims/colors in doc_id, so the resized
+    //      output (dims AND per-channel means, invariant under resample of
+    //      a solid) is SQL-computable. ----
+    "q_multimodal_resize" -> ((s, dir) => {
+      import graft.core.media.BmpCodec
+      val s2 = s
+      import s2.implicits._
+      val media = graft.operators.Multimodal.synthesizeMedia(t(s, dir, "documents"))
+      graft.operators.Multimodal.resizeImages(media, 24, 24)
+        .map { r =>
+          val img = BmpCodec.decode(r.getAs[Array[Byte]]("out_bytes")).toOption.get
+          (r.getLong(0), r.getInt(1), r.getInt(2),
+            math.rint(img.meanR * 1000) / 1000, math.rint(img.meanG * 1000) / 1000,
+            math.rint(img.meanB * 1000) / 1000)
+        }.toDF("media_id", "out_width", "out_height", "mean_r", "mean_g", "mean_b")
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- REAL video frame sampling: stride-2 frames of the BMP-frame
+    //      container, each a standalone decodable BMP whose solid gray
+    //      level is (id*5+frame)%256 — all closed-form. ----
+    "q_multimodal_frames" -> ((s, dir) => {
+      import graft.core.media.BmpCodec
+      val s2 = s
+      import s2.implicits._
+      val media = graft.operators.Multimodal.synthesizeMedia(t(s, dir, "documents"))
+      graft.operators.Multimodal.sampleFrameImages(media, stride = 2)
+        .map { r =>
+          val img = BmpCodec.decode(r.getAs[Array[Byte]]("frame_bytes")).toOption.get
+          (r.getLong(0), r.getInt(1), img.width, img.height,
+            math.rint(img.meanR * 1000) / 1000)
+        }.toDF("media_id", "frame_idx", "width", "height", "gray")
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // ---- flagship corpus-cleaning pipeline: exact-dedup representatives
     //      ∘ quality threshold ∘ language filter, per source ----
     "q_corpus_clean" -> ((s, dir) => {
@@ -1736,6 +1772,40 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // Closed-form resize replica: synthesizeMedia image dims/colors are
+    // pure arithmetic in doc_id; a solid's channel means are invariant
+    // under nearest-neighbor resample.
+    "q_multimodal_resize" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |    16 + (doc_id % 8) * 8 AS w,
+        |    16 + (doc_id % 4) * 8 AS h,
+        |    (doc_id * 3) % 256 AS r, (doc_id * 5) % 256 AS g, (doc_id * 7) % 256 AS b
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |sc AS (SELECT media_id, w, h, r, g, b,
+        |  least(24.0 / w, 24.0 / h, 1.0) AS scale FROM img)
+        |SELECT media_id,
+        |  CAST(greatest(floor(w * scale), 1) AS INTEGER) AS out_width,
+        |  CAST(greatest(floor(h * scale), 1) AS INTEGER) AS out_height,
+        |  round(CAST(r AS DOUBLE), 3) AS mean_r,
+        |  round(CAST(g AS DOUBLE), 3) AS mean_g,
+        |  round(CAST(b AS DOUBLE), 3) AS mean_b
+        |FROM sc ORDER BY media_id""".stripMargin,
+
+    // Closed-form frame-sampling replica: nf = 2 + id%4 frames, stride 2,
+    // each solid gray (id*5+frame)%256 at 16x16.
+    "q_multimodal_frames" ->
+      """WITH vid AS (
+        |  SELECT doc_id AS media_id, 2 + (doc_id % 4) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT media_id, CAST(i AS INTEGER) AS frame_idx
+        |  FROM vid, unnest(range(0, nf, 2)) AS t(i))
+        |SELECT media_id, frame_idx,
+        |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |  round(CAST((media_id * 5 + frame_idx) % 256 AS DOUBLE), 3) AS gray
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
 
     // Incremental dedup replica: normalized-text membership instead of the
     // fingerprint index (identical output modulo 2^-64 hash collisions).
