@@ -22,7 +22,10 @@ object DumpPlans extends App {
     "q_seqfile_compact" -> "compacted (key-sorted, zone-mapped) files answering a key range",
     "q_decontaminate" -> "bench side broadcast; corpus shingles never shuffle before the hit filter",
     "q_line_dedup" -> "doc-frequency line filter: text stays put, drop-lists join back",
-    "q_ann_ivf" -> "distributed centroid top-C (TakeOrderedAndProject), broadcast probes")
+    "q_ann_ivf" -> "distributed centroid top-C (TakeOrderedAndProject), broadcast probes",
+    "q_mixture_sample" -> "S-row fraction table broadcast; row-local hash threshold, corpus never shuffles",
+    "q_unigram_surprisal" -> "distributed top-K vocab broadcast onto the token stream; partial agg per doc",
+    "q_dedup_incremental" -> "8-byte fingerprint joins; batch text never shuffles")
   val sb = new StringBuilder
   sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
   sb.append("GENERATED artifact — regenerate with `sbt \"runMain graft.tools.DumpPlans\"`.\n")
