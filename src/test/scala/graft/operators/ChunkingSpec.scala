@@ -38,6 +38,27 @@ class ChunkingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.agg(sum("n_chunk_tokens")).head().getLong(0) === 5L)
   }
 
+  test("seeded fuzz vs Scala brute force (80 random docs, random params)") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 80L).map { i =>
+      val n = rnd.nextInt(30)
+      (i, Array.fill(n)("w" + rnd.nextInt(12)).mkString(" "))
+    }
+    val (cs, st) = (1 + rnd.nextInt(6), 1 + rnd.nextInt(5))
+    val got = Chunking.tokenChunks(docs.toDF("doc_id", "text"), "doc_id", "text", cs, st)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (0 until toks.length by st).zipWithIndex.map { case (start, idx) =>
+        val chunk = toks.slice(start, start + cs)
+        (id, idx) -> ((start, chunk.length, chunk.mkString(" ")))
+      }
+    }.toMap
+    assert(got === expected, s"chunkSize=$cs stride=$st")
+  }
+
   test("chunk count is ceil(n / stride) on a real table") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val expected = docs

@@ -252,6 +252,34 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) === "real content")
   }
 
+  test("removeBoilerplateLines: seeded fuzz vs Scala brute force") {
+    val rnd = new scala.util.Random(11)
+    val lines = Array("alpha beta", "COMMON line", "  common line ", "x y z",
+      "", "other content", "tail words")
+    val docs0 = (1L to 60L).map { i =>
+      (i, Array.fill(1 + rnd.nextInt(6))(lines(rnd.nextInt(lines.length))).mkString("\n"))
+    }
+    val maxDf = 1 + rnd.nextInt(10)
+    val got = Dedup.removeBoilerplateLines(docs0.toDF("doc_id", "text"),
+        "doc_id", "text", maxDf)
+      .select("doc_id", "text", "n_removed").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // brute force: normalized line -> distinct doc frequency
+    val df = docs0.flatMap { case (id, t) =>
+      t.split("\n", -1).map(_.trim.toLowerCase).filter(_.nonEmpty).distinct.map(_ -> id)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+    val frequent = df.filter(_._2 > maxDf).keySet
+    for ((id, t) <- docs0) {
+      val kept = t.split("\n", -1).filter { l =>
+        val k = l.trim.toLowerCase
+        k.isEmpty || !frequent(k)
+      }
+      val removed = t.split("\n", -1).length - kept.length
+      assert(got(id) === ((kept.mkString("\n"), removed.toLong)),
+        s"doc $id maxDf=$maxDf")
+    }
+  }
+
   test("removeBoilerplateLines: whitespace-only lines never counted as boilerplate") {
     val df = docs(
       1L -> "a\n\nb", 2L -> "c\n\nd", 3L -> "e\n\nf", 4L -> "g\n\nh")
