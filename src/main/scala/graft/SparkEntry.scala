@@ -869,6 +869,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- incremental MinHash near-dup: batch (odd ids) vs the standing
+    //      corpus's precomputed band + shingle-set indexes (even ids) —
+    //      corpus text never read; exact-verified, so it matches the
+    //      cross-set string-shingle Jaccard oracle pair for pair. ----
+    "q_dedup_incremental_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val bands = graft.operators.Dedup.minHashBandIndex(corpus, "doc_id", "text", n = 3)
+      val sets = graft.operators.Dedup.shingleHashSets(corpus, "doc_id", "text", n = 3)
+      graft.operators.Dedup.minHashLshPairsIncremental(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          bands, sets, n = 3, threshold = 0.8)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
     // ---- SimHash near-dup pairs (hash not SQL-replicable → rows-only) ----
     // maxHamming=3 over 4 x 16-bit chunks is the standard 64-bit simhash
     // near-dup setting (Manku et al., WWW'07). 16-bit block keys give 65536
@@ -1772,6 +1787,29 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // Cross-set (batch vs corpus) exact Jaccard replica of the incremental
+    // MinHash pipeline; same shingle construction as the Jaccard oracle.
+    "q_dedup_incremental_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS ix
+        |  FROM sh b JOIN sh c ON b.s = c.s
+        |  WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        |  GROUP BY 1, 2)
+        |SELECT batch_id, corpus_id, round(ix / (sa.n + sb.n - ix), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = batch_id
+        |JOIN sizes sb ON sb.doc_id = corpus_id
+        |WHERE ix / (sa.n + sb.n - ix) >= 0.8
+        |ORDER BY batch_id, corpus_id""".stripMargin,
 
     // Closed-form resize replica: synthesizeMedia image dims/colors are
     // pure arithmetic in doc_id; a solid's channel means are invariant

@@ -172,24 +172,9 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       rowsPerBand: Int = 3, numBands: Int = 16): DataFrame = {
-    val h = rowsPerBand * numBands
-    val docs = df.select(col(idCol).as("id"),
-      TextAnalysis.wordShingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-
-    // All h min-hashes in one pass over the shingle array (custom codegen
-    // expression; the composed-builtin form h x array_min(transform(...))
-    // re-walks the array h times and explodes the codegen tree).
-    val sigs = docs.withColumn("mh",
-      graft.functions.expressions.minhash_sig(col("sh"), h))
-    // Band signature = hash of the band's r consecutive min-hashes.
-    val bands = array((0 until numBands).map { bIdx =>
-      struct(lit(bIdx).as("band"),
-        xxhash64((0 until rowsPerBand).map(r =>
-          element_at(col("mh"), bIdx * rowsPerBand + r + 1)): _*).as("sig"))
-    }: _*)
-    val buckets = sigs.select(col("id"), explode(bands).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    // Band buckets via the shared index builder (all h min-hashes in one
+    // codegen kernel pass; band sig = hash of r consecutive min-hashes).
+    val buckets = minHashBandIndex(df, idCol, textCol, n, rowsPerBand, numBands)
 
     // Bucket join → distinct candidate pairs (each doc shuffles b times,
     // never O(n²) unless the data is one giant duplicate class).
@@ -204,8 +189,7 @@ object Dedup {
     // ~25x fewer bytes and the intersect is a merge walk (Jaccard over
     // 64-bit shingle hashes equals Jaccard over shingles up to ~1e-15
     // collision probability — same equivalence ngramJaccardPairs relies on).
-    val docsH = docs.select(col("id"),
-      sort_array(transform(col("sh"), s => xxhash64(s))).as("shh"))
+    val docsH = shingleHashSets(df, idCol, textCol, n)
     val withSets = cand
       .join(docsH.select(col("id").as("id_a"), col("shh").as("sha")), "id_a")
       .join(docsH.select(col("id").as("id_b"), col("shh").as("shb")), "id_b")
@@ -216,6 +200,77 @@ object Dedup {
         col("ix") / (size(col("sha")) + size(col("shb")) - col("ix")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The two persistable index tables for INCREMENTAL near-dup dedup —
+    * computed once when the corpus lands and stored beside it (parquet),
+    * so later batches dedupe against the corpus without rescanning its
+    * text:
+    *  - band index: one (id, band, sig) row per band per doc (24-byte
+    *    rows), the LSH candidate-lookup structure;
+    *  - shingle sets: one (id, shh) row per doc — the sorted 64-bit
+    *    shingle hashes the exact-verify merge walk needs. */
+  def minHashBandIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
+                       rowsPerBand: Int = 3, numBands: Int = 16): DataFrame = {
+    val h = rowsPerBand * numBands
+    val docs = df.select(col(idCol).as("id"),
+      TextAnalysis.wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = docs.withColumn("mh",
+      graft.functions.expressions.minhash_sig(col("sh"), h))
+    val bands = array((0 until numBands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(col("mh"), bIdx * rowsPerBand + r + 1)): _*).as("sig"))
+    }: _*)
+    sigs.select(col("id"), explode(bands).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** (id, shh): sorted shingle-hash set per doc — the verify-side index. */
+  def shingleHashSets(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        sort_array(transform(col("sh"), s => xxhash64(s))).as("shh"))
+
+  /** Incremental MinHash-LSH near-dup: find (batch doc, corpus doc) pairs
+    * with exact Jaccard >= threshold, where the corpus side exists ONLY as
+    * its precomputed band + shingle-set indexes (minHashBandIndex /
+    * shingleHashSets) — its text is never read. The batch computes its own
+    * signatures, equi-joins the band index for candidates, and exact-
+    * verifies with the same sorted-hash merge walk as minHashLshPairs, so
+    * the output matches a from-scratch cross-set Jaccard join pair for
+    * pair. Output: (batch_id, corpus_id, jaccard).
+    *
+    * Scale: the candidate join is (band, sig) equi — each batch doc
+    * shuffles numBands 24-byte rows against the index; only candidates
+    * (bounded by true near-dups + band collisions) reach the verify, which
+    * joins the two shingle-set tables by id. Batch text never shuffles. */
+  def minHashLshPairsIncremental(batch: DataFrame, idCol: String,
+                                 textCol: String, corpusBands: DataFrame,
+                                 corpusShingles: DataFrame, n: Int,
+                                 threshold: Double, rowsPerBand: Int = 3,
+                                 numBands: Int = 16): DataFrame = {
+    val batchBands = minHashBandIndex(batch, idCol, textCol, n, rowsPerBand, numBands)
+    val cand = batchBands.as("x")
+      .join(corpusBands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.id").as("batch_id"), col("y.id").as("corpus_id"))
+      .distinct()
+    val batchSets = shingleHashSets(batch, idCol, textCol, n)
+    val withSets = cand
+      .join(batchSets.select(col("id").as("batch_id"), col("shh").as("sha")), "batch_id")
+      .join(corpusShingles.select(col("id").as("corpus_id"), col("shh").as("shb")), "corpus_id")
+    withSets
+      .withColumn("ix",
+        graft.functions.expressions.sorted_intersect_size(col("sha"), col("shb")))
+      .withColumn("jaccard",
+        col("ix") / (size(col("sha")) + size(col("shb")) - col("ix")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature per doc, pigeonhole

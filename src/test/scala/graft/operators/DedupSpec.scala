@@ -224,6 +224,25 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) === ((false, true)))
   }
 
+  test("incremental MinHash equals the cross-set slice of the full join on testdata") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+    val bands = Dedup.minHashBandIndex(corpus, "doc_id", "text", n = 3)
+    val sets = Dedup.shingleHashSets(corpus, "doc_id", "text", n = 3)
+    val inc = Dedup.minHashLshPairsIncremental(batch, "doc_id", "text",
+        bands, sets, n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the full self-join, restricted to cross-parity pairs
+    val full = Dedup.minHashLshPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, j) => if (a % 2 == 1) (a, b, j) else (b, a, j) }.toSet
+    assert(inc === full)
+    assert(inc.nonEmpty, "expected cross-set near-dups in the fixture")
+  }
+
   test("removeBoilerplateLines drops over-frequent lines, keeps order and structure") {
     val df = docs(
       1L -> "COOKIE BANNER\nunique line one\n\nunique line two",
