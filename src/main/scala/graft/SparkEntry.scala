@@ -1266,7 +1266,12 @@ object SparkEntry {
       import graft.functions.TextAnalysis
       t(s, dir, "documents")
         .select(col("source"),
-          explode(TextAnalysis.wordShingles(col("text"), 3)).as("sh"))
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("sh0"))
+        // distinct-count the 64-bit shingle hash, not the string: the
+        // partial aggregate shuffles 8-byte keys instead of ~24-byte
+        // shingles (cardinality identical modulo 2^-64 collisions; the
+        // HLL sketch hashes its input anyway)
+        .select(col("source"), xxhash64(col("sh0")).as("sh"))
         .groupBy(col("source"))
         .agg(countDistinct(col("sh")).as("n_exact"),
           approx_count_distinct(col("sh"), 0.02).as("n_approx"))
