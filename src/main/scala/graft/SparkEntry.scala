@@ -579,11 +579,12 @@ object SparkEntry {
         "graft-seq-part-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
           "-p" + ProcessHandle.current().pid()).toString
       registerCleanupOnExit(root)
-      for (rf <- Seq("A", "N", "R")) {
-        t(s, dir, "lineitem").filter(col("l_returnflag") === rf)
-          .select(col("l_orderkey").as("key"), col("l_quantity").as("value"))
-          .write.format("seqfile").mode("overwrite").save(s"$root/rf=$rf")
-      }
+      // ONE partitioned write call (dynamic hive-style routing in the
+      // connector) — previously a per-partition-dir loop
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("key"), col("l_quantity").as("value"),
+          col("l_returnflag").as("rf"))
+        .write.format("seqfile").mode("overwrite").partitionBy("rf").save(root)
       s.read.format("seqfile").load(root)
         .filter(col("rf") === "R")
         .groupBy((col("key") % 7).as("key_mod"))

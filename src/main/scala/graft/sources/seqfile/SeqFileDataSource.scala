@@ -53,14 +53,34 @@ class SeqFileDataSource extends TableProvider with DataSourceRegister {
       StructField(k, StringType, nullable = false)))
   }
 
+  /** Write-side partitioning: `df.write.partitionBy(cols)` reaches the
+    * provider as the `__partition_columns` option (JSON array).
+    * Surfacing it as identity transforms here (and from
+    * `Table.partitioning()`) is what lets Spark's
+    * checkPartitioningMatchesV2Table accept the write; the writer then
+    * routes rows into hive-style `k=v` subdirectories that the read side's
+    * partition discovery already understands. */
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
+    SeqFileDataSource.partitionColumnsOption(options)
+      .map(_.map(org.apache.spark.sql.connector.expressions.Expressions.identity(_): Transform).toArray)
+      .getOrElse(Array.empty)
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new SeqFileTable(schema, SeqFileDataSource.resolvePaths(options))
+    new SeqFileTable(schema, SeqFileDataSource.resolvePaths(options), partitioning)
   }
 }
 
 object SeqFileDataSource {
+
+  /** `df.write.partitionBy(...)` columns, delivered by Spark as the
+    * `__partition_columns` option (JSON string array); None when absent. */
+  def partitionColumnsOption(options: CaseInsensitiveStringMap): Option[Seq[String]] =
+    Option(options.get("__partition_columns")).map { json =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readValue(json, classOf[Array[String]]).toSeq
+    }
 
   /** Spark passes a single `load(p)` as option "path" and multi-path loads as
     * option "paths" (a JSON string array). */

@@ -19,19 +19,30 @@ import graft.core.seqfile._
   * and rename on task commit — rename is atomic on HDFS/local; on object
   * stores it's copy+delete, acceptable for part files. */
 class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
-                          options: CaseInsensitiveStringMap)
+                          options: CaseInsensitiveStringMap,
+                          partitionCols: Seq[String] = Nil)
   extends WriteBuilder with SupportsTruncate {
 
   private var truncateFirst = false
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
+  partitionCols.foreach { c =>
+    require(schema.fieldNames.contains(c),
+      s"partition column '$c' not found in ${schema.catalogString}")
+  }
+
   private def validated(): (String, Int, Seq[(String, String)], SeqWriteLayout) = {
     require(paths.size == 1, s"seqfile write needs exactly one path, got $paths")
     // Record = one (key, value) pair (reference: Types.hs:32-38). Accept
-    // any 2-column schema: first column → key, second → value.
-    require(schema.length == 2,
-      s"seqfile schema must have exactly 2 columns (key, value); got ${schema.catalogString}")
+    // any 2-column schema: first column → key, second → value. With
+    // partitionBy, the partition columns route to hive-style directories
+    // and the REMAINING two columns form the record.
+    val nData = schema.length - partitionCols.length
+    require(nData == 2,
+      s"seqfile schema must have exactly 2 data columns (key, value) besides " +
+      s"partition columns; got ${schema.catalogString} with partitions " +
+      partitionCols.mkString(","))
     // options: blockSize (uncompressed flush threshold, default 1 MiB =
     // Hadoop's io.seqfile.compress.blocksize); compression = none|record|
     // block; codec = snappy|gzip|deflate|zstd|lz4; metadata.<k>=<v> pairs go
@@ -68,9 +79,12 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val (path, blockSize, metadata, layout) = validated()
-      new SeqFileBatchWrite(schema, path, truncateFirst, blockSize, metadata, layout)
+      new SeqFileBatchWrite(schema, path, truncateFirst, blockSize, metadata,
+        layout, partitionCols)
     }
     override def toStreaming: StreamingWrite = {
+      require(partitionCols.isEmpty,
+        "seqfile streaming sink does not support partitionBy")
       val (path, blockSize, metadata, layout) = validated()
       new SeqFileStreamingWrite(schema, path, blockSize, metadata, layout)
     }
@@ -174,7 +188,8 @@ class SeqFileStreamingWriterFactory(schema: StructType, dir: String, blockSize: 
 class SeqFileBatchWrite(schema: StructType, path: String, truncateFirst: Boolean,
                         blockSize: Int = 1 << 20,
                         metadata: Seq[(String, String)] = Nil,
-                        layout: SeqWriteLayout = SeqWriteLayout.Default)
+                        layout: SeqWriteLayout = SeqWriteLayout.Default,
+                        partitionCols: Seq[String] = Nil)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -183,15 +198,19 @@ class SeqFileBatchWrite(schema: StructType, path: String, truncateFirst: Boolean
     val fs = dir.getFileSystem(conf)
     if (truncateFirst && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new SeqFileWriterFactory(schema, path, blockSize, metadata, layout)
+    new SeqFileWriterFactory(schema, path, blockSize, metadata, layout, partitionCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
-    messages.collect { case m: SeqFileCommitMessage =>
-      val p = new Path(m.path)
+    messages.flatMap {
+      case m: SeqFileCommitMessage => Seq(m.path)
+      case m: SeqFilePartitionedCommitMessage => m.paths
+      case _ => Nil
+    }.foreach { s =>
+      val p = new Path(s)
       val fs = p.getFileSystem(conf)
       if (fs.exists(p)) fs.delete(p, false)
     }
@@ -199,14 +218,85 @@ class SeqFileBatchWrite(schema: StructType, path: String, truncateFirst: Boolean
 }
 
 case class SeqFileCommitMessage(path: String) extends WriterCommitMessage
+case class SeqFilePartitionedCommitMessage(paths: Seq[String]) extends WriterCommitMessage
 
 class SeqFileWriterFactory(schema: StructType, dir: String, blockSize: Int,
                            metadata: Seq[(String, String)],
-                           layout: SeqWriteLayout = SeqWriteLayout.Default)
+                           layout: SeqWriteLayout = SeqWriteLayout.Default,
+                           partitionCols: Seq[String] = Nil)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SeqFileDataWriter(schema, dir, partitionId, taskId, blockSize, metadata,
-      layout = layout)
+    if (partitionCols.isEmpty)
+      new SeqFileDataWriter(schema, dir, partitionId, taskId, blockSize, metadata,
+        layout = layout)
+    else
+      new SeqFilePartitionedDataWriter(schema, dir, partitionId, taskId,
+        blockSize, metadata, layout, partitionCols)
+}
+
+/** Hive-style dynamic-partition writer: routes each row to a `k=v/...`
+  * subdirectory (URL-encoded, matching the read side's discovery decoding)
+  * and keeps one open SeqFileDataWriter per partition value seen by this
+  * task. Rows arrive pre-repartitioned by Spark only if the user asked for
+  * it; the writer is correct either way — worst case is one open file per
+  * distinct partition value per task, the same contract as Spark's own
+  * file-source dynamic partitioning. */
+class SeqFilePartitionedDataWriter(schema: StructType, rootDir: String,
+                                   partitionId: Int, taskId: Long,
+                                   blockSize: Int, metadata: Seq[(String, String)],
+                                   layout: SeqWriteLayout,
+                                   partitionCols: Seq[String])
+  extends DataWriter[InternalRow] {
+
+  private val partOrdinals = partitionCols.map(c => schema.fieldIndex(c))
+  private val dataOrdinals = schema.fields.indices
+    .filterNot(partOrdinals.contains).toArray
+  require(dataOrdinals.length == 2)
+  private val dataSchema = StructType(dataOrdinals.map(schema.fields(_)))
+
+  private def partString(row: InternalRow, ord: Int): String = {
+    if (row.isNullAt(ord))
+      throw new SeqFileFormatException(
+        s"null partition value for column '${schema.fields(ord).name}'")
+    val v = schema.fields(ord).dataType match {
+      case StringType => row.getUTF8String(ord).toString
+      case IntegerType => row.getInt(ord).toString
+      case LongType => row.getLong(ord).toString
+      case ShortType => row.getShort(ord).toString
+      case BooleanType => row.getBoolean(ord).toString
+      case other => throw new SeqFileFormatException(
+        s"unsupported partition column type $other")
+    }
+    java.net.URLEncoder.encode(v, "UTF-8")
+  }
+
+  // one inner writer per partition directory; rows are projected down to
+  // the two data columns before appending
+  private val writers = scala.collection.mutable.LinkedHashMap.empty[String, SeqFileDataWriter]
+  private val proj = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+
+  override def write(row: InternalRow): Unit = {
+    val rel = partitionCols.indices.map { i =>
+      java.net.URLEncoder.encode(partitionCols(i), "UTF-8") + "=" +
+        partString(row, partOrdinals(i))
+    }.mkString("/")
+    val w = writers.getOrElseUpdate(rel, {
+      new SeqFileDataWriter(dataSchema, s"$rootDir/$rel", partitionId, taskId,
+        blockSize, metadata, layout = layout)
+    })
+    proj.update(0, row.get(dataOrdinals(0), schema.fields(dataOrdinals(0)).dataType))
+    proj.update(1, row.get(dataOrdinals(1), schema.fields(dataOrdinals(1)).dataType))
+    w.write(proj)
+  }
+
+  override def commit(): WriterCommitMessage =
+    SeqFilePartitionedCommitMessage(writers.values.toSeq.map(_.commit() match {
+      case SeqFileCommitMessage(p) => p
+    }))
+
+  override def abort(): Unit = writers.values.foreach(_.abort())
+
+  override def close(): Unit = writers.values.foreach(_.close())
 }
 
 class SeqFileDataWriter(schema: StructType, dir: String, partitionId: Int, taskId: Long,
