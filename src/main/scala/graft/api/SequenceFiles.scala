@@ -48,4 +48,37 @@ object SequenceFiles {
               sortByKey: Boolean = true): Int =
     graft.sources.seqfile.SeqFileCompaction.compact(
       spark, dir, targetFileBytes, sortByKey)
+
+  /** Compact every leaf partition directory of a (possibly hive-
+    * partitioned) seqfile lake — the one-call maintenance pass after a
+    * partitioned write or a long streaming run. Walks `k=v` levels to the
+    * directories that actually hold `.seq` files and runs the crash-safe
+    * per-directory compaction on each. Returns (relative leaf dir → file
+    * count after compaction); an unpartitioned dir compacts itself under
+    * key "". */
+  def compactAll(spark: SparkSession, root: String,
+                 targetFileBytes: Long = 512L * 1024 * 1024,
+                 sortByKey: Boolean = true): Map[String, Int] = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(new Configuration())
+    def leaves(p: Path): Seq[Path] = {
+      val children = fs.listStatus(p).toSeq
+        .filterNot(c => c.getPath.getName.startsWith(".") ||
+          c.getPath.getName.startsWith("_"))
+      val subdirs = children.filter(_.isDirectory)
+      val hasData = children.exists(c => !c.isDirectory &&
+        c.getPath.getName.endsWith(".seq"))
+      (if (hasData) Seq(p) else Nil) ++ subdirs.flatMap(s => leaves(s.getPath))
+    }
+    val rootStr = fs.makeQualified(rootPath).toString
+    leaves(rootPath).map { leaf =>
+      val leafStr = fs.makeQualified(leaf).toString
+      val rel =
+        if (leafStr == rootStr) ""
+        else leafStr.stripPrefix(rootStr).stripPrefix("/")
+      rel -> compact(spark, leaf.toString, targetFileBytes, sortByKey)
+    }.toMap
+  }
 }

@@ -78,6 +78,22 @@ class SeqFilePartitionedWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(e.getCause).exists(_.getMessage.contains("null partition value")))
   }
 
+  test("compactAll compacts every partition leaf; contents survive exactly") {
+    val out = Files.createTempDirectory("seqpartw7").toString
+    // many small files per partition: repartition(12) before the write
+    df.repartition(12)
+      .write.format("seqfile").mode("overwrite").partitionBy("source").save(out)
+    val before = spark.read.format("seqfile").load(out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val counts = graft.api.SequenceFiles.compactAll(spark, out,
+      targetFileBytes = 64L * 1024 * 1024)
+    assert(counts.keySet === Set("source=src0", "source=src1", "source=src2"))
+    assert(counts.values.forall(_ === 1), s"expected 1 file per leaf: $counts")
+    val after = spark.read.format("seqfile").load(out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(after === before)
+  }
+
   test("zone maps still work under partitionBy (sorted within partitions)") {
     val out = Files.createTempDirectory("seqpartw6").toString
     df.repartition(col("source")).sortWithinPartitions(col("key"))
