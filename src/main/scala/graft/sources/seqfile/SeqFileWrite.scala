@@ -289,10 +289,29 @@ class SeqFilePartitionedDataWriter(schema: StructType, rootDir: String,
     w.write(proj)
   }
 
-  override def commit(): WriterCommitMessage =
-    SeqFilePartitionedCommitMessage(writers.values.toSeq.map(_.commit() match {
-      case SeqFileCommitMessage(p) => p
-    }))
+  override def commit(): WriterCommitMessage = {
+    // Commit inner writers one by one, but roll back on partial failure: if
+    // rename k+1 fails after k files were already renamed, those k finals
+    // must not survive — the task will be retried with fresh UUID names and
+    // the survivors would be silent duplicates.
+    val committed = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      writers.values.foreach { w =>
+        w.commit() match { case SeqFileCommitMessage(p) => committed += p }
+      }
+      SeqFilePartitionedCommitMessage(committed.toSeq)
+    } catch {
+      case e: Throwable =>
+        val conf = new Configuration()
+        committed.foreach { s =>
+          val p = new Path(s)
+          val fs = p.getFileSystem(conf)
+          try { if (fs.exists(p)) fs.delete(p, false) }
+          catch { case _: Exception => () }
+        }
+        throw e
+    }
+  }
 
   override def abort(): Unit = writers.values.foreach(_.abort())
 
