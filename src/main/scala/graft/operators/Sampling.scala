@@ -114,7 +114,10 @@ object Sampling {
       .withColumn("component", coalesce(col("comp"), docs(idCol)))
       .drop("id", "comp")
       .withColumn("split",
-        when(md5(col("component").cast("string")) < lit(thr), "holdout")
+        // fraction 1.0 yields a 9-char hex threshold that compares SMALLER
+        // than any md5 lexicographically — handle it explicitly
+        when(lit(holdoutFraction) >= 1.0
+            || md5(col("component").cast("string")) < lit(thr), "holdout")
           .otherwise("train"))
   }
 }

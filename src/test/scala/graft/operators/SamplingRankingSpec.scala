@@ -80,6 +80,17 @@ class SamplingRankingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dropped.select("src").distinct().collect().map(_.getString(0)).toSeq === Seq("a"))
   }
 
+  test("leakageSafeSplit boundary fractions: 0.0 all train, 1.0 all holdout") {
+    val docs = (1L to 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val all1 = Sampling.leakageSafeSplit(docs, pairs, "doc_id", "id_a", "id_b", 1.0)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all1 === Map("holdout" -> 50L))
+    val all0 = Sampling.leakageSafeSplit(docs, pairs, "doc_id", "id_a", "id_b", 0.0)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all0 === Map("train" -> 50L))
+  }
+
   test("leakageSafeSplit never splits a near-dup component across sides") {
     val docs = (1L to 200L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
     // chain pairs clustering ids into groups of 4: {1..4}, {5..8}, ...
