@@ -85,6 +85,15 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
     override def toStreaming: StreamingWrite = {
       require(partitionCols.isEmpty,
         "seqfile streaming sink does not support partitionBy")
+      // Spark's DSv2 streaming path silently DROPS writeStream.partitionBy
+      // (the columns never reach the table), so a partitioned streaming
+      // attempt surfaces here as a 3+-column schema — say so explicitly
+      // instead of just failing the column-count check.
+      require(schema.length == 2,
+        s"seqfile streaming sink needs exactly 2 columns (key, value); got " +
+        s"${schema.catalogString}. If you used writeStream.partitionBy, note " +
+        "the streaming sink does not support it (batch partitionBy does) — " +
+        "write per-partition streams or compact+repartition in batch.")
       val (path, blockSize, metadata, layout) = validated()
       new SeqFileStreamingWrite(schema, path, blockSize, metadata, layout)
     }
