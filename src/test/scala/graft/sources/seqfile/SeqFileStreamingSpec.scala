@@ -40,9 +40,18 @@ class SeqFileStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val r1 = spark.table("seqstream").head()
       assert(r1.getLong(0) === 1500L)
 
-      // append a third file mid-stream → next trigger picks it up
+      // append a third file mid-stream → next trigger picks it up.
+      // processAllAvailable can return before the just-written file is
+      // visible to the next directory listing (it waits only for data the
+      // source has already OFFERED), so poll until discovery happens.
       writeFile(dir, "c.seq", 1500, 250)
-      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n != 1750L && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        n = spark.table("seqstream").head().getLong(0)
+        if (n != 1750L) Thread.sleep(100)
+      }
       val r2 = spark.table("seqstream").head()
       assert(r2.getLong(0) === 1750L)
       assert(r2.getLong(1) === (0L until 1750L).sum)
