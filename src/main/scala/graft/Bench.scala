@@ -111,15 +111,26 @@ object Bench {
     val metricLine =
       s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$reps,""" +
       s""""failed":$failedJson,"queries":${jsonMap2(med)},"sf":$sfNum}"""
-    // Belt and braces: persist the metric line to a stable path too, so a
+    // Belt and braces: persist the metric line to stable paths too, so a
     // harness that loses the stdout tail can still recover the numbers.
-    try {
-      val out = new java.io.PrintWriter("/tmp/graft-bench.json")
-      try out.println(metricLine) finally out.close()
-    } catch { case _: Throwable => () }
+    // bench_out.json lands in the launch cwd (the repo when run via sbt).
+    for (path <- Seq("/tmp/graft-bench.json", "bench_out.json")) {
+      try {
+        val out = new java.io.PrintWriter(path)
+        try out.println(metricLine) finally out.close()
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
     // Print LAST, after spark.stop(), so no shutdown chatter can land
-    // between the metric line and process exit.
+    // between the metric lines and process exit. The full per-query line
+    // goes first; with ~90 queries it exceeds a 2000-byte tail-capture
+    // window, so a totals-only summary — guaranteed to fit any window —
+    // is the FINAL line. Harnesses that parse the last JSON line get the
+    // totals; per-query medians live on the previous line and in the
+    // persisted files.
     println(metricLine)
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
+      s""""runs":$reps,"n_queries":${queries.size},"n_failed":${failed.size},""" +
+      s""""sf":$sfNum,"detail_file":"bench_out.json"}""")
   }
 }

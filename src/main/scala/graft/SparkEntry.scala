@@ -1179,6 +1179,20 @@ object SparkEntry {
         .orderBy(col("kind"))
     }),
 
+    // ---- REAL PNG decode via the JDK's ImageIO: synthesizePng emits
+    //      genuine (lossless) PNG files with closed-form dims/colors in
+    //      doc_id; matching the oracle is only possible if ImageIO actually
+    //      parses the pixels back out. ----
+    "q_multimodal_png" -> ((s, dir) => {
+      graft.operators.Multimodal.decodeStats(
+          graft.operators.Multimodal.synthesizePng(t(s, dir, "documents"))).toDF()
+        .agg(count(lit(1)).as("n"),
+          sum(col("width")).as("sum_width"),
+          sum(col("height")).as("sum_height"),
+          round(sum(col("stat1")), 3).as("sum_mean_r"),
+          round(sum(col("stat2")), 3).as("sum_mean_b"))
+    }),
+
     // ---- REAL image resize over decoded rasters: synthesizeMedia's solid
     //      images have closed-form dims/colors in doc_id, so the resized
     //      output (dims AND per-channel means, invariant under resample of
@@ -2236,6 +2250,16 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1
         |ORDER BY kind""".stripMargin,
+
+    // Closed forms of synthesizePng's solid-color PNGs (lossless decode →
+    // exact means): w=8+(id%8)*4, h=8+(id%4)*4, r=(id*11)%256, b=(id*17)%256
+    "q_multimodal_png" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(8 + (doc_id % 8) * 4) AS BIGINT) AS sum_width,
+        |  CAST(sum(8 + (doc_id % 4) * 4) AS BIGINT) AS sum_height,
+        |  round(1.0 * sum((doc_id * 11) % 256), 3) AS sum_mean_r,
+        |  round(1.0 * sum((doc_id * 17) % 256), 3) AS sum_mean_b
+        |FROM documents""".stripMargin,
 
     "q_corpus_clean" -> SparkEntryOracles.corpusCleanSql,
 

@@ -65,10 +65,17 @@ object Verify {
     // fraction of true (q_id, n_id) neighbor pairs the approx method found.
     def annRecall(approx: String): String = Try {
       val truth = load("q_ann_bruteforce").select("q_id", "n_id")
-      val got = load(approx).select("q_id", "n_id")
-      val hit = truth.join(got, Seq("q_id", "n_id"), "left_semi").count()
-      f"""{"metric":"recall_at_10_vs_bruteforce","value":${
-        hit.toDouble / truth.count()}%.4f}"""
+      val nTruth = truth.count()
+      // An empty truth dump (e.g. a stale zero-row file from a focused
+      // VERIFY_ONLY run) must surface as an error field, not divide to NaN
+      // — "NaN" is not valid JSON and would break the driver's json.load.
+      if (nTruth == 0L) """{"error":"empty q_ann_bruteforce truth dump"}"""
+      else {
+        val got = load(approx).select("q_id", "n_id")
+        val hit = truth.join(got, Seq("q_id", "n_id"), "left_semi").count()
+        f"""{"metric":"recall_at_10_vs_bruteforce","value":${
+          hit.toDouble / nTruth}%.4f}"""
+      }
     }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
     // simhash pair recall vs the exact-verified Jaccard pair dump (the
     // ground truth the ngram/minhash/prefix gates share).
@@ -109,6 +116,11 @@ object Verify {
          |"q_sketch_tokens": $cmsExactness,
          |"q_approx_distinct": $hllError}""".stripMargin
     Files.writeString(Paths.get(s"$outDir/no_oracle_evidence.json"), body)
+    // Also land a copy at a stable cwd path (the repo when run via sbt):
+    // outDir is transient in the driver's flow, and the recall/error numbers
+    // backing the no_oracle correctness rows should survive as a committed
+    // artifact (EVIDENCE_r{N}.json) beside CORRECTNESS.
+    Try(Files.writeString(Paths.get("evidence_out.json"), body))
     println(s"no-oracle-evidence $body")
   }
 }

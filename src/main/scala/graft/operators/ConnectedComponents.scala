@@ -152,20 +152,41 @@ object ConnectedComponents {
                       aCol: String, bCol: String, preferCol: Column,
                       maxIter: Int = 30, reliable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
-    val comps = components(edges, aCol, bCol, maxIter, reliable)
-    var pref = "__pref"
+    // component / rep_id / cluster_size / is_rep are the documented OUTPUT
+    // columns — refuse a clash loudly rather than silently shadowing.
+    val reserved = Seq("component", "rep_id", "cluster_size", "is_rep")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"docs already has output column(s) ${reserved.mkString(", ")} — " +
+        "rename them before representatives")
+    // Collision-free temp names: dropping literal "id"/"comp" would also
+    // drop a same-named caller column (drop-by-name removes every match).
+    var pref = "__pref"; var cid = "__cc_id"; var ccomp = "__cc_comp"
     while (docs.columns.contains(pref)) pref += "_"
+    while (docs.columns.contains(cid)) cid += "_"
+    while (docs.columns.contains(ccomp)) ccomp += "_"
+    val comps = components(edges, aCol, bCol, maxIter, reliable)
+      .select(col("id").as(cid), col("comp").as(ccomp))
     // only clustered docs participate in the best-of-group aggregate
     val clustered = docs.withColumn(pref, preferCol)
-      .join(comps, docs(idCol) === comps("id"), "inner")
-      .select(col("comp"), col(idCol), col(pref))
-    val best = clustered.groupBy(col("comp"))
-      .agg(expr(s"max_by(`$idCol`, struct(`$pref`, -`$idCol`))").as("rep_id"),
-        count(lit(1)).as("cluster_size"))
-    docs.join(comps, docs(idCol) === comps("id"), "left")
-      .withColumn("component", coalesce(col("comp"), docs(idCol)))
-      .drop("id", "comp")
-      .join(best.withColumnRenamed("comp", "component"), Seq("component"), "left")
+      .join(comps, docs(idCol) === col(cid), "inner")
+      .select(col(ccomp), col(idCol), col(pref))
+    // Representative = max preference, ties toward the SMALLEST id — found
+    // with a two-pass max-then-min (per-component max pref, then min id
+    // among the rows achieving it) instead of max_by over struct(pref, -id):
+    // unary minus on the id column broke for string/UUID ids even though
+    // everything else here supports them. Null-safe <=> keeps the all-null-
+    // preference component working (max() yields null, every row matches).
+    val sizes = clustered.groupBy(col(ccomp))
+      .agg(max(col(pref)).as(pref + "_max"), count(lit(1)).as("cluster_size"))
+    val best = clustered.join(sizes, ccomp)
+      .filter(col(pref) <=> col(pref + "_max"))
+      .groupBy(col(ccomp))
+      .agg(min(col(idCol)).as("rep_id"), first(col("cluster_size")).as("cluster_size"))
+    docs.join(comps, docs(idCol) === col(cid), "left")
+      .withColumn("component", coalesce(col(ccomp), docs(idCol)))
+      .drop(cid, ccomp)
+      .join(best.withColumnRenamed(ccomp, "component"), Seq("component"), "left")
       .withColumn("rep_id", coalesce(col("rep_id"), col(idCol)))
       .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
       .withColumn("is_rep", col(idCol) === col("rep_id"))

@@ -51,8 +51,11 @@ object Decontamination {
     hits.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bench_hits"),
         max(col("overlap")).as("max_overlap"),
-        // bench doc with the largest overlap; ties -> smallest bench id
-        expr("max_by(bench_id, struct(overlap, -bench_id))").as("worst_bench_id"))
+        // bench doc with the largest overlap; ties -> smallest bench id.
+        // min_by over struct(-overlap, bench_id): negation sits on the
+        // always-numeric count, never on bench_id, so string/UUID benchmark
+        // ids work (max_by over struct(overlap, -bench_id) crashed on them).
+        expr("min_by(bench_id, struct(-overlap, bench_id))").as("worst_bench_id"))
   }
 
   /** The corpus with contaminated documents removed. */

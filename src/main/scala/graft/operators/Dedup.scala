@@ -394,15 +394,26 @@ object Dedup {
   def exactDedupIncremental(batch: DataFrame, idCol: String, textCol: String,
                             corpusFingerprints: DataFrame,
                             fpCol: String): DataFrame = {
+    // fp / in_corpus / is_new are the documented OUTPUT columns — a batch
+    // that already carries one of those names would be silently clobbered,
+    // so refuse loudly instead. Internal working columns get collision-free
+    // temp names (same pattern as Sampling.stratifiedExact).
+    val reserved = Seq("fp", "in_corpus", "is_new").filter(batch.columns.contains)
+    require(reserved.isEmpty,
+      s"batch already has output column(s) ${reserved.mkString(", ")} — " +
+        "rename them before exactDedupIncremental")
+    var hit = "__hit"; var rep = "__rep"
+    while (batch.columns.contains(hit)) hit += "_"
+    while (batch.columns.contains(rep)) rep += "_"
     val withFp = batch.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
     val corpus = corpusFingerprints.select(col(fpCol).as("fp")).distinct()
-      .withColumn("__hit", lit(1))
-    val reps = withFp.groupBy(col("fp")).agg(min(col(idCol)).as("__rep"))
+      .withColumn(hit, lit(1))
+    val reps = withFp.groupBy(col("fp")).agg(min(col(idCol)).as(rep))
     withFp.join(corpus, Seq("fp"), "left")
       .join(reps, Seq("fp"))
-      .withColumn("in_corpus", col("__hit").isNotNull)
-      .withColumn("is_new", col("__hit").isNull && col(idCol) === col("__rep"))
-      .drop("__hit", "__rep")
+      .withColumn("in_corpus", col(hit).isNotNull)
+      .withColumn("is_new", col(hit).isNull && col(idCol) === col(rep))
+      .drop(hit, rep)
   }
 
   /** Line-level boilerplate removal (the CCNet/RefinedWeb pre-filter):

@@ -16,14 +16,15 @@ import org.apache.spark.sql.functions._
   * context once per batch), iterator-in/iterator-out so partitions stream
   * without materializing.
   *
-  * The pixel/sample decode is REAL for the formats that parse with pure
-  * integer arithmetic: BMP (24/32bpp uncompressed, graft.core.media.BmpCodec)
-  * and WAV/PCM (8/16-bit, graft.core.media.WavCodec), plus a GRFT frame
-  * container holding concatenated BMP frames (video). Formats needing a
-  * native codec stack (JPEG/PNG/MP3/H.264 — not in this container) fall
-  * back to deterministic byte-level features via the same dispatch, so the
-  * plumbing — schemas, batching, partitioning, corrupt handling — is
-  * exercised identically for every payload kind. */
+  * The pixel/sample decode is REAL for: BMP (24/32bpp uncompressed,
+  * graft.core.media.BmpCodec) and WAV/PCM (8/16-bit,
+  * graft.core.media.WavCodec) via pure integer arithmetic; PNG/JPEG/GIF via
+  * the JDK's own javax.imageio (pure-JDK, headless —
+  * graft.core.media.ImageIoCodec); plus a GRFT frame container holding
+  * concatenated BMP frames (video). Formats genuinely outside the JDK
+  * (MP3/H.264) fall back to deterministic byte-level features via the same
+  * dispatch, so the plumbing — schemas, batching, partitioning, corrupt
+  * handling — is exercised identically for every payload kind. */
 object Multimodal {
 
   val Magic: Array[Byte] = "GRFT".getBytes(StandardCharsets.US_ASCII)
@@ -99,10 +100,10 @@ object Multimodal {
     }
   }
 
-  /** Media decode dispatch. Real parsers where pure-JVM decoding is
-    * feasible (BMP, WAV, BMP-frame video container); byte-level fallback
-    * features for everything else so unknown codecs degrade gracefully
-    * instead of failing the partition. */
+  /** Media decode dispatch. Real parsers for everything the JVM can decode
+    * (BMP, PNG/JPEG/GIF via javax.imageio, WAV, BMP-frame video container);
+    * byte-level fallback features for everything else so unknown codecs
+    * degrade gracefully instead of failing the partition. */
   object MediaCodec {
     import graft.core.media.{BmpCodec, WavCodec}
 
@@ -126,8 +127,11 @@ object Multimodal {
       catch { case scala.util.control.NonFatal(e) => Corrupt(e.toString) }
 
     private def decodeUnsafe(bytes: Array[Byte]): Decoded = {
+      import graft.core.media.ImageIoCodec
       if (BmpCodec.isBmp(bytes))
         BmpCodec.decode(bytes).fold(Corrupt.apply, DecodedImage.apply)
+      else if (ImageIoCodec.isSupported(bytes)) // PNG/JPEG/GIF via the JDK
+        ImageIoCodec.decode(bytes).fold(Corrupt.apply, DecodedImage.apply)
       else if (WavCodec.isWav(bytes))
         WavCodec.decode(bytes).fold(Corrupt.apply, DecodedAudio.apply)
       else if (bytes.length >= 16 &&
@@ -251,6 +255,26 @@ object Multimodal {
             header ++ frames
         }
         MediaRecord(id, kind, bytes)
+      }
+    }
+  }
+
+  /** PNG variant of synthesizeMedia: every record is a REAL PNG (encoded by
+    * the JDK's ImageIO) of a solid color whose dims/colors are closed forms
+    * of doc_id — so the ImageIO decode path (PNG is lossless) is certifiable
+    * by the same arithmetic-oracle trick as the BMP/WAV media. */
+  def synthesizePng(documents: DataFrame): Dataset[MediaRecord] = {
+    import graft.core.media.ImageIoCodec
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 8 + (id % 8).toInt * 4
+        val h = 8 + (id % 4).toInt * 4
+        val rgb = (((id * 11) % 256).toInt << 16) |
+          (((id * 13) % 256).toInt << 8) | ((id * 17) % 256).toInt
+        MediaRecord(id, KindImage,
+          ImageIoCodec.encodePng(w, h, Array.fill(w * h)(rgb)))
       }
     }
   }

@@ -108,11 +108,24 @@ object Sampling {
                        holdoutFraction: Double): DataFrame = {
     require(holdoutFraction >= 0.0 && holdoutFraction <= 1.0,
       s"holdoutFraction $holdoutFraction")
+    // component / split are the documented OUTPUT columns — refuse a clash
+    // loudly rather than silently shadowing a caller column.
+    val reserved = Seq("component", "split").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"docs already has output column(s) ${reserved.mkString(", ")} — " +
+        "rename them before leakageSafeSplit")
+    // Alias the components frame to collision-free temp names: dropping the
+    // literal names "id"/"comp" would remove a SAME-NAMED caller column too
+    // (Spark drop-by-name drops every match).
+    var cid = "__cc_id"; var ccomp = "__cc_comp"
+    while (docs.columns.contains(cid)) cid += "_"
+    while (docs.columns.contains(ccomp)) ccomp += "_"
     val comps = ConnectedComponents.components(edges, aCol, bCol)
+      .select(col("id").as(cid), col("comp").as(ccomp))
     val thr = f"${(holdoutFraction * (1L << 32)).toLong}%08x"
-    docs.join(comps, docs(idCol) === comps("id"), "left")
-      .withColumn("component", coalesce(col("comp"), docs(idCol)))
-      .drop("id", "comp")
+    docs.join(comps, docs(idCol) === col(cid), "left")
+      .withColumn("component", coalesce(col(ccomp), docs(idCol)))
+      .drop(cid, ccomp)
       .withColumn("split",
         // fraction 1.0 yields a 9-char hex threshold that compares SMALLER
         // than any md5 lexicographically — handle it explicitly

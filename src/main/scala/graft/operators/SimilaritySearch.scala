@@ -107,15 +107,31 @@ object SimilaritySearch {
 
   /** IVF with k-means-trained centroids (MLlib KMeans, fixed seed →
     * deterministic): tighter clusters → better recall per probed list than
-    * the sampled-centroid variant. This is the production path; training
-    * cost is one pass over a corpus sample. */
+    * the sampled-centroid variant. This is the production path.
+    *
+    * Training is bounded: KMeans at maxIter=10 makes ~10 passes over its
+    * input, so it is fed at most `maxTrainVectors` vectors — the rows whose
+    * multiplicative id-hash (Knuth's 2654435761, same scheme as ivfTopK's
+    * centroid pick, so the sample is deterministic and rerun-stable) falls
+    * under the sampled fraction. One cheap count() sizes the threshold;
+    * corpora at or under the cap train on everything, so small-scale
+    * behavior (and the recall gate) is unchanged. At 100 TB the training
+    * set stays ~256k vectors regardless of corpus size. */
   def ivfTopKKMeans(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, numCentroids: Int = 16,
-                    nProbe: Int = 4): DataFrame = {
+                    nProbe: Int = 4, maxTrainVectors: Int = 262144): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = prepared(corpus, idCol, vecCol)
-    val train = c.select(array_to_vector(col("v")).as("features"))
+    val n = c.count()
+    val sampled =
+      if (n <= maxTrainVectors) c
+      else {
+        val hkey = pmod(col("id").cast("long") * lit(2654435761L), lit(4294967296L))
+        val threshold = math.ceil(4294967296.0 * maxTrainVectors / n).toLong
+        c.filter(hkey < lit(threshold))
+      }
+    val train = sampled.select(array_to_vector(col("v")).as("features"))
     val model = new KMeans().setK(numCentroids).setSeed(42L).setMaxIter(10)
       .fit(train)
     val spark = corpus.sparkSession

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.core.seqfile.{SeqCompression, WritableType, ZoneKey, ZoneMap}
+import graft.core.seqfile.{SeqCompression, ZoneKey, ZoneMap}
 
 /** MIN/MAX/COUNT pushdown answered ENTIRELY from zone-map sidecars: a
   * `SELECT max(key), count(*) FROM seqfileTable` never opens a data file —
@@ -21,8 +21,8 @@ import graft.core.seqfile.{SeqCompression, WritableType, ZoneKey, ZoneMap}
   *
   * Pushdown is accepted only when every committed data file has a
   * VALIDATED sidecar carrying stats for every referenced column — one
-  * driver-side sidecar read per file, ~100 bytes each; the payoff is
-  * skipping the entire data scan. Queries with filters never reach this
+  * ~100-byte sidecar read per file, done with bounded driver-side
+  * parallelism (PlanParallel); the payoff is skipping the entire data scan. Queries with filters never reach this
   * path (all our filters stay residual, and Spark only pushes aggregates
   * below fully-consumed filters). */
 object SeqFileAggPushdown {
@@ -70,9 +70,48 @@ object SeqFileAggPushdown {
     schema.fields.find(_.name.equalsIgnoreCase(col)).map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(s"no column $col"))
 
+  /** Per-file sidecar fold: count plus min/max of whichever columns are
+    * needed; None when the file can't serve the pushdown. */
+  private final case class FileStats(count: Long,
+                                     kMin: ZoneKey, kMax: ZoneKey,
+                                     vMin: ZoneKey, vMax: ZoneKey)
+
+  private def fileStats(pf: SeqFileDataSource.PartitionedFile,
+                        needKey: Boolean, needVal: Boolean,
+                        conf: Configuration): Option[FileStats] = {
+    val p = pf.status.getPath
+    val header =
+      try SeqFileDataSource.readHeader(p, conf)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (header.compression != SeqCompression.Block) return None
+    val entries = ZoneMap.readValidated(conf, p, header.keyClass,
+      header.valueClass, pf.status.getLen).getOrElse(return None)
+    var count = 0L
+    var kMin: ZoneKey = null; var kMax: ZoneKey = null
+    var vMin: ZoneKey = null; var vMax: ZoneKey = null
+    for (e <- entries) {
+      count += e.count
+      if (needKey) (e.kmin, e.kmax) match {
+        case (Some(lo), Some(hi)) =>
+          if (kMin == null || lo.cmp(kMin) < 0) kMin = lo
+          if (kMax == null || hi.cmp(kMax) > 0) kMax = hi
+        case _ => return None
+      }
+      if (needVal) (e.vmin, e.vmax) match {
+        case (Some(lo), Some(hi)) =>
+          if (vMin == null || lo.cmp(vMin) < 0) vMin = lo
+          if (vMax == null || hi.cmp(vMax) > 0) vMax = hi
+        case _ => return None
+      }
+    }
+    Some(FileStats(count, kMin, kMax, vMin, vMax))
+  }
+
   /** Fold every file's sidecar into one partial row. None when any file
     * lacks a valid sidecar with the needed stats (caller then declines the
-    * pushdown). */
+    * pushdown). Sidecars are read with bounded driver-side parallelism
+    * (PlanParallel): a million-file lake plans in O(files/parallelism)
+    * wall-clock instead of a serial read per file. */
   def partialRow(paths: Seq[String], specs: Seq[Spec],
                  tableSchema: StructType, conf: Configuration)
       : Option[InternalRow] = {
@@ -81,38 +120,26 @@ object SeqFileAggPushdown {
     val needVal = specs.exists {
       case MinOf("value") | MaxOf("value") => true; case _ => false }
 
+    val files = SeqFileDataSource.listPartitionedFiles(paths, conf)
+    if (files.isEmpty) return Some(null) // empty table: emit no partial row
+    val perFile = PlanParallel.mapOrdered(files)(
+      fileStats(_, needKey, needVal, conf))
+    if (perFile.exists(_.isEmpty)) return None
+
     var count = 0L
     var kMin: ZoneKey = null; var kMax: ZoneKey = null
     var vMin: ZoneKey = null; var vMax: ZoneKey = null
-    var kt: WritableType = null; var vt: WritableType = null
-
-    val files = SeqFileDataSource.listPartitionedFiles(paths, conf)
-    for (pf <- files) {
-      val p = pf.status.getPath
-      val header =
-        try SeqFileDataSource.readHeader(p, conf)
-        catch { case scala.util.control.NonFatal(_) => return None }
-      if (header.compression != SeqCompression.Block) return None
-      kt = header.keyType; vt = header.valueType
-      val entries = ZoneMap.readValidated(conf, p, header.keyClass,
-        header.valueClass, pf.status.getLen).getOrElse(return None)
-      for (e <- entries) {
-        count += e.count
-        if (needKey) (e.kmin, e.kmax) match {
-          case (Some(lo), Some(hi)) =>
-            if (kMin == null || lo.cmp(kMin) < 0) kMin = lo
-            if (kMax == null || hi.cmp(kMax) > 0) kMax = hi
-          case _ => return None
-        }
-        if (needVal) (e.vmin, e.vmax) match {
-          case (Some(lo), Some(hi)) =>
-            if (vMin == null || lo.cmp(vMin) < 0) vMin = lo
-            if (vMax == null || hi.cmp(vMax) > 0) vMax = hi
-          case _ => return None
-        }
+    for (fsOpt <- perFile; fs = fsOpt.get) {
+      count += fs.count
+      if (needKey && fs.kMin != null) {
+        if (kMin == null || fs.kMin.cmp(kMin) < 0) kMin = fs.kMin
+        if (kMax == null || fs.kMax.cmp(kMax) > 0) kMax = fs.kMax
+      }
+      if (needVal && fs.vMin != null) {
+        if (vMin == null || fs.vMin.cmp(vMin) < 0) vMin = fs.vMin
+        if (vMax == null || fs.vMax.cmp(vMax) > 0) vMax = fs.vMax
       }
     }
-    if (files.isEmpty) return Some(null) // empty table: emit no partial row
     if (needKey && kMin == null) return None
     if (needVal && vMin == null) return None
 

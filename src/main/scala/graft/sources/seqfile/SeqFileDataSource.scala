@@ -119,8 +119,8 @@ object SeqFileDataSource {
   private def partOf(dirName: String): Option[(String, String)] = {
     val i = dirName.indexOf('=')
     if (i <= 0) None
-    else Some((java.net.URLDecoder.decode(dirName.substring(0, i), "UTF-8"),
-      java.net.URLDecoder.decode(dirName.substring(i + 1), "UTF-8")))
+    else Some((PartitionPaths.unescape(dirName.substring(0, i)),
+      PartitionPaths.unescape(dirName.substring(i + 1))))
   }
 
   /** Re-derive partition values from a file path's `k=v` directory

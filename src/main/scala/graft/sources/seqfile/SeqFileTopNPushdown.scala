@@ -95,22 +95,25 @@ object SeqFileTopNPushdown {
 
   /** Per-file planned offsets for the whole table, or None when any file
     * can't participate (missing/stale sidecar, non-BLOCK layout, missing
-    * column stats). */
+    * column stats). Sidecars are read with bounded driver-side parallelism
+    * (PlanParallel), so planning a million-file lake costs
+    * O(files/parallelism) wall-clock, not a serial read per file. */
   def planFiles(paths: Seq[String], key: Key, n: Int, conf: Configuration)
       : Option[Seq[(SeqFileDataSource.PartitionedFile, Seq[Long])]] = {
     val files = SeqFileDataSource.listPartitionedFiles(paths, conf)
-    val out = Seq.newBuilder[(SeqFileDataSource.PartitionedFile, Seq[Long])]
-    for (pf <- files) {
+    val perFile = PlanParallel.mapOrdered(files) { pf =>
       val p = pf.status.getPath
-      val header =
-        try SeqFileDataSource.readHeader(p, conf)
-        catch { case scala.util.control.NonFatal(_) => return None }
-      if (header.compression != SeqCompression.Block) return None
-      val entries = ZoneMap.readValidated(conf, p, header.keyClass,
-        header.valueClass, pf.status.getLen).getOrElse(return None)
-      val offs = selectBlocks(entries, key, n).getOrElse(return None)
-      out += ((pf, offs))
+      (try Some(SeqFileDataSource.readHeader(p, conf))
+       catch { case scala.util.control.NonFatal(_) => None })
+        .filter(_.compression == SeqCompression.Block)
+        .flatMap { header =>
+          ZoneMap.readValidated(conf, p, header.keyClass,
+            header.valueClass, pf.status.getLen)
+        }
+        .flatMap(selectBlocks(_, key, n))
+        .map(offs => (pf, offs))
     }
-    Some(out.result())
+    if (perFile.exists(_.isEmpty)) None
+    else Some(perFile.map(_.get))
   }
 }

@@ -32,17 +32,17 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
       s"partition column '$c' not found in ${schema.catalogString}")
   }
 
-  private def validated(): (String, Int, Seq[(String, String)], SeqWriteLayout) = {
+  private def validated(pCols: Seq[String]): (String, Int, Seq[(String, String)], SeqWriteLayout) = {
     require(paths.size == 1, s"seqfile write needs exactly one path, got $paths")
     // Record = one (key, value) pair (reference: Types.hs:32-38). Accept
     // any 2-column schema: first column → key, second → value. With
     // partitionBy, the partition columns route to hive-style directories
     // and the REMAINING two columns form the record.
-    val nData = schema.length - partitionCols.length
+    val nData = schema.length - pCols.length
     require(nData == 2,
       s"seqfile schema must have exactly 2 data columns (key, value) besides " +
       s"partition columns; got ${schema.catalogString} with partitions " +
-      partitionCols.mkString(","))
+      pCols.mkString(","))
     // options: blockSize (uncompressed flush threshold, default 1 MiB =
     // Hadoop's io.seqfile.compress.blocksize); compression = none|record|
     // block; codec = snappy|gzip|deflate|zstd|lz4; metadata.<k>=<v> pairs go
@@ -78,24 +78,36 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
-      val (path, blockSize, metadata, layout) = validated()
+      val (path, blockSize, metadata, layout) = validated(partitionCols)
       new SeqFileBatchWrite(schema, path, truncateFirst, blockSize, metadata,
         layout, partitionCols)
     }
     override def toStreaming: StreamingWrite = {
-      require(partitionCols.isEmpty,
-        "seqfile streaming sink does not support partitionBy")
       // Spark's DSv2 streaming path silently DROPS writeStream.partitionBy
-      // (the columns never reach the table), so a partitioned streaming
-      // attempt surfaces here as a 3+-column schema — say so explicitly
-      // instead of just failing the column-count check.
-      require(schema.length == 2,
-        s"seqfile streaming sink needs exactly 2 columns (key, value); got " +
-        s"${schema.catalogString}. If you used writeStream.partitionBy, note " +
-        "the streaming sink does not support it (batch partitionBy does) — " +
-        "write per-partition streams or compact+repartition in batch.")
-      val (path, blockSize, metadata, layout) = validated()
-      new SeqFileStreamingWrite(schema, path, blockSize, metadata, layout)
+      // (the columns never reach the table), so partitioned STREAMING
+      // writes declare their partition columns via the `partitionBy`
+      // OPTION (comma-separated) instead. Table-level partitioning is
+      // honored too, should a Spark version start delivering it.
+      val streamParts =
+        if (partitionCols.nonEmpty) partitionCols
+        else Option(options.get("partitionBy")).toSeq
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+      streamParts.foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"partition column '$c' not found in ${schema.catalogString}")
+      }
+      // A 3+-column schema with no declared partition columns is almost
+      // always a writeStream.partitionBy that Spark dropped — say so
+      // explicitly instead of just failing the column-count check.
+      require(schema.length - streamParts.length == 2,
+        s"seqfile streaming sink needs exactly 2 data columns (key, value) " +
+        s"besides partition columns; got ${schema.catalogString} with " +
+        s"partitions [${streamParts.mkString(",")}]. Note Spark drops " +
+        "writeStream.partitionBy before it reaches a DSv2 sink — declare " +
+        """partition columns with .option("partitionBy", "col1,col2") instead.""")
+      val (path, blockSize, metadata, layout) = validated(streamParts)
+      new SeqFileStreamingWrite(schema, path, blockSize, metadata, layout,
+        streamParts)
     }
   }
 }
@@ -125,10 +137,22 @@ object SeqWriteLayout {
   * manifested files, so a crashed epoch's orphans are invisible until its
   * replay commits. The data files themselves stay plain Hadoop-readable
   * SequenceFiles; foreign readers that ignore the manifest see at-least-once
-  * output, same as FileStreamSink's parquet. */
+  * output, same as FileStreamSink's parquet.
+  *
+  * Partitioned mode (`.option("partitionBy", "col1,col2")` — Spark drops
+  * writeStream.partitionBy before it reaches a DSv2 sink): rows route to
+  * hive-style `k=v` leaves exactly like the batch writer, file names stay
+  * deterministic per (epoch, task-partition) within each leaf, and epoch
+  * commit writes ONE manifest per touched leaf. A replayed epoch touches the
+  * same leaves (same offsets → same rows), so per-leaf stale-file sweeps
+  * cover every leaf a crashed attempt wrote; leaves become manifest-governed
+  * at task commit, before their first data file is visible. Per-leaf
+  * manifests keep each leaf independently readable, prunable, and
+  * compactable (SeqFileCompaction is per-directory). */
 class SeqFileStreamingWrite(schema: StructType, path: String, blockSize: Int,
                             metadata: Seq[(String, String)],
-                            layout: SeqWriteLayout = SeqWriteLayout.Default)
+                            layout: SeqWriteLayout = SeqWriteLayout.Default,
+                            partitionCols: Seq[String] = Nil)
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -136,18 +160,43 @@ class SeqFileStreamingWrite(schema: StructType, path: String, blockSize: Int,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    new SeqFileStreamingWriterFactory(schema, path, blockSize, metadata, layout)
+    // Flat sink: make the directory manifest-governed from the start, so a
+    // reader never observes first-epoch files between task rename and epoch
+    // commit. (Partitioned leaves do the same at task-commit time — leaves
+    // are only discovered as rows arrive.)
+    if (partitionCols.isEmpty)
+      fs.mkdirs(new Path(dir, SeqFileDataSource.MetadataDirName))
+    new SeqFileStreamingWriterFactory(schema, path, blockSize, metadata, layout,
+      partitionCols)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(conf)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
     // qualify both sides: message paths may be schemeless while globStatus
     // returns fully-qualified URIs
-    val committed = messages.collect { case m: SeqFileCommitMessage =>
-      fs.makeQualified(new Path(m.path)).toString
-    }.toSet
+    val committed = messages.flatMap {
+      case m: SeqFileCommitMessage => Seq(m.path)
+      case m: SeqFilePartitionedCommitMessage => m.paths
+      case _ => Nil
+    }.map(s => fs.makeQualified(new Path(s)))
+    // One manifest per directory: the flat sink commits exactly one (the
+    // root, even on an empty epoch); the partitioned sink commits one per
+    // partition leaf touched this epoch. Same rows replay to the same
+    // leaves, so a crashed attempt's leaf set equals the replay's and every
+    // leaf's stale files get swept. Per-leaf manifests also keep each leaf
+    // independently compactable (SeqFileCompaction is per-directory).
+    val byDir: Map[Path, Seq[Path]] =
+      if (partitionCols.isEmpty)
+        Map(fs.makeQualified(root) -> committed.toSeq)
+      else committed.toSeq.groupBy(_.getParent)
+    byDir.foreach { case (dir, files) =>
+      commitDir(fs, conf, epochId, dir, files.map(_.toString).toSet) }
+  }
+
+  private def commitDir(fs: org.apache.hadoop.fs.FileSystem, conf: Configuration,
+                        epochId: Long, dir: Path, committed: Set[String]): Unit = {
     val stale = fs.globStatus(new Path(dir, f"part-e$epochId%05d-p*.seq"))
     if (stale != null) stale.foreach { st =>
       if (!committed.contains(fs.makeQualified(st.getPath).toString)) {
@@ -167,9 +216,8 @@ class SeqFileStreamingWrite(schema: StructType, path: String, blockSize: Int,
     val finalMeta = new Path(metaDir, f"$epochId%020d")
     val tmpMeta = new Path(metaDir, f".$epochId%020d.tmp")
     val out = fs.create(tmpMeta, true)
-    try messages.collect { case m: SeqFileCommitMessage =>
-      new Path(m.path).getName
-    }.sorted.foreach(n => out.write((n + "\n").getBytes("UTF-8")))
+    try committed.map(new Path(_).getName).toSeq.sorted
+      .foreach(n => out.write((n + "\n").getBytes("UTF-8")))
     finally out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(finalMeta.toUri, conf)
       .rename(tmpMeta, finalMeta, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -177,8 +225,12 @@ class SeqFileStreamingWrite(schema: StructType, path: String, blockSize: Int,
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
-    messages.collect { case m: SeqFileCommitMessage =>
-      val p = new Path(m.path)
+    messages.flatMap {
+      case m: SeqFileCommitMessage => Seq(m.path)
+      case m: SeqFilePartitionedCommitMessage => m.paths
+      case _ => Nil
+    }.foreach { s =>
+      val p = new Path(s)
       val fs = p.getFileSystem(conf)
       if (fs.exists(p)) fs.delete(p, false)
     }
@@ -187,11 +239,16 @@ class SeqFileStreamingWrite(schema: StructType, path: String, blockSize: Int,
 
 class SeqFileStreamingWriterFactory(schema: StructType, dir: String, blockSize: Int,
                                     metadata: Seq[(String, String)],
-                                    layout: SeqWriteLayout = SeqWriteLayout.Default)
+                                    layout: SeqWriteLayout = SeqWriteLayout.Default,
+                                    partitionCols: Seq[String] = Nil)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new SeqFileDataWriter(schema, dir, partitionId, taskId, blockSize, metadata,
-      epoch = Some(epochId), layout = layout)
+    if (partitionCols.isEmpty)
+      new SeqFileDataWriter(schema, dir, partitionId, taskId, blockSize, metadata,
+        epoch = Some(epochId), layout = layout)
+    else
+      new SeqFilePartitionedDataWriter(schema, dir, partitionId, taskId,
+        blockSize, metadata, layout, partitionCols, epoch = Some(epochId))
 }
 
 class SeqFileBatchWrite(schema: StructType, path: String, truncateFirst: Boolean,
@@ -244,17 +301,20 @@ class SeqFileWriterFactory(schema: StructType, dir: String, blockSize: Int,
 }
 
 /** Hive-style dynamic-partition writer: routes each row to a `k=v/...`
-  * subdirectory (URL-encoded, matching the read side's discovery decoding)
-  * and keeps one open SeqFileDataWriter per partition value seen by this
-  * task. Rows arrive pre-repartitioned by Spark only if the user asked for
-  * it; the writer is correct either way — worst case is one open file per
-  * distinct partition value per task, the same contract as Spark's own
-  * file-source dynamic partitioning. */
+  * subdirectory (Hive-style percent-escaped, matching the read side's
+  * discovery decoding) and keeps one open SeqFileDataWriter per partition
+  * value seen by this task. Rows arrive pre-repartitioned by Spark only if
+  * the user asked for it; the writer is correct either way — worst case is
+  * one open file per distinct partition value per task, the same contract
+  * as Spark's own file-source dynamic partitioning. With `epoch` set
+  * (streaming), inner writers use deterministic epoch file names so replays
+  * overwrite instead of duplicating. */
 class SeqFilePartitionedDataWriter(schema: StructType, rootDir: String,
                                    partitionId: Int, taskId: Long,
                                    blockSize: Int, metadata: Seq[(String, String)],
                                    layout: SeqWriteLayout,
-                                   partitionCols: Seq[String])
+                                   partitionCols: Seq[String],
+                                   epoch: Option[Long] = None)
   extends DataWriter[InternalRow] {
 
   private val partOrdinals = partitionCols.map(c => schema.fieldIndex(c))
@@ -276,7 +336,7 @@ class SeqFilePartitionedDataWriter(schema: StructType, rootDir: String,
       case other => throw new SeqFileFormatException(
         s"unsupported partition column type $other")
     }
-    java.net.URLEncoder.encode(v, "UTF-8")
+    PartitionPaths.escape(v)
   }
 
   // one inner writer per partition directory; rows are projected down to
@@ -286,12 +346,12 @@ class SeqFilePartitionedDataWriter(schema: StructType, rootDir: String,
 
   override def write(row: InternalRow): Unit = {
     val rel = partitionCols.indices.map { i =>
-      java.net.URLEncoder.encode(partitionCols(i), "UTF-8") + "=" +
+      PartitionPaths.escape(partitionCols(i)) + "=" +
         partString(row, partOrdinals(i))
     }.mkString("/")
     val w = writers.getOrElseUpdate(rel, {
       new SeqFileDataWriter(dataSchema, s"$rootDir/$rel", partitionId, taskId,
-        blockSize, metadata, layout = layout)
+        blockSize, metadata, epoch = epoch, layout = layout)
     })
     proj.update(0, row.get(dataOrdinals(0), schema.fields(dataOrdinals(0)).dataType))
     proj.update(1, row.get(dataOrdinals(1), schema.fields(dataOrdinals(1)).dataType))
@@ -382,6 +442,13 @@ class SeqFileDataWriter(schema: StructType, dir: String, partitionId: Int, taskI
 
   override def commit(): WriterCommitMessage = {
     writer.close()
+    // Streaming: make the containing directory manifest-governed BEFORE the
+    // data file becomes visible — matters for partitioned leaves, whose
+    // first-ever file would otherwise be readable between this rename and
+    // the epoch commit that writes the leaf's manifest (a crashed attempt's
+    // orphan would even stay visible forever). mkdirs is idempotent.
+    if (epoch.isDefined)
+      fs.mkdirs(new Path(dir, SeqFileDataSource.MetadataDirName))
     // Epoch replay (streaming): the deterministic final name may exist from
     // a prior attempt of the same epoch — replace it, don't duplicate.
     if (epoch.isDefined && fs.exists(finalPath)) fs.delete(finalPath, false)

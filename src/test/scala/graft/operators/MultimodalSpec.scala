@@ -168,6 +168,57 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PNG decodes through ImageIO: exact pixel stats, resize, features") {
+    import spark.implicits._
+    import graft.core.media.{BmpCodec, ImageIoCodec}
+    // lossless PNG of a known raster: decoded stats have closed forms
+    val solidPng = ImageIoCodec.encodePng(20, 10, Array.fill(200)(0x406080))
+    assert(ImageIoCodec.isPng(solidPng))
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.KindImage, solidPng),
+      Multimodal.MediaRecord(2L, Multimodal.KindImage,
+        solidPng.take(12)), // truncated PNG → corrupt, not a task failure
+      Multimodal.MediaRecord(3L, Multimodal.KindImage,
+        BmpCodec.encodeSolid(8, 8, 0x102030))).toDS()
+    val stats = Multimodal.decodeStats(ds).collect().map(s => s.media_id -> s).toMap
+    assert(stats(1L).valid && stats(1L).width === 20 && stats(1L).height === 10)
+    assert(stats(1L).stat1 === 0x40.toDouble) // mean R exact (lossless)
+    assert(stats(1L).stat2 === 0x80.toDouble) // mean B exact
+    assert(!stats(2L).valid, "truncated PNG must degrade to valid=false")
+    assert(stats(3L).valid, "BMP fast path unaffected")
+    // PNG rides the same resize kernel as BMP, emitting a real BMP
+    val resized = Multimodal.resizeImages(ds, 10, 10).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3)))).toMap
+    assert(resized.keySet === Set(1L, 3L))
+    val (w, h, b) = resized(1L)
+    assert(w === 10 && h === 5) // aspect-preserving fit of 20x10 into 10x10
+    assert(BmpCodec.decode(b).toOption.get.pixels.forall(_ === 0x406080))
+    // features: dims + channel means from the decoded raster
+    val f = Multimodal.MediaCodec.decodePayload(solidPng)
+    assert(f(0) === 20f && f(1) === 10f && f(2) === 0x40.toFloat &&
+      f(3) === 0x60.toFloat && f(4) === 0x80.toFloat)
+  }
+
+  test("JPEG decodes through ImageIO: correct dims, approximate color") {
+    import graft.core.media.ImageIoCodec
+    // write a JPEG with the JDK encoder, read it back through the dispatch
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(200, 100, 50)); g.fillRect(0, 0, 24, 16); g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val jpeg = out.toByteArray
+    assert(ImageIoCodec.isJpeg(jpeg))
+    Multimodal.MediaCodec.decode(jpeg) match {
+      case Multimodal.MediaCodec.DecodedImage(d) =>
+        assert(d.width === 24 && d.height === 16)
+        // lossy: means land near the source color
+        assert(math.abs(d.meanR - 200) < 8 && math.abs(d.meanB - 50) < 8)
+      case other => fail(s"expected DecodedImage, got $other")
+    }
+  }
+
   test("MediaCodec dispatch: real BMP/WAV features vs opaque fallback") {
     import graft.core.media.{BmpCodec, WavCodec}
     val img = Multimodal.MediaCodec.decodePayload(BmpCodec.encodeSolid(8, 4, 0x102030))

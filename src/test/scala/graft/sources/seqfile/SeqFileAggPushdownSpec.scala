@@ -78,6 +78,29 @@ class SeqFileAggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("many-file lake: parallel sidecar planning stays exact (agg + top-N)") {
+    // 96 files — well past PlanParallel.Parallelism, so the pool cycles and
+    // per-file results must still fold in order and exactly.
+    val n = 48000L
+    val dir = writeDir((0L until n).map(i => (i * 13 % 999983L, f"v$i%06d")), 96)
+    assert(SeqFileDataSource.listFiles(Seq(dir), new Configuration()).size === 96)
+    val df = spark.read.format("seqfile").load(dir)
+    val agg = df.agg(min("key").as("mn"), max("key").as("mx"),
+      min("value").as("vmn"), max("value").as("vmx"), count(lit(1)).as("n"))
+    assert(planOf(agg).contains("agg-pushdown"), planOf(agg))
+    val keys = (0L until n).map(i => i * 13 % 999983L)
+    assert(agg.as[(Long, Long, String, String, Long)].head() ===
+      ((keys.min, keys.max, "v000000", f"v${n - 1}%06d", n)))
+    // top-N pushdown across the same 96 files
+    SeqFileTopNPushdown.pushes.reset()
+    val top = df.orderBy(col("key").desc).limit(7).as[(Long, String)].collect()
+    assert(SeqFileTopNPushdown.pushes.sum() > 0, "pushTopN must have fired")
+    val expect = (0L until n).map(i => (i * 13 % 999983L, f"v$i%06d"))
+      .sortBy { case (k, v) => (-k, v) }.take(7)
+    assert(top.sortBy { case (k, v) => (-k, v) }.toSeq === expect)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("pushdown agrees with full scan on every supported shape") {
     val rnd = new scala.util.Random(3)
     val dir = writeDir((0L until 10000L).map(_ =>

@@ -8,9 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
 /** df.write.partitionBy(...) on the seqfile DSv2: rows route to hive-style
-  * `k=v` subdirectories (URL-encoded, matching read-side discovery), the
-  * remaining two columns form the record, and the read side recovers the
-  * partition column. */
+  * `k=v` subdirectories (Hive-style percent-escaped, matching read-side
+  * discovery AND external Hive/Spark readers), the remaining two columns
+  * form the record, and the read side recovers the partition column. */
 class SeqFilePartitionedWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -48,16 +48,38 @@ class SeqFilePartitionedWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.select("key").as[Long].collect().forall(_ % 3 == 1))
   }
 
-  test("multi-level partitionBy and special characters URL-encode") {
+  test("multi-level partitionBy and special characters escape Hive-style") {
     val out = Files.createTempDirectory("seqpartw3").toString
     Seq((1L, "a", "x y", 7), (2L, "b", "x y", 8), (3L, "c", "p/q", 7))
       .toDF("key", "value", "grp", "n")
       .write.format("seqfile").mode("overwrite").partitionBy("grp", "n").save(out)
+    // On-disk layout matches what Hive/Spark file sources produce: space
+    // stays LITERAL (not '+'), '/' percent-escapes — external readers
+    // decode these directories identically.
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.toSeq === Seq("grp=p%2Fq", "grp=x y"))
     val back = spark.read.format("seqfile").load(out)
     val got = back.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
     // partition values come back as strings (hive-style read), decoded
     assert(got === Set((1L, "a", "x y", "7"), (2L, "b", "x y", "8"), (3L, "c", "p/q", "7")))
+  }
+
+  test("PartitionPaths: Hive escape semantics round-trip; '+' stays literal") {
+    assert(PartitionPaths.escape("x y") === "x y")
+    assert(PartitionPaths.escape("p/q") === "p%2Fq")
+    assert(PartitionPaths.escape("100%") === "100%25")
+    // form-encoding divergence the old URLEncoder scheme had: '+' is a
+    // literal character, never a space, in either direction
+    assert(PartitionPaths.escape("a+b") === "a+b")
+    assert(PartitionPaths.unescape("a+b") === "a+b")
+    val nasty = "a=b/c:d%e\\f\"g'h#i*j?k[l]m^n{o\tp"
+    assert(PartitionPaths.unescape(PartitionPaths.escape(nasty)) === nasty)
+    // malformed escapes from external writers stay literal, never throw
+    assert(PartitionPaths.unescape("%") === "%")
+    assert(PartitionPaths.unescape("%2") === "%2")
+    assert(PartitionPaths.unescape("%G1") === "%G1")
   }
 
   test("overwrite truncates previous partitioned contents") {

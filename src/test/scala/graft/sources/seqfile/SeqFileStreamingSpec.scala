@@ -127,6 +127,84 @@ class SeqFileStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("refusing to rebind"))
   }
 
+  test("streaming partitionBy option: per-leaf manifests, exactly-once, partitioned read") {
+    val src = java.nio.file.Files.createTempDirectory("seqpstream-src")
+    val out = java.nio.file.Files.createTempDirectory("seqpstream-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("seqpstream-ckpt").toString
+    writeFile(src, "a.seq", 0, 100)
+    val schema = spark.read.format("seqfile").load(src.toString).schema
+
+    def run(): Unit = {
+      val q = spark.readStream.format("seqfile").schema(schema).load(src.toString)
+        .withColumn("bucket", col("key") % 2)
+        .writeStream.format("seqfile")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .option("partitionBy", "bucket") // Spark drops .partitionBy for DSv2 sinks
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+
+    // hive-style leaves on disk, each manifest-governed
+    val leaves = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(leaves.toSeq === Seq("bucket=0", "bucket=1"))
+    leaves.foreach { l =>
+      assert(new java.io.File(s"$out/$l/_seq_metadata").isDirectory,
+        s"leaf $l must be manifest-governed")
+    }
+    val back1 = spark.read.format("seqfile").load(out)
+    assert(back1.columns.sorted.toSeq === Seq("bucket", "key", "value"))
+    assert(back1.count() === 100L)
+    assert(back1.filter(col("bucket") === "0").count() === 50L)
+
+    // an orphan from a crashed epoch (task-committed, epoch commit never
+    // ran) inside a leaf must be invisible to readers
+    writeFile(java.nio.file.Paths.get(out, "bucket=0"), "part-e00099-p00000.seq", 5000, 10)
+    assert(spark.read.format("seqfile").load(out).count() === 100L,
+      "uncommitted leaf file must be invisible")
+
+    // restart from the same checkpoint, new source file → appends exactly once
+    writeFile(src, "b.seq", 1000, 50)
+    run()
+    val back2 = spark.read.format("seqfile").load(out)
+    assert(back2.count() === 150L)
+    assert(back2.agg(sum(col("key"))).head().getLong(0) ===
+      (0L until 100L).sum + (1000L until 1050L).sum,
+      "restart must neither drop nor duplicate rows")
+
+    // the partitioned streaming lake stays compactable per leaf
+    val counts = graft.api.SequenceFiles.compactAll(spark, out,
+      targetFileBytes = 64L * 1024 * 1024)
+    assert(counts.keySet === Set("bucket=0", "bucket=1"))
+    val after = spark.read.format("seqfile").load(out)
+    assert(after.count() === 150L)
+    assert(after.agg(sum(col("key"))).head().getLong(0) ===
+      (0L until 100L).sum + (1000L until 1050L).sum)
+  }
+
+  test("writeStream.partitionBy (dropped by Spark) fails with a pointer to the option") {
+    val src = java.nio.file.Files.createTempDirectory("seqpb-src")
+    val out = java.nio.file.Files.createTempDirectory("seqpb-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("seqpb-ckpt").toString
+    writeFile(src, "a.seq", 0, 10)
+    val schema = spark.read.format("seqfile").load(src.toString).schema
+    val q = spark.readStream.format("seqfile").schema(schema).load(src.toString)
+      .withColumn("bucket", col("key") % 2)
+      .writeStream.format("seqfile")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .partitionBy("bucket") // silently dropped by Spark's DSv2 streaming path
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("""option("partitionBy""")),
+      s"error must point at the partitionBy option, got: ${messages(e)}")
+  }
+
   test("epoch commit deletes stale part files from a failed wider attempt") {
     val dir = java.nio.file.Files.createTempDirectory("seqsink1").toString
     val conf = new org.apache.hadoop.conf.Configuration()
