@@ -3,7 +3,7 @@ package graft.sources.seqfile
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 
 /** Micro-batch streaming over a growing directory of sequence files —
@@ -17,11 +17,61 @@ import org.apache.spark.sql.types.StructType
   * checkpoint (like Spark's built-in file stream source), so a restart
   * replays offsets against the exact same file ordering even when the live
   * discovery order diverged from timestamp order (slow writers, listing
-  * lag). Assumes an append-only directory. */
+  * lag). Assumes an append-only directory.
+  *
+  * Admission control (`maxFilesPerTrigger` / `maxBytesPerTrigger` read
+  * options, same knobs as Spark's file stream source): a huge backlog — a
+  * first run over an existing lake, or recovery after downtime — is chewed
+  * through in bounded micro-batches instead of one giant batch that
+  * overwhelms executor memory and checkpoint latency. Files always admit
+  * whole (the offset log is file-granular); byte limits admit at least one
+  * file per trigger so progress never stalls on an oversized file. */
 class SeqFileMicroBatchStream(tableSchema: StructType, required: StructType,
                               paths: Seq[String], maxSplitBytes: Long, mode: String,
-                              checkpointLocation: String)
-  extends MicroBatchStream {
+                              checkpointLocation: String,
+                              maxFilesPerTrigger: Option[Int] = None,
+                              maxBytesPerTrigger: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def getDefaultReadLimit: ReadLimit =
+    (maxFilesPerTrigger, maxBytesPerTrigger) match {
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
+
+  /** End offset for the next batch: discovery first (the log stays the
+    * single source of truth), then the limit caps how far past `start` this
+    * batch may reach. Must be called under synchronized. */
+  private def cappedEnd(start: Int, limit: ReadLimit): Long = limit match {
+    case _: ReadAllAvailable => log.size
+    case m: ReadMaxFiles => math.min(log.size.toLong, start.toLong + m.maxFiles())
+    case m: ReadMaxBytes =>
+      // admit whole files while the budget holds; ALWAYS at least one
+      var i = start
+      var bytes = 0L
+      while (i < log.size &&
+             (i == start || bytes + log(i)._2 <= m.maxBytes())) {
+        bytes += log(i)._2
+        i += 1
+      }
+      i.toLong
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(cappedEnd(start, _)).min
+    case _ => log.size // unknown limit kinds read everything (safe default)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    appendNew()
+    val s = start.asInstanceOf[SeqFileOffset].n.toInt
+    synchronized(SeqFileOffset(cappedEnd(s, limit)))
+  }
+
+  /** Backlog visibility: the true log end, so the engine can report how far
+    * behind a rate-limited query is running. */
+  override def reportLatestOffset(): Offset = synchronized(SeqFileOffset(log.size))
 
   private def discover(): Seq[(String, Long, Long)] = {
     val conf = new Configuration()

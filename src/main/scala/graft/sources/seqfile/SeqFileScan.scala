@@ -117,7 +117,9 @@ class SeqFileScanBuilder(tableSchema: StructType, paths: Seq[String],
       mode = ReadMode.parse(Option(options.get("mode")).getOrElse("FAILFAST")),
       partitionFilters = partFilters,
       keyFilters = keyFilters,
-      topNPlan = topNPlan))
+      topNPlan = topNPlan,
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong)))
 }
 
 /** Evaluate pushed filters against a file's partition values. Only shapes
@@ -184,7 +186,9 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
                   mode: String = ReadMode.FailFast,
                   partitionFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                   keyFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-                  topNPlan: Option[Seq[(SeqFileDataSource.PartitionedFile, Seq[Long])]] = None)
+                  topNPlan: Option[Seq[(SeqFileDataSource.PartitionedFile, Seq[Long])]] = None,
+                  maxFilesPerTrigger: Option[Int] = None,
+                  maxBytesPerTrigger: Option[Long] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -277,7 +281,7 @@ class SeqFileScan(tableSchema: StructType, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SeqFileMicroBatchStream(tableSchema, required, paths, maxSplitBytes, mode,
-      checkpointLocation)
+      checkpointLocation, maxFilesPerTrigger, maxBytesPerTrigger)
 
   /** One partition per `maxSplitBytes` byte range per file; ranges align
     * themselves to record-block boundaries at read time by scanning for the

@@ -127,6 +127,55 @@ class SeqFileStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("refusing to rebind"))
   }
 
+  test("maxFilesPerTrigger paces a backlog into bounded micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("seqrate")
+    (0 until 5).foreach(i => writeFile(dir, s"f$i.seq", i * 100, 100))
+    val schema = spark.read.format("seqfile").load(dir.toString).schema
+    val q = spark.readStream.format("seqfile").schema(schema)
+      .option("maxFilesPerTrigger", "2").load(dir.toString)
+      .groupBy().agg(count(lit(1)).as("n"), sum(col("key")).as("s"))
+      .writeStream.format("memory").queryName("seqrate").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val r = spark.table("seqrate").head()
+      assert(r.getLong(0) === 500L, "backlog fully consumed across triggers")
+      assert(r.getLong(1) === (0L until 500L).sum)
+      // 5 files at 2 per trigger = >= 3 data batches, each <= 200 rows
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3, s"expected >=3 paced batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows <= 200L),
+        s"per-trigger rows: ${batches.map(_.numInputRows).mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("ReadLimit capping: maxFiles, maxBytes (at least one file), composite") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = java.nio.file.Files.createTempDirectory("seqlimit")
+    (0 until 4).foreach(i => writeFile(dir, s"f$i.seq", i * 10, 10))
+    val ckpt = java.nio.file.Files.createTempDirectory("seqlimit-ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType)))
+    val stream = new SeqFileMicroBatchStream(schema, schema,
+      Seq(dir.toString), 4 << 20, "FAILFAST", ckpt.toString)
+    def endAt(start: Long, l: ReadLimit): Long =
+      stream.latestOffset(SeqFileOffset(start), l).asInstanceOf[SeqFileOffset].n
+    assert(endAt(0, ReadLimit.allAvailable()) === 4L)
+    assert(endAt(0, ReadLimit.maxFiles(3)) === 3L)
+    assert(endAt(3, ReadLimit.maxFiles(3)) === 4L, "cap never passes the log end")
+    // tiny byte budget still admits exactly one file per trigger
+    assert(endAt(0, ReadLimit.maxBytes(1)) === 1L)
+    assert(endAt(1, ReadLimit.maxBytes(1)) === 2L)
+    // generous byte budget admits whole files while it lasts (f0+f1 fit,
+    // f2 would overflow; files differ in size, so sum the real lengths)
+    val len = (i: Int) => new java.io.File(dir.toFile, s"f$i.seq").length()
+    assert(endAt(0, ReadLimit.maxBytes(len(0) + len(1) + 1)) === 2L)
+    // composite = strictest wins
+    assert(endAt(0, ReadLimit.compositeLimit(Array(
+      ReadLimit.maxFiles(3), ReadLimit.maxBytes(1)))) === 1L)
+    assert(stream.reportLatestOffset().asInstanceOf[SeqFileOffset].n === 4L)
+  }
+
   test("streaming partitionBy option: per-leaf manifests, exactly-once, partitioned read") {
     val src = java.nio.file.Files.createTempDirectory("seqpstream-src")
     val out = java.nio.file.Files.createTempDirectory("seqpstream-out").toString
