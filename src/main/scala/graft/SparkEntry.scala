@@ -986,6 +986,20 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // ---- BM25 retrieval: top-5 docs per query (queries = first 4 docs'
+    //      own text — the "more like this" shape); Okapi formula with the
+    //      RSJ plus-one idf, replicated term-for-term in the oracle ----
+    "q_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.TextRanking.bm25TopK(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 4)
+            .select(col("doc_id").as("qid"), col("text").as("qtext")),
+          "qid", "qtext", k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- deterministic stratified sampling (exact per-stratum counts) ----
     "q_sample_stratified" -> ((s, dir) => {
       graft.operators.Sampling.stratifiedExact(
@@ -2182,6 +2196,46 @@ object SparkEntry {
         |SELECT doc_id, rank, term, tfidf
         |FROM ranked WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // Okapi BM25 replica: same tokenization as q_tfidf, RSJ plus-one idf,
+    // k1=1.2 b=0.75, avgdl over ALL docs (empty docs count as length 0),
+    // expression shapes mirror the Spark operator so double arithmetic
+    // associates identically.
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |terms AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scal AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_total,
+        |    (SELECT count(*) FROM terms) * 1.0
+        |      / (SELECT count(*) FROM documents) AS avgdl),
+        |qterms AS (
+        |  SELECT DISTINCT doc_id AS q_id, term FROM terms WHERE doc_id < 4),
+        |hits AS (
+        |  SELECT q.q_id, tf.doc_id,
+        |    ln(1.0 + (s.n_total - d.df + 0.5) / (d.df + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS contrib
+        |  FROM tf
+        |  JOIN qterms q USING (term)
+        |  JOIN dft d USING (term)
+        |  JOIN dlen l ON tf.doc_id = l.doc_id
+        |  CROSS JOIN scal s),
+        |scored AS (
+        |  SELECT q_id, doc_id, round(sum(contrib), 6) AS score
+        |  FROM hits GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT q_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, doc_id, score
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
 
     // Mixture resampling replica: same per-source token sums, same
     // frac = min(1, 0.05 x 8000 / cur), same md5-vs-%08x threshold.

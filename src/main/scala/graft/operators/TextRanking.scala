@@ -49,4 +49,58 @@ object TextRanking {
       .filter(col("rank") <= k)
       .select(col("id"), col("rank"), col("term"), col("tfidf"))
   }
+
+  /** Okapi BM25 top-k documents per query — the standard lexical retrieval
+    * scorer a RAG / eval harness runs against a corpus:
+    *
+    *   idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+    *   score(q, d) = Σ_{t ∈ distinct terms of q}  idf(t) ·
+    *                   tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·len(d)/avgdl))
+    *
+    * (the Robertson–Spärck Jones plus-one idf, always positive; avgdl is
+    * the mean token count over ALL docs, empty docs counting as length 0.)
+    * Documents sharing no term with a query are absent from its ranking —
+    * standard retrieval semantics. Rank orders by the ROUNDED score (6 dp)
+    * then doc id, reproducible across engines like tfidfTopTerms.
+    * Output: (q_id, rank, id, score).
+    *
+    * Scale: corpus statistics are the same bounded aggregates as tf-idf —
+    * tf per (doc, term), df per term, two broadcast scalars (N, avgdl).
+    * The query set is small by construction, so its distinct terms (with
+    * their df) BROADCAST into the tf join: the corpus never shuffles for
+    * candidate selection, only the matched (query, doc) slivers reach the
+    * per-pair aggregate, and the final top-k is a per-query window. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dlen = terms.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scal = docs.agg(count(lit(1)).as("n_total"))
+      .crossJoin(terms.agg(count(lit(1)).as("tok_total")))
+      .select(col("n_total"),
+        (col("tok_total") / col("n_total")).as("avgdl"))
+    val qterms = queries.select(col(qIdCol).as("q_id"),
+        explode(TextAnalysis.tokens(col(qTextCol))).as("term"))
+      .distinct()
+      .join(dft, "term") // unseen query terms contribute 0 — drop them here
+    val hits = tf.join(broadcast(qterms), "term")
+      .join(dlen, "id")
+      .crossJoin(broadcast(scal))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_total") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (k1 + 1) /
+          (col("tf") + (lit(1.0) - b + col("dl") * b / col("avgdl")) * k1))
+    val scored = hits.groupBy(col("q_id"), col("id"))
+      .agg(round(sum(col("contrib")), 6).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("score"))
+  }
 }

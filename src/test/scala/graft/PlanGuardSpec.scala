@@ -36,6 +36,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q15_top_supplier", "q22_global_sales", // broadcast scalar-aggregate row
     "q_sketch_tokens", "q_corpus_clean",    // broadcast single-row threshold/sketch
     "q_tfidf",                              // broadcast single-row doc count
+    "q_bm25",                               // broadcast single-row N/avgdl scalars
     "q_ann_bruteforce",  // the documented EXACT baseline: broadcast query set
                          // vs corpus with a non-equi self-exclusion — the
                          // bucketed lshTopK is the scale path

@@ -131,4 +131,36 @@ class SamplingRankingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(2))
     assert(doc2.toSeq === Seq("here", "words", "shared"))
   }
+
+  test("bm25TopK matches the Okapi closed form on a hand-checked corpus") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date"),
+      (4L, "")).toDF("doc_id", "text")
+    val q = Seq((100L, "apple cherry")).toDF("qid", "qtext")
+    val out = TextRanking.bm25TopK(df, "doc_id", "text", q, "qid", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // hand computation: N=4, avgdl=(3+2+4+0)/4=2.25, k1=1.2, b=0.75
+    val N = 4.0; val avgdl = 2.25; val k1 = 1.2; val b = 0.75
+    def idf(dfT: Int) = math.log(1.0 + (N - dfT + 0.5) / (dfT + 0.5))
+    def term(tf: Int, dl: Int, dfT: Int) =
+      idf(dfT) * tf * (k1 + 1) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    val expect = Map(
+      1L -> term(2, 3, 1),               // apple df=1, tf=2 in doc1 (len 3)
+      2L -> term(1, 2, 2),               // cherry df=2, tf=1 in doc2 (len 2)
+      3L -> term(3, 4, 2))               // cherry tf=3 in doc3 (len 4)
+    val got = out.map(r => r._3 -> r._4).toMap
+    assert(got.keySet === expect.keySet, "doc4 (empty) and no-overlap docs absent")
+    expect.foreach { case (id, v) =>
+      assert(math.abs(got(id) - math.rint(v * 1e6) / 1e6) < 1e-9, s"doc $id")
+    }
+    // ranking: doc1 (rare apple, tf 2) must beat the cherry docs
+    assert(out.minBy(_._2)._3 === 1L)
+    // self-retrieval sanity: a doc's own text as the query ranks it first
+    val self = TextRanking.bm25TopK(df, "doc_id", "text",
+        Seq((3L, "cherry cherry cherry date")).toDF("qid", "qtext"),
+        "qid", "qtext", k = 1).head()
+    assert(self.getLong(2) === 3L)
+  }
 }
