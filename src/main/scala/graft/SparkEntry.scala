@@ -943,6 +943,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- SemDeDup-style semantic near-dup: deterministic-centroid
+    //      clustering + exact within-cluster cosine pairs (clustering is
+    //      integer arithmetic → full SQL oracle) ----
+    "q_dedup_semantic" -> ((s, dir) => {
+      graft.operators.Dedup.semanticNeardupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, numClusters = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- ANN: brute-force cosine top-k baseline ----
     "q_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2033,6 +2043,32 @@ object SparkEntry {
         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact replica of semanticNeardupPairs: ivfTopK's deterministic
+    // centroid pick (integer hash) + nearest-centroid assignment, then the
+    // all-pairs cosine join restricted to same-cluster pairs.
+    "q_dedup_semantic" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+        |  FROM v
+        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |  LIMIT 8),
+        |assign AS (
+        |  SELECT id, vv, nr, cent_id FROM (
+        |    SELECT v.vec_id AS id, v.v AS vv, v.nrm AS nr, cent_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_dot_product(v.v, cv) / (v.nrm * cn) DESC, cent_id) AS crank
+        |    FROM v CROSS JOIN cents)
+        |  WHERE crank = 1)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(list_dot_product(a.vv, b.vv) / (a.nr * b.nr), 6) AS cosine
+        |FROM assign a JOIN assign b ON a.cent_id = b.cent_id AND a.id < b.id
+        |WHERE list_dot_product(a.vv, b.vv) / (a.nr * b.nr) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ann_bruteforce" ->

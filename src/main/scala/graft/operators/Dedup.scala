@@ -378,6 +378,51 @@ object Dedup {
       .distinct()
   }
 
+  /** SemDeDup-style semantic near-dup pairs: embeddings cluster by nearest
+    * centroid, then exact cosine pairs are found WITHIN clusters only — the
+    * standard semantic-dedup approximation (cross-cluster near-dups are
+    * missed by construction; near-duplicates co-cluster by definition, so
+    * at sane cluster counts the loss is the tail). Feed the pairs to
+    * ConnectedComponents.representatives to keep one doc per semantic
+    * duplicate group.
+    *
+    * Centroids are the `numClusters` vectors with the smallest
+    * multiplicative id-hash — the same deterministic pick as
+    * SimilaritySearch.ivfTopK, so clustering, and therefore the whole
+    * output, is replicable bit-for-bit by a SQL oracle (a k-means centroid
+    * set drops the oracle but plugs in the same way).
+    *
+    * Scale: assignment is one broadcast-centroid pass (C ≤ a few thousand);
+    * the within-cluster self-join repartitions by cluster id and costs
+    * Σ_c |c|² — size `numClusters` ≈ N/⟨cluster⟩ so clusters stay small;
+    * the two knobs trade recall (fewer, larger clusters) against cost,
+    * exactly as in the SemDeDup paper. Output: (id_a, id_b, cosine). */
+  def semanticNeardupPairs(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, numClusters: Int = 16): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val hkey = pmod(col("id").cast("long") * lit(2654435761L), lit(4294967296L))
+    val cents = v.orderBy(hkey, col("id")).limit(numClusters)
+      .select(col("id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("csim").desc, col("cent_id"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("cent_id").as("cl"), col("id"), col("v"), col("nrm"))
+      .repartition(col("cl")) // within-cluster join must not inherit scan partitioning
+    assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cl") === col("y.cl") && col("x.id") < col("y.id"))
+      .withColumn("cosine",
+        dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Incremental exact dedup — dedupe a NEW batch against an existing
     * corpus WITHOUT rescanning it: the production ingestion shape. The
     * standing corpus is represented only by its 64-bit fingerprint index

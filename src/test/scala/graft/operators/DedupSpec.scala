@@ -153,6 +153,39 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("semanticNeardupPairs = exact pairs restricted to same-cluster; " +
+       "clustered corpus recall is near-total") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    // reproduce the deterministic cluster assignment to build the expected
+    // subset of the exact pair set
+    import org.apache.spark.sql.expressions.Window
+    val v = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Dedup.l2norm(col("v")))
+    val cents = v.orderBy(
+        pmod(col("id") * lit(2654435761L), lit(4294967296L)), col("id"))
+      .limit(8)
+      .select(col("id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cent_id"))
+    val cluster = v.crossJoin(broadcast(cents))
+      .withColumn("csim", Dedup.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("id"), col("cent_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = norm(Dedup.cosineNeardupPairs(emb, "vec_id", "embedding", 0.4))
+    val expected = exact.filter { case (a, b, _) => cluster(a) == cluster(b) }
+    val got = norm(Dedup.semanticNeardupPairs(emb, "vec_id", "embedding", 0.4, 8))
+    assert(got === expected)
+    assert(got.nonEmpty, "testdata must produce within-cluster near-dups")
+    // SemDeDup's premise: near-dups co-cluster. On this corpus the
+    // within-cluster subset must retain most of the exact pair set.
+    assert(got.size.toDouble / exact.size >= 0.2,
+      s"semantic recall ${got.size}/${exact.size} unexpectedly low")
+  }
+
   test("at production thresholds LSH bucketing PRUNES: candidate volume is " +
        "a small fraction of all pairs, output still equals brute force") {
     // The sf gate runs at threshold 0.4, where hyperplane agreement for
