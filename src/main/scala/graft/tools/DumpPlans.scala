@@ -25,7 +25,9 @@ object DumpPlans extends App {
     "q_ann_ivf" -> "distributed centroid top-C (TakeOrderedAndProject), broadcast probes",
     "q_mixture_sample" -> "S-row fraction table broadcast; row-local hash threshold, corpus never shuffles",
     "q_unigram_surprisal" -> "distributed top-K vocab broadcast onto the token stream; partial agg per doc",
-    "q_dedup_incremental" -> "8-byte fingerprint joins; batch text never shuffles")
+    "q_dedup_incremental" -> "8-byte fingerprint joins; batch text never shuffles",
+    "q_bm25" -> "corpus stats as bounded aggregates; query terms broadcast into the tf join",
+    "q_dedup_semantic" -> "broadcast-centroid assignment, within-cluster pairs repartitioned by cluster")
   val sb = new StringBuilder
   sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
   sb.append("GENERATED artifact — regenerate with `sbt \"runMain graft.tools.DumpPlans\"`.\n")
