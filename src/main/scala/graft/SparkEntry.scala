@@ -550,6 +550,29 @@ object SparkEntry {
         .orderBy(col("key_mod"))
     }),
 
+    // ---- Bloom-sidecar point lookups: write an UNSORTED seqfile with
+    //      per-block key Bloom filters (bloomKeys), probe a key IN-list —
+    //      blooms skip the blocks min/max can't (unsorted ranges span the
+    //      domain). Oracle runs the same probe on the original parquet. ----
+    "q_seqfile_bloom" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-seq-bl-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("key"),
+          col("l_extendedprice").as("value"))
+        .repartition(4) // deliberately unsorted: only blooms can prune
+        .write.format("seqfile").option("blockSize", (64 << 10).toString)
+        .option("bloomKeys", "true")
+        .mode("overwrite").save(tmp)
+      s.read.format("seqfile").load(tmp)
+        .filter(col("key").isin(1L, 3L, 7L, 32L, 33L, 1000000007L))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_price"))
+        .orderBy(col("key"))
+    }),
+
     // ---- small-files compaction: sink-shaped fragmented dir -> compact
     //      (crash-safe manifest swap, key-sorted output) -> key-range read
     //      that exercises the compacted files' zone maps. Oracle runs the
@@ -1680,6 +1703,14 @@ object SparkEntry {
         |FROM lineitem, hi
         |WHERE l_orderkey > h - (h // 10) OR l_orderkey <= 100
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_seqfile_bloom" ->
+      """SELECT l_orderkey AS key, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (1, 3, 7, 32, 33, 1000000007)
+        |GROUP BY 1
+        |ORDER BY key""".stripMargin,
 
     "q_seqfile_roundtrip" ->
       """SELECT l_orderkey % 10 AS key_mod, count(*) AS n,

@@ -45,9 +45,10 @@ object SequenceFiles {
     * protocol. Returns the number of data files after compaction. */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 512L * 1024 * 1024,
-              sortByKey: Boolean = true): Int =
+              sortByKey: Boolean = true,
+              writeOptions: Map[String, String] = Map.empty): Int =
     graft.sources.seqfile.SeqFileCompaction.compact(
-      spark, dir, targetFileBytes, sortByKey)
+      spark, dir, targetFileBytes, sortByKey, writeOptions)
 
   /** Compact every leaf partition directory of a (possibly hive-
     * partitioned) seqfile lake — the one-call maintenance pass after a

@@ -33,7 +33,8 @@ final class SeqFileWriter(
     blockSize: Int = 1 << 20,
     syncSeed: Long = System.nanoTime(),
     compression: SeqCompression = SeqCompression.Block,
-    codec: SeqBlockCodec = SeqCodecs.SnappyCodec) extends java.io.Closeable {
+    codec: SeqBlockCodec = SeqCodecs.SnappyCodec,
+    bloomFpp: Option[Double] = None) extends java.io.Closeable {
 
   import SeqFileWriter.SyncInterval
 
@@ -75,6 +76,10 @@ final class SeqFileWriter(
   private var zvMin: ZoneKey = null
   private var zvMax: ZoneKey = null
   private val zEntries = scala.collection.mutable.ArrayBuffer.empty[ZoneEntry]
+  // per-block key hashes for the opt-in Bloom sidecar (see KeyBloom):
+  // 8 bytes/record of transient memory, bounded by the block's record count
+  private val bHashes =
+    if (bloomFpp.isDefined) scala.collection.mutable.ArrayBuffer.empty[Long] else null
 
   writeHeader()
 
@@ -118,6 +123,7 @@ final class SeqFileWriter(
       ZoneKey.forValue(keyType, key).foreach { zk =>
         if (zMin == null || zk.cmp(zMin) < 0) zMin = zk
         if (zMax == null || zk.cmp(zMax) > 0) zMax = zk
+        if (bHashes != null) bHashes += KeyBloom.hashKey(zk)
       }
       ZoneKey.forValue(valueType, value).foreach { zv =>
         if (zvMin == null || zv.cmp(zvMin) < 0) zvMin = zv
@@ -188,9 +194,14 @@ final class SeqFileWriter(
     // block is noise)
     if (zMin != null || zvMin != null) {
       os.flush()
+      val bloom =
+        if (bHashes != null && bHashes.nonEmpty)
+          Some(KeyBloom.build(bHashes.toArray, bloomFpp.get))
+        else None
       zEntries += ZoneEntry(logicalPos, nBuffered.toLong,
-        Option(zMin), Option(zMax), Option(zvMin), Option(zvMax))
+        Option(zMin), Option(zMax), Option(zvMin), Option(zvMax), bloom)
       zMin = null; zMax = null; zvMin = null; zvMax = null
+      if (bHashes != null) bHashes.clear()
     }
     // sync escape + sync before every block (reference: Parser.hs:93-101)
     os.write(Array[Byte](-1, -1, -1, -1))

@@ -77,11 +77,14 @@ object ZoneKey {
 
 /** One record block's statistics. `offset` is the absolute file position of
   * the block's sync escape word. Either column's stats are absent when its
-  * type is unordered (NullWritable). */
+  * type is unordered (NullWritable). `kbloom` (opt-in at write time) is a
+  * per-block key Bloom filter for point-lookup pruning on unsorted data —
+  * see KeyBloom. */
 final case class ZoneEntry(offset: Long, count: Long,
                            kmin: Option[ZoneKey], kmax: Option[ZoneKey],
                            vmin: Option[ZoneKey] = None,
-                           vmax: Option[ZoneKey] = None)
+                           vmax: Option[ZoneKey] = None,
+                           kbloom: Option[KeyBloom] = None)
 
 object ZoneMap {
   val FormatHeader = "graft.zonemap 2"
@@ -121,7 +124,12 @@ object ZoneMap {
     entries.foreach { e =>
       sb.append(e.offset).append(' ').append(e.count).append(' ')
         .append(encOpt(e.kmin)).append(' ').append(encOpt(e.kmax)).append(' ')
-        .append(encOpt(e.vmin)).append(' ').append(encOpt(e.vmax)).append('\n')
+        .append(encOpt(e.vmin)).append(' ').append(encOpt(e.vmax))
+      // optional 7th field (key Bloom): absent entirely for bloom-less
+      // blocks, so sidecars written before (or without) the option parse
+      // identically and old parsers ignore the extra column
+      e.kbloom.foreach(b => sb.append(' ').append(KeyBloom.encode(b)))
+      sb.append('\n')
     }
     sb.toString
   }
@@ -134,7 +142,8 @@ object ZoneMap {
     val entries = lines.drop(2).map { l =>
       val f = l.split(' ')
       ZoneEntry(f(0).toLong, f(1).toLong, decOpt(f(2)), decOpt(f(3)),
-        decOpt(f(4)), decOpt(f(5)))
+        decOpt(f(4)), decOpt(f(5)),
+        if (f.length > 6) Some(KeyBloom.decode(f(6))) else None)
     }
     (hdr(0), hdr(1), hdr(2).toLong, entries)
   }

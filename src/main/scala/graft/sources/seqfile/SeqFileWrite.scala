@@ -46,9 +46,18 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
     // options: blockSize (uncompressed flush threshold, default 1 MiB =
     // Hadoop's io.seqfile.compress.blocksize); compression = none|record|
     // block; codec = snappy|gzip|deflate|zstd|lz4; metadata.<k>=<v> pairs go
-    // into the file header (surfaced back via Table.properties()).
+    // into the file header (surfaced back via Table.properties());
+    // bloomKeys=true (+ bloomFpp, default 1%) adds per-block key Bloom
+    // filters to the zone-map sidecar for point-lookup pruning on
+    // unsorted data (see KeyBloom).
     val blockSize = Option(options.get("blockSize")).map(_.toInt).getOrElse(1 << 20)
     require(blockSize >= 1024, s"blockSize must be >= 1024, got $blockSize")
+    val bloomFpp: Option[Double] =
+      if (Option(options.get("bloomKeys")).exists(_.toBoolean)) {
+        val fpp = Option(options.get("bloomFpp")).map(_.toDouble).getOrElse(0.01)
+        require(fpp > 0 && fpp <= 0.5, s"bloomFpp must be in (0, 0.5], got $fpp")
+        Some(fpp)
+      } else None
     val layout = SeqWriteLayout(
       Option(options.get("compression")).getOrElse("block").toLowerCase match {
         case "none" => SeqCompression.None
@@ -65,7 +74,8 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
         case "lz4" => SeqCodecs.Lz4Class
         case other => throw new IllegalArgumentException(
           s"seqfile codec must be snappy, gzip, deflate, zstd or lz4; got $other")
-      })
+      },
+      bloomFpp)
     import scala.jdk.CollectionConverters._
     // asCaseSensitiveMap preserves the user's original key casing
     // (entrySet() lowercases keys)
@@ -114,7 +124,8 @@ class SeqFileWriteBuilder(schema: StructType, paths: Seq[String],
 
 /** Serializable write-layout choice (codec carried by class name — codec
   * objects themselves are not serializable across task boundaries). */
-case class SeqWriteLayout(compression: SeqCompression, codecClass: String) {
+case class SeqWriteLayout(compression: SeqCompression, codecClass: String,
+                          bloomFpp: Option[Double] = None) {
   def codec: SeqBlockCodec = SeqCodecs.forClassOrThrow(codecClass)
 }
 object SeqWriteLayout {
@@ -412,7 +423,8 @@ class SeqFileDataWriter(schema: StructType, dir: String, partitionId: Int, taskI
   private val out = fs.create(tempPath, true)
   private val writer = new SeqFileWriter(out, keyType, valueType,
     metadata = metadata, blockSize = blockSize,
-    compression = layout.compression, codec = layout.codec)
+    compression = layout.compression, codec = layout.codec,
+    bloomFpp = layout.bloomFpp)
 
   private val keyGet = valueGetter(schema(0).dataType, 0)
   private val valGet = valueGetter(schema(1).dataType, 1)

@@ -6,7 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.sources._
 
-import graft.core.seqfile.{SeqCompression, SeqHeader, WritableType, ZoneEntry, ZoneKey, ZoneMap}
+import graft.core.seqfile.{KeyBloom, SeqCompression, SeqHeader, WritableType, ZoneEntry, ZoneKey, ZoneMap}
 
 /** Executor-side zone-map pruning: evaluate pushed key predicates against a
   * part file's per-block [min, max] sidecar and return the exact offsets of
@@ -96,6 +96,24 @@ object ZoneMapPruning {
       case _ => true
     }
 
+  /** Could the block's key Bloom filter admit `f`? Only equality shapes
+    * consult the filter (a Bloom answers set membership, nothing else);
+    * every other shape — and any literal we can't canonicalize — is a
+    * conservative "maybe". This is what prunes point lookups on UNSORTED
+    * data, where every block's [min, max] spans the domain. */
+  def bloomMightMatch(f: Filter, bloom: KeyBloom, t: WritableType): Boolean = {
+    def hit(v: Any): Boolean =
+      toKey(t, v).forall(k => bloom.mightContain(KeyBloom.hashKey(k)))
+    f match {
+      case EqualTo(_, v) => hit(v)
+      case EqualNullSafe(_, v) => hit(v)
+      case In(_, vs) => vs.isEmpty || vs.exists(hit)
+      case And(l, r) => bloomMightMatch(l, bloom, t) && bloomMightMatch(r, bloom, t)
+      case Or(l, r) => bloomMightMatch(l, bloom, t) || bloomMightMatch(r, bloom, t)
+      case _ => true
+    }
+  }
+
   /** One split's pruning outcome: exact offsets to read + how many owned
     * blocks the zone map proved unmatchable. */
   final case class PlannedBlocks(offsets: Array[Long], skipped: Long)
@@ -120,6 +138,7 @@ object ZoneMapPruning {
         val owned = entries.filter(e => e.offset >= start && e.offset < end)
         val kept = owned.filter(e =>
           useK.forall(mightMatchOpt(_, e.kmin, e.kmax, kt)) &&
+            useK.forall(f => e.kbloom.forall(bloomMightMatch(f, _, kt))) &&
             useV.forall(mightMatchOpt(_, e.vmin, e.vmax, vt)))
         blocksPlanned.add(owned.size.toLong)
         blocksSkipped.add((owned.size - kept.size).toLong)
