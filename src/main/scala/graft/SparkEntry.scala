@@ -1011,6 +1011,15 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- heavy hitters: tokens >= 3.35% of all occurrences, EXACT counts
+    //      via the two-phase Misra-Gries prefilter (sketch bounds what gets
+    //      re-counted; the answer itself is exact) ----
+    "q_heavy_hitters" -> ((s, dir) => {
+      graft.operators.HeavyHitters.frequentTokens(
+          t(s, dir, "documents"), "text", phi = 0.0335)
+        .orderBy(col("n").desc, col("token"))
+    }),
+
     // ---- tf-idf: top-3 terms per document ----
     "q_tfidf" -> ((s, dir) => {
       graft.operators.TextRanking.tfidfTopTerms(
@@ -2242,6 +2251,20 @@ object SparkEntry {
         |    / greatest(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)), 1), 4) AS avg_tok_len
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // same whitespace tokenization as q_tfidf; ceil(phi * N) threshold
+    // computed in-query so the oracle is self-contained at any SF
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                            x -> length(x) > 0)) AS token
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM toks)
+        |SELECT token, count(*) AS n
+        |FROM toks CROSS JOIN n
+        |GROUP BY token, n.n_total
+        |HAVING count(*) >= ceil(0.0335 * n_total)
+        |ORDER BY n DESC, token""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (

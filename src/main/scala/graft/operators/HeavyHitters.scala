@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MisraGriesAgg, TextAnalysis}
+
+/** Exact corpus-wide heavy hitters at sketch cost.
+  *
+  * The naive "which tokens make up >= phi of all token occurrences" is
+  * `groupBy(token).count()` — a shuffle with one key per DISTINCT token,
+  * which at 100 TB is billions of keys mostly counting to 1. Two phases
+  * make the answer exact while shuffling almost nothing:
+  *
+  *   1. a Misra-Gries summary (capacity ceil(2/phi), merged through normal
+  *      partial aggregation) yields a candidate set PROVABLY containing
+  *      every token with frequency > N/capacity <= phi*N/2 — a strict
+  *      superset of the answer;
+  *   2. the candidates (at most capacity rows) broadcast back over the
+  *      token stream and ONLY they are exactly counted — the second
+  *      shuffle carries at most `capacity` distinct keys.
+  *
+  * No driver action: the one-row sketch result rides as a broadcast frame,
+  * so the whole thing is one lazy plan. Output (token, n) with
+  * n >= ceil(phi * N), descending — exact and oracle-checkable against a
+  * plain GROUP BY / HAVING.
+  */
+object HeavyHitters {
+
+  /** Tokens making up at least `phi` of all token occurrences in
+    * `textCol`, with their EXACT counts. `phi` in (0, 1); capacity
+    * ceil(2/phi) is capped at 1M entries (phi >= 2e-6). */
+  def frequentTokens(df: DataFrame, textCol: String, phi: Double): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0, 1), got $phi")
+    val capacity = math.ceil(2.0 / phi).toInt
+    val terms = df.select(
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    frequentValues(terms, "token", phi, capacity)
+  }
+
+  /** Same contract over an arbitrary string column (URLs, hosts, ids). */
+  def frequentValues(values: DataFrame, valueCol: String, phi: Double,
+                     capacity: Int): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0, 1), got $phi")
+    // completeness needs every qualifying value to survive the sketch:
+    // f >= ceil(phi*N) > N/capacity requires capacity > 1/phi; 2/phi gives
+    // a whole factor of slack so merge-time decrements can never graze the
+    // boundary
+    require(capacity >= math.ceil(2.0 / phi).toInt,
+      s"capacity $capacity too small for phi=$phi (need >= ceil(2/phi))")
+    val mg = udaf(new MisraGriesAgg(capacity), Encoders.STRING)
+    val vcol = col(valueCol)
+    // one pass: MG candidate summary + exact N, partial-agg mergeable
+    val sketch = values.agg(
+      mg(vcol).as("cands"), count(vcol).as("n_total"))
+    val cands = sketch.select(
+      explode(map_keys(col("cands"))).as(valueCol), col("n_total"))
+    // exact pass over candidates only: broadcast join keeps the big side
+    // shuffle keyed by at most `capacity` distinct values
+    values.join(broadcast(cands), valueCol)
+      .groupBy(vcol, col("n_total"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= ceil(lit(phi) * col("n_total")))
+      .select(vcol, col("n"))
+  }
+}
