@@ -1011,6 +1011,16 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- ANN, product-quantization: 8-byte PQ codes + ADC scan + exact
+    //      re-rank. Approximate (codebooks are k-means) -> no_oracle;
+    //      recall@10 vs q_ann_bruteforce lands in the evidence file. ----
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.pqTopK(
+          emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- heavy hitters: tokens >= 3.35% of all occurrences, EXACT counts
     //      via the two-phase Misra-Gries prefilter (sketch bounds what gets
     //      re-counted; the answer itself is exact) ----

@@ -112,6 +112,7 @@ object Verify {
     val body =
       s"""{"q_ann_lsh": ${annRecall("q_ann_lsh")},
          |"q_ann_ivf_kmeans": ${annRecall("q_ann_ivf_kmeans")},
+         |"q_ann_pq": ${annRecall("q_ann_pq")},
          |"q_dedup_simhash": $simhashRecall,
          |"q_sketch_tokens": $cmsExactness,
          |"q_approx_distinct": $hllError}""".stripMargin

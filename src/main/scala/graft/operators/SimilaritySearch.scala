@@ -143,6 +143,186 @@ object SimilaritySearch {
     ivfWithCentroids(c, queries, idCol, vecCol, cents, k, nProbe)
   }
 
+  /** Product-quantization ANN (IVF-ADC's compression half): each vector is
+    * split into `numSubspaces` subvectors, each subvector replaced by the
+    * id of its nearest codeword from a per-subspace k-means codebook — the
+    * corpus collapses from d doubles to m bytes per vector (64-dim → 8
+    * bytes, 64× smaller), which is what makes billion-vector search fit in
+    * memory at all. Queries score the COMPRESSED corpus with asymmetric
+    * distance (ADC): one m·ks lookup table per query, then m table adds
+    * per corpus vector instead of d multiplies. The approximate top
+    * `k·rerankFactor` per query are re-ranked against their TRUE vectors,
+    * so emitted cosines are exact and only ranking beyond the candidate
+    * pool is approximate.
+    *
+    * Scale: codebooks train on a deterministic hash-sample (same scheme as
+    * ivfTopKKMeans, ≤ maxTrainVectors rows, cached once for the m fits);
+    * encode+scan is one mapPartitions pass over the corpus (justified: the
+    * per-partition LUT build and the m-lookup inner loop have no
+    * whole-stage-codegen equivalent, and the alternative — exploding
+    * |Q|×N scored pairs through a shuffle — is exactly what ADC exists to
+    * avoid). Each partition emits at most |Q|·k·rerankFactor candidate
+    * rows; the rerank join is an equi-join on id against the corpus.
+    * Queries are collected to the driver under the same small-|Q|
+    * assumption as bruteForceTopK's broadcast (the corpus is never
+    * collected). Output: (q_id, n_id, rank, cosine) — approximate;
+    * measure recall against bruteForceTopK. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, numSubspaces: Int = 8,
+             codebookSize: Int = 256, rerankFactor: Int = 4,
+             maxTrainVectors: Int = 262144): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val c = prepared(corpus, idCol, vecCol)
+    val q = prepared(queries, idCol, vecCol)
+    val qRows = q.select(col("id").cast("long"), col("v"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    require(qRows.nonEmpty, "pqTopK needs a non-empty query set")
+    val dim = qRows.head._2.length
+    val m = numSubspaces
+    require(dim >= m, s"dim $dim < numSubspaces $m")
+    // subspace j covers [starts(j), starts(j+1)) — remainder spread left
+    val starts = (0 to m).map(j => j * dim / m).toArray
+
+    // --- codebook training on a deterministic hash-sample, cached for the
+    //     m per-subspace fits (each fit is ~10 passes over the sample) ---
+    val n = c.count()
+    val sampled =
+      if (n <= maxTrainVectors) c
+      else {
+        val hkey = pmod(col("id").cast("long") * lit(2654435761L), lit(4294967296L))
+        val threshold = math.ceil(4294967296.0 * maxTrainVectors / n).toLong
+        c.filter(hkey < lit(threshold))
+      }
+    val trainDf = sampled.select(col("v")).cache()
+    val nTrain = trainDf.count()
+    val ks = math.min(codebookSize.toLong, nTrain).toInt
+    require(ks >= 1, "empty corpus")
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val len = starts(j + 1) - starts(j)
+      // slice() is 1-based
+      val tr = trainDf.select(array_to_vector(
+        slice(col("v"), starts(j) + 1, len)).as("features"))
+      new KMeans().setK(ks).setSeed(42L + j).setMaxIter(10)
+        .fit(tr).clusterCenters.map(_.toArray)
+    }
+    trainDf.unpersist()
+    val bcCodebooks = spark.sparkContext.broadcast(codebooks)
+    // query-independent halves of the LUT: codeword squared norms
+    val cn2: Array[Array[Double]] = codebooks.map(_.map(w => {
+      var s = 0.0; var i = 0
+      while (i < w.length) { s += w(i) * w(i); i += 1 }; s
+    }))
+    val bcCn2 = spark.sparkContext.broadcast(cn2)
+    val bcQ = spark.sparkContext.broadcast(qRows)
+
+    // --- encode + ADC scan in one pass; per-partition top-R heaps bound
+    //     the shuffle to |partitions|·|Q|·R rows ---
+    val r = k * rerankFactor
+    val cand = c.select(col("id").cast("long"), col("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cbs = bcCodebooks.value
+        val cn2v = bcCn2.value
+        val qs = bcQ.value
+        val mm = cbs.length
+        // per-query dot-product LUTs: lut(qi)(j*ks + w) = <q_j, codeword w>
+        val kks = cbs(0).length
+        val luts = qs.map { case (_, qv, _) =>
+          val lut = new Array[Double](mm * kks)
+          var j = 0
+          while (j < mm) {
+            val off = starts(j)
+            var w = 0
+            while (w < kks) {
+              val cw = cbs(j)(w)
+              var s = 0.0; var i = 0
+              while (i < cw.length) { s += qv(off + i) * cw(i); i += 1 }
+              lut(j * kks + w) = s
+              w += 1
+            }
+            j += 1
+          }
+          lut
+        }
+        // (score, id) min-heaps of size r per query
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))))
+        it.foreach { case (id, vSeq) =>
+          val v = vSeq.toArray
+          // encode: nearest codeword per subspace (ties -> lowest id, since
+          // we scan in order and require strict improvement)
+          val approxDot = new Array[Double](qs.length)
+          var n2 = 0.0
+          var j = 0
+          while (j < mm) {
+            val off = starts(j)
+            val cb = cbs(j)
+            var best = 0; var bestD = Double.MaxValue
+            var w = 0
+            while (w < cb.length) {
+              val cw = cb(w)
+              var d = 0.0; var i = 0
+              while (i < cw.length) {
+                val diff = v(off + i) - cw(i); d += diff * diff; i += 1
+              }
+              if (d < bestD) { bestD = d; best = w }
+              w += 1
+            }
+            n2 += cn2v(j)(best)
+            var qi = 0
+            while (qi < qs.length) {
+              approxDot(qi) += luts(qi)(j * kks + best)
+              qi += 1
+            }
+            j += 1
+          }
+          val denomBase = math.sqrt(n2)
+          var qi = 0
+          while (qi < qs.length) {
+            if (qs(qi)._1 != id && denomBase > 0) {
+              val score = approxDot(qi) / (qs(qi)._3 * denomBase)
+              val h = heaps(qi)
+              if (h.size < r) h.enqueue((score, id))
+              else if (score > h.head._1 ||
+                       (score == h.head._1 && id < h.head._2)) {
+                h.dequeue(); h.enqueue((score, id))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (s, id) => (qs(qi)._1, id, s) }
+        }
+      }
+      .toDF("q_id", "n_id", "approx")
+
+    // global top-R per query over the per-partition candidates, then exact
+    // re-rank against the true vectors (equi-joins, query side broadcast)
+    val w0 = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("n_id"))
+    val topCand = cand.withColumn("r0", row_number().over(w0))
+      .filter(col("r0") <= r).select(col("q_id"), col("n_id"))
+    val qf = q.select(col("id").cast("long").as("q_id"),
+      col("v").as("q_v"), col("nrm").as("q_n"))
+    val rescored = topCand
+      .join(c.select(col("id").cast("long").as("n_id"),
+        col("v").as("c_v"), col("nrm").as("c_n")), "n_id")
+      .join(broadcast(qf), "q_id")
+      .withColumn("cosine", dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   private def ivfWithCentroids(c: DataFrame, queries: DataFrame, idCol: String,
                                vecCol: String, cents: DataFrame, k: Int,
                                nProbe: Int): DataFrame = {

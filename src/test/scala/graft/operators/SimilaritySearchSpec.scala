@@ -93,6 +93,44 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(badWindow.findFirstIn(plan).isEmpty, s"partition-less Window in:\n$plan")
   }
 
+  test("pqTopK recall@10 against brute force is high (ADC + exact re-rank)") {
+    val pq = SimilaritySearch.pqTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val recall = bruteSet.count(pq.contains).toDouble / bruteSet.size
+    // 8 subspaces x 256 codewords over 500 64-dim vectors quantizes
+    // tightly; with 4x rerank the floor is conservative
+    assert(recall >= 0.6, s"pq recall $recall")
+  }
+
+  test("pqTopK emitted cosines are EXACT (re-ranked against true vectors)") {
+    val bruteMap = brute.map(r => ((r._1, r._2), r._4)).toMap
+    val pq = SimilaritySearch.pqTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    val shared = pq.filter { case (key, _) => bruteMap.contains(key) }
+    assert(shared.nonEmpty)
+    shared.foreach { case (key, cos) =>
+      assert(math.abs(cos - bruteMap(key)) < 1e-9,
+        s"pq cosine for $key diverged: $cos vs ${bruteMap(key)}")
+    }
+  }
+
+  test("pqTopK shape: k rows per query, descending, no self, deterministic") {
+    val run1 = SimilaritySearch.pqTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val run2 = SimilaritySearch.pqTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(run1.sortBy(t => (t._1, t._3)) === run2.sortBy(t => (t._1, t._3)))
+    val byQ = run1.groupBy(_._1)
+    assert(byQ.size === 10)
+    for ((q, rows) <- byQ) {
+      assert(rows.length === 10)
+      assert(!rows.exists(_._2 == q), s"self in results for $q")
+      val ordered = rows.sortBy(_._3).map(_._4)
+      assert(ordered.reverse.sameElements(ordered.sorted), s"not descending for $q")
+    }
+  }
+
   test("ivfTopK scans a bounded fraction of the corpus (nProbe/C lists)") {
     // with 16 centroids and nProbe=4, each query's candidate set must be
     // well under the full corpus
