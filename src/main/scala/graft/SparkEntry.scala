@@ -1021,6 +1021,24 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- ANN over a PERSISTED PQ index: build -> save -> load -> search,
+    //      the standing-corpus serving shape (corpus touched only to
+    //      re-rank candidates). Same training as q_ann_pq, so recall
+    //      evidence matches; spec pins searchPqIndex == pqTopK exactly. ----
+    "q_ann_pq_index" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-pq-idx-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = t(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.buildPqIndex(
+        emb, "vec_id", "embedding").save(tmp)
+      val idx = graft.operators.PqIndex.load(s, tmp)
+      graft.operators.SimilaritySearch.searchPqIndex(
+          idx, emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- heavy hitters: tokens >= 3.35% of all occurrences, EXACT counts
     //      via the two-phase Misra-Gries prefilter (sketch bounds what gets
     //      re-counted; the answer itself is exact) ----

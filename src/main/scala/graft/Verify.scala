@@ -113,6 +113,7 @@ object Verify {
       s"""{"q_ann_lsh": ${annRecall("q_ann_lsh")},
          |"q_ann_ivf_kmeans": ${annRecall("q_ann_ivf_kmeans")},
          |"q_ann_pq": ${annRecall("q_ann_pq")},
+         |"q_ann_pq_index": ${annRecall("q_ann_pq_index")},
          |"q_dedup_simhash": $simhashRecall,
          |"q_sketch_tokens": $cmsExactness,
          |"q_approx_distinct": $hllError}""".stripMargin

@@ -20,6 +20,24 @@ import Dedup.{dot, l2norm}
   *    billion-scale layout: lists are the partition key, so each query
   *    touches nProbe/C of the corpus.
   */
+/** A persisted product-quantization index: `codebooks` = (subspace,
+  * codeword, vec) — m·ks small rows; `codes` = (id, code BINARY) — m bytes
+  * per corpus vector. Build with `SimilaritySearch.buildPqIndex`, extend
+  * with `encodePq`, serve with `searchPqIndex`. */
+final case class PqIndex(codebooks: DataFrame, codes: DataFrame) {
+  /** Persist both halves as parquet under `dir`. */
+  def save(dir: String): Unit = {
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+}
+
+object PqIndex {
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex =
+    PqIndex(spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"))
+}
+
 object SimilaritySearch {
 
   private def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -157,39 +175,114 @@ object SimilaritySearch {
     *
     * Scale: codebooks train on a deterministic hash-sample (same scheme as
     * ivfTopKKMeans, ≤ maxTrainVectors rows, cached once for the m fits);
-    * encode+scan is one mapPartitions pass over the corpus (justified: the
-    * per-partition LUT build and the m-lookup inner loop have no
-    * whole-stage-codegen equivalent, and the alternative — exploding
-    * |Q|×N scored pairs through a shuffle — is exactly what ADC exists to
-    * avoid). Each partition emits at most |Q|·k·rerankFactor candidate
-    * rows; the rerank join is an equi-join on id against the corpus.
-    * Queries are collected to the driver under the same small-|Q|
-    * assumption as bruteForceTopK's broadcast (the corpus is never
-    * collected). Output: (q_id, n_id, rank, cosine) — approximate;
-    * measure recall against bruteForceTopK. */
+    * encode and ADC scan are chained mapPartitions — one narrow pass over
+    * the corpus, nothing materialized (justified: the per-partition LUT
+    * build and the m-lookup inner loop have no whole-stage-codegen
+    * equivalent, and the alternative — exploding |Q|×N scored pairs
+    * through a shuffle — is exactly what ADC exists to avoid). Each
+    * partition emits at most |Q|·k·rerankFactor candidate rows; the
+    * rerank join is an equi-join on id against the corpus. Queries are
+    * collected to the driver under the same small-|Q| assumption as
+    * bruteForceTopK's broadcast (the corpus is never collected).
+    * Output: (q_id, n_id, rank, cosine) — approximate; measure recall
+    * against bruteForceTopK. For a standing corpus, train/encode ONCE with
+    * buildPqIndex and serve queries from the persisted codes with
+    * searchPqIndex. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, numSubspaces: Int = 8,
              codebookSize: Int = 256, rerankFactor: Int = 4,
              maxTrainVectors: Int = 262144): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
     val c = prepared(corpus, idCol, vecCol)
     val q = prepared(queries, idCol, vecCol)
-    val qRows = q.select(col("id").cast("long"), col("v"), col("nrm"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val qRows = collectQueries(q)
     require(qRows.nonEmpty, "pqTopK needs a non-empty query set")
     val dim = qRows.head._2.length
-    val m = numSubspaces
-    require(dim >= m, s"dim $dim < numSubspaces $m")
-    // subspace j covers [starts(j), starts(j+1)) — remainder spread left
-    val starts = (0 to m).map(j => j * dim / m).toArray
+    val cbs = trainPqCodebooks(c, dim, numSubspaces, codebookSize, maxTrainVectors)
+    val starts = pqStarts(dim, numSubspaces)
+    val bcCb = c.sparkSession.sparkContext.broadcast(cbs)
+    val codes = pqEncode(c, bcCb, starts)
+    val cand = pqCandidates(codes, cbs, starts, qRows, k * rerankFactor)
+    pqRerank(cand, c, q, k, k * rerankFactor)
+  }
 
-    // --- codebook training on a deterministic hash-sample, cached for the
-    //     m per-subspace fits (each fit is ~10 passes over the sample) ---
+  /** Build a PERSISTED product-quantization index over a standing corpus —
+    * train/encode once, serve queries forever (and encode new batches
+    * incrementally): the 100 TB ingestion shape, matching the incremental
+    * dedup operators. `codebooks` is (subspace, codeword, vec) —
+    * m·codebookSize small rows; `codes` is (id, code BINARY) — m BYTES per
+    * corpus vector, the 64× compression that makes a billion-vector index
+    * storable and memory-resident. Both are plain DataFrames: persist with
+    * `PqIndex.save`, reload with `PqIndex.load` (parquet), or write them
+    * to any table format. */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   numSubspaces: Int = 8, codebookSize: Int = 256,
+                   maxTrainVectors: Int = 262144): PqIndex = {
+    val c = prepared(corpus, idCol, vecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    val cbs = trainPqCodebooks(c, dim, numSubspaces, codebookSize, maxTrainVectors)
+    val starts = pqStarts(dim, numSubspaces)
+    val cbDf = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (w, wi) => (j, wi, w.toSeq) }
+    }.toSeq.toDF("subspace", "codeword", "vec")
+    val bcCb = spark.sparkContext.broadcast(cbs)
+    PqIndex(cbDf, pqEncode(c, bcCb, starts).toDF("id", "code"))
+  }
+
+  /** Encode a NEW batch of vectors against a standing index's codebooks —
+    * the incremental-ingestion half: append the result to the index's
+    * `codes` table; no retraining, no touch of the existing corpus. */
+  def encodePq(codebooks: DataFrame, df: DataFrame, idCol: String,
+               vecCol: String): DataFrame = {
+    val (cbs, starts) = pqCodebooksFromDf(codebooks)
+    val c = prepared(df, idCol, vecCol)
+    val bcCb = df.sparkSession.sparkContext.broadcast(cbs)
+    pqEncode(c, bcCb, starts).toDF("id", "code")
+  }
+
+  /** ADC search over a persisted PQ index: the corpus is touched ONLY to
+    * re-rank the ≤ |Q|·k·rerankFactor candidates (an equi-join on id —
+    * with Bloom/zone-map sidecars that read is a point lookup, not a
+    * scan). Same output contract as pqTopK. */
+  def searchPqIndex(index: PqIndex, corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    rerankFactor: Int = 4): DataFrame = {
+    import index.codes.sparkSession.implicits._
+    val (cbs, starts) = pqCodebooksFromDf(index.codebooks)
+    val codes = index.codes
+      .select(col("id").cast("long"), col("code")).as[(Long, Array[Byte])]
+    val c = prepared(corpus, idCol, vecCol)
+    val q = prepared(queries, idCol, vecCol)
+    val qRows = collectQueries(q)
+    require(qRows.nonEmpty, "searchPqIndex needs a non-empty query set")
+    require(qRows.head._2.length == starts.last,
+      s"query dim ${qRows.head._2.length} != index dim ${starts.last}")
+    val cand = pqCandidates(codes, cbs, starts, qRows, k * rerankFactor)
+    pqRerank(cand, c, q, k, k * rerankFactor)
+  }
+
+  // ---- PQ internals (shared by pqTopK and the persisted-index path) ----
+
+  private def collectQueries(q: DataFrame): Array[(Long, Array[Double], Double)] =
+    q.select(col("id").cast("long"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+  /** Subspace j covers [starts(j), starts(j+1)) — remainder spread left. */
+  private def pqStarts(dim: Int, m: Int): Array[Int] =
+    (0 to m).map(j => j * dim / m).toArray
+
+  /** Per-subspace k-means codebooks on a deterministic hash-sample, cached
+    * once for the m fits (each fit is ~10 passes over the sample). */
+  private def trainPqCodebooks(c: DataFrame, dim: Int, m: Int,
+                               codebookSize: Int,
+                               maxTrainVectors: Int): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim >= m, s"dim $dim < numSubspaces $m")
+    require(codebookSize >= 1 && codebookSize <= 256,
+      s"codebookSize must be in [1, 256] (codes are byte-encoded), got $codebookSize")
+    val starts = pqStarts(dim, m)
     val n = c.count()
     val sampled =
       if (n <= maxTrainVectors) c
@@ -202,7 +295,7 @@ object SimilaritySearch {
     val nTrain = trainDf.count()
     val ks = math.min(codebookSize.toLong, nTrain).toInt
     require(ks >= 1, "empty corpus")
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+    val codebooks = Array.tabulate(m) { j =>
       val len = starts(j + 1) - starts(j)
       // slice() is 1-based
       val tr = trainDf.select(array_to_vector(
@@ -211,54 +304,36 @@ object SimilaritySearch {
         .fit(tr).clusterCenters.map(_.toArray)
     }
     trainDf.unpersist()
-    val bcCodebooks = spark.sparkContext.broadcast(codebooks)
-    // query-independent halves of the LUT: codeword squared norms
-    val cn2: Array[Array[Double]] = codebooks.map(_.map(w => {
-      var s = 0.0; var i = 0
-      while (i < w.length) { s += w(i) * w(i); i += 1 }; s
-    }))
-    val bcCn2 = spark.sparkContext.broadcast(cn2)
-    val bcQ = spark.sparkContext.broadcast(qRows)
+    codebooks
+  }
 
-    // --- encode + ADC scan in one pass; per-partition top-R heaps bound
-    //     the shuffle to |partitions|·|Q|·R rows ---
-    val r = k * rerankFactor
-    val cand = c.select(col("id").cast("long"), col("v"))
-      .as[(Long, Seq[Double])]
+  /** Rebuild the in-memory codebook array (and subspace offsets) from the
+    * persisted (subspace, codeword, vec) frame — m·ks small rows. */
+  private def pqCodebooksFromDf(cbDf: DataFrame): (Array[Array[Array[Double]]], Array[Int]) = {
+    val rows = cbDf.select(col("subspace").cast("int"), col("codeword").cast("int"),
+        col("vec").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, "empty codebooks frame")
+    val m = rows.map(_._1).max + 1
+    val cbs = Array.tabulate(m) { j => rows.filter(_._1 == j).sortBy(_._2).map(_._3) }
+    require(cbs.forall(_.nonEmpty), "codebooks frame missing a subspace")
+    val starts = cbs.map(_.head.length).scanLeft(0)(_ + _)
+    (cbs, starts)
+  }
+
+  /** Nearest-codeword encoding: d doubles → m bytes per vector. */
+  private def pqEncode(c: DataFrame,
+                       bcCb: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+                       starts: Array[Int]): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    c.select(col("id").cast("long"), col("v")).as[(Long, Seq[Double])]
       .mapPartitions { it =>
-        val cbs = bcCodebooks.value
-        val cn2v = bcCn2.value
-        val qs = bcQ.value
+        val cbs = bcCb.value
         val mm = cbs.length
-        // per-query dot-product LUTs: lut(qi)(j*ks + w) = <q_j, codeword w>
-        val kks = cbs(0).length
-        val luts = qs.map { case (_, qv, _) =>
-          val lut = new Array[Double](mm * kks)
-          var j = 0
-          while (j < mm) {
-            val off = starts(j)
-            var w = 0
-            while (w < kks) {
-              val cw = cbs(j)(w)
-              var s = 0.0; var i = 0
-              while (i < cw.length) { s += qv(off + i) * cw(i); i += 1 }
-              lut(j * kks + w) = s
-              w += 1
-            }
-            j += 1
-          }
-          lut
-        }
-        // (score, id) min-heaps of size r per query
-        val heaps = Array.fill(qs.length)(
-          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-            Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))))
-        it.foreach { case (id, vSeq) =>
+        it.map { case (id, vSeq) =>
           val v = vSeq.toArray
-          // encode: nearest codeword per subspace (ties -> lowest id, since
-          // we scan in order and require strict improvement)
-          val approxDot = new Array[Double](qs.length)
-          var n2 = 0.0
+          val code = new Array[Byte](mm)
           var j = 0
           while (j < mm) {
             val off = starts(j)
@@ -271,40 +346,101 @@ object SimilaritySearch {
               while (i < cw.length) {
                 val diff = v(off + i) - cw(i); d += diff * diff; i += 1
               }
-              if (d < bestD) { bestD = d; best = w }
+              if (d < bestD) { bestD = d; best = w } // ties -> lowest codeword
               w += 1
             }
-            n2 += cn2v(j)(best)
-            var qi = 0
-            while (qi < qs.length) {
-              approxDot(qi) += luts(qi)(j * kks + best)
-              qi += 1
-            }
+            code(j) = best.toByte
             j += 1
           }
-          val denomBase = math.sqrt(n2)
-          var qi = 0
-          while (qi < qs.length) {
-            if (qs(qi)._1 != id && denomBase > 0) {
-              val score = approxDot(qi) / (qs(qi)._3 * denomBase)
-              val h = heaps(qi)
-              if (h.size < r) h.enqueue((score, id))
-              else if (score > h.head._1 ||
-                       (score == h.head._1 && id < h.head._2)) {
-                h.dequeue(); h.enqueue((score, id))
-              }
-            }
-            qi += 1
-          }
-        }
-        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          h.iterator.map { case (s, id) => (qs(qi)._1, id, s) }
+          (id, code)
         }
       }
-      .toDF("q_id", "n_id", "approx")
+  }
 
-    // global top-R per query over the per-partition candidates, then exact
-    // re-rank against the true vectors (equi-joins, query side broadcast)
+  /** ADC scan: per-query LUTs (m·ks dot products each), m table adds per
+    * corpus code, per-partition top-R heaps — the shuffle out of this is
+    * at most |partitions|·|Q|·R rows. */
+  private def pqCandidates(codes: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+                           cbs: Array[Array[Array[Double]]], starts: Array[Int],
+                           qRows: Array[(Long, Array[Double], Double)],
+                           r: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    // query-independent halves of the LUT: codeword squared norms
+    val cn2: Array[Array[Double]] = cbs.map(_.map(w => {
+      var s = 0.0; var i = 0
+      while (i < w.length) { s += w(i) * w(i); i += 1 }; s
+    }))
+    val bcCb = spark.sparkContext.broadcast(cbs)
+    val bcCn2 = spark.sparkContext.broadcast(cn2)
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    codes.mapPartitions { it =>
+      val cbsv = bcCb.value
+      val cn2v = bcCn2.value
+      val qs = bcQ.value
+      val mm = cbsv.length
+      val kks = cbsv(0).length
+      // per-query dot-product LUTs: lut(qi)(j*kks + w) = <q_j, codeword w>
+      val luts = qs.map { case (_, qv, _) =>
+        val lut = new Array[Double](mm * kks)
+        var j = 0
+        while (j < mm) {
+          val off = starts(j)
+          var w = 0
+          while (w < kks) {
+            val cw = cbsv(j)(w)
+            var s = 0.0; var i = 0
+            while (i < cw.length) { s += qv(off + i) * cw(i); i += 1 }
+            lut(j * kks + w) = s
+            w += 1
+          }
+          j += 1
+        }
+        lut
+      }
+      // (score, id) min-heaps of size r per query
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))))
+      it.foreach { case (id, code) =>
+        val approxDot = new Array[Double](qs.length)
+        var n2 = 0.0
+        var j = 0
+        while (j < mm) {
+          val w = code(j) & 0xff
+          n2 += cn2v(j)(w)
+          var qi = 0
+          while (qi < qs.length) {
+            approxDot(qi) += luts(qi)(j * kks + w)
+            qi += 1
+          }
+          j += 1
+        }
+        val denomBase = math.sqrt(n2)
+        var qi = 0
+        while (qi < qs.length) {
+          if (qs(qi)._1 != id && denomBase > 0) {
+            val score = approxDot(qi) / (qs(qi)._3 * denomBase)
+            val h = heaps(qi)
+            if (h.size < r) h.enqueue((score, id))
+            else if (score > h.head._1 ||
+                     (score == h.head._1 && id < h.head._2)) {
+              h.dequeue(); h.enqueue((score, id))
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (s, id) => (qs(qi)._1, id, s) }
+      }
+    }.toDF("q_id", "n_id", "approx")
+  }
+
+  /** Global top-R per query over the per-partition candidates, then exact
+    * re-rank against the true vectors (equi-joins, query side broadcast). */
+  private def pqRerank(cand: DataFrame, c: DataFrame, q: DataFrame,
+                       k: Int, r: Int): DataFrame = {
     val w0 = Window.partitionBy(col("q_id"))
       .orderBy(col("approx").desc, col("n_id"))
     val topCand = cand.withColumn("r0", row_number().over(w0))

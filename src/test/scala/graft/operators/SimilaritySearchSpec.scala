@@ -131,6 +131,42 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("searchPqIndex over buildPqIndex equals pqTopK exactly (same training)") {
+    val direct = SimilaritySearch.pqTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val idx = SimilaritySearch.buildPqIndex(emb, "vec_id", "embedding")
+    val viaIndex = SimilaritySearch.searchPqIndex(idx, emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(viaIndex === direct)
+  }
+
+  test("PqIndex save/load round-trips through parquet; codes are m bytes") {
+    val idx = SimilaritySearch.buildPqIndex(emb, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pq-idx-").toString
+    idx.save(dir)
+    val loaded = PqIndex.load(spark, dir)
+    val before = SimilaritySearch.searchPqIndex(idx, emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val after = SimilaritySearch.searchPqIndex(loaded, emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(after === before)
+    // the compression claim: 8 subspaces over 64-dim -> 8 bytes per vector
+    val codeLens = loaded.codes.select(length(col("code"))).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(codeLens === Seq(8), s"code lengths $codeLens")
+  }
+
+  test("encodePq encodes a new batch identically to the index build (incremental ingest)") {
+    val idx = SimilaritySearch.buildPqIndex(emb, "vec_id", "embedding")
+    val batch = emb.filter(col("vec_id") % 7 === 0)
+    val incremental = SimilaritySearch.encodePq(idx.codebooks, batch, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val fromBuild = idx.codes.join(batch.select(col("vec_id").as("id")), "id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(incremental === fromBuild)
+    assert(incremental.nonEmpty)
+  }
+
   test("ivfTopK scans a bounded fraction of the corpus (nProbe/C lists)") {
     // with 16 centroids and nProbe=4, each query's candidate set must be
     // well under the full corpus
