@@ -273,7 +273,12 @@ object SimilaritySearch {
     (0 to m).map(j => j * dim / m).toArray
 
   /** Per-subspace k-means codebooks on a deterministic hash-sample, cached
-    * once for the m fits (each fit is ~10 passes over the sample). */
+    * once for the m fits. The m fits run CONCURRENTLY (Spark schedules jobs
+    * from multiple threads fine) with random init — per-fit cost is
+    * dominated by fixed per-job overhead at any sane sample size, so
+    * sequential k-means|| fits would pay ~m·15 serial job launches for no
+    * quality gain (random init + 10 Lloyd iterations is the standard PQ
+    * codebook recipe). Seeded per subspace → deterministic. */
   private def trainPqCodebooks(c: DataFrame, dim: Int, m: Int,
                                codebookSize: Int,
                                maxTrainVectors: Int): Array[Array[Array[Double]]] = {
@@ -295,14 +300,21 @@ object SimilaritySearch {
     val nTrain = trainDf.count()
     val ks = math.min(codebookSize.toLong, nTrain).toInt
     require(ks >= 1, "empty corpus")
-    val codebooks = Array.tabulate(m) { j =>
-      val len = starts(j + 1) - starts(j)
-      // slice() is 1-based
-      val tr = trainDf.select(array_to_vector(
-        slice(col("v"), starts(j) + 1, len)).as("features"))
-      new KMeans().setK(ks).setSeed(42L + j).setMaxIter(10)
-        .fit(tr).clusterCenters.map(_.toArray)
-    }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val codebooks =
+      try Await.result(Future.sequence((0 until m).toSeq.map { j => Future {
+        val len = starts(j + 1) - starts(j)
+        // slice() is 1-based
+        val tr = trainDf.select(array_to_vector(
+          slice(col("v"), starts(j) + 1, len)).as("features"))
+        new KMeans().setK(ks).setSeed(42L + j).setMaxIter(10)
+          .setInitMode("random")
+          .fit(tr).clusterCenters.map(_.toArray)
+      }}), Duration.Inf).toArray
+      finally pool.shutdown()
     trainDf.unpersist()
     codebooks
   }
