@@ -1011,6 +1011,14 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- cross-source overlap matrix: distinct 3-gram sharing + Jaccard
+    //      per source pair — the pre-mixing diligence pass ----
+    "q_source_overlap" -> ((s, dir) => {
+      graft.operators.Decontamination.overlapMatrix(
+          t(s, dir, "documents"), "source", "text", n = 3)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // ---- ANN, product-quantization: 8-byte PQ codes + ADC scan + exact
     //      re-rank. Approximate (codebooks are k-means) -> no_oracle;
     //      recall@10 vs q_ann_bruteforce lands in the evidence file. ----
@@ -2279,6 +2287,30 @@ object SparkEntry {
         |    / greatest(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)), 1), 4) AS avg_tok_len
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // same 3-gram construction as q_decontaminate's oracle; distinct
+    // n-grams counted as strings here vs 64-bit hashes in the operator —
+    // exact modulo ~2^-64 collisions (the dedup-family equivalence)
+    "q_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+        |tot AS (SELECT source, count(*) AS total FROM sh GROUP BY 1),
+        |pr AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_ngrams
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared_ngrams, ta.total AS total_a,
+        |  tb.total AS total_b,
+        |  round(shared_ngrams * 1.0 / (ta.total + tb.total - shared_ngrams), 6) AS jaccard
+        |FROM pr
+        |JOIN tot ta ON pr.source_a = ta.source
+        |JOIN tot tb ON pr.source_b = tb.source
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // same whitespace tokenization as q_tfidf; ceil(phi * N) threshold
     // computed in-query so the oracle is self-contained at any SF

@@ -67,4 +67,39 @@ object Decontamination {
       benchIdCol, benchTextCol, n, minOverlap).select(col("doc_id"))
     docs.join(bad, docs(idCol) === bad("doc_id"), "left_anti")
   }
+
+  /** Cross-source overlap matrix: for every unordered pair of corpus
+    * sources, the number of DISTINCT word n-grams they share, each side's
+    * distinct-n-gram total, and the n-gram Jaccard — the standard
+    * diligence pass before mixing corpora (which crawls duplicate each
+    * other? is a "new" source mostly a re-crawl?). Pairs sharing nothing
+    * are omitted.
+    *
+    * Scale: per-source distinct n-grams reduce to 8-byte hashes before any
+    * shuffle (same exact-modulo-2^-64 equivalence as the dedup operators);
+    * the pair join is an equi-join on those hashes, and a single n-gram
+    * common to S sources contributes at most S² pair rows — bounded by the
+    * (small) source count, not the corpus. Output: (source_a, source_b,
+    * shared_ngrams, total_a, total_b, jaccard), source_a < source_b. */
+  def overlapMatrix(df: DataFrame, sourceCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val sg = df.select(col(sourceCol).as("source"),
+        explode(TextAnalysis.wordShingles(col(textCol), n)).as("s0"))
+      .select(col("source"), xxhash64(col("s0")).as("s"))
+      .distinct()
+    val totals = sg.groupBy(col("source")).agg(count(lit(1)).as("total"))
+    val a = sg.select(col("source").as("source_a"), col("s"))
+    val b = sg.select(col("source").as("source_b"), col("s"))
+    a.join(b, Seq("s")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .join(totals.select(col("source").as("source_a"),
+        col("total").as("total_a")), "source_a")
+      .join(totals.select(col("source").as("source_b"),
+        col("total").as("total_b")), "source_b")
+      .withColumn("jaccard", round(col("shared_ngrams") * lit(1.0) /
+        (col("total_a") + col("total_b") - col("shared_ngrams")), 6))
+      .select(col("source_a"), col("source_b"), col("shared_ngrams"),
+        col("total_a"), col("total_b"), col("jaccard"))
+  }
 }

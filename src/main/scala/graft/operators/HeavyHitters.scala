@@ -48,6 +48,10 @@ object HeavyHitters {
     // boundary
     require(capacity >= math.ceil(2.0 / phi).toInt,
       s"capacity $capacity too small for phi=$phi (need >= ceil(2/phi))")
+    // "n" and "n_total" are this operator's output/working column names —
+    // refuse loudly rather than silently clobber (repo-wide pattern)
+    require(valueCol != "n" && valueCol != "n_total" && valueCol != "cands",
+      s"valueCol '$valueCol' collides with a reserved output column; rename it first")
     val mg = udaf(new MisraGriesAgg(capacity), Encoders.STRING)
     val vcol = col(valueCol)
     // one pass: MG candidate summary + exact N, partial-agg mergeable

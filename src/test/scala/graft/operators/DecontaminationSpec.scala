@@ -66,6 +66,23 @@ class DecontaminationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept === Set(3L, 4L))
   }
 
+  test("overlapMatrix: shared distinct n-grams and Jaccard vs hand computation") {
+    val corpus = Seq(
+      (1L, "a", "the quick brown fox jumps high"),
+      (2L, "a", "the quick brown fox jumps high"),   // dup doc: distinct-ness per source
+      (3L, "b", "the quick brown fox sleeps"),
+      (4L, "c", "nothing in common here at all")).toDF("id", "source", "text")
+    val out = Decontamination.overlapMatrix(corpus, "source", "text", n = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // source a: 3-grams {t q b, q b f, b f j, f j h} (4 distinct; dup doc adds none)
+    // source b: {t q b, q b f, b f s} (3); shared with a = {t q b, q b f} = 2
+    assert(out.keySet === Set(("a", "b")))  // c shares nothing -> omitted
+    val (sh, ta, tb, j) = out(("a", "b"))
+    assert((sh, ta, tb) === ((2L, 4L, 3L)))
+    assert(math.abs(j - 2.0 / (4 + 3 - 2)) < 1e-9)
+  }
+
   test("benchmark side is broadcast — corpus never shuffles for the join") {
     val corpus = df((1L to 50L).map(i => i -> s"doc $i words here and there plus filler $i"): _*)
     val plan = Decontamination.contaminationReport(corpus, bench,

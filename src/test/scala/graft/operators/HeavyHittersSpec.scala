@@ -94,9 +94,11 @@ class HeavyHittersSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"candidate join should broadcast:\n$plan")
   }
 
-  test("guards: phi range and capacity floor") {
+  test("guards: phi range, capacity floor, reserved output names") {
     val df = Seq("a").toDF("value")
     intercept[IllegalArgumentException](HeavyHitters.frequentTokens(df, "value", 0.0))
     intercept[IllegalArgumentException](HeavyHitters.frequentValues(df, "value", 0.1, 3))
+    val clash = Seq("a").toDF("n")
+    intercept[IllegalArgumentException](HeavyHitters.frequentValues(clash, "n", 0.1, 40))
   }
 }
