@@ -1011,6 +1011,14 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- exact repeated-substring pairs: 6-token exact runs shared
+    //      between documents (df-capped at 64), the Lee-et-al criterion ----
+    "q_dedup_substring" -> ((s, dir) => {
+      graft.operators.Dedup.sharedWindowPairs(
+          t(s, dir, "documents"), "doc_id", "text", w = 6, maxDf = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- cross-source overlap matrix: distinct 3-gram sharing + Jaccard
     //      per source pair — the pre-mixing diligence pass ----
     "q_source_overlap" -> ((s, dir) => {
@@ -2287,6 +2295,23 @@ object SparkEntry {
         |    / greatest(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)), 1), 4) AS avg_tok_len
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // 6-token windows as strings (operator hashes them; exact modulo
+    // ~2^-64 collisions); df cap 2..64 replicated in okw
+    "q_dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+5], ' ') AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 5, 0) + 1)) AS t(i)),
+        |okw AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 64),
+        |k AS (SELECT sh.doc_id, sh.s FROM sh JOIN okw USING (s))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_windows
+        |FROM k a JOIN k b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // same 3-gram construction as q_decontaminate's oracle; distinct
     // n-grams counted as strings here vs 64-bit hashes in the operator —

@@ -67,6 +67,40 @@ object Dedup {
       .drop("g_rep", "g_n", "pref_")
   }
 
+  /** Exact repeated-substring pairs — the windowed form of the Lee et al.
+    * (2022) "exact substring duplication" criterion: document pairs sharing
+    * at least one EXACT run of `w` consecutive tokens, with the count of
+    * distinct shared windows. Complements the similarity family: a verbatim
+    * quoted paragraph inside two otherwise-different long documents is
+    * invisible to Jaccard/MinHash (similarity dilutes with length) but is
+    * exactly what this catches.
+    *
+    * Windows appearing in more than `maxDf` documents are ignored — that's
+    * site chrome (strip it with removeBoilerplateLines), and the cap also
+    * bounds the join blowup: one window in D <= maxDf docs yields at most
+    * D² pair rows. Shuffles carry (8-byte window hash, id) pairs — text
+    * never shuffles; exact modulo ~2^-64 hash collisions like the rest of
+    * the dedup family. Output: (id_a, id_b, shared_windows), id_a < id_b. */
+  def sharedWindowPairs(df: DataFrame, idCol: String, textCol: String,
+                        w: Int, maxDf: Int = 64): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val wins = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.wordShingles(col(textCol), w)).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("h"))
+      .distinct()
+    val ok = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("wdf"))
+      .filter(col("wdf") >= 2 && col("wdf") <= maxDf)
+      .select(col("h"))
+    val kept = wins.join(ok, "h")
+    val a = kept.select(col("id").as("id_a"), col("h"))
+    val b = kept.select(col("id").as("id_b"), col("h"))
+    a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+  }
+
   /** Exact word-n-gram Jaccard similarity pairs with sim >= threshold.
     * Formulation: explode distinct shingles, self-join on shingle (only
     * docs sharing at least one shingle ever meet), aggregate intersection

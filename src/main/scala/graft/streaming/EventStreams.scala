@@ -53,6 +53,23 @@ object EventStreams {
       // fingerprint forever despite the watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming dedup against a STANDING corpus fingerprint index — the
+    * continuous-ingestion form of Dedup.exactDedupIncremental: rows whose
+    * content fingerprint already exists in the (static) index are dropped
+    * via a stream-static left_anti join (re-planned per micro-batch, so a
+    * refreshed index table is picked up without restarting the query), and
+    * within-stream repeats are dropped by the same watermark-bounded
+    * fingerprint state as streamingDedup. The index side carries only
+    * 8-byte fingerprints — the corpus text is never read. */
+  def streamingDedupIncremental(df: DataFrame, textCol: String,
+                                corpusFingerprints: DataFrame, fpCol: String,
+                                watermark: String): DataFrame =
+    df.withColumn("fp", graft.functions.TextAnalysis.fingerprint(col(textCol)))
+      .join(corpusFingerprints.select(col(fpCol).as("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Stream-stream interval join: attribute each purchase to the same
     * user's clicks within the trailing `maxGap` window. Both sides carry
     * watermarks and the join condition bounds event-time distance, so

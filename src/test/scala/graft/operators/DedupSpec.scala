@@ -33,6 +33,29 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 1L, 3L, false), (4L, 4L, 1L, true)))
   }
 
+  test("sharedWindowPairs finds exact token runs, honors the df cap") {
+    val df = docs(
+      1L -> "aa bb cc dd ee ff unique tail one",
+      2L -> "prefix two aa bb cc dd ee ff",      // shares the 6-run with 1
+      3L -> "aa bb cc dd ee XX no shared run",   // 5-token overlap only
+      4L -> "totally different words here now")
+    val out = Dedup.sharedWindowPairs(df, "doc_id", "text", w = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 2L, 1L)))
+    // df cap: a run shared by 3 docs is dropped at maxDf = 2
+    val boiler = docs(
+      1L -> "the same cookie banner text here p1",
+      2L -> "the same cookie banner text here p2",
+      3L -> "the same cookie banner text here p3")
+    val capped = Dedup.sharedWindowPairs(boiler, "doc_id", "text", w = 6, maxDf = 2)
+      .collect()
+    assert(capped.isEmpty)
+    // ...but counted when the cap allows it: 3 docs -> 3 pairs
+    val allowed = Dedup.sharedWindowPairs(boiler, "doc_id", "text", w = 6, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(allowed === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("exactDedupKeepBest keeps the copy maximizing preferCol, ties -> min id") {
     val df = docs(
       1L -> "Hello World",            // 11 bytes

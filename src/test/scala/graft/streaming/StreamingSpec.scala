@@ -132,6 +132,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streamingDedupIncremental drops corpus-known AND within-stream repeats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // standing index: fingerprints of two known documents
+    val corpus = Seq("alpha doc", "known doc").toDF("text")
+      .select(graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val df = stream.toDF().toDF("id", "ts", "text")
+    val q = EventStreams.streamingDedupIncremental(df, "text", corpus, "fp", "1 hour")
+      .writeStream.format("memory").queryName("streamdedupinc").outputMode("append").start()
+    try {
+      // 1 collides with the corpus (normalized), 2 is new
+      stream.addData((1L, ts(0), "ALPHA   DOC"), (2L, ts(1), "beta doc"))
+      q.processAllAvailable()
+      // 3 repeats an in-stream doc from the previous batch, 4 hits the
+      // corpus, 5 is new
+      stream.addData((3L, ts(2), "beta doc"), (4L, ts(3), "known doc"),
+        (5L, ts(4), "gamma doc"))
+      q.processAllAvailable()
+      val ids = spark.table("streamdedupinc").select("id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(2L, 5L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchase attribution equals the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
