@@ -1011,6 +1011,14 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- asymmetric containment pairs: fragment duplication Jaccard
+    //      misses (short doc quoted inside a long one) ----
+    "q_dedup_containment" -> ((s, dir) => {
+      graft.operators.Dedup.ngramContainmentPairs(
+          t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- exact repeated-substring pairs: 6-token exact runs shared
     //      between documents (df-capped at 64), the Lee-et-al criterion ----
     "q_dedup_substring" -> ((s, dir) => {
@@ -1034,6 +1042,19 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       graft.operators.SimilaritySearch.pqTopK(
           emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- IVF-PQ: coarse lists bound WHICH codes each query scores
+    //      (~nProbe/C of the corpus), PQ bounds the BYTES per code —
+    //      the billion-vector serving layout. Approximate -> no_oracle;
+    //      recall@10 vs brute force lands in the evidence file. ----
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.operators.SimilaritySearch.buildIvfPqIndex(
+        emb, "vec_id", "embedding")
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -2295,6 +2316,30 @@ object SparkEntry {
         |    / greatest(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)), 1), 4) AS avg_tok_len
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // distinct-trigram containment both directions; pairs where either
+    // clears 0.6 (operator hashes shingles; exact modulo ~2^-64)
+    "q_dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(ix * 1.0 / sa.n, 6) AS cont_a_in_b,
+        |  round(ix * 1.0 / sb.n, 6) AS cont_b_in_a
+        |FROM inter
+        |JOIN sizes sa ON id_a = sa.doc_id
+        |JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE greatest(ix * 1.0 / sa.n, ix * 1.0 / sb.n) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // 6-token windows as strings (operator hashes them; exact modulo
     // ~2^-64 collisions); df cap 2..64 replicated in okw

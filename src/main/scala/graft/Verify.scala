@@ -114,6 +114,7 @@ object Verify {
          |"q_ann_ivf_kmeans": ${annRecall("q_ann_ivf_kmeans")},
          |"q_ann_pq": ${annRecall("q_ann_pq")},
          |"q_ann_pq_index": ${annRecall("q_ann_pq_index")},
+         |"q_ann_ivfpq": ${annRecall("q_ann_ivfpq")},
          |"q_dedup_simhash": $simhashRecall,
          |"q_sketch_tokens": $cmsExactness,
          |"q_approx_distinct": $hllError}""".stripMargin

@@ -101,6 +101,39 @@ object Dedup {
       .agg(count(lit(1)).as("shared_windows"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: containment(A⊆B) = |A∩B| / |A|
+    * over distinct word n-grams. Catches fragment duplication that Jaccard
+    * structurally misses — a short document quoted wholly inside a long one
+    * has containment ≈ 1 but Jaccard ≈ |short| / |long| ≈ 0 (the
+    * RefinedWeb-style criterion for "this doc is a fragment of that one").
+    * Emits pairs where EITHER direction clears `threshold`, with both
+    * directions' values. Same 8-byte shingle-hash join shape (and the same
+    * exact-modulo-2^-64 equivalence) as ngramJaccardPairs.
+    * Output: (id_a, id_b, cont_a_in_b, cont_b_in_a), id_a < id_b. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold")
+    val sh = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.wordShingles(col(textCol), n)).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("s"))
+      .distinct()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("ix"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+      .withColumn("cont_a_in_b", col("ix") / col("na"))
+      .withColumn("cont_b_in_a", col("ix") / col("nb"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_a_in_b"), 6).as("cont_a_in_b"),
+        round(col("cont_b_in_a"), 6).as("cont_b_in_a"))
+  }
+
   /** Exact word-n-gram Jaccard similarity pairs with sim >= threshold.
     * Formulation: explode distinct shingles, self-join on shingle (only
     * docs sharing at least one shingle ever meet), aggregate intersection

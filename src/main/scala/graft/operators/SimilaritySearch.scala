@@ -38,6 +38,28 @@ object PqIndex {
       spark.read.parquet(s"$dir/codes"))
 }
 
+/** A persisted IVF-PQ index (the FAISS-style billion-scale layout):
+  * `centroids` = (cent_id, cv) — the inverted-list anchors; `codebooks`
+  * as in [[PqIndex]]; `codes` = (id, list_id, code BINARY) — each corpus
+  * vector's list assignment plus its m-byte PQ code. Queries probe only
+  * nProbe lists, so the ADC scan touches ~nProbe/C of the codes instead
+  * of all of them. */
+final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
+                            codes: DataFrame) {
+  def save(dir: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+}
+
+object IvfPqIndex {
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex =
+    IvfPqIndex(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"))
+}
+
 object SimilaritySearch {
 
   private def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -262,6 +284,93 @@ object SimilaritySearch {
     pqRerank(cand, c, q, k, k * rerankFactor)
   }
 
+  /** Build a persisted IVF-PQ index: k-means centroids partition the
+    * corpus into inverted lists AND per-subspace PQ codebooks compress
+    * each vector to m bytes — the layout that serves billion-vector
+    * corpora (FAISS IndexIVFPQ; codes here encode the raw vectors, not
+    * residuals — the simpler variant whose accuracy the exact re-rank
+    * recovers). Both trainings run on the same deterministic hash-sample.
+    * Persist/reload via IvfPqIndex.save/load. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      numCentroids: Int = 16, numSubspaces: Int = 8,
+                      codebookSize: Int = 256,
+                      maxTrainVectors: Int = 262144): IvfPqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = prepared(corpus, idCol, vecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    val cbs = trainPqCodebooks(c, dim, numSubspaces, codebookSize, maxTrainVectors)
+    val starts = pqStarts(dim, numSubspaces)
+    val cbDf = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (w, wi) => (j, wi, w.toSeq) }
+    }.toSeq.toDF("subspace", "codeword", "vec")
+    // coarse centroids: one full-dim fit on the same sample scheme
+    val n = c.count()
+    val sampled =
+      if (n <= maxTrainVectors) c
+      else {
+        val hkey = pmod(col("id").cast("long") * lit(2654435761L), lit(4294967296L))
+        val threshold = math.ceil(4294967296.0 * maxTrainVectors / n).toLong
+        c.filter(hkey < lit(threshold))
+      }
+    val centModel = new KMeans()
+      .setK(math.min(numCentroids.toLong, math.max(1L, sampled.count())).toInt)
+      .setSeed(7L).setMaxIter(10).setInitMode("random")
+      .fit(sampled.select(array_to_vector(col("v")).as("features")))
+    val centsDf = centModel.clusterCenters.zipWithIndex.toSeq
+      .map { case (vec, i) => (i.toLong, vec.toArray.toSeq) }
+      .toDF("cent_id", "cv")
+    // list assignment (nearest centroid) + PQ encode, one narrow pass each
+    val cn = centsDf.withColumn("cnrm", graft.operators.Dedup.l2norm(col("cv")))
+    val w1 = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cent_id"))
+    val assigned = c.crossJoin(broadcast(cn))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("crank", row_number().over(w1))
+      .filter(col("crank") === 1)
+      .select(col("id").cast("long").as("id"), col("cent_id").as("list_id"))
+    val bcCb = spark.sparkContext.broadcast(cbs)
+    val codes = pqEncode(c, bcCb, starts).toDF("id", "code")
+      .join(assigned, "id")
+      .select(col("id"), col("list_id"), col("code"))
+    IvfPqIndex(centsDf, cbDf, codes)
+  }
+
+  /** Probe-limited ADC search over a persisted IVF-PQ index: each query
+    * scores only its nProbe nearest lists' codes (~nProbe/C of the
+    * corpus), then the top candidates re-rank against true vectors —
+    * same output contract as pqTopK/searchPqIndex. */
+  def searchIvfPqIndex(index: IvfPqIndex, corpus: DataFrame,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nProbe: Int = 4,
+                       rerankFactor: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (cbs, starts) = pqCodebooksFromDf(index.codebooks)
+    val c = prepared(corpus, idCol, vecCol)
+    val q = prepared(queries, idCol, vecCol)
+    val qRows = collectQueries(q)
+    require(qRows.nonEmpty, "searchIvfPqIndex needs a non-empty query set")
+    val cn = index.centroids
+      .select(col("cent_id"), col("cv").cast("array<double>").as("cv"))
+      .withColumn("cnrm", graft.operators.Dedup.l2norm(col("cv")))
+    val w1 = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cn))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= nProbe)
+      .select(col("cent_id").as("list_id"), col("id").cast("long").as("q_id"))
+    val r = k * rerankFactor
+    val pairs = index.codes
+      .select(col("list_id"), col("id").cast("long").as("n_id"), col("code"))
+      .join(probes, "list_id")
+      .select(col("q_id"), col("n_id"), col("code"))
+      .as[(Long, Long, Array[Byte])]
+    val cand = pqCandidatesPaired(pairs, cbs, starts, qRows, r)
+    pqRerank(cand, c, q, k, r)
+  }
+
   // ---- PQ internals (shared by pqTopK and the persisted-index path) ----
 
   private def collectQueries(q: DataFrame): Array[(Long, Array[Double], Double)] =
@@ -441,6 +550,79 @@ object SimilaritySearch {
             }
           }
           qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (s, id) => (qs(qi)._1, id, s) }
+      }
+    }.toDF("q_id", "n_id", "approx")
+  }
+
+  /** ADC scoring of PRE-PAIRED (q_id, n_id, code) rows — the IVF-PQ path,
+    * where the list-probe join has already restricted which (query, code)
+    * pairs exist. Same LUTs and per-partition heaps as pqCandidates. */
+  private def pqCandidatesPaired(pairs: org.apache.spark.sql.Dataset[(Long, Long, Array[Byte])],
+                                 cbs: Array[Array[Array[Double]]], starts: Array[Int],
+                                 qRows: Array[(Long, Array[Double], Double)],
+                                 r: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val cn2: Array[Array[Double]] = cbs.map(_.map(w => {
+      var s = 0.0; var i = 0
+      while (i < w.length) { s += w(i) * w(i); i += 1 }; s
+    }))
+    val bcCb = spark.sparkContext.broadcast(cbs)
+    val bcCn2 = spark.sparkContext.broadcast(cn2)
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    pairs.mapPartitions { it =>
+      val cbsv = bcCb.value
+      val cn2v = bcCn2.value
+      val qs = bcQ.value
+      val mm = cbsv.length
+      val kks = cbsv(0).length
+      val qIdx = qs.iterator.zipWithIndex.map { case (qr, i) => (qr._1, i) }.toMap
+      val luts = qs.map { case (_, qv, _) =>
+        val lut = new Array[Double](mm * kks)
+        var j = 0
+        while (j < mm) {
+          val off = starts(j)
+          var w = 0
+          while (w < kks) {
+            val cw = cbsv(j)(w)
+            var s = 0.0; var i = 0
+            while (i < cw.length) { s += qv(off + i) * cw(i); i += 1 }
+            lut(j * kks + w) = s
+            w += 1
+          }
+          j += 1
+        }
+        lut
+      }
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))))
+      it.foreach { case (qid, id, code) =>
+        val qi = qIdx(qid)
+        if (qs(qi)._1 != id) {
+          var s = 0.0
+          var n2 = 0.0
+          var j = 0
+          while (j < mm) {
+            val w = code(j) & 0xff
+            n2 += cn2v(j)(w)
+            s += luts(qi)(j * kks + w)
+            j += 1
+          }
+          val denom = qs(qi)._3 * math.sqrt(n2)
+          if (denom > 0) {
+            val score = s / denom
+            val h = heaps(qi)
+            if (h.size < r) h.enqueue((score, id))
+            else if (score > h.head._1 ||
+                     (score == h.head._1 && id < h.head._2)) {
+              h.dequeue(); h.enqueue((score, id))
+            }
+          }
         }
       }
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>

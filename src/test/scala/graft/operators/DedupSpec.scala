@@ -56,6 +56,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(allowed === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("ngramContainmentPairs: fragment containment that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon"            // 3 trigrams
+    val long = "intro words then " + short + " and a very long tail " +
+      "of unrelated content padding this document out considerably more"
+    val df = docs(1L -> short, 2L -> long, 3L -> "nothing shared here at all today")
+    val out = Dedup.ngramContainmentPairs(df, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length === 1)
+    val (a, b, cab, cba) = out.head
+    assert((a, b) === ((1L, 2L)))
+    assert(cab === 1.0)          // all of the short doc's trigrams are in the long one
+    assert(cba < 0.5)            // ...but Jaccard-style symmetry would fail
+    // and Jaccard indeed misses it at the same bar
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
   test("exactDedupKeepBest keeps the copy maximizing preferCol, ties -> min id") {
     val df = docs(
       1L -> "Hello World",            // 11 bytes

@@ -167,6 +167,32 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(incremental.nonEmpty)
   }
 
+  test("IVF-PQ: recall floor, probe-bounded candidates, save/load round trip") {
+    val idx = SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding")
+    val got = SimilaritySearch.searchIvfPqIndex(idx, emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val pairSet = got.map(r => (r._1, r._2)).toSet
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val recall = bruteSet.count(pairSet.contains).toDouble / bruteSet.size
+    // probing 4/16 lists scores ~25% of the corpus; IVF misses are the
+    // dominant loss — floor well below the full-scan PQ's 0.9+
+    assert(recall >= 0.3, s"ivfpq recall $recall")
+    // candidate pool is probe-bounded: ask for a huge k and count what a
+    // query can even see — must be well under the corpus
+    val seen = SimilaritySearch.searchIvfPqIndex(idx, emb, queries.limit(3),
+      "vec_id", "embedding", k = 1000, nProbe = 4, rerankFactor = 1)
+      .groupBy("q_id").count().collect().map(_.getLong(1))
+    val n = emb.count()
+    seen.foreach(cnt => assert(cnt < n * 3 / 4, s"probed $cnt of $n"))
+    // persistence round trip
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-idx-").toString
+    idx.save(dir)
+    val loaded = IvfPqIndex.load(spark, dir)
+    val after = SimilaritySearch.searchIvfPqIndex(loaded, emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(after.toSet === got.toSet)
+  }
+
   test("ivfTopK scans a bounded fraction of the corpus (nProbe/C lists)") {
     // with 16 centroids and nProbe=4, each query's candidate set must be
     // well under the full corpus
