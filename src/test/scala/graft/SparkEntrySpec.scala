@@ -38,7 +38,10 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
     // (q_ann_ivf left this list in round 5: its centroid arithmetic IS
     // SQL-replicable and it carries a full oracle now)
     val rowsOnly = Set("q_dedup_simhash", "q_ann_lsh",
-      "q_ann_ivf_kmeans", "q_sketch_tokens", "q_approx_distinct")
+      "q_ann_ivf_kmeans", "q_sketch_tokens", "q_approx_distinct",
+      // PQ-family ANN: k-means codebooks aren't SQL-replicable; recall
+      // vs q_ann_bruteforce is measured into the evidence file instead
+      "q_ann_pq", "q_ann_pq_index", "q_ann_ivfpq")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries missing oracles: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
