@@ -1011,6 +1011,15 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- BPE vocabulary induction: 16 merges over the corpus (corpus
+    //      touched once; rounds run over the cached distinct-word table).
+    //      No SQL oracle (iterative global argmax) -> rows-only; BpeSpec
+    //      pins exact equality with a single-threaded reference. ----
+    "q_bpe_merges" -> ((s, dir) => {
+      graft.operators.Bpe.train(t(s, dir, "documents"), "text", numMerges = 16)
+        .orderBy(col("rank"))
+    }),
+
     // ---- asymmetric containment pairs: fragment duplication Jaccard
     //      misses (short doc quoted inside a long one) ----
     "q_dedup_containment" -> ((s, dir) => {

@@ -41,7 +41,10 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_ann_ivf_kmeans", "q_sketch_tokens", "q_approx_distinct",
       // PQ-family ANN: k-means codebooks aren't SQL-replicable; recall
       // vs q_ann_bruteforce is measured into the evidence file instead
-      "q_ann_pq", "q_ann_pq_index", "q_ann_ivfpq")
+      "q_ann_pq", "q_ann_pq_index", "q_ann_ivfpq",
+      // iterative global-argmax training loop — no SQL formulation; exact
+      // equality with a single-threaded reference is pinned in BpeSpec
+      "q_bpe_merges")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries missing oracles: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
