@@ -1011,6 +1011,14 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- bigram-LM surprisal: mean -log2 P(w_i | w_{i-1}) with a <s>
+    //      begin context; self-trained so no smoothing, exactly oracled ----
+    "q_bigram_surprisal" -> ((s, dir) => {
+      graft.operators.UnigramLM.bigramSurprisal(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- BPE vocabulary induction: 16 merges over the corpus (corpus
     //      touched once; rounds run over the cached distinct-word table).
     //      No SQL oracle (iterative global argmax) -> rows-only; BpeSpec
@@ -2094,6 +2102,34 @@ object SparkEntry {
     "q_dedup_clusters" -> SparkEntryOracles.dedupClustersSql,
     "q_dedup_cluster_keepbest" -> SparkEntryOracles.dedupClusterKeepBestSql,
     "q_split_leakage" -> SparkEntryOracles.splitLeakageSql,
+
+    // Bigram surprisal replica: <s> begin context, self-trained (every
+    // scored bigram seen >= once, no smoothing), -log2(c(prev,cur)/c(prev))
+    // averaged per doc; docs with no tokens -> 0. The operator joins on
+    // pair hashes; the oracle joins on the string pair — exact modulo
+    // ~2^-64 collisions (space-joined keys, tokens cannot contain spaces).
+    "q_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS prev, w[i] AS cur
+        |  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)
+        |  WHERE len(w) > 0),
+        |bc AS (SELECT prev, cur, count(*) AS c FROM bi GROUP BY 1, 2),
+        |pc AS (SELECT prev, count(*) AS pcnt FROM bi GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, -log2(c * 1.0 / pcnt) AS s
+        |  FROM bi JOIN bc USING (prev, cur) JOIN pc USING (prev)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, round(avg(s), 4) AS surprisal
+        |  FROM scored GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(surprisal, 0.0) AS surprisal
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Unigram surprisal replica: same top-64 vocab (count DESC, token ASC),
     // OOV floor 1, -log2(count/total) averaged per doc.

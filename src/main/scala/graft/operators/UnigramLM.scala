@@ -45,4 +45,47 @@ object UnigramLM {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
   }
+
+  /** Bigram-LM surprisal: mean −log2 P(w_i | w_{i−1}) per document, with a
+    * `<s>` begin-of-document context for the first token — the next step up
+    * from the unigram filter (catches right-words-wrong-order text the
+    * unigram model scores as fluent). Self-trained on the scored corpus, so
+    * every scored bigram was seen at least once and no smoothing is needed:
+    * p = c(prev,cur) / c(prev), exactly SQL-replicable.
+    *
+    * Scale: unlike the unigram vocabulary, the bigram table is NOT
+    * broadcastable — counts and scoring join on 8-byte xxhash64 keys of the
+    * (prev, cur) pair (exact modulo ~2^-64, the dedup-family equivalence);
+    * both joins are plain equi-joins with map-side partial counts, and the
+    * per-doc aggregate is the only row that leaves. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      TextAnalysis.tokens(col(textCol)).as("__w"))
+    val bi = toks.filter(size(col("__w")) > 0)
+      .select(col("__id"), col("__w"),
+        posexplode(col("__w")).as(Seq("__i", "__cur")))
+      .select(col("__id"),
+        // posexplode positions are 0-based; element_at is 1-based, so
+        // element_at(w, i) IS the previous token for position i >= 1
+        when(col("__i") === 0, lit("<s>"))
+          .otherwise(element_at(col("__w"), col("__i"))).as("__prev"),
+        col("__cur"))
+      .select(col("__id"), xxhash64(col("__prev")).as("__ph"),
+        // space-joined pair key: tokens are whitespace-split so neither
+        // side can contain a space — ("ab","c") can never collide with
+        // ("a","bc")
+        xxhash64(concat_ws(" ", col("__prev"), col("__cur"))).as("__bh"))
+    val bcounts = bi.groupBy(col("__bh")).agg(count(lit(1)).as("__bc"))
+    val pcounts = bi.groupBy(col("__ph")).agg(count(lit(1)).as("__pc"))
+    val scored = bi
+      .join(bcounts, "__bh")
+      .join(pcounts, "__ph")
+      .select(col("__id"), (-log2(col("__bc") / col("__pc"))).as("__s"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("__s")), 4).as("surprisal"))
+    df.select(col(idCol)).join(scored, df(idCol) === scored("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
+  }
 }

@@ -36,6 +36,34 @@ class UnigramLMSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(2L) === ((1L, 2.0))) // -log2(1/4) = 2 bits
   }
 
+  test("bigramSurprisal: hand-computed corpus incl. <s> context and empty doc") {
+    // bigrams over both docs: (<s>,a) x2, (a,b), (a,c)  [doc1: "a b", doc2: "a c"]
+    // contexts: <s> x2, a x2  ->
+    //   P(a|<s>) = 2/2 = 1       -> 0 bits
+    //   P(b|a)   = 1/2           -> 1 bit
+    //   P(c|a)   = 1/2           -> 1 bit
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, " ")).toDF("doc_id", "text")
+    val m = UnigramLM.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m(1L) === ((2L, 0.5))) // mean(0, 1)
+    assert(m(2L) === ((2L, 0.5)))
+    assert(m(3L) === ((0L, 0.0)))
+  }
+
+  test("bigramSurprisal: scrambled word order scores above natural order") {
+    // repeated natural phrase + one doc with the same words shuffled: the
+    // unigram model cannot tell them apart, the bigram model must
+    val natural = (1L to 8L).map(i => (i, "the quick brown fox jumps"))
+    val scrambled = Seq((99L, "fox the jumps brown quick"))
+    val df = (natural ++ scrambled).toDF("doc_id", "text")
+    val bi = UnigramLM.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bi(99L) > bi(1L) + 0.5, s"scrambled ${bi(99L)} vs natural ${bi(1L)}")
+    val uni = UnigramLM.surprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(uni(99L) - uni(1L)) < 1e-9, "unigram can't tell them apart")
+  }
+
   test("OOV floor: beyond-vocab tokens take count 1; empty docs score 0") {
     val docs = Seq((1L, "common common common"), (2L, "outcast"), (3L, "  "))
       .toDF("doc_id", "text")
