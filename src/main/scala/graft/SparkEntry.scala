@@ -1011,6 +1011,15 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- deterministic per-group exemplars: 3 stable audit examples per
+    //      source, picked by content hash (rerun- and layout-stable) ----
+    "q_group_exemplars" -> ((s, dir) => {
+      graft.operators.Sampling.exemplars(
+          t(s, dir, "documents"), "source", "doc_id", k = 3)
+        .select(col("source"), col("doc_id"), col("exemplar_rank"))
+        .orderBy(col("source"), col("exemplar_rank"))
+    }),
+
     // ---- bigram-LM surprisal: mean -log2 P(w_i | w_{i-1}) with a <s>
     //      begin context; self-trained so no smoothing, exactly oracled ----
     "q_bigram_surprisal" -> ((s, dir) => {
@@ -2102,6 +2111,18 @@ object SparkEntry {
     "q_dedup_clusters" -> SparkEntryOracles.dedupClustersSql,
     "q_dedup_cluster_keepbest" -> SparkEntryOracles.dedupClusterKeepBestSql,
     "q_split_leakage" -> SparkEntryOracles.splitLeakageSql,
+
+    // same md5-of-key ranking as the operator (DuckDB md5 = lowercase hex
+    // like Spark's)
+    "q_group_exemplars" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS exemplar_rank
+        |  FROM documents)
+        |SELECT source, doc_id, exemplar_rank
+        |FROM ranked WHERE exemplar_rank <= 3
+        |ORDER BY source, exemplar_rank""".stripMargin,
 
     // Bigram surprisal replica: <s> begin context, self-trained (every
     // scored bigram seen >= once, no smoothing), -log2(c(prev,cur)/c(prev))

@@ -53,6 +53,25 @@ object Sampling {
       .drop(rk, n)
   }
 
+  /** Exactly `k` deterministic exemplar rows per group — the "show me a
+    * few examples from every bucket" primitive behind corpus datasheets
+    * and quality audits. Selection is by content hash (md5 of the key),
+    * so it is unbiased-looking, stable across cluster layouts and reruns,
+    * and exactly SQL-replicable; output carries the pick's rank (1..k).
+    * One window shuffle keyed by the group — same shape (and same skew
+    * note) as stratifiedExact. */
+  def exemplars(df: DataFrame, groupCol: String, keyCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashKey(keyCol), col(keyCol))
+    var rk = "exemplar_rank"
+    require(!df.columns.contains(rk),
+      s"input already has a '$rk' column — rename it first")
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= k)
+  }
+
   /** Mixture resampling — construct a training mix: down-sample each
     * stratum (source/domain/language) so its share of the sampled corpus's
     * total weight (tokens, bytes, ...) approaches `targetShare` of

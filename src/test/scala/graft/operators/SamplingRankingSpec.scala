@@ -55,6 +55,26 @@ class SamplingRankingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("__rk").collect().forall(_.getString(0).startsWith("keep")))
   }
 
+  test("exemplars: exactly k per group, stable across partitioning, guarded") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"g${i % 5}")).toDF("id", "grp")
+    val a = Sampling.exemplars(df.repartition(3), "grp", "id", k = 4)
+      .select("grp", "id", "exemplar_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val b = Sampling.exemplars(df.repartition(11), "grp", "id", k = 4)
+      .select("grp", "id", "exemplar_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a === b, "selection must not depend on physical layout")
+    assert(a.groupBy(_._1).forall(_._2.size == 4))
+    assert(a.map(_._3).subsetOf(Set(1, 2, 3, 4)))
+    // k larger than a group -> whole group, no padding
+    val small = Seq((1L, "x"), (2L, "x")).toDF("id", "grp")
+    assert(Sampling.exemplars(small, "grp", "id", k = 10).count() === 2)
+    // reserved output name refused
+    val clash = Seq((1L, "x", 9)).toDF("id", "grp", "exemplar_rank")
+    intercept[IllegalArgumentException](Sampling.exemplars(clash, "grp", "id", 1))
+  }
+
   test("mixtureSample hits target shares within hash-sampling noise") {
     // stratum a: 300 rows x 10 tokens = 3000; b: 100 x 10 = 1000; c: 50 x 10 = 500
     val df = ((1L to 300L).map(i => ("a", i)) ++ (301L to 400L).map(i => ("b", i))
