@@ -290,9 +290,15 @@ object SimilaritySearch {
     * corpora (FAISS IndexIVFPQ; codes here encode the raw vectors, not
     * residuals — the simpler variant whose accuracy the exact re-rank
     * recovers). Both trainings run on the same deterministic hash-sample.
-    * Persist/reload via IvfPqIndex.save/load. */
+    * Persist/reload via IvfPqIndex.save/load.
+    *
+    * Default knobs (64 lists, nProbe 16): at a FIXED scan fraction
+    * nProbe/C, finer lists strictly improve recall (measured on random
+    * sf0.01 embeddings at 25%: C=16→0.55, C=32→0.67, C=64→0.72
+    * recall@10), so prefer raising numCentroids over nProbe; at real
+    * scale C runs to the thousands. */
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                      numCentroids: Int = 16, numSubspaces: Int = 8,
+                      numCentroids: Int = 64, numSubspaces: Int = 8,
                       codebookSize: Int = 256,
                       maxTrainVectors: Int = 262144): IvfPqIndex = {
     import org.apache.spark.ml.clustering.KMeans
@@ -343,7 +349,7 @@ object SimilaritySearch {
     * same output contract as pqTopK/searchPqIndex. */
   def searchIvfPqIndex(index: IvfPqIndex, corpus: DataFrame,
                        queries: DataFrame, idCol: String, vecCol: String,
-                       k: Int, nProbe: Int = 4,
+                       k: Int, nProbe: Int = 16,
                        rerankFactor: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
