@@ -59,7 +59,8 @@ object SequenceFiles {
     * key "". */
   def compactAll(spark: SparkSession, root: String,
                  targetFileBytes: Long = 512L * 1024 * 1024,
-                 sortByKey: Boolean = true): Map[String, Int] = {
+                 sortByKey: Boolean = true,
+                 writeOptions: Map[String, String] = Map.empty): Map[String, Int] = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
@@ -79,7 +80,7 @@ object SequenceFiles {
       val rel =
         if (leafStr == rootStr) ""
         else leafStr.stripPrefix(rootStr).stripPrefix("/")
-      rel -> compact(spark, leaf.toString, targetFileBytes, sortByKey)
+      rel -> compact(spark, leaf.toString, targetFileBytes, sortByKey, writeOptions)
     }.toMap
   }
 }

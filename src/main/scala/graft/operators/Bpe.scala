@@ -26,7 +26,11 @@ object Bpe {
   /** Learn `numMerges` BPE merges. Output: (rank, left, right, pair_count)
     * with rank 1 = first merge learned. Stops early (fewer rows) when no
     * pair occurs at least `minCount` times. Deterministic: argmax ties
-    * break on (left, right) lexicographically. */
+    * break on (left, right) in UTF-8 BYTE order — Spark's binary string
+    * ordering, which differs from Java's UTF-16 compareTo for
+    * supplementary-plane characters vs [U+E000, U+FFFF]; any external
+    * reference implementation must compare UTF-8 bytes to reproduce the
+    * merge list (BpeSpec's does). */
   def train(df: DataFrame, textCol: String, numMerges: Int,
             minCount: Long = 2L): DataFrame = {
     require(numMerges >= 1 && numMerges <= 65536, s"numMerges $numMerges")
@@ -39,7 +43,7 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .as[(String, Long)]
     var words: Dataset[(Array[String], Long)] = wordCounts
-      .map { case (w, c) => ((w.map(_.toString) :+ "</w>").toArray, c) }
+      .map { case (w, c) => (Bpe.symbolize(w), c) }
       .cache()
     words.count() // materialize before the loop
 
@@ -79,8 +83,14 @@ object Bpe {
             (out.toArray, cnt)
           }
         }.cache()
-        // cut lineage periodically so T merges never build a T-deep plan
-        if (rank % 8 == 0) words = words.localCheckpoint(true)
+        // cut lineage periodically so T merges never build a T-deep plan;
+        // release the pre-checkpoint cache (the checkpoint materialized
+        // from it) or one stale copy per cut would pin executor memory
+        if (rank % 8 == 0) {
+          val pre = words
+          words = words.localCheckpoint(true)
+          pre.unpersist()
+        }
         words.count()
         prev.unpersist()
         rank += 1
@@ -90,10 +100,25 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Initial symbols of a word: one per Unicode CODE POINT (not UTF-16
+    * char — splitting a surrogate pair would make two lone-surrogate
+    * symbols that UTF-8 cannot even encode), plus the `</w>` end marker. */
+  private[operators] def symbolize(word: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out += "</w>"
+    out.toArray
+  }
+
   /** Segment one word with a learned merge list (driver-side helper, used
     * by the spec and for ad-hoc inspection; merges ranked ascending). */
   def segmentWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms: Seq[String] = word.map(_.toString) :+ "</w>"
+    var syms: Seq[String] = symbolize(word).toSeq
     merges.foreach { case (l, r) =>
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0

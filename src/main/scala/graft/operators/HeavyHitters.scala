@@ -48,10 +48,14 @@ object HeavyHitters {
     // boundary
     require(capacity >= math.ceil(2.0 / phi).toInt,
       s"capacity $capacity too small for phi=$phi (need >= ceil(2/phi))")
-    // "n" and "n_total" are this operator's output/working column names —
-    // refuse loudly rather than silently clobber (repo-wide pattern)
-    require(valueCol != "n" && valueCol != "n_total" && valueCol != "cands",
+    // "n" and "n_total" are this operator's output/working column names;
+    // n_total also rides the broadcast candidates frame back through a join
+    // with the FULL caller frame, so ANY input column with that name would
+    // turn into an ambiguous reference — refuse loudly (repo-wide pattern)
+    require(valueCol != "n" && valueCol != "cands",
       s"valueCol '$valueCol' collides with a reserved output column; rename it first")
+    require(!values.columns.contains("n_total"),
+      "input already has an 'n_total' column — rename it before frequentValues")
     val mg = udaf(new MisraGriesAgg(capacity), Encoders.STRING)
     val vcol = col(valueCol)
     // one pass: MG candidate summary + exact N, partial-agg mergeable

@@ -163,15 +163,8 @@ object SimilaritySearch {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = prepared(corpus, idCol, vecCol)
-    val n = c.count()
-    val sampled =
-      if (n <= maxTrainVectors) c
-      else {
-        val hkey = pmod(col("id").cast("long") * lit(2654435761L), lit(4294967296L))
-        val threshold = math.ceil(4294967296.0 * maxTrainVectors / n).toLong
-        c.filter(hkey < lit(threshold))
-      }
-    val train = sampled.select(array_to_vector(col("v")).as("features"))
+    val train = hashSample(c, maxTrainVectors)
+      .select(array_to_vector(col("v")).as("features"))
     val model = new KMeans().setK(numCentroids).setSeed(42L).setMaxIter(10)
       .fit(train)
     val spark = corpus.sparkSession
@@ -307,24 +300,23 @@ object SimilaritySearch {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = c.select(size(col("v"))).head().getInt(0)
-    val cbs = trainPqCodebooks(c, dim, numSubspaces, codebookSize, maxTrainVectors)
+    // ONE cached hash-sample feeds both trainings (codebooks + centroids):
+    // no second corpus scan, no second sample derivation
+    val trainDf = hashSample(c, maxTrainVectors).select(col("v")).cache()
+    val (cbs, centModel) =
+      try {
+        val nTrain = trainDf.count()
+        val cbs = trainPqCodebooksOn(trainDf, nTrain, dim, numSubspaces, codebookSize)
+        val cents = new KMeans()
+          .setK(math.min(numCentroids.toLong, math.max(1L, nTrain)).toInt)
+          .setSeed(7L).setMaxIter(10).setInitMode("random")
+          .fit(trainDf.select(array_to_vector(col("v")).as("features")))
+        (cbs, cents)
+      } finally trainDf.unpersist()
     val starts = pqStarts(dim, numSubspaces)
     val cbDf = cbs.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (w, wi) => (j, wi, w.toSeq) }
     }.toSeq.toDF("subspace", "codeword", "vec")
-    // coarse centroids: one full-dim fit on the same sample scheme
-    val n = c.count()
-    val sampled =
-      if (n <= maxTrainVectors) c
-      else {
-        val hkey = pmod(col("id").cast("long") * lit(2654435761L), lit(4294967296L))
-        val threshold = math.ceil(4294967296.0 * maxTrainVectors / n).toLong
-        c.filter(hkey < lit(threshold))
-      }
-    val centModel = new KMeans()
-      .setK(math.min(numCentroids.toLong, math.max(1L, sampled.count())).toInt)
-      .setSeed(7L).setMaxIter(10).setInitMode("random")
-      .fit(sampled.select(array_to_vector(col("v")).as("features")))
     val centsDf = centModel.clusterCenters.zipWithIndex.toSeq
       .map { case (vec, i) => (i.toLong, vec.toArray.toSeq) }
       .toDF("cent_id", "cv")
@@ -394,44 +386,55 @@ object SimilaritySearch {
     * sequential k-means|| fits would pay ~m·15 serial job launches for no
     * quality gain (random init + 10 Lloyd iterations is the standard PQ
     * codebook recipe). Seeded per subspace → deterministic. */
+  /** Deterministic multiplicative-hash sample of ≤ maxTrainVectors rows —
+    * THE training bound shared by every trainer here (PQ codebooks, IVF
+    * centroids, ivfTopKKMeans). One count() sizes the threshold; the
+    * sample itself is rerun-stable (Knuth hash of the id). */
+  private def hashSample(c: DataFrame, maxTrainVectors: Int): DataFrame = {
+    val n = c.count()
+    if (n <= maxTrainVectors) c
+    else {
+      val hkey = pmod(col("id").cast("long") * lit(2654435761L), lit(4294967296L))
+      val threshold = math.ceil(4294967296.0 * maxTrainVectors / n).toLong
+      c.filter(hkey < lit(threshold))
+    }
+  }
+
   private def trainPqCodebooks(c: DataFrame, dim: Int, m: Int,
                                codebookSize: Int,
                                maxTrainVectors: Int): Array[Array[Array[Double]]] = {
+    val trainDf = hashSample(c, maxTrainVectors).select(col("v")).cache()
+    try trainPqCodebooksOn(trainDf, trainDf.count(), dim, m, codebookSize)
+    finally trainDf.unpersist()
+  }
+
+  /** The m concurrent per-subspace fits over an already-cached sample.
+    * Callers own the cache lifecycle (buildIvfPqIndex shares one sample
+    * between this and the centroid fit). */
+  private def trainPqCodebooksOn(trainDf: DataFrame, nTrain: Long, dim: Int,
+                                 m: Int, codebookSize: Int): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(dim >= m, s"dim $dim < numSubspaces $m")
     require(codebookSize >= 1 && codebookSize <= 256,
       s"codebookSize must be in [1, 256] (codes are byte-encoded), got $codebookSize")
     val starts = pqStarts(dim, m)
-    val n = c.count()
-    val sampled =
-      if (n <= maxTrainVectors) c
-      else {
-        val hkey = pmod(col("id").cast("long") * lit(2654435761L), lit(4294967296L))
-        val threshold = math.ceil(4294967296.0 * maxTrainVectors / n).toLong
-        c.filter(hkey < lit(threshold))
-      }
-    val trainDf = sampled.select(col("v")).cache()
-    val nTrain = trainDf.count()
     val ks = math.min(codebookSize.toLong, nTrain).toInt
     require(ks >= 1, "empty corpus")
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val codebooks =
-      try Await.result(Future.sequence((0 until m).toSeq.map { j => Future {
-        val len = starts(j + 1) - starts(j)
-        // slice() is 1-based
-        val tr = trainDf.select(array_to_vector(
-          slice(col("v"), starts(j) + 1, len)).as("features"))
-        new KMeans().setK(ks).setSeed(42L + j).setMaxIter(10)
-          .setInitMode("random")
-          .fit(tr).clusterCenters.map(_.toArray)
-      }}), Duration.Inf).toArray
-      finally pool.shutdown()
-    trainDf.unpersist()
-    codebooks
+    try Await.result(Future.sequence((0 until m).toSeq.map { j => Future {
+      val len = starts(j + 1) - starts(j)
+      // slice() is 1-based
+      val tr = trainDf.select(array_to_vector(
+        slice(col("v"), starts(j) + 1, len)).as("features"))
+      new KMeans().setK(ks).setSeed(42L + j).setMaxIter(10)
+        .setInitMode("random")
+        .fit(tr).clusterCenters.map(_.toArray)
+    }}), Duration.Inf).toArray
+    finally pool.shutdown()
   }
 
   /** Rebuild the in-memory codebook array (and subspace offsets) from the
@@ -493,13 +496,8 @@ object SimilaritySearch {
                            r: Int): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
-    // query-independent halves of the LUT: codeword squared norms
-    val cn2: Array[Array[Double]] = cbs.map(_.map(w => {
-      var s = 0.0; var i = 0
-      while (i < w.length) { s += w(i) * w(i); i += 1 }; s
-    }))
     val bcCb = spark.sparkContext.broadcast(cbs)
-    val bcCn2 = spark.sparkContext.broadcast(cn2)
+    val bcCn2 = spark.sparkContext.broadcast(PqAdc.norm2(cbs))
     val bcQ = spark.sparkContext.broadcast(qRows)
     codes.mapPartitions { it =>
       val cbsv = bcCb.value
@@ -507,29 +505,10 @@ object SimilaritySearch {
       val qs = bcQ.value
       val mm = cbsv.length
       val kks = cbsv(0).length
-      // per-query dot-product LUTs: lut(qi)(j*kks + w) = <q_j, codeword w>
-      val luts = qs.map { case (_, qv, _) =>
-        val lut = new Array[Double](mm * kks)
-        var j = 0
-        while (j < mm) {
-          val off = starts(j)
-          var w = 0
-          while (w < kks) {
-            val cw = cbsv(j)(w)
-            var s = 0.0; var i = 0
-            while (i < cw.length) { s += qv(off + i) * cw(i); i += 1 }
-            lut(j * kks + w) = s
-            w += 1
-          }
-          j += 1
-        }
-        lut
-      }
-      // (score, id) min-heaps of size r per query
-      val heaps = Array.fill(qs.length)(
-        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-          Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))))
+      val luts = PqAdc.dotLuts(cbsv, starts, qs)
+      val heaps = PqAdc.newHeaps(qs.length)
       it.foreach { case (id, code) =>
+        // all queries share the per-code table walk
         val approxDot = new Array[Double](qs.length)
         var n2 = 0.0
         var j = 0
@@ -546,39 +525,27 @@ object SimilaritySearch {
         val denomBase = math.sqrt(n2)
         var qi = 0
         while (qi < qs.length) {
-          if (qs(qi)._1 != id && denomBase > 0) {
-            val score = approxDot(qi) / (qs(qi)._3 * denomBase)
-            val h = heaps(qi)
-            if (h.size < r) h.enqueue((score, id))
-            else if (score > h.head._1 ||
-                     (score == h.head._1 && id < h.head._2)) {
-              h.dequeue(); h.enqueue((score, id))
-            }
-          }
+          if (qs(qi)._1 != id && denomBase > 0)
+            PqAdc.offer(heaps(qi), r, approxDot(qi) / (qs(qi)._3 * denomBase), id)
           qi += 1
         }
       }
-      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-        h.iterator.map { case (s, id) => (qs(qi)._1, id, s) }
-      }
+      PqAdc.drain(heaps, qs)
     }.toDF("q_id", "n_id", "approx")
   }
 
   /** ADC scoring of PRE-PAIRED (q_id, n_id, code) rows — the IVF-PQ path,
     * where the list-probe join has already restricted which (query, code)
-    * pairs exist. Same LUTs and per-partition heaps as pqCandidates. */
+    * pairs exist. Shares PqAdc's LUT build and heap semantics with
+    * pqCandidates so the two paths can never rank differently. */
   private def pqCandidatesPaired(pairs: org.apache.spark.sql.Dataset[(Long, Long, Array[Byte])],
                                  cbs: Array[Array[Array[Double]]], starts: Array[Int],
                                  qRows: Array[(Long, Array[Double], Double)],
                                  r: Int): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val cn2: Array[Array[Double]] = cbs.map(_.map(w => {
-      var s = 0.0; var i = 0
-      while (i < w.length) { s += w(i) * w(i); i += 1 }; s
-    }))
     val bcCb = spark.sparkContext.broadcast(cbs)
-    val bcCn2 = spark.sparkContext.broadcast(cn2)
+    val bcCn2 = spark.sparkContext.broadcast(PqAdc.norm2(cbs))
     val bcQ = spark.sparkContext.broadcast(qRows)
     pairs.mapPartitions { it =>
       val cbsv = bcCb.value
@@ -587,26 +554,8 @@ object SimilaritySearch {
       val mm = cbsv.length
       val kks = cbsv(0).length
       val qIdx = qs.iterator.zipWithIndex.map { case (qr, i) => (qr._1, i) }.toMap
-      val luts = qs.map { case (_, qv, _) =>
-        val lut = new Array[Double](mm * kks)
-        var j = 0
-        while (j < mm) {
-          val off = starts(j)
-          var w = 0
-          while (w < kks) {
-            val cw = cbsv(j)(w)
-            var s = 0.0; var i = 0
-            while (i < cw.length) { s += qv(off + i) * cw(i); i += 1 }
-            lut(j * kks + w) = s
-            w += 1
-          }
-          j += 1
-        }
-        lut
-      }
-      val heaps = Array.fill(qs.length)(
-        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-          Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))))
+      val luts = PqAdc.dotLuts(cbsv, starts, qs)
+      val heaps = PqAdc.newHeaps(qs.length)
       it.foreach { case (qid, id, code) =>
         val qi = qIdx(qid)
         if (qs(qi)._1 != id) {
@@ -620,21 +569,70 @@ object SimilaritySearch {
             j += 1
           }
           val denom = qs(qi)._3 * math.sqrt(n2)
-          if (denom > 0) {
-            val score = s / denom
-            val h = heaps(qi)
-            if (h.size < r) h.enqueue((score, id))
-            else if (score > h.head._1 ||
-                     (score == h.head._1 && id < h.head._2)) {
-              h.dequeue(); h.enqueue((score, id))
-            }
-          }
+          if (denom > 0) PqAdc.offer(heaps(qi), r, s / denom, id)
         }
       }
+      PqAdc.drain(heaps, qs)
+    }.toDF("q_id", "n_id", "approx")
+  }
+
+  /** Executor-side ADC kernels shared VERBATIM by the full-scan
+    * (pqCandidates) and probe-paired (pqCandidatesPaired) paths — one
+    * implementation of the LUT build and of the heap tie-break, so a fix
+    * to either can never make the two paths rank differently. */
+  private object PqAdc extends Serializable {
+    type Heap = scala.collection.mutable.PriorityQueue[(Double, Long)]
+
+    /** Query-independent halves of the LUT: codeword squared norms. */
+    def norm2(cbs: Array[Array[Array[Double]]]): Array[Array[Double]] =
+      cbs.map(_.map { w =>
+        var s = 0.0; var i = 0
+        while (i < w.length) { s += w(i) * w(i); i += 1 }; s
+      })
+
+    /** Per-query dot-product LUTs: lut(qi)(j*ks + w) = <q_j, codeword w>. */
+    def dotLuts(cbs: Array[Array[Array[Double]]], starts: Array[Int],
+                qs: Array[(Long, Array[Double], Double)]): Array[Array[Double]] = {
+      val mm = cbs.length
+      val kks = cbs(0).length
+      qs.map { case (_, qv, _) =>
+        val lut = new Array[Double](mm * kks)
+        var j = 0
+        while (j < mm) {
+          val off = starts(j)
+          var w = 0
+          while (w < kks) {
+            val cw = cbs(j)(w)
+            var s = 0.0; var i = 0
+            while (i < cw.length) { s += qv(off + i) * cw(i); i += 1 }
+            lut(j * kks + w) = s
+            w += 1
+          }
+          j += 1
+        }
+        lut
+      }
+    }
+
+    /** (score, id) min-heaps: head = worst retained candidate; equal
+      * scores evict the larger id. */
+    def newHeaps(nq: Int): Array[Heap] = Array.fill(nq)(
+      scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))))
+
+    def offer(h: Heap, r: Int, score: Double, id: Long): Unit = {
+      if (h.size < r) h.enqueue((score, id))
+      else if (score > h.head._1 ||
+               (score == h.head._1 && id < h.head._2)) {
+        h.dequeue(); h.enqueue((score, id))
+      }
+    }
+
+    def drain(heaps: Array[Heap],
+              qs: Array[(Long, Array[Double], Double)]): Iterator[(Long, Long, Double)] =
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
         h.iterator.map { case (s, id) => (qs(qi)._1, id, s) }
       }
-    }.toDF("q_id", "n_id", "approx")
   }
 
   /** Global top-R per query over the per-partition candidates, then exact

@@ -157,8 +157,29 @@ object SeqFileCompaction {
       if (sortByKey)
         df.repartitionByRange(nOut, col("key")).sortWithinPartitions("key")
       else df.repartition(nOut)
+    // Bloom preservation: a lake written with bloomKeys must not lose its
+    // point-lookup pruning just because the maintenance pass didn't repeat
+    // the option (compactAll can't know per-leaf write options). If the
+    // caller didn't decide either way, inspect the committed sidecars —
+    // any block-level Bloom present re-enables the option at default fpp.
+    val effectiveOptions =
+      if (writeOptions.keys.exists(_.equalsIgnoreCase("bloomKeys"))) writeOptions
+      else {
+        val hadBlooms = inputPaths.exists { p =>
+          val side = ZoneMap.sidecarPath(p)
+          fs.exists(side) && {
+            val in = fs.open(side)
+            val content =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            scala.util.Try(ZoneMap.parse(content)._4.exists(_.kbloom.isDefined))
+              .getOrElse(false)
+          }
+        }
+        if (hadBlooms) writeOptions + ("bloomKeys" -> "true") else writeOptions
+      }
     val writer = arranged.write.format("seqfile").mode("overwrite")
-    writeOptions.foreach { case (k, v) => writer.option(k, v) }
+    effectiveOptions.foreach { case (k, v) => writer.option(k, v) }
     writer.save(tmpDir.toString)
 
     // move parts + sidecars in (still invisible: not manifested)

@@ -22,7 +22,7 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def refBpe(wordCounts: Map[String, Long], numMerges: Int,
                      minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
     var words: Seq[(Vector[String], Long)] =
-      wordCounts.toSeq.map { case (w, c) => (w.map(_.toString).toVector :+ "</w>", c) }
+      wordCounts.toSeq.map { case (w, c) => (Bpe.symbolize(w).toVector, c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var done = false
@@ -33,8 +33,23 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
           pairCounts.getOrElse((syms(i), syms(i + 1)), 0L) + c
       if (pairCounts.isEmpty) done = true
       else {
-        val ((l, r), c) = pairCounts.toSeq
-          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        // tie-break in UTF-8 BYTE order to match Spark's binary string
+        // ordering (Java compareTo diverges on non-BMP vs [U+E000,U+FFFF])
+        def u8 = (s: String) => s.getBytes("UTF-8")
+        def byteLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+          var i = 0
+          while (i < a.length && i < b.length) {
+            val c = (a(i) & 0xff) - (b(i) & 0xff)
+            if (c != 0) return c < 0
+            i += 1
+          }
+          a.length < b.length
+        }
+        val ((l, r), c) = pairCounts.toSeq.sortWith { case (((a1, b1), n1), ((a2, b2), n2)) =>
+          if (n1 != n2) n1 > n2
+          else if (a1 != a2) byteLt(u8(a1), u8(a2))
+          else byteLt(u8(b1), u8(b2))
+        }.head
         if (c < minCount) done = true
         else {
           merges += ((rank, l, r, c))
@@ -72,6 +87,25 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = refBpe(tokenize(texts), 12)
     assert(got === want)
     assert(got.nonEmpty)
+  }
+
+  test("non-BMP tie-break matches the reference (UTF-8 byte order)") {
+    // U+1F600 sorts BEFORE U+FFFD in Java's UTF-16 compareTo (lead
+    // surrogate 0xD83D < 0xFFFD) but AFTER it in UTF-8 bytes
+    // (F0 9F 98 80 vs EF BF BD). Four pairs all tied at count 2 — the
+    // tie-break alone decides the first merge, which must be
+    // (U+FFFD, </w>) under byte order, not (U+1F600, </w>).
+    val emoji = new String(Character.toChars(0x1F600))
+    val repl = "�"
+    val texts = Seq(s"$emoji$emoji $repl$repl", s"$emoji$emoji $repl$repl")
+    val got = Bpe.train(texts.toDF("text"), "text", numMerges = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val want = refBpe(tokenize(texts), 1)
+    assert(got === want)
+    assert(got.head._2 === repl, s"UTF-8 byte order must pick $repl first, got ${got.head}")
+    // and the emoji is ONE symbol (code-point symbolization), not two
+    // surrogate halves
+    assert(Bpe.segmentWord(emoji, Nil) === Seq(emoji, "</w>"))
   }
 
   test("train is deterministic across runs") {

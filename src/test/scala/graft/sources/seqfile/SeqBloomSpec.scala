@@ -132,4 +132,35 @@ class SeqBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(plain))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bloomed))
   }
+
+  test("compaction with NO write options auto-preserves existing blooms") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("seq-bloom-compact-").toString
+    val rnd = new scala.util.Random(3)
+    rnd.shuffle((0L until 20000L).toVector).zipWithIndex
+      .toDF("key", "value").repartition(3)
+      .write.format("seqfile")
+      .option("blockSize", (16 << 10).toString)
+      .option("bloomKeys", "true")
+      .mode("overwrite").save(dir)
+    // the one-call maintenance pass (no way to repeat per-leaf options)
+    graft.api.SequenceFiles.compactAll(spark, dir, targetFileBytes = 1L << 20,
+      sortByKey = false) // unsorted: only blooms can prune afterwards
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    val sides = fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+      .map(graft.core.seqfile.ZoneMap.sidecarPath)
+    assert(sides.nonEmpty)
+    sides.foreach { side =>
+      assert(fs.exists(side), s"missing sidecar $side")
+      val in = fs.open(side)
+      val content = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val entries = graft.core.seqfile.ZoneMap.parse(content)._4
+      assert(entries.nonEmpty && entries.forall(_.kbloom.isDefined),
+        s"compaction dropped blooms in $side")
+    }
+    assert(spark.read.format("seqfile").load(dir).count() === 20000L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
