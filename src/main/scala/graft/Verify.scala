@@ -109,6 +109,24 @@ object Verify {
       val worst = rows.map(_.getDouble(0)).max
       f"""{"metric":"hll_max_rel_err","value":$worst%.4f,"groups":${rows.length}}"""
     }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
+    // BPE merge-list exactness: re-derive the sf0.01 merge list with the
+    // single-threaded reference trainer (same tokenization, same UTF-8
+    // byte-order tie-break) and compare the dumped distributed result
+    // row-for-row — the iterative global argmax has no SQL form, so this
+    // independent re-derivation IS the oracle.
+    def bpeExactness: String = Try {
+      val wc = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = graft.operators.Bpe.referenceTrain(wc, numMerges = 16)
+      val got = load("q_bpe_merges").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      val matches = got == want
+      s"""{"metric":"merge_list_exact_match_vs_reference","value":${
+        if (matches) 1.0 else 0.0},"merges":${got.length},"reference_merges":${want.length}}"""
+    }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
     val body =
       s"""{"q_ann_lsh": ${annRecall("q_ann_lsh")},
          |"q_ann_ivf_kmeans": ${annRecall("q_ann_ivf_kmeans")},
@@ -116,6 +134,7 @@ object Verify {
          |"q_ann_pq_index": ${annRecall("q_ann_pq_index")},
          |"q_ann_ivfpq": ${annRecall("q_ann_ivfpq")},
          |"q_dedup_simhash": $simhashRecall,
+         |"q_bpe_merges": $bpeExactness,
          |"q_sketch_tokens": $cmsExactness,
          |"q_approx_distinct": $hllError}""".stripMargin
     Files.writeString(Paths.get(s"$outDir/no_oracle_evidence.json"), body)

@@ -13,13 +13,23 @@ import graft.functions.TextAnalysis
   *
   * Scale: the CORPUS is touched exactly once — one pass builds the
   * distinct-word frequency table (a groupBy over tokens, the usual 8-byte-
-  * hashable shuffle), and every merge round then runs over that cached
-  * word table, which is orders of magnitude smaller than the corpus
-  * (distinct words vs total tokens). Per round: one flatMap+groupBy over
-  * the word table and a 1-row TakeOrdered for the argmax — the same
-  * one-action-per-round shape as ConnectedComponents, with the same
-  * cache/localCheckpoint hygiene (lineage is cut every few rounds so T
-  * merges never build a T-deep plan).
+  * hashable shuffle), which is orders of magnitude smaller than the corpus
+  * (distinct words vs total tokens). Pair counts are then maintained
+  * INCREMENTALLY: the full adjacent-pair aggregation runs exactly once; a
+  * merge of (l,r) only changes pairs inside words that actually contain
+  * (l,r), so each round aggregates SIGNED NET DELTAS from those affected
+  * words — the round's single Spark job collects O(distinct delta pairs)
+  * rows (bounded by the symbols adjacent to the merged pair, NOT by the
+  * affected-word count), and the pair table + a lazy-deletion max-heap on
+  * the driver answer the argmax in O(log P). This is the standard
+  * architecture for corpus-scale BPE trainers (word table distributed,
+  * pair statistics resident): driver memory is O(distinct adjacent pairs),
+  * orders of magnitude below both the corpus and the word table, and is
+  * guarded by `maxDriverPairs` — a corpus whose pair vocabulary exceeds it
+  * falls back to a fully-distributed per-round argmax (TakeOrdered over a
+  * cached pair table folded with the same deltas). Word-table lineage is
+  * cut every few rounds (localCheckpoint) so T merges never build a T-deep
+  * plan, with the same cache-release hygiene as ConnectedComponents.
   */
 object Bpe {
 
@@ -30,74 +40,267 @@ object Bpe {
     * ordering, which differs from Java's UTF-16 compareTo for
     * supplementary-plane characters vs [U+E000, U+FFFF]; any external
     * reference implementation must compare UTF-8 bytes to reproduce the
-    * merge list (BpeSpec's does). */
+    * merge list ([[referenceTrain]] does).
+    *
+    * `maxDriverPairs` bounds the driver-resident pair table (distinct
+    * adjacent symbol pairs, NOT words or occurrences); above it the
+    * trainer falls back to the fully-distributed argmax loop. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            minCount: Long = 2L): DataFrame = {
+            minCount: Long = 2L, maxDriverPairs: Int = 1 << 22): DataFrame = {
     require(numMerges >= 1 && numMerges <= 65536, s"numMerges $numMerges")
+    require(maxDriverPairs >= 0 && maxDriverPairs <= (1 << 28),
+      s"maxDriverPairs $maxDriverPairs")
     val spark = df.sparkSession
     import spark.implicits._
 
-    // one corpus pass: distinct words with frequencies, then symbolize
+    // one corpus pass: distinct words with frequencies, then symbolize;
+    // eager localCheckpoint cuts the corpus out of every later lineage
     val wordCounts = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .as[(String, Long)]
     var words: Dataset[(Array[String], Long)] = wordCounts
       .map { case (w, c) => (Bpe.symbolize(w), c) }
-      .cache()
-    words.count() // materialize before the loop
+      .localCheckpoint(true)
+
+    // the ONE full adjacent-pair aggregation. limit(max+1) detects a pair
+    // vocabulary too large for the driver without a separate count job.
+    val initPairs = pairCountsOf(words).limit(maxDriverPairs + 1).collect()
+
+    val merges: Seq[(Int, String, String, Long)] =
+      if (initPairs.length > maxDriverPairs)
+        trainDistributed(words, numMerges, minCount)
+      else
+        trainDriverCounts(words, initPairs, numMerges, minCount)
+    merges.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Adjacent-pair counts of a symbolized word table (map-side partial agg
+    * then one exchange of distinct pairs). */
+  private def pairCountsOf(words: Dataset[(Array[String], Long)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.flatMap { case (syms, c) =>
+        var i = 0
+        val out = new Array[(String, String, Long)](math.max(0, syms.length - 1))
+        while (i < syms.length - 1) { out(i) = (syms(i), syms(i + 1), c); i += 1 }
+        out
+      }
+      .toDF("l", "r", "c")
+      .groupBy("l", "r").agg(sum("c").as("c"))
+  }
+
+  /** Signed net pair-count deltas caused by merging (l,r), from ONLY the
+    * words that contain the pair, pre-summed per word so the shuffle (and
+    * any collect) carries O(distinct touched pairs) rows. */
+  private def mergeDeltas(words: Dataset[(Array[String], Long)],
+                          l: String, r: String): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.flatMap { case (syms, cnt) =>
+        if (!containsPair(syms, l, r)) Iterator.empty
+        else {
+          val merged = applyMerge(syms, l, r)
+          val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          var i = 0
+          while (i < merged.length - 1) {
+            val k = (merged(i), merged(i + 1))
+            m.update(k, m.getOrElse(k, 0L) + cnt); i += 1
+          }
+          i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            m.update(k, m.getOrElse(k, 0L) - cnt); i += 1
+          }
+          m.iterator.filter(_._2 != 0L)
+            .map { case ((a, b), d) => (a, b, d) }
+        }
+      }
+      .toDF("l", "r", "c")
+      .groupBy("l", "r").agg(sum("c").as("c"))
+      .filter(col("c") =!= 0L)
+  }
+
+  /** Row-local rewrite applying one merge; narrow map, no shuffle, lazy —
+    * between lineage cuts the word table is a short chain of these. */
+  private def afterMerge(words: Dataset[(Array[String], Long)],
+                         l: String, r: String): Dataset[(Array[String], Long)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.map { case (syms, cnt) =>
+      if (!containsPair(syms, l, r)) (syms, cnt)
+      else (applyMerge(syms, l, r), cnt)
+    }
+  }
+
+  /** Main path: distributed word table + driver-resident pair counts with
+    * a lazy-deletion max-heap. Per round exactly ONE Spark job (the net-
+    * delta collect); the argmax is O(log P) on the driver. */
+  private def trainDriverCounts(words0: Dataset[(Array[String], Long)],
+                                initPairs: Array[org.apache.spark.sql.Row],
+                                numMerges: Int, minCount: Long): Seq[(Int, String, String, Long)] = {
+    var words = words0
+    var ckpt = words0 // current checkpoint generation (for unpersist)
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    initPairs.foreach(row =>
+      pc.update((row.getString(0), row.getString(1)), row.getLong(2)))
+    // max-heap with lazy deletion: entries are (l, r, countAtPush); an
+    // entry is fresh iff its count still matches the pair table. Highest
+    // count first; ties in UTF-8 byte order on (l, r) — matches Spark's
+    // binary string ordering used by the distributed fallback.
+    val heap = new java.util.PriorityQueue[(String, String, Long)](
+      math.max(16, pc.size), heapOrdering)
+    pc.foreach { case ((l, r), c) => heap.add((l, r, c)) }
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var done = false
     while (rank <= numMerges && !done) {
-      // most frequent adjacent pair, weighted by word frequency
-      val best = words
-        .flatMap { case (syms, c) =>
-          var i = 0
-          val out = new Array[((String, String), Long)](math.max(0, syms.length - 1))
-          while (i < syms.length - 1) { out(i) = ((syms(i), syms(i + 1)), c); i += 1 }
-          out
-        }
-        .groupByKey(_._1)
-        .mapValues(_._2).reduceGroups(_ + _)
-        .map { case ((l, r), c) => (l, r, c) }
-        .orderBy(col("_3").desc, col("_1"), col("_2"))
-        .limit(1).collect()
-      if (best.isEmpty || best.head._3 < minCount) done = true
+      // pop to the first fresh entry (stale ones are superseded pushes)
+      var top: (String, String, Long) = null
+      while (top == null && !heap.isEmpty) {
+        val h = heap.poll()
+        if (pc.get((h._1, h._2)).contains(h._3)) top = h
+      }
+      if (top == null || top._3 < minCount) done = true
       else {
-        val (l, r, c) = best.head
+        val (l, r, c) = top
         merges += ((rank, l, r, c))
-        // apply the merge to every word (row-local rewrite)
-        val prev = words
-        words = prev.map { case (syms, cnt) =>
-          if (syms.length < 2) (syms, cnt)
-          else {
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-                out += l + r; i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.toArray, cnt)
-          }
-        }.cache()
+        // the round's single job: collect net deltas over affected words
+        val deltas = mergeDeltas(words, l, r).collect()
+        deltas.foreach { row =>
+          val k = (row.getString(0), row.getString(1))
+          val next = pc.getOrElse(k, 0L) + row.getLong(2)
+          if (next <= 0L) pc.remove(k)
+          else { pc.update(k, next); heap.add((k._1, k._2, next)) }
+        }
+        words = afterMerge(words, l, r)
         // cut lineage periodically so T merges never build a T-deep plan;
-        // release the pre-checkpoint cache (the checkpoint materialized
-        // from it) or one stale copy per cut would pin executor memory
+        // release the superseded checkpoint only AFTER the new one
+        // materialized from it (localCheckpoint is non-recoverable)
         if (rank % 8 == 0) {
-          val pre = words
+          val pre = ckpt
           words = words.localCheckpoint(true)
+          ckpt = words
           pre.unpersist()
         }
-        words.count()
-        prev.unpersist()
+        // bound heap growth from superseded pushes
+        if (heap.size > math.max(1 << 16, 4 * pc.size)) {
+          heap.clear()
+          pc.foreach { case ((a, b), n) => heap.add((a, b, n)) }
+        }
         rank += 1
       }
     }
-    words.unpersist()
-    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+    ckpt.unpersist()
+    merges.toSeq
+  }
+
+  private val heapOrdering: java.util.Comparator[(String, String, Long)] =
+    new java.util.Comparator[(String, String, Long)] {
+      def compare(x: (String, String, Long), y: (String, String, Long)): Int = {
+        if (x._3 != y._3) java.lang.Long.compare(y._3, x._3) // count desc
+        else {
+          val cl = compareUtf8(x._1, y._1)
+          if (cl != 0) cl else compareUtf8(x._2, y._2)
+        }
+      }
+    }
+
+  private def compareUtf8(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Fallback for pair vocabularies above `maxDriverPairs`: the pair table
+    * stays a cached DataFrame, each round folds the same net deltas into it
+    * and takes the argmax with a TakeOrdered(1) — one action per round,
+    * shuffling |pairs| + |deltas| rows instead of every pair occurrence. */
+  private def trainDistributed(words0: Dataset[(Array[String], Long)],
+                               numMerges: Int, minCount: Long): Seq[(Int, String, String, Long)] = {
+    var words = words0
+    var pairs: DataFrame = pairCountsOf(words0).cache()
+    // cache-generation bookkeeping: after round k's argmax materializes
+    // pairs_k (whose lineage scans words_{k-1}), pairs_{k-1} and the
+    // pre-previous word generation are provably no longer needed
+    var prevWords: Dataset[(Array[String], Long)] = null
+    var dropWords: Dataset[(Array[String], Long)] = null
+    var dropPairs: DataFrame = null
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      // the round's single job: argmax over the cached+delta'd pair table
+      // (binary string order on l, r = UTF-8 byte-order tie-break)
+      val best = pairs
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (dropPairs != null) { dropPairs.unpersist(); dropPairs = null }
+      if (dropWords != null) { dropWords.unpersist(); dropWords = null }
+      if (best.isEmpty || best.head.getLong(2) < minCount) done = true
+      else {
+        val (l, r, c) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges += ((rank, l, r, c))
+        val cur = words
+        val newPairs = pairs.union(mergeDeltas(cur, l, r))
+          .groupBy("l", "r").agg(sum("c").as("c"))
+          .filter(col("c") > 0L)
+          .cache()
+        val newWords = afterMerge(cur, l, r).cache()
+        dropPairs = pairs; dropWords = prevWords
+        prevWords = cur
+        pairs = newPairs; words = newWords
+        // cut lineage periodically so T merges never build a T-deep plan;
+        // release the pre-checkpoint caches (the checkpoints materialized
+        // from them) or one stale copy per cut would pin executor memory
+        if (rank % 8 == 0) {
+          val wPre = words; val pPre = pairs
+          words = words.localCheckpoint(true)
+          pairs = pairs.localCheckpoint(true)
+          wPre.unpersist(); pPre.unpersist()
+          if (prevWords != null) { prevWords.unpersist(); prevWords = null }
+          if (dropWords != null) { dropWords.unpersist(); dropWords = null }
+          if (dropPairs != null) { dropPairs.unpersist(); dropPairs = null }
+        }
+        rank += 1
+      }
+    }
+    if (words ne words0) words.unpersist()
+    pairs.unpersist()
+    if (prevWords != null) prevWords.unpersist()
+    if (dropWords != null) dropWords.unpersist()
+    if (dropPairs != null) dropPairs.unpersist()
+    words0.unpersist() // no-op if already released by generation handoff
+    merges.toSeq
+  }
+
+  private def containsPair(syms: Array[String], l: String, r: String): Boolean = {
+    var i = 0
+    while (i < syms.length - 1) {
+      if (syms(i) == l && syms(i + 1) == r) return true
+      i += 1
+    }
+    false
+  }
+
+  private def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
   }
 
   /** Initial symbols of a word: one per Unicode CODE POINT (not UTF-16
@@ -130,5 +333,61 @@ object Bpe {
       syms = out.toSeq
     }
     syms
+  }
+
+  /** Single-threaded reference BPE (classic Sennrich formulation) over a
+    * word-frequency map — the ground truth [[train]] must reproduce
+    * EXACTLY, including the UTF-8 byte-order tie-break. Driver-side only:
+    * used by BpeSpec's equality pin and by Verify's evidence probe (which
+    * re-derives the sf0.01 merge list independently and compares). */
+  def referenceTrain(wordCounts: Map[String, Long], numMerges: Int,
+                     minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
+    var words: Seq[(Vector[String], Long)] =
+      wordCounts.toSeq.map { case (w, c) => (symbolize(w).toVector, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        pairCounts((syms(i), syms(i + 1))) =
+          pairCounts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (pairCounts.isEmpty) done = true
+      else {
+        // tie-break in UTF-8 BYTE order to match Spark's binary string
+        // ordering (Java compareTo diverges on non-BMP vs [U+E000,U+FFFF])
+        def u8 = (s: String) => s.getBytes("UTF-8")
+        def byteLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+          var i = 0
+          while (i < a.length && i < b.length) {
+            val c = (a(i) & 0xff) - (b(i) & 0xff)
+            if (c != 0) return c < 0
+            i += 1
+          }
+          a.length < b.length
+        }
+        val ((l, r), c) = pairCounts.toSeq.sortWith { case (((a1, b1), n1), ((a2, b2), n2)) =>
+          if (n1 != n2) n1 > n2
+          else if (a1 != a2) byteLt(u8(a1), u8(a2))
+          else byteLt(u8(b1), u8(b2))
+        }.head
+        if (c < minCount) done = true
+        else {
+          merges += ((rank, l, r, c))
+          words = words.map { case (syms, cnt) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toVector, cnt)
+          }
+          rank += 1
+        }
+      }
+    }
+    merges.toSeq
   }
 }

@@ -16,59 +16,12 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   import spark.implicits._
 
-  /** Single-threaded reference BPE (classic Sennrich formulation) over a
-    * word-frequency map — the ground truth the distributed trainer must
-    * reproduce exactly. */
+  /** Single-threaded reference BPE — now shared with Verify's evidence
+    * probe as [[Bpe.referenceTrain]]; the spec keeps this alias so every
+    * assertion reads against the same ground truth. */
   private def refBpe(wordCounts: Map[String, Long], numMerges: Int,
-                     minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
-    var words: Seq[(Vector[String], Long)] =
-      wordCounts.toSeq.map { case (w, c) => (Bpe.symbolize(w).toVector, c) }
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var rank = 1
-    var done = false
-    while (rank <= numMerges && !done) {
-      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
-      for ((syms, c) <- words; i <- 0 until syms.length - 1)
-        pairCounts((syms(i), syms(i + 1))) =
-          pairCounts.getOrElse((syms(i), syms(i + 1)), 0L) + c
-      if (pairCounts.isEmpty) done = true
-      else {
-        // tie-break in UTF-8 BYTE order to match Spark's binary string
-        // ordering (Java compareTo diverges on non-BMP vs [U+E000,U+FFFF])
-        def u8 = (s: String) => s.getBytes("UTF-8")
-        def byteLt(a: Array[Byte], b: Array[Byte]): Boolean = {
-          var i = 0
-          while (i < a.length && i < b.length) {
-            val c = (a(i) & 0xff) - (b(i) & 0xff)
-            if (c != 0) return c < 0
-            i += 1
-          }
-          a.length < b.length
-        }
-        val ((l, r), c) = pairCounts.toSeq.sortWith { case (((a1, b1), n1), ((a2, b2), n2)) =>
-          if (n1 != n2) n1 > n2
-          else if (a1 != a2) byteLt(u8(a1), u8(a2))
-          else byteLt(u8(b1), u8(b2))
-        }.head
-        if (c < minCount) done = true
-        else {
-          merges += ((rank, l, r, c))
-          words = words.map { case (syms, cnt) =>
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-                out += l + r; i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.toVector, cnt)
-          }
-          rank += 1
-        }
-      }
-    }
-    merges.toSeq
-  }
+                     minCount: Long = 2L): Seq[(Int, String, String, Long)] =
+    Bpe.referenceTrain(wordCounts, numMerges, minCount)
 
   private def tokenize(texts: Seq[String]): Map[String, Long] =
     texts.flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
@@ -106,6 +59,22 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the emoji is ONE symbol (code-point symbolization), not two
     // surrogate halves
     assert(Bpe.segmentWord(emoji, Nil) === Seq(emoji, "</w>"))
+  }
+
+  test("distributed fallback path (maxDriverPairs=0) matches the reference too") {
+    val texts = Seq(
+      "low lower lowest low low",
+      "newer newest new new newer",
+      "wider wide widest wider",
+      "low newer wide lowest")
+    val df = texts.toDF("text")
+    // maxDriverPairs=0 forces the fully-distributed argmax loop
+    val got = Bpe.train(df, "text", numMerges = 12, minCount = 2L, maxDriverPairs = 0)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    val want = refBpe(tokenize(texts), 12)
+    assert(got === want)
+    assert(got.nonEmpty)
   }
 
   test("train is deterministic across runs") {
