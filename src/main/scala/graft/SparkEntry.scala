@@ -2459,7 +2459,7 @@ object SparkEntry {
         |SELECT token, count(*) AS n
         |FROM toks CROSS JOIN n
         |GROUP BY token, n.n_total
-        |HAVING count(*) >= ceil(0.0335 * n_total)
+        |HAVING count(*) >= ceil(0.0335 * n_total - 1e-9)
         |ORDER BY n DESC, token""".stripMargin,
 
     "q_tfidf" ->

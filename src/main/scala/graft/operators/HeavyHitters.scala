@@ -68,7 +68,11 @@ object HeavyHitters {
     values.join(broadcast(cands), valueCol)
       .groupBy(vcol, col("n_total"))
       .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= ceil(lit(phi) * col("n_total")))
+      // epsilon absorbs float rounding when phi*N is mathematically an
+      // integer (0.1*30 = 3.0000000000000004 would otherwise ceil to 4 and
+      // drop a boundary heavy hitter); any count within 1e-9 of an integer
+      // threshold is treated as meeting it (the oracle SQL mirrors this)
+      .filter(col("n") >= ceil(lit(phi) * col("n_total") - lit(1e-9)))
       .select(vcol, col("n"))
   }
 }

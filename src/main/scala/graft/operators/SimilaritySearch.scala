@@ -386,15 +386,41 @@ object SimilaritySearch {
     * sequential k-means|| fits would pay ~m·15 serial job launches for no
     * quality gain (random init + 10 Lloyd iterations is the standard PQ
     * codebook recipe). Seeded per subspace → deterministic. */
-  /** Deterministic multiplicative-hash sample of ≤ maxTrainVectors rows —
-    * THE training bound shared by every trainer here (PQ codebooks, IVF
-    * centroids, ivfTopKKMeans). One count() sizes the threshold; the
-    * sample itself is rerun-stable (Knuth hash of the id). */
+  /** Deterministic hash sample of ≤ maxTrainVectors rows — THE training
+    * bound shared by every trainer here (PQ codebooks, IVF centroids,
+    * ivfTopKKMeans). The hash is xxhash64 over the id column AS-IS, so
+    * string/binary/struct ids sample correctly (the previous cast-to-long
+    * Knuth hash silently nulled non-numeric ids, filtering the training
+    * set to empty once the corpus crossed the threshold). One count()
+    * sizes the threshold, memoized per canonicalized plan for the session:
+    * trainers are routinely stacked on the same corpus (pqTopK +
+    * ivfTopKKMeans + buildIvfPqIndex in one pipeline), and the count only
+    * sizes the sampling ratio — on an immutable training corpus reuse is
+    * exact, and even a stale count would merely shift the sample size,
+    * never correctness. */
+  private val corpusCountCache =
+    new java.util.LinkedHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]): Boolean =
+        size() > 64
+    }
+
+  private def memoizedCount(c: DataFrame): Long = {
+    val key = c.queryExecution.analyzed.canonicalized
+    val hit = corpusCountCache.synchronized(corpusCountCache.get(key))
+    if (hit != null) hit.longValue()
+    else {
+      val n = c.count()
+      corpusCountCache.synchronized(corpusCountCache.put(key, java.lang.Long.valueOf(n)))
+      n
+    }
+  }
+
   private def hashSample(c: DataFrame, maxTrainVectors: Int): DataFrame = {
-    val n = c.count()
+    val n = memoizedCount(c)
     if (n <= maxTrainVectors) c
     else {
-      val hkey = pmod(col("id").cast("long") * lit(2654435761L), lit(4294967296L))
+      val hkey = pmod(xxhash64(col("id")), lit(4294967296L))
       val threshold = math.ceil(4294967296.0 * maxTrainVectors / n).toLong
       c.filter(hkey < lit(threshold))
     }
@@ -447,6 +473,16 @@ object SimilaritySearch {
     val m = rows.map(_._1).max + 1
     val cbs = Array.tabulate(m) { j => rows.filter(_._1 == j).sortBy(_._2).map(_._3) }
     require(cbs.forall(_.nonEmpty), "codebooks frame missing a subspace")
+    // ADC scan paths index flat LUTs as subspace*ks + codeword — a ragged
+    // or sparse codebooks frame would silently address the wrong LUT slot
+    val ks = cbs(0).length
+    require(cbs.forall(_.length == ks),
+      s"ragged codebooks frame: per-subspace sizes ${cbs.map(_.length).mkString(",")} (must be uniform)")
+    (0 until m).foreach { j =>
+      val cws = rows.filter(_._1 == j).map(_._2).sorted
+      require(cws.sameElements(0 until ks),
+        s"subspace $j codewords must be dense 0..${ks - 1}, got ${cws.take(8).mkString(",")}...")
+    }
     val starts = cbs.map(_.head.length).scanLeft(0)(_ + _)
     (cbs, starts)
   }

@@ -10,8 +10,34 @@ package graft.sources.seqfile
   * Hive/Spark readers decoded differently, and an externally-written dir
   * containing a literal '+' mis-decoded to a space on our side. This codec
   * round-trips bit-for-bit with external Hive/Spark partition layouts.
+  *
+  * MIGRATION NOTE (one-time on-disk compat break): lakes written by the
+  * old URLEncoder scheme encoded space as '+' and '+' as %2B. Under this
+  * codec those directory names read back as literal '+' / '+' (after %2B
+  * decode) instead of the original space / '+'. Such values are impossible
+  * for THIS writer to have produced (it never emits a raw '+' for space and
+  * never escapes '+'), so the read side detects the signature — a '+' or
+  * '%2B' in a partition component — and logs a one-time warning naming the
+  * affected directory; rename `k=a+b` → `k=a b` (and `%2B` → `+`) to
+  * migrate. Values are never silently rewritten: an externally-written
+  * legitimate literal '+' must stay a '+'.
   */
 private[seqfile] object PartitionPaths {
+
+  private val legacyWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** One-time warning when a partition component carries the legacy
+    * form-encoding signature ('+' or '%2B'); see the migration note. */
+  def warnIfLegacyEncoded(rawComponent: String): Unit = {
+    if ((rawComponent.contains('+') || rawComponent.contains("%2B")) &&
+        legacyWarned.compareAndSet(false, true)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"partition component '$rawComponent' contains '+'/'%2B' — if this " +
+          "lake was written by a pre-Hive-escaping graft version, '+' was " +
+          "form-encoded space: rename the directories to migrate (values " +
+          "are read back literally, never rewritten)")
+    }
+  }
 
   private val needsEscape: Array[Boolean] = {
     val b = new Array[Boolean](128)

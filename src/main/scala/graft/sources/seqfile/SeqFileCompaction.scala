@@ -165,17 +165,24 @@ object SeqFileCompaction {
     val effectiveOptions =
       if (writeOptions.keys.exists(_.equalsIgnoreCase("bloomKeys"))) writeOptions
       else {
-        val hadBlooms = inputPaths.exists { p =>
+        // Any failure on a single sidecar (missing, corrupt, foreign,
+        // transient I/O) means "no bloom detected from this file", never an
+        // aborted compaction — the sniff is a best-effort hint. Reads are
+        // parallelized like the pushdown planners (O(files/parallelism)
+        // driver wall-clock) in chunks, short-circuiting on the first hit.
+        def sniff(p: Path): Boolean = scala.util.Try {
           val side = ZoneMap.sidecarPath(p)
           fs.exists(side) && {
             val in = fs.open(side)
             val content =
               try scala.io.Source.fromInputStream(in, "UTF-8").mkString
               finally in.close()
-            scala.util.Try(ZoneMap.parse(content)._4.exists(_.kbloom.isDefined))
-              .getOrElse(false)
+            ZoneMap.parse(content)._4.exists(_.kbloom.isDefined)
           }
-        }
+        }.getOrElse(false)
+        val hadBlooms = inputPaths
+          .grouped(PlanParallel.Parallelism * 4)
+          .exists(chunk => PlanParallel.mapOrdered(chunk)(sniff).contains(true))
         if (hadBlooms) writeOptions + ("bloomKeys" -> "true") else writeOptions
       }
     val writer = arranged.write.format("seqfile").mode("overwrite")

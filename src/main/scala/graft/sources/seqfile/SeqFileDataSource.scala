@@ -119,8 +119,11 @@ object SeqFileDataSource {
   private def partOf(dirName: String): Option[(String, String)] = {
     val i = dirName.indexOf('=')
     if (i <= 0) None
-    else Some((PartitionPaths.unescape(dirName.substring(0, i)),
-      PartitionPaths.unescape(dirName.substring(i + 1))))
+    else {
+      PartitionPaths.warnIfLegacyEncoded(dirName.substring(i + 1))
+      Some((PartitionPaths.unescape(dirName.substring(0, i)),
+        PartitionPaths.unescape(dirName.substring(i + 1))))
+    }
   }
 
   /** Re-derive partition values from a file path's `k=v` directory

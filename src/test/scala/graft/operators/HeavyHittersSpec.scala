@@ -86,6 +86,16 @@ class HeavyHittersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set(("the", 4L), ("cat", 3L))) // thr = ceil(0.17*17) = 3
   }
 
+  test("float-boundary threshold: phi*N mathematically integer keeps the boundary hitter") {
+    // phi=0.1, N=30: 0.1*30 = 3.0000000000000004 in doubles — without the
+    // epsilon the ceil lands on 4 and a value with exactly 3 occurrences
+    // (exactly the phi share) is wrongly dropped
+    val values = (Seq.fill(3)("edge") ++ (1 to 27).map(i => s"filler$i")).toDF("value")
+    val got = HeavyHitters.frequentValues(values, "value", phi = 0.1, capacity = 30)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("edge", 3L)), s"boundary hitter must survive, got $got")
+  }
+
   test("plan: second phase joins broadcast and no driver action is needed") {
     val df = Seq.fill(100)(s"x${util.Random.nextInt(5)}").toDF("value")
     val plan = HeavyHitters.frequentValues(df, "value", 0.05, 40)
