@@ -77,14 +77,45 @@ object Verify {
           hit.toDouble / nTruth}%.4f}"""
       }
     }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
-    // simhash pair recall vs the exact-verified Jaccard pair dump (the
-    // ground truth the ngram/minhash/prefix gates share).
+    // simhash recall on a PLANTED truth set big enough for a usable CI:
+    // every sf0.01 document plus two deterministic token-drop perturbations
+    // (~5% and ~10% of tokens removed, xxhash-seeded) -> 2·|docs| >= 1000
+    // truth pairs of known similarity. Measures what the gate's operating
+    // point (Hamming <= 3 over 4 chunks) actually catches, stratified by
+    // perturbation strength. The legacy vs-exact-Jaccard(0.8) number is
+    // kept for continuity but its truth set is ~25 pairs — screening-tier
+    // context only.
     def simhashRecall: String = Try {
-      val truth = load("q_dedup_ngram").select("id_a", "id_b")
-      val got = load("q_dedup_simhash").select("id_a", "id_b")
-      val hit = truth.join(got, Seq("id_a", "id_b"), "left_semi").count()
-      f"""{"metric":"pair_recall_vs_exact_jaccard","value":${
-        hit.toDouble / math.max(1L, truth.count())}%.4f,"truth_pairs":${truth.count()}}"""
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      def perturbed(dropMod: Int, offset: Long) = base.select(
+        (col("doc_id") + lit(offset)).as("doc_id"),
+        array_join(filter(split(col("text"), "\\s+"),
+          (t, i) => pmod(xxhash64(t, i, lit(dropMod)), lit(dropMod)) =!= 0), " ")
+          .as("text"))
+      val off1 = 10000000L; val off2 = 20000000L
+      val corpus = base.unionByName(perturbed(20, off1))
+        .unionByName(perturbed(10, off2))
+      val found = graft.operators.Dedup
+        .simhashPairs(corpus, "doc_id", "text", maxHamming = 3, numChunks = 4)
+        .select(col("id_a"), col("id_b")).cache()
+      def recallAt(off: Long): (Long, Long) = {
+        val truth = base.select(col("doc_id").as("id_a"),
+          (col("doc_id") + lit(off)).as("id_b"))
+        (truth.join(found, Seq("id_a", "id_b"), "left_semi").count(), truth.count())
+      }
+      val (hit1, n1) = recallAt(off1)
+      val (hit2, n2) = recallAt(off2)
+      found.unpersist()
+      val truthJ = load("q_dedup_ngram").select("id_a", "id_b")
+      val gotJ = load("q_dedup_simhash").select("id_a", "id_b")
+      val hitJ = truthJ.join(gotJ, Seq("id_a", "id_b"), "left_semi").count()
+      f"""{"metric":"planted_neardup_pair_recall","value":${
+        (hit1 + hit2).toDouble / math.max(1L, n1 + n2)}%.4f,"truth_pairs":${
+        n1 + n2},"recall_drop5pct":${hit1.toDouble / math.max(1L, n1)}%.4f,"recall_drop10pct":${
+        hit2.toDouble / math.max(1L, n2)}%.4f,"jaccard08_recall":${
+        hitJ.toDouble / math.max(1L, truthJ.count())}%.4f,"jaccard08_truth_pairs":${
+        truthJ.count()},"tier":"screening: exact within Hamming<=3 contract; high-recall tier is minhash-lsh"}"""
     }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
     // Count-Min estimates vs exact counts for the same probe tokens: CMS
     // must never undercount; report the worst overcount ratio.

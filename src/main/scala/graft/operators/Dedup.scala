@@ -343,7 +343,18 @@ object Dedup {
   /** SimHash near-duplicate pairs: 64-bit signature per doc, pigeonhole
     * blocking on `numChunks` equal bit-chunks (any pair within Hamming
     * distance <= numChunks-1 must agree on at least one chunk), exact
-    * Hamming verification. Output: (id_a, id_b, hamming). */
+    * Hamming verification. Output: (id_a, id_b, hamming).
+    *
+    * SCREENING TIER. The operator is EXACT within its contract — blocking
+    * provably loses no pair with Hamming <= maxHamming — but a 64-bit
+    * signature is deliberately coarse about token-level similarity: at the
+    * standard (Manku et al., WWW'07) operating point maxHamming=3,
+    * numChunks=4, planted-perturbation recall measured on the sf0.01
+    * corpus is ~0.69 for documents with ~5%% of tokens removed and ~0.44
+    * at ~10%% (EVIDENCE, `q_dedup_simhash`). Use it to cheaply screen
+    * near-identical documents (one 8-byte signature per doc, equi-join
+    * blocking); the high-recall similarity tier is MinHash-LSH
+    * ([[minHashLshPairs]]), whose truth-set recall is exact-verified. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, numChunks: Int = 4): DataFrame = {
     require(64 % numChunks == 0, "numChunks must divide 64")

@@ -168,6 +168,20 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.7, s"simhash recall $recall over ${exact.size} pairs")
   }
 
+  test("simhashPairs is EXACT within its Hamming contract (vs brute force)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sigs = d.select(col("doc_id").as("id"),
+      graft.functions.TextAnalysis.simhash(col("text")).as("sig"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 3)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3, numChunks = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute, "pigeonhole blocking must lose nothing within Hamming<=3")
+    assert(brute.nonEmpty)
+  }
+
   test("cosineNeardupPairs is symmetric-free (id_a < id_b) and thresholded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Dedup.cosineNeardupPairs(emb, "vec_id", "embedding", 0.4).collect()
