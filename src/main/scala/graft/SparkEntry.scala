@@ -1073,8 +1073,11 @@ object SparkEntry {
 
     // ---- IVF-PQ: coarse lists bound WHICH codes each query scores
     //      (~nProbe/C of the corpus), PQ bounds the BYTES per code —
-    //      the billion-vector serving layout. Approximate -> no_oracle;
-    //      recall@10 vs brute force lands in the evidence file. ----
+    //      the billion-vector serving layout, at the committed auto
+    //      operating point (auto-C = 8*sqrt(N) lists, auto-nProbe = C/4 ->
+    //      25% scan). Approximate -> no_oracle; recall@10 vs brute force
+    //      plus the (num_lists, n_probe, scan_fraction) triple land in
+    //      the evidence file. ----
     "q_ann_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val idx = graft.operators.SimilaritySearch.buildIvfPqIndex(

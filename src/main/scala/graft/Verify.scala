@@ -63,7 +63,7 @@ object Verify {
     def load(name: String) = spark.read.parquet(s"$outDir/$name")
     // recall@10 of an approximate ANN result vs the exact brute-force dump:
     // fraction of true (q_id, n_id) neighbor pairs the approx method found.
-    def annRecall(approx: String): String = Try {
+    def annRecall(approx: String, extra: String = ""): String = Try {
       val truth = load("q_ann_bruteforce").select("q_id", "n_id")
       val nTruth = truth.count()
       // An empty truth dump (e.g. a stale zero-row file from a focused
@@ -74,9 +74,18 @@ object Verify {
         val got = load(approx).select("q_id", "n_id")
         val hit = truth.join(got, Seq("q_id", "n_id"), "left_semi").count()
         f"""{"metric":"recall_at_10_vs_bruteforce","value":${
-          hit.toDouble / nTruth}%.4f}"""
+          hit.toDouble / nTruth}%.4f$extra}"""
       }
     }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
+    // IVF-PQ runs the committed auto operating point (auto-C lists,
+    // auto-nProbe = 25% scan); derive the same numbers the gate used so
+    // the recall is stamped WITH its scan fraction.
+    def ivfpqExtra: String = Try {
+      val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      val cLists = graft.operators.SimilaritySearch.autoNumCentroids(n)
+      val p = math.max(1, cLists / 4)
+      f""","num_lists":$cLists,"n_probe":$p,"scan_fraction":${p.toDouble / cLists}%.4f"""
+    }.recover { case _ => "" }.get
     // simhash recall on a PLANTED truth set big enough for a usable CI:
     // every sf0.01 document plus two deterministic token-drop perturbations
     // (~5% and ~10% of tokens removed, xxhash-seeded) -> 2·|docs| >= 1000
@@ -163,7 +172,7 @@ object Verify {
          |"q_ann_ivf_kmeans": ${annRecall("q_ann_ivf_kmeans")},
          |"q_ann_pq": ${annRecall("q_ann_pq")},
          |"q_ann_pq_index": ${annRecall("q_ann_pq_index")},
-         |"q_ann_ivfpq": ${annRecall("q_ann_ivfpq")},
+         |"q_ann_ivfpq": ${annRecall("q_ann_ivfpq", ivfpqExtra)},
          |"q_dedup_simhash": $simhashRecall,
          |"q_bpe_merges": $bpeExactness,
          |"q_sketch_tokens": $cmsExactness,

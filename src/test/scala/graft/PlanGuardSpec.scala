@@ -33,7 +33,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     * in-memory pass of bounded width per row. */
   private val bnljOk = Set(
     "q_ann_ivf", "q_ann_ivf_kmeans",       // broadcast centroid table (<=16 rows)
-    "q_ann_ivfpq",                         // broadcast centroid table (64 rows, buildIvfPqIndex default)
+    "q_ann_ivfpq",                         // broadcast centroid table (auto-C ~ 8·sqrt(N) small rows)
     "q_dedup_semantic",                    // broadcast centroid table (8 rows)
     "q15_top_supplier", "q22_global_sales", // broadcast scalar-aggregate row
     "q_sketch_tokens", "q_corpus_clean",    // broadcast single-row threshold/sketch
