@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
+
+import graft.operators.{Chunking, ConnectedComponents, Dedup, PqIndex, SimilaritySearch, TextRanking}
+
+/** SQL-invocable TABLE functions for the operator suite — the pure-SQL seat
+  * (a JDBC/SQL-client user who never touches the Scala API) can run the
+  * flagship pipeline chain end to end:
+  *
+  * {{{
+  * -- near-dup pairs over a view/table, clusters, then plain-SQL keep-best:
+  * CREATE OR REPLACE TEMPORARY VIEW pairs AS
+  *   SELECT * FROM graft_minhash_pairs('docs', 'doc_id', 'text', 3, 0.8);
+  * CREATE OR REPLACE TEMPORARY VIEW comps AS
+  *   SELECT * FROM graft_components('pairs', 'id_a', 'id_b');
+  * SELECT * FROM graft_dedup_exact('docs', 'doc_id', 'text');
+  * SELECT * FROM graft_dedup_keepbest('docs', 'doc_id', 'text', 'length(text)');
+  * SELECT * FROM graft_chunk_tokens('docs', 'doc_id', 'text', 128, 96);
+  * SELECT * FROM graft_bm25('docs', 'doc_id', 'text', 'qs', 'q_id', 'q_text', 10);
+  * SELECT * FROM graft_ann_pq('/indexes/pq', 'emb', 'queries', 'vec_id', 'embedding', 10);
+  * }}}
+  *
+  * Arguments are LITERALS (table/view names, column names, knobs) — a table
+  * function builder runs at analysis time, so the referenced relations must
+  * already exist in the catalog (temp views work). Each function returns
+  * exactly the DataFrame the same-named Scala operator returns; there is
+  * one code path, not a SQL re-implementation.
+  */
+object GraftTableFunctions {
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** SQL `0.8` parses as a decimal literal; accept decimal/double/int. */
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) => v.toDouble
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case Literal(v: Long, LongType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  private def table(name: String): DataFrame = SparkSession.active.table(name)
+
+  def registerAll(ext: SparkSessionExtensions): Unit = {
+    def registerTable(name: String, arity: Seq[Int],
+                      builder: Seq[Expression] => LogicalPlan): Unit =
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        (args: Seq[Expression]) => {
+          if (!arity.contains(args.length))
+            throw new IllegalArgumentException(
+              s"$name expects ${arity.mkString("/")} arguments, got ${args.length}")
+          builder(args)
+        }))
+
+    def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+    // exact dedup: one surviving row per distinct fingerprint
+    registerTable("graft_dedup_exact", Seq(3), args =>
+      plan(Dedup.exactDedup(table(strLit(args(0), "table")),
+        strLit(args(1), "idCol"), strLit(args(2), "textCol"))))
+
+    // exact dedup keeping the best row per group; 4th arg is a SQL
+    // expression evaluated over the input row (higher = preferred)
+    registerTable("graft_dedup_keepbest", Seq(4), args =>
+      plan(Dedup.exactDedupKeepBest(table(strLit(args(0), "table")),
+        strLit(args(1), "idCol"), strLit(args(2), "textCol"),
+        expr(strLit(args(3), "preferExpr")))))
+
+    // MinHash-LSH near-dup candidate pairs, verified by exact Jaccard
+    registerTable("graft_minhash_pairs", Seq(5), args =>
+      plan(Dedup.minHashLshPairs(table(strLit(args(0), "table")),
+        strLit(args(1), "idCol"), strLit(args(2), "textCol"),
+        intLit(args(3), "n"), doubleLit(args(4), "threshold"))))
+
+    // connected components over a pair table -> (id, comp)
+    registerTable("graft_components", Seq(3), args =>
+      plan(ConnectedComponents.components(table(strLit(args(0), "pairsTable")),
+        strLit(args(1), "aCol"), strLit(args(2), "bCol"))))
+
+    // token-window chunking -> (id, chunk_id, chunk_text, n_tokens)
+    registerTable("graft_chunk_tokens", Seq(5), args =>
+      plan(Chunking.tokenChunks(table(strLit(args(0), "table")),
+        strLit(args(1), "idCol"), strLit(args(2), "textCol"),
+        intLit(args(3), "chunkSize"), intLit(args(4), "stride"))))
+
+    // BM25 top-k documents per query
+    registerTable("graft_bm25", Seq(7), args =>
+      plan(TextRanking.bm25TopK(table(strLit(args(0), "docsTable")),
+        strLit(args(1), "idCol"), strLit(args(2), "textCol"),
+        table(strLit(args(3), "queriesTable")),
+        strLit(args(4), "qIdCol"), strLit(args(5), "qTextCol"),
+        intLit(args(6), "k"))))
+
+    // ANN over a PERSISTED PQ index (built/saved via the Scala API or a
+    // previous job): index dir, corpus for exact re-rank, query table
+    registerTable("graft_ann_pq", Seq(6), args => {
+      val spark = SparkSession.active
+      plan(SimilaritySearch.searchPqIndex(
+        PqIndex.load(spark, strLit(args(0), "indexDir")),
+        table(strLit(args(1), "corpusTable")),
+        table(strLit(args(2), "queriesTable")),
+        strLit(args(3), "idCol"), strLit(args(4), "vecCol"),
+        intLit(args(5), "k")))
+    })
+  }
+}

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The pure-SQL seat: every statement below goes through `spark.sql` only —
+  * no Scala operator call in the pipeline under test. Each TVF must return
+  * exactly what the same-named Scala API returns (single code path). */
+class GraftSqlTableFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val docs = {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d.createOrReplaceTempView("docs")
+    d
+  }
+
+  test("SQL-only flagship chain: minhash pairs -> components -> keep-best") {
+    docs // register the view
+    // 1. near-dup candidate pairs (MinHash-LSH, exact-Jaccard verified)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW pairs AS
+        |SELECT * FROM graft_minhash_pairs('docs', 'doc_id', 'text', 3, 0.8)""".stripMargin)
+    // 2. duplicate clusters (connected components)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW comps AS
+        |SELECT * FROM graft_components('pairs', 'id_a', 'id_b')""".stripMargin)
+    // 3. keep-best: plain SQL picks one representative per cluster
+    //    (longest text, ties to lowest id) and keeps all unclustered docs
+    val survivors = spark.sql(
+      """SELECT d.doc_id FROM docs d
+        |LEFT JOIN comps c ON d.doc_id = c.id
+        |LEFT JOIN (
+        |  SELECT c.comp, max_by(d.doc_id, struct(length(d.text), -d.doc_id)) AS rep
+        |  FROM comps c JOIN docs d ON c.id = d.doc_id
+        |  GROUP BY c.comp) r ON c.comp = r.comp
+        |WHERE c.id IS NULL OR d.doc_id = r.rep
+        |ORDER BY d.doc_id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+
+    // the same chain through the Scala API must agree exactly
+    val pairs = graft.operators.Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 0.8)
+    val comps = graft.operators.ConnectedComponents.components(pairs, "id_a", "id_b")
+    val reps = comps.alias("c")
+      .join(docs.alias("d"), col("c.id") === col("d.doc_id"))
+      .groupBy(col("c.comp"))
+      .agg(expr("max_by(d.doc_id, struct(length(d.text), -d.doc_id))").as("rep"))
+    val want = docs.alias("d")
+      .join(comps.alias("c"), col("d.doc_id") === col("c.id"), "left")
+      .join(reps.alias("r"), col("c.comp") === col("r.comp"), "left")
+      .filter(col("c.id").isNull || col("d.doc_id") === col("r.rep"))
+      .select(col("d.doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+
+    assert(survivors === want)
+    assert(survivors.nonEmpty && survivors.size < docs.count())
+  }
+
+  test("graft_dedup_exact and graft_dedup_keepbest from SQL match the Scala API") {
+    docs
+    val sqlExact = spark.sql(
+      "SELECT * FROM graft_dedup_exact('docs', 'doc_id', 'text') ORDER BY doc_id")
+      .collect().map(_.toString).toSeq
+    val apiExact = graft.operators.Dedup.exactDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(sqlExact === apiExact && sqlExact.nonEmpty)
+
+    val sqlBest = spark.sql(
+      "SELECT * FROM graft_dedup_keepbest('docs', 'doc_id', 'text', 'length(text)') ORDER BY doc_id")
+      .collect().map(_.toString).toSeq
+    val apiBest = graft.operators.Dedup.exactDedupKeepBest(docs, "doc_id", "text",
+        length(col("text")))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(sqlBest === apiBest && sqlBest.nonEmpty)
+  }
+
+  test("graft_chunk_tokens and graft_bm25 from SQL match the Scala API") {
+    docs
+    val sqlChunks = spark.sql(
+      """SELECT * FROM graft_chunk_tokens('docs', 'doc_id', 'text', 64, 48)
+        |ORDER BY doc_id, chunk_idx""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val apiChunks = graft.operators.Chunking.tokenChunks(docs, "doc_id", "text", 64, 48)
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toString).toSeq
+    assert(sqlChunks === apiChunks && sqlChunks.nonEmpty)
+
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW qs AS
+        |SELECT 1L AS q_id, 'data pipeline quality' AS q_text""".stripMargin)
+    val sqlBm = spark.sql(
+      """SELECT * FROM graft_bm25('docs', 'doc_id', 'text', 'qs', 'q_id', 'q_text', 5)
+        |ORDER BY q_id, rank""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val apiBm = graft.operators.TextRanking.bm25TopK(docs, "doc_id", "text",
+        spark.table("qs"), "q_id", "q_text", 5)
+      .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    assert(sqlBm === apiBm && sqlBm.nonEmpty)
+  }
+
+  test("graft_ann_pq serves a persisted PQ index from SQL") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.createOrReplaceTempView("emb")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW emb_q AS SELECT * FROM emb WHERE vec_id < 3")
+    val dir = java.nio.file.Files.createTempDirectory("sql-pq-idx-").toString
+    graft.operators.SimilaritySearch
+      .buildPqIndex(emb, "vec_id", "embedding").save(dir)
+    val sqlAnn = spark.sql(
+      s"""SELECT * FROM graft_ann_pq('$dir', 'emb', 'emb_q', 'vec_id', 'embedding', 5)
+         |ORDER BY q_id, rank""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val apiAnn = graft.operators.SimilaritySearch.searchPqIndex(
+        graft.operators.PqIndex.load(spark, dir),
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    assert(sqlAnn === apiAnn && sqlAnn.nonEmpty)
+  }
+
+  test("literal-argument validation fails loudly, not silently") {
+    docs
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_minhash_pairs('docs', 'doc_id', 'text', 'not_int', 0.8)").collect())
+    assert(e.getMessage.contains("integer literal") || e.getMessage.contains("n must be"))
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_dedup_exact('docs', 'doc_id')").collect())
+    assert(e2.getMessage.contains("expects") || e2.getMessage.contains("arguments"))
+  }
+}
