@@ -2230,7 +2230,7 @@ object SparkEntry {
         |cents AS (
         |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn
         |  FROM v
-        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
         |  LIMIT 8),
         |assign AS (
         |  SELECT id, vv, nr, cent_id FROM (
@@ -2265,8 +2265,9 @@ object SparkEntry {
 
     // Exact replica of ivfTopK's deterministic pipeline: centroids are the
     // 16 vectors with the smallest multiplicative id-hash
-    // (id*2654435761 mod 2^32, ties by id — pure integer arithmetic both
-    // engines compute identically; distributed top-C on the Spark side),
+    // ((id mod 2^31)*2654435761 mod 2^32, ties by id — pure integer
+    // arithmetic both engines compute identically without 64-bit overflow
+    // at any id scale; distributed top-C on the Spark side),
     // nearest-centroid assignment, nProbe=4 probing, top-10 per query.
     // Dot products are sequential double folds on both engines, so ranking
     // and rounded cosines agree bit-for-bit (same as q_ann_bruteforce).
@@ -2278,7 +2279,7 @@ object SparkEntry {
         |cents AS (
         |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn
         |  FROM v
-        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
         |  LIMIT 16),
         |assign AS (
         |  SELECT c_id, c_v, c_n, cent_id FROM (

@@ -480,7 +480,11 @@ object Dedup {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    val hkey = pmod(col("id").cast("long") * lit(2654435761L), lit(4294967296L))
+    // low-31-bit multiplicative hash: (id mod 2^31)·K fits signed 64-bit
+    // for ANY id space (raw id·K overflowed at the sf1 rehearsal's offset
+    // ids); same formula replicated in the DuckDB oracle
+    val hkey = pmod(pmod(col("id").cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
     val cents = v.orderBy(hkey, col("id")).limit(numClusters)
       .select(col("id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     val w = org.apache.spark.sql.expressions.Window

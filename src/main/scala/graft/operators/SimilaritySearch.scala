@@ -129,17 +129,21 @@ object SimilaritySearch {
     * sort, no extra count() pass (this replaced a partition-less
     * row_number() window that funnelled the whole corpus through one task).
     * Pure integer arithmetic, so an exact SQL oracle replicates centroid
-    * choice, list assignment, and probing bit-for-bit (ids must stay below
-    * ~3.4e9 so id*2654435761 fits in a signed 64-bit on the oracle side).
-    * At real scale centroids come from k-means (ivfTopKKMeans), but the
-    * assignment/probe mechanics are identical. Corpus partitions into
-    * inverted lists by nearest centroid; each query searches its nProbe
-    * nearest lists. Output: (q_id, n_id, rank, cosine). */
+    * choice, list assignment, and probing bit-for-bit. The hash multiplies
+    * only the LOW 31 BITS of the id ((id mod 2^31)·2654435761 ≤ 5.7e18 <
+    * 2^63), so arbitrary 64-bit id spaces — sharded/offset ids included —
+    * cannot overflow on either side; the raw id·K form died with
+    * ARITHMETIC_OVERFLOW at the sf1 scale rehearsal once ids crossed
+    * ~3.4e9. At real scale centroids come from k-means (ivfTopKKMeans),
+    * but the assignment/probe mechanics are identical. Corpus partitions
+    * into inverted lists by nearest centroid; each query searches its
+    * nProbe nearest lists. Output: (q_id, n_id, rank, cosine). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numCentroids: Int = 16,
               nProbe: Int = 4): DataFrame = {
     val c = prepared(corpus, idCol, vecCol)
-    val hkey = pmod(col("id").cast("long") * lit(2654435761L), lit(4294967296L))
+    val hkey = pmod(pmod(col("id").cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
     val cents = c.orderBy(hkey, col("id")).limit(numCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     ivfWithCentroids(c, queries, idCol, vecCol, cents, k, nProbe)
