@@ -1437,8 +1437,14 @@ object SparkEntry {
         // shingles (cardinality identical modulo 2^-64 collisions; the
         // HLL sketch hashes its input anyway)
         .select(col("source"), xxhash64(col("sh0")).as("sh"))
+        // PRE-DISTINCT the (source, hash) pairs, then count + HLL over the
+        // distinct rows: countDistinct and approx_count_distinct in ONE
+        // aggregate trigger the multi-distinct Expand rewrite, which the
+        // sf1 rehearsal measured at 43s vs 5s for this shape (values are
+        // identical — HLL over a set equals HLL over the multiset)
+        .groupBy(col("source"), col("sh")).agg(lit(1).as("one"))
         .groupBy(col("source"))
-        .agg(countDistinct(col("sh")).as("n_exact"),
+        .agg(count(lit(1)).as("n_exact"),
           approx_count_distinct(col("sh"), 0.02).as("n_approx"))
         .withColumn("rel_err",
           round(abs(col("n_approx") - col("n_exact"))
