@@ -1459,6 +1459,49 @@ object SparkEntry {
           countDistinct(graft.functions.TextAnalysis.fingerprint(col("text")))
             .as("n_distinct_fp"))
     }),
+
+    // ---- exact phrase search: positional broadcast join, one join + one
+    //      agg regardless of phrase length; overlapping matches counted
+    //      ("the the" in "the the the" = 2 anchors). Value-exact oracle
+    //      via DuckDB list slicing. ----
+    "q_phrase_search" -> ((s, dir) => {
+      val phrases = s.createDataFrame(Seq(
+        (1, "table hash"), (2, "slow hash batch"),
+        (3, "value slow hash data"), (4, "the the"),
+        (5, "zz absent phrase")))
+        .toDF("q_id", "phrase")
+      graft.operators.TextRanking.phraseSearch(
+          t(s, dir, "documents"), "doc_id", "text", phrases, "q_id", "phrase")
+        .orderBy(col("q_id"), col("doc_id"))
+    }),
+
+    // ---- DSIR importance resampling: select the 100 raw documents whose
+    //      hashed-n-gram profile best matches the src0-2 target slice.
+    //      md5-string buckets make the weights value-exact vs the oracle. ----
+    "q_dsir_weights" -> ((s, dir) => {
+      graft.operators.ImportanceSampling.dsirResample(
+          t(s, dir, "documents"), "doc_id", "text",
+          col("source").isin("src0", "src1", "src2"), n = 100)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Gopher repetition rules: top/duplicate n-gram character
+    //      fractions for n = 2..10, row-local codegen kernel (quality
+    //      filtering at scan speed — no shuffle touches the text). ----
+    "q_repetition_ngrams" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      val pairs = array((2 to 10).map(n => struct(
+        lit(n).as("n"),
+        round(TextAnalysis.topNgramCharFrac(col("text"), n), 6).as("top_frac"),
+        round(TextAnalysis.dupNgramCharFrac(col("text"), n), 6).as("dup_frac"))): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("nt"),
+          explode(pairs).as("p"))
+        .filter(col("nt") >= col("p.n"))
+        .select(col("doc_id"), col("p.n").as("n"),
+          col("p.top_frac").as("top_frac"), col("p.dup_frac").as("dup_frac"))
+        .orderBy(col("doc_id"), col("n"))
+    }),
   )
 
   /** DuckDB-runnable oracles over the same parquet tables. Table names are
@@ -2633,5 +2676,99 @@ object SparkEntry {
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_distinct_fp
         |FROM documents""".stripMargin,
+
+    // token-anchored phrase containment via list slicing; i is 1-based so
+    // anchor = i - 1 matches Spark's posexplode
+    "q_phrase_search" ->
+      """WITH phrases(q_id, phrase) AS (
+        |  VALUES (1, 'table hash'), (2, 'slow hash batch'),
+        |         (3, 'value slow hash data'), (4, 'the the'),
+        |         (5, 'zz absent phrase')
+        |), ptoks AS (
+        |  SELECT q_id, list_filter(string_split_regex(lower(trim(phrase)), '\s+'), x -> x <> '') AS pw
+        |  FROM phrases
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |), anchors AS (
+        |  SELECT p.q_id, t.doc_id, i - 1 AS anchor
+        |  FROM toks t, ptoks p, unnest(range(1, len(t.w) - len(p.pw) + 2)) AS u(i)
+        |  WHERE t.w[i:i+len(p.pw)-1] = p.pw
+        |)
+        |SELECT q_id, doc_id, count(*) AS n_matches, min(anchor) AS first_pos
+        |FROM anchors GROUP BY q_id, doc_id
+        |ORDER BY q_id, doc_id""".stripMargin,
+
+    // same md5-string bucketing, add-alpha bucket models, and rounded
+    // log-ratio sum as ImportanceSampling.dsirResample (B = 16^3 = 4096,
+    // alpha = 0.5, target = src0-2, n = 100)
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id, source, substr(md5(gram), 1, 3) AS b
+        |  FROM (
+        |    SELECT doc_id, source, unnest(w) AS gram FROM toks
+        |    UNION ALL
+        |    SELECT doc_id, source, w[i] || ' ' || w[i+1] AS gram
+        |    FROM toks, unnest(range(1, len(w))) AS t(i)
+        |  )
+        |), docb AS (
+        |  SELECT doc_id, b, count(*) AS n FROM feats GROUP BY 1, 2
+        |), rawb AS (
+        |  SELECT b, count(*) AS cr,
+        |    count(*) FILTER (source IN ('src0','src1','src2')) AS ct
+        |  FROM feats GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(cr) AS tr, sum(ct) AS tt FROM rawb
+        |), bstats AS (
+        |  SELECT r.b,
+        |    ln((r.ct + 0.5) / (tot.tt + 0.5 * 4096))
+        |      - ln((r.cr + 0.5) / (tot.tr + 0.5 * 4096)) AS llr
+        |  FROM rawb r, tot
+        |), wts AS (
+        |  SELECT d.doc_id, round(sum(d.n * s.llr), 6) AS log_weight
+        |  FROM docb d JOIN bstats s USING (b) GROUP BY 1
+        |), allw AS (
+        |  SELECT doc.doc_id, coalesce(w.log_weight, 0.0) AS log_weight
+        |  FROM documents doc LEFT JOIN wts w USING (doc_id)
+        |)
+        |SELECT doc_id, log_weight,
+        |  CASE WHEN row_number() OVER (ORDER BY log_weight DESC, doc_id) <= 100
+        |       THEN 1 ELSE 0 END AS selected
+        |FROM allw ORDER BY doc_id""".stripMargin,
+
+    // Gopher repetition fractions: char mass of the top / duplicated word
+    // n-grams over the length of the single-space-joined tokens; ties on
+    // the top gram break to the binary-smallest gram; dup mass clamps at 1
+    "q_repetition_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |), ns(n) AS (SELECT unnest(range(2, 11))),
+        |grams AS (
+        |  SELECT t.doc_id, ns.n, array_to_string(t.w[i:i+ns.n-1], ' ') AS gram,
+        |    length(array_to_string(t.w, ' ')) AS nc
+        |  FROM toks t, ns, unnest(range(1, len(t.w) - ns.n + 2)) AS u(i)
+        |), gc AS (
+        |  SELECT doc_id, n, gram, nc, count(*) AS c,
+        |    count(*) * length(gram) AS mass
+        |  FROM grams GROUP BY 1, 2, 3, 4
+        |), top AS (
+        |  SELECT doc_id, n, round(mass * 1.0 / nc, 6) AS top_frac
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+        |                                     ORDER BY c DESC, gram) AS rk
+        |        FROM gc)
+        |  WHERE rk = 1
+        |), dup AS (
+        |  SELECT doc_id, n,
+        |    round(least(1.0, sum(CASE WHEN c >= 2 THEN mass ELSE 0 END) * 1.0 / nc), 6) AS dup_frac
+        |  FROM gc GROUP BY 1, 2, nc
+        |)
+        |SELECT t.doc_id, t.n, t.top_frac, d.dup_frac
+        |FROM top t JOIN dup d USING (doc_id, n)
+        |ORDER BY doc_id, n""".stripMargin,
   )
 }

@@ -257,4 +257,83 @@ object HashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       tokens.toArray(new Array[AnyRef](tokens.size())))
   }
+
+  /** Gopher-style within-document repetition fractions over word n-grams
+    * (Rae et al. 2021, "Scaling Language Models", table A1): returns
+    * [top_frac, dup_frac] where, over the NON-distinct word n-grams of the
+    * document (same token/gram definition as ngrams above),
+    *
+    *   top_frac = count(g*) * chars(g*) / chars(normalized text)
+    *              for g* the most frequent n-gram (ties broken by smallest
+    *              UTF-8 byte order — the oracle's binary-collation ORDER BY),
+    *   dup_frac = min(1, sum over grams with count >= 2 of
+    *              count(g) * chars(g)) / chars(normalized text)
+    *
+    * chars() counts Unicode code points; "normalized text" is the
+    * single-space join of the tokens. Gram character mass double-counts
+    * overlapping occurrences — hence the clamp — which is the documented,
+    * oracle-replicable contract (exact interval-union coverage is not
+    * SQL-expressible). Both fractions are 0.0 when the document has fewer
+    * than n tokens. Row-local: one gram pass + one small hash map. */
+  def repetitionFracs(s: UTF8String, n: Int): ArrayData = {
+    val grams = ngrams(s, n)
+    if (grams.length == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](0.0, 0.0))
+    // chars of the normalized text = code points of the 1-gram join; for
+    // n == 1 the grams ARE the tokens, otherwise re-derive from tokens via
+    // a 1-gram pass (cheap: token scan only).
+    val toks = if (n == 1) grams else ngrams(s, 1)
+    var nc = math.max(0, toks.length - 1) // separator spaces
+    var ti = 0
+    while (ti < toks.length) {
+      val t = toks(ti).toString
+      nc += t.codePointCount(0, t.length)
+      ti += 1
+    }
+    val counts = new java.util.HashMap[UTF8String, Int](grams.length * 2)
+    var gi = 0
+    while (gi < grams.length) {
+      counts.merge(grams(gi), 1, (a, b) => a + b)
+      gi += 1
+    }
+    var topGram: UTF8String = null
+    var topCount = 0
+    var dupMass = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val g = e.getKey
+      val c = e.getValue
+      if (c > topCount || (c == topCount && byteLt(g, topGram))) {
+        topGram = g; topCount = c
+      }
+      if (c >= 2) {
+        val gs = g.toString
+        dupMass += c.toLong * gs.codePointCount(0, gs.length)
+      }
+    }
+    val tg = topGram.toString
+    val topFrac =
+      if (nc == 0) 0.0
+      else topCount.toDouble * tg.codePointCount(0, tg.length) / nc
+    val dupFrac = if (nc == 0) 0.0 else math.min(1.0, dupMass.toDouble / nc)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](topFrac, dupFrac))
+  }
+
+  /** UTF-8 byte-order less-than (binary collation, matches the oracle's
+    * ORDER BY on VARCHAR). */
+  private def byteLt(a: UTF8String, b: UTF8String): Boolean = {
+    if (b == null) return true
+    val ab = a.getBytes; val bb = b.getBytes
+    val m = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < m) {
+      val x = ab(i) & 0xff; val y = bb(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    ab.length < bb.length
+  }
 }

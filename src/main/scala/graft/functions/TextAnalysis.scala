@@ -151,6 +151,19 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Fraction of normalized-text characters covered by the single most
+    * frequent word n-gram (Gopher "top n-gram character fraction"; ties →
+    * smallest gram in binary order). Row-local codegen kernel — see
+    * HashKernels.repetitionFracs for the exact contract. */
+  def topNgramCharFrac(text: Column, n: Int): Column =
+    element_at(expressions.repetition_fracs(text, n), 1)
+
+  /** Character-mass fraction of word n-grams occurring at least twice
+    * (Gopher "duplicate n-gram character fraction"; overlap double-counts,
+    * clamped to 1). Row-local codegen kernel. */
+  def dupNgramCharFrac(text: Column, n: Int): Column =
+    element_at(expressions.repetition_fracs(text, n), 2)
+
   /** 64-bit content fingerprint (whitespace/case-normalized rolling hash),
     * via the codegen'd Fingerprint64 expression. */
   def fingerprint(text: Column): Column = expressions.fingerprint64(text)

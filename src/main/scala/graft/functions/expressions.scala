@@ -130,6 +130,29 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** Gopher-style repetition fractions [top_ngram_char_frac,
+  * dup_ngram_char_frac] over word n-grams — see
+  * HashKernels.repetitionFracs for the exact (oracle-replicated)
+  * contract. Row-local, codegen'd: quality filtering at scan speed. */
+case class RepetitionFracs(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"repetition_fracs expects STRING, got ${child.dataType.catalogString}")
+    else if (n < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"n-gram size must be >= 1, got $n")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.repetitionFracs(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.repetitionFracs($c, $n)")
+  override protected def withNewChildInternal(c: Expression): RepetitionFracs =
+    copy(child = c)
+}
+
 /** All whitespace tokens of a document (lowercased, non-distinct). */
 case class Tokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -201,4 +224,11 @@ object expressions {
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
   def tokens(c: Column): Column =
     ColumnBridge.column(Tokens(ColumnBridge.expression(c)))
+  def repetition_fracs(c: Column, n: Int): Column =
+    ColumnBridge.column(RepetitionFracs(ColumnBridge.expression(c), n))
+  /** Generator column: one (pos, shingle) row per NON-distinct word n-gram
+    * (use in a select like explode; WordShingles dedupes, this keeps
+    * multiplicity). */
+  def shingle_rows(c: Column, n: Int): Column =
+    ColumnBridge.column(ShingleGenerator(ColumnBridge.expression(c), n))
 }

@@ -103,4 +103,44 @@ object TextRanking {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("id"), col("score"))
   }
+
+  /** Exact phrase search over a corpus via a positional join — the
+    * "grep the lake for these quoted strings" primitive (contamination
+    * audits, eval-set provenance, doc lookup). A phrase matches at token
+    * anchor a iff token(a+i) == phrase token i for every i; matching is on
+    * the normalized token stream (lowercased, whitespace-split), so
+    * punctuation-free containment, not raw substring.
+    *
+    * Output: (q_id, doc_id, n_matches, first_pos) — one row per
+    * (phrase, document) with >= 1 match; n_matches counts anchors
+    * (overlapping occurrences included), first_pos is the 0-based token
+    * index of the earliest match.
+    *
+    * Scale: ONE broadcast join + one aggregation, phrase-length-agnostic —
+    * no per-length join chain. The phrase term table (q_id, idx, term)
+    * broadcasts; corpus tokens that match no phrase term die in the join,
+    * so only candidate slivers reach the (q_id, doc, anchor) aggregate.
+    * Each surviving (pos, idx) row is unique, so a full match at anchor a
+    * is exactly `count == phrase length` (duplicate terms inside a phrase
+    * — "the the" — contribute distinct idx rows, never double-counted). */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrases: DataFrame, qIdCol: String,
+                   phraseCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+    val pterms = phrases.select(col(qIdCol).as("q_id"),
+      posexplode(TextAnalysis.tokens(col(phraseCol))).as(Seq("idx", "term")))
+    val plen = phrases.select(col(qIdCol).as("q_id"),
+      size(TextAnalysis.tokens(col(phraseCol))).as("m"))
+    toks.join(broadcast(pterms), "term")
+      .select(col("q_id"), col("doc_id"),
+        (col("pos") - col("idx")).as("anchor"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("q_id"), col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("hit"))
+      .join(broadcast(plen), "q_id")
+      .filter(col("hit") === col("m"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
+  }
 }

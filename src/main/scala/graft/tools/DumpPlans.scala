@@ -27,7 +27,10 @@ object DumpPlans extends App {
     "q_unigram_surprisal" -> "distributed top-K vocab broadcast onto the token stream; partial agg per doc",
     "q_dedup_incremental" -> "8-byte fingerprint joins; batch text never shuffles",
     "q_bm25" -> "corpus stats as bounded aggregates; query terms broadcast into the tf join",
-    "q_dedup_semantic" -> "broadcast-centroid assignment, within-cluster pairs repartitioned by cluster")
+    "q_dedup_semantic" -> "broadcast-centroid assignment, within-cluster pairs repartitioned by cluster",
+    "q_phrase_search" -> "phrase terms broadcast into the token stream; one length-agnostic anchor aggregate",
+    "q_dsir_weights" -> "one corpus n-gram pass; bucket stats re-aggregate partials and broadcast back",
+    "q_repetition_ngrams" -> "row-local codegen repetition kernel: quality metrics at scan speed, zero text shuffle")
   val sb = new StringBuilder
   sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
   sb.append("GENERATED artifact — regenerate with `sbt \"runMain graft.tools.DumpPlans\"`.\n")

@@ -45,7 +45,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_dedup_embedding", // documented all-pairs small-corpus baseline; the
                          // bucketed LSH variant (same oracle) is the scale
                          // path and stays BNLJ-free (asserted in DedupSpec)
-    "q_unigram_surprisal" // broadcast single-row token total (tf-idf pattern)
+    "q_unigram_surprisal", // broadcast single-row token total (tf-idf pattern)
+    "q_dsir_weights"       // two broadcast single-row frames: the (tr, tt)
+                           // feature totals and the selection threshold
   )
 
   /** Queries allowed a partition-less Window: the window runs over the

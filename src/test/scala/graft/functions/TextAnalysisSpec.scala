@@ -59,6 +59,36 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("repetition fractions: closed-form top/dup n-gram char masses") {
+    // "a a a": normalized chars 5; bigram "a a" (3 chars) occurs 2x ->
+    // top mass 6/5 (overlap double-counts, top is NOT clamped), dup IS
+    // clamped to 1
+    assert(one("a a a", TextAnalysis.topNgramCharFrac(col("t"), 2)) === 1.2)
+    assert(one("a a a", TextAnalysis.dupNgramCharFrac(col("t"), 2)) === 1.0)
+    // all bigrams unique: top tie between "x y" and "y z" breaks to the
+    // byte-smallest ("x y", 3 chars of 5); nothing duplicated
+    assert(one("x y z", TextAnalysis.topNgramCharFrac(col("t"), 2)) === 0.6)
+    assert(one("x y z", TextAnalysis.dupNgramCharFrac(col("t"), 2)) === 0.0)
+    // duplicated trigram: "a b c" (5 chars) x2 of "a b c a b c" (11 chars)
+    assert(one("a b c a b c", TextAnalysis.dupNgramCharFrac(col("t"), 3))
+      === 10.0 / 11.0)
+    // fewer tokens than n -> 0; empty -> 0; case-folds before counting
+    assert(one("a b", TextAnalysis.topNgramCharFrac(col("t"), 3)) === 0.0)
+    assert(one("", TextAnalysis.topNgramCharFrac(col("t"), 2)) === 0.0)
+    assert(one("A a", TextAnalysis.topNgramCharFrac(col("t"), 2)) === 1.0)
+  }
+
+  test("repetition fractions count Unicode code points, not UTF-16 units") {
+    // tokens [𝄞a, 𝄞a, b]: normalized text has 2+1+2+1+1 = 7 code points;
+    // "𝄞a 𝄞a" (5 cp) occurs once, "𝄞a b" (4 cp) once -> top tie breaks
+    // on UTF-8 byte order: 'b' (0x62) < '𝄞' (0xF0...) so "𝄞a b" wins
+    val t = "𝄞a 𝄞a b"
+    assert(one(t, TextAnalysis.topNgramCharFrac(col("t"), 2)) === 4.0 / 7.0)
+    assert(one(t, TextAnalysis.dupNgramCharFrac(col("t"), 2)) === 0.0)
+    // the duplicated unigram 𝄞a: mass 2*2 of 7
+    assert(one(t, TextAnalysis.dupNgramCharFrac(col("t"), 1)) === 4.0 / 7.0)
+  }
+
   test("dupBigramFrac: repeated bigrams counted, short docs zero") {
     assert(one("a b a b a", TextAnalysis.dupBigramFrac(col("t"))) === 0.5) // 4 slots, 2 distinct
     assert(one("a b c d", TextAnalysis.dupBigramFrac(col("t"))) === 0.0)
