@@ -1037,6 +1037,22 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- BPE corpus tokenization (the APPLY side of q_bpe_merges):
+    //      train a small vocab, segment every document row-locally with
+    //      the rank-based encoder. Iterative merges have no SQL form →
+    //      rows-only; Verify emits exact-agreement-vs-reference evidence
+    //      and BpeSpec fuzz-pins the encoder against segmentWord. ----
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 16)
+      graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"),
+          // full-sequence witness:  can't occur inside a subword
+          // (tokens are whitespace-split before merging)
+          md5(concat_ws("\u001f", col("tokens"))).as("tokens_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- asymmetric containment pairs: fragment duplication Jaccard
     //      misses (short doc quoted inside a long one) ----
     "q_dedup_containment" -> ((s, dir) => {

@@ -167,6 +167,38 @@ object Verify {
       s"""{"metric":"merge_list_exact_match_vs_reference","value":${
         if (matches) 1.0 else 0.0},"merges":${got.length},"reference_merges":${want.length}}"""
     }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
+    // BPE encode exactness: segment EVERY sf document on the driver with
+    // segmentWord (the naive replay-the-merge-list reference) and compare
+    // the distributed rank-based encoder's (n_tokens, first, last) dump
+    // doc-for-doc; also report the corpus compression ratio.
+    def bpeEncodeExactness: String = Try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val wc = docs.values
+        .flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val merges = graft.operators.Bpe.referenceTrain(wc, numMerges = 16)
+        .map(m => (m._2, m._3))
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val want = docs.view.mapValues { text =>
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .flatMap(w => graft.operators.Bpe.segmentWord(w, merges))
+        (toks.length.toLong, md5hex(toks.mkString("\u001f")))
+      }.toMap
+      val got = load("q_bpe_encode").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1).toLong, r.getString(2))))
+        .toMap
+      val agree = got.count { case (id, v) => want.get(id).contains(v) }
+      val totalRef = want.valuesIterator.map(_._1).sum
+      val totalWords = wc.valuesIterator.sum
+      f"""{"metric":"encode_agreement_vs_reference","value":${
+        if (got.size == want.size && agree == want.size) 1.0
+        else agree.toDouble / math.max(1, want.size)}%.4f,"docs":${want.size},"tokens_per_word":${
+        totalRef.toDouble / math.max(1L, totalWords)}%.4f}"""
+    }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
     val body =
       s"""{"q_ann_lsh": ${annRecall("q_ann_lsh")},
          |"q_ann_ivf_kmeans": ${annRecall("q_ann_ivf_kmeans")},
@@ -175,6 +207,7 @@ object Verify {
          |"q_ann_ivfpq": ${annRecall("q_ann_ivfpq", ivfpqExtra)},
          |"q_dedup_simhash": $simhashRecall,
          |"q_bpe_merges": $bpeExactness,
+         |"q_bpe_encode": $bpeEncodeExactness,
          |"q_sketch_tokens": $cmsExactness,
          |"q_approx_distinct": $hllError}""".stripMargin
     Files.writeString(Paths.get(s"$outDir/no_oracle_evidence.json"), body)

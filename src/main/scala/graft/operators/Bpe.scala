@@ -318,6 +318,86 @@ object Bpe {
     out.toArray
   }
 
+  /** Tokenize a corpus with a learned merge list — the APPLY side of
+    * [[train]]: (idCol, tokens ARRAY<STRING>, n_tokens). Token definition
+    * matches training (lowercased whitespace words, one symbol per code
+    * point, `</w>` end-of-word marker kept on the final subword).
+    *
+    * Segmentation is the standard rank-based encoder (repeatedly merge the
+    * present pair with the lowest learned rank — same result as replaying
+    * the merge list in order, which [[BpeSpec]] pins by fuzz against
+    * [[segmentWord]]), with a per-partition word→segmentation memo: real
+    * corpora repeat words heavily, so the amortized cost per token is a
+    * hash probe, not a merge loop.
+    *
+    * Scale: the merge list is bounded by construction (numMerges <= 65536
+    * rows) and ships in the task closure like a broadcast dim; everything
+    * else is row-local mapPartitions — the text never shuffles. This is
+    * one of the few justified mapPartitions in the codebase: the iterative
+    * merge loop has no Column-expression form. */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             merges: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mergeList = merges.select(col("rank"), col("left"), col("right"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).map(t => (t._2, t._3))
+    require(mergeList.length <= 65536, s"merge list ${mergeList.length}")
+    val ranks: Map[(String, String), Int] =
+      mergeList.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val src = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__id", src.schema("__id").dataType,
+        src.schema("__id").nullable),
+      org.apache.spark.sql.types.StructField("tokens",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false))))
+    val rowRdd = src.rdd.mapPartitions { rows =>
+      val memo = new java.util.HashMap[String, Array[String]](1 << 12)
+      rows.map { r =>
+        val text = if (r.isNullAt(1)) "" else r.getString(1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        // same tokenizer as training: lowercase, whitespace runs
+        text.toLowerCase.split("\\s+").foreach { w =>
+          if (w.nonEmpty) {
+            var seg = memo.get(w)
+            if (seg == null) {
+              seg = encodeWord(w, ranks)
+              if (memo.size < (1 << 20)) memo.put(w, seg)
+            }
+            out ++= seg
+          }
+        }
+        org.apache.spark.sql.Row(r.get(0), out.toSeq)
+      }
+    }
+    spark.createDataFrame(rowRdd, outSchema)
+      .select(col("__id").as(idCol), col("tokens"),
+        size(col("tokens")).as("n_tokens"))
+  }
+
+  /** Rank-based single-word encoder: repeatedly merge (one left-to-right
+    * pass) the adjacent pair with the lowest learned rank until none of
+    * the present pairs is learned. */
+  private[operators] def encodeWord(word: String,
+                                    ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = symbolize(word)
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else syms = applyMerge(syms, syms(bi), syms(bi + 1))
+    }
+    syms
+  }
+
   /** Segment one word with a learned merge list (driver-side helper, used
     * by the spec and for ad-hoc inspection; merges ranked ascending). */
   def segmentWord(word: String, merges: Seq[(String, String)]): Seq[String] = {

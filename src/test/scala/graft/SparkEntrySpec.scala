@@ -44,7 +44,10 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_ann_pq", "q_ann_pq_index", "q_ann_ivfpq",
       // iterative global-argmax training loop — no SQL formulation; exact
       // equality with a single-threaded reference is pinned in BpeSpec
-      "q_bpe_merges")
+      "q_bpe_merges",
+      // applies the trained merge list (iterative, no SQL form); Verify
+      // emits exact-agreement-vs-segmentWord evidence on the full sf corpus
+      "q_bpe_encode")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries missing oracles: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

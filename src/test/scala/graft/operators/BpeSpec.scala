@@ -101,4 +101,58 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // collapse to a single symbol
     assert(seg === Seq("low</w>"), s"got $seg with merges $merges")
   }
+
+  test("rank-based encodeWord equals replay-the-merge-list segmentWord (fuzz)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abc𝄞"
+    def randWord(): String =
+      (1 to (1 + rnd.nextInt(8))).map { _ =>
+        val cp = alphabet.codePointAt(
+          alphabet.offsetByCodePoints(0, rnd.nextInt(4)))
+        new String(Character.toChars(cp))
+      }.mkString
+    (1 to 30).foreach { _ =>
+      val corpus = (1 to 40).map(_ => randWord())
+      val wc = corpus.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      val merges = Bpe.referenceTrain(wc, numMerges = 12, minCount = 2)
+        .map(m => (m._2, m._3))
+      val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+      corpus.distinct.foreach { w =>
+        assert(Bpe.encodeWord(w, ranks).toSeq === Bpe.segmentWord(w, merges),
+          s"word $w merges $merges")
+      }
+    }
+  }
+
+  test("distributed encode matches the driver reference on every doc") {
+    val texts = Seq(
+      "low low low lower lowest newest newest widest",
+      "the low road the lowest toll",
+      "  Mixed   CASE \t whitespace  ",
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val merges = Bpe.train(df, "text", 10)
+    val mergeSeq = merges.collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Bpe.encode(df, "id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getInt(2)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => Bpe.segmentWord(w, mergeSeq)).toSeq
+      assert(got(i.toLong)._1 === want, s"doc $i")
+      assert(got(i.toLong)._2 === want.length)
+    }
+  }
+
+  test("encode preserves a string id column's type and values") {
+    val df = Seq(("a", "x y x y x y"), ("b", "x x")).toDF("sid", "text")
+    val merges = Bpe.train(df, "text", 4)
+    val out = Bpe.encode(df, "sid", "text", merges)
+    assert(out.schema("sid").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(out.select("sid").collect().map(_.getString(0)).sorted
+      === Array("a", "b"))
+  }
 }
