@@ -1501,6 +1501,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- trained quality classifier: self-supervised clean-vs-scrambled
+    //      discriminator (negatives = token-sorted copies, unigram-
+    //      identical — the model must learn order structure from hashed
+    //      bigram features); L-BFGS training has no SQL form → rows-only;
+    //      Verify emits holdout AUC + class-separation evidence. ----
+    "q_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.operators.QualityClassifier.trainCleanVsScrambled(
+        docs, "doc_id", "text", numFeatures = 1 << 16)
+      graft.operators.QualityClassifier.score(docs, "doc_id", "text", m)
+        .select(col("doc_id"),
+          round(col("quality_score"), 4).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Gopher repetition rules: top/duplicate n-gram character
     //      fractions for n = 2..10, row-local codegen kernel (quality
     //      filtering at scan speed — no shuffle touches the text). ----

@@ -199,6 +199,24 @@ object Verify {
         else agree.toDouble / math.max(1, want.size)}%.4f,"docs":${want.size},"tokens_per_word":${
         totalRef.toDouble / math.max(1L, totalWords)}%.4f}"""
     }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
+    // Quality-classifier evidence: retrain the clean-vs-scrambled
+    // discriminator at this SF and report the holdout AUC plus the mean
+    // score separation between clean docs and their scrambled twins.
+    def qualityClassifierEvidence: String = Try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val m = graft.operators.QualityClassifier.trainCleanVsScrambled(
+        docs, "doc_id", "text", numFeatures = 1 << 16)
+      val cleanMean = load("q_quality_classifier")
+        .agg(avg(col("quality_score"))).head().getDouble(0)
+      val scrambled = docs.select(col("doc_id"),
+        concat_ws(" ",
+          org.apache.spark.sql.functions.sort_array(
+            graft.functions.TextAnalysis.tokens(col("text")))).as("text"))
+      val scrMean = graft.operators.QualityClassifier
+        .score(scrambled, "doc_id", "text", m)
+        .agg(avg(col("quality_score"))).head().getDouble(0)
+      f"""{"metric":"holdout_auc","value":${m.holdoutAuc}%.4f,"clean_mean_score":$cleanMean%.4f,"scrambled_mean_score":$scrMean%.4f}"""
+    }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
     val body =
       s"""{"q_ann_lsh": ${annRecall("q_ann_lsh")},
          |"q_ann_ivf_kmeans": ${annRecall("q_ann_ivf_kmeans")},
@@ -208,6 +226,7 @@ object Verify {
          |"q_dedup_simhash": $simhashRecall,
          |"q_bpe_merges": $bpeExactness,
          |"q_bpe_encode": $bpeEncodeExactness,
+         |"q_quality_classifier": $qualityClassifierEvidence,
          |"q_sketch_tokens": $cmsExactness,
          |"q_approx_distinct": $hllError}""".stripMargin
     Files.writeString(Paths.get(s"$outDir/no_oracle_evidence.json"), body)

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{expressions, TextAnalysis}
+
+/** Trained quality classifier — the learned tier of the quality-filter
+  * stack (the row-local `TextAnalysis.qualityScore` heuristics are the
+  * zero-cost tier; this is the "train a fastText-style discriminator and
+  * score the lake" tier used by production LLM pipelines).
+  *
+  * Self-supervised setup: positives are the documents as written,
+  * negatives are the SAME documents with their tokens sorted
+  * alphabetically — a deterministic scrambling that preserves the unigram
+  * multiset exactly, so the classifier can only separate the classes by
+  * learning ORDER structure (hashed bigram features). This is the
+  * perplexity-filter idea recast as a discriminator, with no external
+  * labeled corpus needed; callers with real labels (wiki-vs-crawl) can
+  * pass them via [[trainLabeled]].
+  *
+  * Features: unigram + bigram counts hashed to `numFeatures` buckets with
+  * the engine's own xxhash64 (no MLlib hashing dependency — the SAME
+  * Column expression featurizes training and serving, so the broadcast
+  * scoring join is exactly the training representation).
+  *
+  * Scale split: TRAINING is the bounded phase (MLlib L-BFGS over the
+  * sampled/labeled frame; the one vector-assembly UDF in this file lives
+  * here, documented); SCORING — the 100 TB side — is UDF-free: one
+  * per-(doc, bucket) count aggregate, a broadcast join against the
+  * nonzero-weight table, a per-doc sum. Same shuffle shape as the DSIR
+  * operator. */
+object QualityClassifier {
+
+  /** A trained model: nonzero feature weights (idx, weight), the
+    * intercept, the feature-space size, and the holdout AUC measured at
+    * train time. */
+  final case class Model(weights: DataFrame, intercept: Double,
+                         numFeatures: Int, holdoutAuc: Double)
+
+  /** (doc, bucket, count) hashed unigram+bigram features of `textCol`. */
+  private def featurize(df: DataFrame, idCol: String, textCol: String,
+                        numFeatures: Int): DataFrame = {
+    val uni = df.select(col(idCol).as("__id"),
+      expressions.shingle_rows(col(textCol), 1))
+    val bi = df.select(col(idCol).as("__id"),
+      expressions.shingle_rows(col(textCol), 2))
+    uni.union(bi)
+      .select(col("__id"),
+        pmod(xxhash64(col("shingle")), lit(numFeatures.toLong)).as("idx"))
+      .groupBy(col("__id"), col("idx")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Train on caller-provided binary labels (`labelCol` ∈ {0, 1}).
+    * `holdoutPred` marks rows reserved for the AUC measurement (they never
+    * reach the optimizer). */
+  def trainLabeled(docs: DataFrame, idCol: String, textCol: String,
+                   labelCol: String, holdoutPred: org.apache.spark.sql.Column,
+                   numFeatures: Int = 1 << 18): Model = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__text"),
+      col(labelCol).cast("double").as("label"), holdoutPred.as("__hold"))
+    val feats = featurize(base, "__id", "__text", numFeatures)
+      .join(base.select(col("__id"), col("label"), col("__hold")), "__id")
+    // the one UDF: per-doc sparse-vector assembly for the MLlib trainer
+    // (bounded training phase only — scoring never runs it)
+    val toVec = udf((idx: Seq[Long], cnt: Seq[Long]) => {
+      val pairs = idx.map(_.toInt).zip(cnt.map(_.toDouble)).sortBy(_._1)
+      Vectors.sparse(numFeatures, pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+    })
+    val assembled = feats.groupBy(col("__id"), col("label"), col("__hold"))
+      .agg(collect_list(col("idx")).as("is"), collect_list(col("cnt")).as("cs"))
+      .select(col("__id"), col("label"), col("__hold"),
+        toVec(col("is"), col("cs")).as("features"))
+      .cache()
+    try {
+      val lr = new LogisticRegression()
+        .setMaxIter(25).setRegParam(1e-3).setStandardization(false)
+      val model = lr.fit(assembled.filter(!col("__hold")))
+      val holdout = assembled.filter(col("__hold"))
+      val auc =
+        if (holdout.isEmpty) Double.NaN
+        else new BinaryClassificationEvaluator()
+          .setRawPredictionCol("rawPrediction")
+          .evaluate(model.transform(holdout))
+      val coef = model.coefficients
+      val nonzero = coef.toArray.iterator.zipWithIndex
+        .filter(_._1 != 0.0).map { case (w, i) => (i.toLong, w) }.toSeq
+      Model(nonzero.toDF("idx", "weight"), model.intercept, numFeatures, auc)
+    } finally assembled.unpersist(): Unit
+  }
+
+  /** Self-supervised training: clean documents vs the same documents with
+    * tokens sorted alphabetically (unigram-identical negatives — the model
+    * must learn order structure). Holdout is a deterministic md5 slice of
+    * ~`holdoutFrac` of the doc ids, same idiom as the sampling operators. */
+  def trainCleanVsScrambled(docs: DataFrame, idCol: String, textCol: String,
+                            numFeatures: Int = 1 << 18,
+                            holdoutFrac: Double = 0.2): Model = {
+    require(holdoutFrac >= 0 && holdoutFrac < 1, s"holdoutFrac $holdoutFrac")
+    val thr = f"${(holdoutFrac * 256).toInt}%02x"
+    val base = docs.select(col(idCol).as("__id0"), col(textCol).as("__t"))
+    val clean = base.select(concat(lit("c_"), col("__id0").cast("string")).as("qid"),
+      col("__t").as("qtext"), lit(1).as("qlabel"),
+      (substring(md5(col("__id0").cast("string")), 1, 2) < thr).as("qhold"))
+    val scrambled = base.select(concat(lit("s_"), col("__id0").cast("string")).as("qid"),
+      array_join(sort_array(TextAnalysis.tokens(col("__t"))), " ").as("qtext"),
+      lit(0).as("qlabel"),
+      (substring(md5(col("__id0").cast("string")), 1, 2) < thr).as("qhold"))
+    trainLabeled(clean.union(scrambled), "qid", "qtext", "qlabel",
+      col("qhold"), numFeatures)
+  }
+
+  /** Score a corpus with a trained model: (idCol, quality_score) where
+    * quality_score = sigmoid(w·x + b) ∈ (0, 1). UDF-free broadcast-join
+    * plan — the serving path. Docs with no features score sigmoid(b). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            model: Model): DataFrame = {
+    val feats = featurize(docs, idCol, textCol, model.numFeatures)
+    val contrib = feats.join(broadcast(model.weights), "idx")
+      .groupBy(col("__id"))
+      .agg(sum(col("cnt") * col("weight")).as("z"))
+    docs.select(col(idCol).as("__id")).distinct()
+      .join(contrib, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        (lit(1.0) / (lit(1.0) +
+          exp(-(coalesce(col("z"), lit(0.0)) + model.intercept))))
+          .as("quality_score"))
+  }
+}

@@ -47,7 +47,10 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_bpe_merges",
       // applies the trained merge list (iterative, no SQL form); Verify
       // emits exact-agreement-vs-segmentWord evidence on the full sf corpus
-      "q_bpe_encode")
+      "q_bpe_encode",
+      // L-BFGS logistic training has no SQL form; Verify emits holdout
+      // AUC + clean-vs-scrambled separation evidence
+      "q_quality_classifier")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries missing oracles: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
