@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // UDTF: LATERAL VIEW graft_shingles(text, 3) → (pos, shingle) rows
     register("graft_shingles", Seq(2), args =>
       ShingleGenerator(args.head, intLit(args(1), "n")))
+    // Gopher repetition fractions → [top_ngram_char_frac, dup_ngram_char_frac]
+    register("graft_repetition_fracs", Seq(2), args =>
+      RepetitionFracs(args.head, intLit(args(1), "n")))
 
     // SQL-invocable TABLE functions over the operator suite (dedup, LSH
     // pairs, components, chunking, BM25, ANN over a persisted PQ index) —

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
 
-import graft.operators.{Chunking, ConnectedComponents, Dedup, PqIndex, SimilaritySearch, TextRanking}
+import graft.operators.{Chunking, ConnectedComponents, Dedup, ImportanceSampling, PqIndex, SimilaritySearch, TextRanking}
 
 /** SQL-invocable TABLE functions for the operator suite — the pure-SQL seat
   * (a JDBC/SQL-client user who never touches the Scala API) can run the
@@ -24,6 +24,8 @@ import graft.operators.{Chunking, ConnectedComponents, Dedup, PqIndex, Similarit
   * SELECT * FROM graft_chunk_tokens('docs', 'doc_id', 'text', 128, 96);
   * SELECT * FROM graft_bm25('docs', 'doc_id', 'text', 'qs', 'q_id', 'q_text', 10);
   * SELECT * FROM graft_ann_pq('/indexes/pq', 'emb', 'queries', 'vec_id', 'embedding', 10);
+  * SELECT * FROM graft_phrase_search('docs', 'doc_id', 'text', 'qs', 'q_id', 'phrase');
+  * SELECT * FROM graft_dsir('docs', 'doc_id', 'text', 'source = ''wiki''', 1000);
   * }}}
   *
   * Arguments are LITERALS (table/view names, column names, knobs) — a table
@@ -121,5 +123,19 @@ object GraftTableFunctions {
         strLit(args(3), "idCol"), strLit(args(4), "vecCol"),
         intLit(args(5), "k")))
     })
+
+    // exact phrase search -> (q_id, doc_id, n_matches, first_pos)
+    registerTable("graft_phrase_search", Seq(6), args =>
+      plan(TextRanking.phraseSearch(table(strLit(args(0), "docsTable")),
+        strLit(args(1), "idCol"), strLit(args(2), "textCol"),
+        table(strLit(args(3), "phrasesTable")),
+        strLit(args(4), "qIdCol"), strLit(args(5), "phraseCol"))))
+
+    // DSIR selection -> (doc_id, log_weight, selected); 4th arg is a SQL
+    // predicate over the input row marking the target slice
+    registerTable("graft_dsir", Seq(5), args =>
+      plan(ImportanceSampling.dsirResample(table(strLit(args(0), "table")),
+        strLit(args(1), "idCol"), strLit(args(2), "textCol"),
+        expr(strLit(args(3), "targetPredicate")), intLit(args(4), "n"))))
   }
 }

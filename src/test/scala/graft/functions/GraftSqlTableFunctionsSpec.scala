@@ -125,6 +125,51 @@ class GraftSqlTableFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sqlAnn === apiAnn && sqlAnn.nonEmpty)
   }
 
+  test("graft_phrase_search and graft_dsir from SQL match the Scala API") {
+    docs
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW qs AS
+        |SELECT * FROM VALUES (1, 'table hash'), (2, 'the the')
+        |AS t(q_id, phrase)""".stripMargin)
+    val sqlPs = spark.sql(
+      """SELECT * FROM graft_phrase_search('docs', 'doc_id', 'text',
+        |                                  'qs', 'q_id', 'phrase')
+        |ORDER BY q_id, doc_id""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val qsDf = spark.table("qs")
+    val apiPs = graft.operators.TextRanking
+      .phraseSearch(docs, "doc_id", "text", qsDf, "q_id", "phrase")
+      .orderBy("q_id", "doc_id").collect().map(_.toString).toSeq
+    assert(sqlPs === apiPs && sqlPs.nonEmpty)
+
+    val sqlDsir = spark.sql(
+      """SELECT * FROM graft_dsir('docs', 'doc_id', 'text',
+        |                         'source IN (''src0'', ''src1'')', 20)
+        |ORDER BY doc_id""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val apiDsir = graft.operators.ImportanceSampling
+      .dsirResample(docs, "doc_id", "text",
+        col("source").isin("src0", "src1"), n = 20)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(sqlDsir === apiDsir && sqlDsir.nonEmpty)
+    assert(sqlDsir.count(_.endsWith(",1]")) === 20)
+  }
+
+  test("graft_repetition_fracs scalar matches the TextAnalysis columns") {
+    docs
+    val viaSql = spark.sql(
+      """SELECT doc_id, round(graft_repetition_fracs(text, 2)[0], 6) AS t,
+        |       round(graft_repetition_fracs(text, 2)[1], 6) AS d
+        |FROM docs ORDER BY doc_id LIMIT 20""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val viaApi = docs.select(col("doc_id"),
+        round(TextAnalysis.topNgramCharFrac(col("text"), 2), 6).as("t"),
+        round(TextAnalysis.dupNgramCharFrac(col("text"), 2), 6).as("d"))
+      .orderBy("doc_id").limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+  }
+
   test("literal-argument validation fails loudly, not silently") {
     docs
     val e = intercept[Exception](spark.sql(
