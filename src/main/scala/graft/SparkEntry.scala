@@ -984,6 +984,17 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- hard-negative mining for contrastive training: nearest corpus
+    //      vectors per anchor EXCLUDING presumed positives (cosine >=
+    //      0.35); exact form of the PQ-served production shape ----
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.hardNegatives(
+          emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 10, posThreshold = 0.35)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- ANN: LSH-bucketed (approximate → rows-only; recall tested) ----
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1508,8 +1519,11 @@ object SparkEntry {
     //      Verify emits holdout AUC + class-separation evidence. ----
     "q_quality_classifier" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // 12 L-BFGS iterations are plenty for the separable self-supervised
+      // task (holdout AUC 1.0 in evidence); each iteration is a full job,
+      // so the bench-relevant cost is iterations × job overhead
       val m = graft.operators.QualityClassifier.trainCleanVsScrambled(
-        docs, "doc_id", "text", numFeatures = 1 << 16)
+        docs, "doc_id", "text", numFeatures = 1 << 16, maxIter = 12)
       graft.operators.QualityClassifier.score(docs, "doc_id", "text", m)
         .select(col("doc_id"),
           round(col("quality_score"), 4).as("quality_score"))
@@ -1520,17 +1534,12 @@ object SparkEntry {
     //      fractions for n = 2..10, row-local codegen kernel (quality
     //      filtering at scan speed — no shuffle touches the text). ----
     "q_repetition_ngrams" -> ((s, dir) => {
-      import graft.functions.TextAnalysis
-      val pairs = array((2 to 10).map(n => struct(
-        lit(n).as("n"),
-        round(TextAnalysis.topNgramCharFrac(col("text"), n), 6).as("top_frac"),
-        round(TextAnalysis.dupNgramCharFrac(col("text"), n), 6).as("dup_frac"))): _*)
       t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("nt"),
-          explode(pairs).as("p"))
-        .filter(col("nt") >= col("p.n"))
-        .select(col("doc_id"), col("p.n").as("n"),
-          col("p.top_frac").as("top_frac"), col("p.dup_frac").as("dup_frac"))
+        .select(col("doc_id"),
+          graft.functions.expressions.repetition_rows(col("text"), 2, 10))
+        .select(col("doc_id"), col("n"),
+          round(col("top_frac"), 6).as("top_frac"),
+          round(col("dup_frac"), 6).as("dup_frac"))
         .orderBy(col("doc_id"), col("n"))
     }),
   )
@@ -2339,6 +2348,25 @@ object SparkEntry {
         |  SELECT q_id, n_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
         |  FROM scored)
+        |SELECT q_id, n_id, rank, round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // bruteforce replica with the positive-exclusion filter BEFORE ranking
+    "q_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM scored WHERE cos < 0.35)
         |SELECT q_id, n_id, rank, round(cos, 6) AS cosine
         |FROM ranked WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,

@@ -205,7 +205,7 @@ object Verify {
     def qualityClassifierEvidence: String = Try {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val m = graft.operators.QualityClassifier.trainCleanVsScrambled(
-        docs, "doc_id", "text", numFeatures = 1 << 16)
+        docs, "doc_id", "text", numFeatures = 1 << 16, maxIter = 12)
       val cleanMean = load("q_quality_classifier")
         .agg(avg(col("quality_score"))).head().getDouble(0)
       val scrambled = docs.select(col("doc_id"),

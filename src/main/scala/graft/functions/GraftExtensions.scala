@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Gopher repetition fractions → [top_ngram_char_frac, dup_ngram_char_frac]
     register("graft_repetition_fracs", Seq(2), args =>
       RepetitionFracs(args.head, intLit(args(1), "n")))
+    // UDTF: LATERAL VIEW graft_repetition_rows(text, 2, 10) → one
+    // (n, top_frac, dup_frac) row per n — single tokenization pass
+    register("graft_repetition_rows", Seq(3), args =>
+      RepetitionProfileGen(args.head, intLit(args(1), "minN"), intLit(args(2), "maxN")))
 
     // SQL-invocable TABLE functions over the operator suite (dedup, LSH
     // pairs, components, chunking, BM25, ANN over a persisted PQ index) —

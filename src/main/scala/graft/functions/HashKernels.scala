@@ -276,64 +276,88 @@ object HashKernels {
     * SQL-expressible). Both fractions are 0.0 when the document has fewer
     * than n tokens. Row-local: one gram pass + one small hash map. */
   def repetitionFracs(s: UTF8String, n: Int): ArrayData = {
-    val grams = ngrams(s, n)
-    if (grams.length == 0)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array[Any](0.0, 0.0))
-    // chars of the normalized text = code points of the 1-gram join; for
-    // n == 1 the grams ARE the tokens, otherwise re-derive from tokens via
-    // a 1-gram pass (cheap: token scan only).
-    val toks = if (n == 1) grams else ngrams(s, 1)
-    var nc = math.max(0, toks.length - 1) // separator spaces
+    val p = repetitionProfile(s, n, n)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](p(0), p(1)))
+  }
+
+  /** Multi-n repetition profile in ONE tokenization pass: returns
+    * [top_minN, dup_minN, top_{minN+1}, dup_{minN+1}, ...] — the kernel
+    * under both RepetitionFracs (single n) and the RepetitionProfileGen
+    * generator (n range per row without re-tokenizing; Catalyst does not
+    * CSE repeated scalar calls, so the generator form is what keeps a
+    * 9-value quality profile at scan speed). Entries for n > token count
+    * are 0.0 (the generator omits those rows entirely). */
+  def repetitionProfile(s: UTF8String, minN: Int, maxN: Int): Array[Double] = {
+    require(minN >= 1 && maxN >= minN, s"bad n range [$minN, $maxN]")
+    val text = s.toLowerCase.toString
+    val toks = new java.util.ArrayList[String](64)
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) toks.add(text.substring(start, i))
+    }
+    val nTok = toks.size()
+    var nc = math.max(0, nTok - 1) // separator spaces
     var ti = 0
-    while (ti < toks.length) {
-      val t = toks(ti).toString
+    while (ti < nTok) {
+      val t = toks.get(ti)
       nc += t.codePointCount(0, t.length)
       ti += 1
     }
-    val counts = new java.util.HashMap[UTF8String, Int](grams.length * 2)
-    var gi = 0
-    while (gi < grams.length) {
-      counts.merge(grams(gi), 1, (a, b) => a + b)
-      gi += 1
-    }
-    var topGram: UTF8String = null
-    var topCount = 0
-    var dupMass = 0L
-    val it = counts.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val g = e.getKey
-      val c = e.getValue
-      if (c > topCount || (c == topCount && byteLt(g, topGram))) {
-        topGram = g; topCount = c
+    val out = new Array[Double](2 * (maxN - minN + 1))
+    var n = minN
+    while (n <= maxN) {
+      val count = nTok - n + 1
+      if (count >= 1 && nc > 0) {
+        val counts = new java.util.HashMap[String, Int](count * 2)
+        var t = 0
+        while (t < count) {
+          val sb = new java.lang.StringBuilder(toks.get(t))
+          var d = 1
+          while (d < n) { sb.append(' ').append(toks.get(t + d)); d += 1 }
+          counts.merge(sb.toString, 1, (a, b) => a + b)
+          t += 1
+        }
+        var topGram: String = null
+        var topCount = 0
+        var dupMass = 0L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val g = e.getKey
+          val c = e.getValue
+          if (c > topCount || (c == topCount && cpLt(g, topGram))) {
+            topGram = g; topCount = c
+          }
+          if (c >= 2) dupMass += c.toLong * g.codePointCount(0, g.length)
+        }
+        val base = 2 * (n - minN)
+        out(base) = topCount.toDouble *
+          topGram.codePointCount(0, topGram.length) / nc
+        out(base + 1) = math.min(1.0, dupMass.toDouble / nc)
       }
-      if (c >= 2) {
-        val gs = g.toString
-        dupMass += c.toLong * gs.codePointCount(0, gs.length)
-      }
+      n += 1
     }
-    val tg = topGram.toString
-    val topFrac =
-      if (nc == 0) 0.0
-      else topCount.toDouble * tg.codePointCount(0, tg.length) / nc
-    val dupFrac = if (nc == 0) 0.0 else math.min(1.0, dupMass.toDouble / nc)
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      Array[Any](topFrac, dupFrac))
+    out
   }
 
-  /** UTF-8 byte-order less-than (binary collation, matches the oracle's
-    * ORDER BY on VARCHAR). */
-  private def byteLt(a: UTF8String, b: UTF8String): Boolean = {
+  /** Code-point-order less-than — identical to UTF-8 byte order (UTF-8
+    * preserves code point order), i.e. the oracle's binary VARCHAR
+    * collation; NOT Java's UTF-16 compareTo, which misorders
+    * supplementary-plane characters against [U+E000, U+FFFF]. */
+  private def cpLt(a: String, b: String): Boolean = {
     if (b == null) return true
-    val ab = a.getBytes; val bb = b.getBytes
-    val m = math.min(ab.length, bb.length)
     var i = 0
-    while (i < m) {
-      val x = ab(i) & 0xff; val y = bb(i) & 0xff
-      if (x != y) return x < y
-      i += 1
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca); j += Character.charCount(cb)
     }
-    ab.length < bb.length
+    a.length - i < b.length - j
   }
 }

@@ -130,6 +130,49 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** Generator form of the repetition profile: one (n, top_frac, dup_frac)
+  * row per n in [minN, maxN] with at least one n-gram in the document —
+  * ONE tokenization pass for the whole range (Catalyst does not CSE
+  * repeated scalar kernel calls, so a 9-value profile via 18 scalar
+  * columns re-tokenizes 18×; this is the scan-speed form). */
+case class RepetitionProfileGen(child: Expression, minN: Int, maxN: Int)
+  extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.Generator
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("top_frac", DoubleType, nullable = false),
+    StructField("dup_frac", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes() = {
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"repetition profile expects STRING, got ${child.dataType.catalogString}")
+    else if (minN < 1 || maxN < minN)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bad n range [$minN, $maxN]")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Nil
+    val prof = HashKernels.repetitionProfile(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], minN, maxN)
+    (minN to maxN).iterator.flatMap { n =>
+      val base = 2 * (n - minN)
+      // top_frac == 0 exactly when the doc has fewer than n tokens (a
+      // present top gram always has positive char mass)
+      if (prof(base) == 0.0) Nil
+      else Seq(org.apache.spark.sql.catalyst.InternalRow(
+        n, prof(base), prof(base + 1)))
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): RepetitionProfileGen =
+    copy(child = c)
+}
+
 /** Gopher-style repetition fractions [top_ngram_char_frac,
   * dup_ngram_char_frac] over word n-grams — see
   * HashKernels.repetitionFracs for the exact (oracle-replicated)
@@ -226,6 +269,10 @@ object expressions {
     ColumnBridge.column(Tokens(ColumnBridge.expression(c)))
   def repetition_fracs(c: Column, n: Int): Column =
     ColumnBridge.column(RepetitionFracs(ColumnBridge.expression(c), n))
+  /** Generator column: (n, top_frac, dup_frac) rows for n in [minN, maxN]
+    * — one tokenization pass per document. */
+  def repetition_rows(c: Column, minN: Int, maxN: Int): Column =
+    ColumnBridge.column(RepetitionProfileGen(ColumnBridge.expression(c), minN, maxN))
   /** Generator column: one (pos, shingle) row per NON-distinct word n-gram
     * (use in a select like explode; WordShingles dedupes, this keeps
     * multiplicity). */

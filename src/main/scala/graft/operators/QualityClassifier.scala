@@ -59,7 +59,8 @@ object QualityClassifier {
     * reach the optimizer). */
   def trainLabeled(docs: DataFrame, idCol: String, textCol: String,
                    labelCol: String, holdoutPred: org.apache.spark.sql.Column,
-                   numFeatures: Int = 1 << 18): Model = {
+                   numFeatures: Int = 1 << 18, maxIter: Int = 25): Model = {
+    require(maxIter >= 1, s"maxIter $maxIter")
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col(idCol).as("__id"), col(textCol).as("__text"),
@@ -72,14 +73,21 @@ object QualityClassifier {
       val pairs = idx.map(_.toInt).zip(cnt.map(_.toDouble)).sortBy(_._1)
       Vectors.sparse(numFeatures, pairs.map(_._1).toArray, pairs.map(_._2).toArray)
     })
+    // every L-BFGS iteration is a treeAggregate job over this frame, so
+    // per-iteration fixed cost = task count × dispatch overhead; compact
+    // the (bounded) training frame to a fraction of the cluster width —
+    // the aggregate is a reduction, width beyond a few partitions per
+    // core buys nothing at sample scale
+    val trainParts = math.max(4, spark.sparkContext.defaultParallelism / 4)
     val assembled = feats.groupBy(col("__id"), col("label"), col("__hold"))
       .agg(collect_list(col("idx")).as("is"), collect_list(col("cnt")).as("cs"))
       .select(col("__id"), col("label"), col("__hold"),
         toVec(col("is"), col("cs")).as("features"))
+      .coalesce(trainParts)
       .cache()
     try {
       val lr = new LogisticRegression()
-        .setMaxIter(25).setRegParam(1e-3).setStandardization(false)
+        .setMaxIter(maxIter).setRegParam(1e-3).setStandardization(false)
       val model = lr.fit(assembled.filter(!col("__hold")))
       val holdout = assembled.filter(col("__hold"))
       val auc =
@@ -100,7 +108,8 @@ object QualityClassifier {
     * ~`holdoutFrac` of the doc ids, same idiom as the sampling operators. */
   def trainCleanVsScrambled(docs: DataFrame, idCol: String, textCol: String,
                             numFeatures: Int = 1 << 18,
-                            holdoutFrac: Double = 0.2): Model = {
+                            holdoutFrac: Double = 0.2,
+                            maxIter: Int = 25): Model = {
     require(holdoutFrac >= 0 && holdoutFrac < 1, s"holdoutFrac $holdoutFrac")
     val thr = f"${(holdoutFrac * 256).toInt}%02x"
     val base = docs.select(col(idCol).as("__id0"), col(textCol).as("__t"))
@@ -112,7 +121,7 @@ object QualityClassifier {
       lit(0).as("qlabel"),
       (substring(md5(col("__id0").cast("string")), 1, 2) < thr).as("qhold"))
     trainLabeled(clean.union(scrambled), "qid", "qtext", "qlabel",
-      col("qhold"), numFeatures)
+      col("qhold"), numFeatures, maxIter)
   }
 
   /** Score a corpus with a trained model: (idCol, quality_score) where

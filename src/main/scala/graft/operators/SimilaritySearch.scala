@@ -750,4 +750,47 @@ object SimilaritySearch {
       .select(col("q_id"), col("c_id").as("n_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Hard-negative mining for contrastive embedding training: per anchor,
+    * the top-k most-similar corpus vectors whose cosine is BELOW
+    * `posThreshold` — "close but not the same" examples. Vectors at or
+    * above the threshold are presumed positives/near-duplicates (the
+    * semanticNeardupPairs regime) and are excluded, as is the anchor
+    * itself.
+    *
+    * Exact form: same broadcast-anchors single-corpus-pass shape as
+    * bruteForceTopK with the threshold filter BEFORE ranking — fully
+    * oracle-replicable. Output: (q_id, n_id, rank, cosine). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, k: Int, posThreshold: Double): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val q = prepared(anchors, idCol, vecCol)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("id"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .filter(col("cosine") < posThreshold)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id").as("n_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Billion-vector form of [[hardNegatives]]: overfetch k·overfetch
+    * candidates from a persisted PQ index (probe-bounded, m-bytes/vector
+    * scan), drop the presumed positives (exact re-ranked cosine >=
+    * posThreshold), keep the top k per anchor. Approximate like every
+    * index-served path — measure recall against [[hardNegatives]]. */
+  def hardNegativesPq(index: PqIndex, corpus: DataFrame, anchors: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      posThreshold: Double, overfetch: Int = 4): DataFrame = {
+    require(overfetch >= 1, s"overfetch $overfetch")
+    val cand = searchPqIndex(index, corpus, anchors, idCol, vecCol,
+      k * overfetch)
+      .filter(col("cosine") < posThreshold)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("cosine"))
+  }
 }

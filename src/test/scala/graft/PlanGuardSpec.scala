@@ -42,6 +42,8 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_ann_bruteforce",  // the documented EXACT baseline: broadcast query set
                          // vs corpus with a non-equi self-exclusion — the
                          // bucketed lshTopK is the scale path
+    "q_hard_negatives",  // same broadcast-anchors exact shape; the PQ-served
+                         // hardNegativesPq is the scale path (spec-asserted)
     "q_dedup_embedding", // documented all-pairs small-corpus baseline; the
                          // bucketed LSH variant (same oracle) is the scale
                          // path and stays BNLJ-free (asserted in DedupSpec)

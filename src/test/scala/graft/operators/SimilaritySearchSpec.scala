@@ -202,4 +202,52 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = emb.count()
     probedCounts.foreach(c => assert(c < n * 3 / 4, s"probed $c of $n"))
   }
+
+  /** Midpoint between the 5th- and 6th-highest observed cosines: excludes
+    * exactly 5 brute-force rows and sits away from every actual cosine, so
+    * rounded (displayed) and unrounded (internal) comparisons agree. */
+  private lazy val hnThr: Double = {
+    val sorted = brute.map(_._4).sorted.reverse
+    (sorted(4) + sorted(5)) / 2.0
+  }
+
+  test("hardNegatives = bruteForce minus presumed positives, re-ranked") {
+    val thr = hnThr
+    val hn = SimilaritySearch.hardNegatives(emb, queries, "vec_id",
+        "embedding", k = 10, posThreshold = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(hn.forall(_._4 < thr), "a presumed positive leaked through")
+    // per anchor: the surviving list equals the brute-force order with
+    // excluded rows removed and ranks re-packed (using a high-k reference)
+    val bigBrute = SimilaritySearch.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    for ((q, rows) <- hn.groupBy(_._1)) {
+      val want = bigBrute.filter(r => r._1 == q && r._4 < thr)
+        .sortBy(_._3).map(_._2).take(rows.length)
+      assert(rows.sortBy(_._3).map(_._2).toSeq === want.toSeq, s"anchor $q")
+    }
+    // excluded near-positives really were the top of the ranking
+    val excluded = brute.filter(_._4 >= thr)
+    assert(excluded.nonEmpty && excluded.forall(_._3 <= 10))
+  }
+
+  test("hardNegativesPq approximates the exact mining with high overlap") {
+    val thr = hnThr
+    val idx = SimilaritySearch.buildPqIndex(emb, "vec_id", "embedding")
+    val exact = SimilaritySearch.hardNegatives(emb, queries, "vec_id",
+        "embedding", k = 5, posThreshold = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.hardNegativesPq(idx, emb, queries,
+        "vec_id", "embedding", k = 5, posThreshold = thr, overfetch = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.forall { case (_, n) => n >= 0 })
+    val overlap = (exact & approx).size.toDouble / exact.size
+    assert(overlap >= 0.7, s"overlap $overlap (exact ${exact.size}, approx ${approx.size})")
+    // the positive-exclusion contract holds on the PQ path too (cosines
+    // are exact after re-rank)
+    assert(SimilaritySearch.hardNegativesPq(idx, emb, queries, "vec_id",
+        "embedding", k = 5, posThreshold = thr, overfetch = 8)
+      .collect().forall(_.getDouble(3) < thr))
+  }
 }
