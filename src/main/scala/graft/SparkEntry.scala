@@ -1064,6 +1064,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- BPE round trip: train → encode → decode must reproduce the
+    //      normalized text EXACTLY — certifies the whole tokenizer chain
+    //      against a plain SQL oracle (the individual train/encode gates
+    //      are rows-only; this one is value-exact). ----
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 16)
+      graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          graft.operators.Bpe.decodeTokens(col("tokens")).as("text_rt"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- asymmetric containment pairs: fragment duplication Jaccard
     //      misses (short doc quoted inside a long one) ----
     "q_dedup_containment" -> ((s, dir) => {
@@ -2351,6 +2364,15 @@ object SparkEntry {
         |SELECT q_id, n_id, rank, round(cos, 6) AS cosine
         |FROM ranked WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    // decode(encode(text)) must equal the whitespace/case-normalized text
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  array_to_string(
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
+        |    ' ') AS text_rt
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // bruteforce replica with the positive-exclusion filter BEFORE ranking
     "q_hard_negatives" ->

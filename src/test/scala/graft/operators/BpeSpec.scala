@@ -146,6 +146,21 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decodeTokens inverts encode back to the normalized text") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq("Low  LOW lower", "a 𝄞b c", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val merges = Bpe.train(df, "text", 6)
+    val out = Bpe.encode(df, "id", "text", merges)
+      .select(col("id"), Bpe.decodeTokens(col("tokens")).as("rt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = t.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(out(i.toLong) === want, s"doc $i")
+    }
+  }
+
   test("encode preserves a string id column's type and values") {
     val df = Seq(("a", "x y x y x y"), ("b", "x x")).toDF("sid", "text")
     val merges = Bpe.train(df, "text", 4)

@@ -44,8 +44,11 @@ class SeqFileStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // processAllAvailable can return before the just-written file is
       // visible to the next directory listing (it waits only for data the
       // source has already OFFERED), so poll until discovery happens.
+      // Deadline is generous: under a full-suite run with many concurrent
+      // sessions on a loaded box, trigger+listing latency has been seen
+      // to exceed 30s (one observed flake at 30s).
       writeFile(dir, "c.seq", 1500, 250)
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       var n = 0L
       while (n != 1750L && System.nanoTime() < deadline) {
         q.processAllAvailable()
