@@ -130,8 +130,11 @@ object TextRanking {
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
     val pterms = phrases.select(col(qIdCol).as("q_id"),
       posexplode(TextAnalysis.tokens(col(phraseCol))).as(Seq("idx", "term")))
+    // a phrase with zero tokens matches nothing (dropped here, not
+    // everything-matches — the degenerate reading a naive oracle gives)
     val plen = phrases.select(col(qIdCol).as("q_id"),
       size(TextAnalysis.tokens(col(phraseCol))).as("m"))
+      .filter(col("m") >= 1)
     toks.join(broadcast(pterms), "term")
       .select(col("q_id"), col("doc_id"),
         (col("pos") - col("idx")).as("anchor"))

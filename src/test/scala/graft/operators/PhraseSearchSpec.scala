@@ -66,4 +66,9 @@ class PhraseSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = search(Seq(1L -> "a b c"), Seq(1 -> "zz yy"))
     assert(out.isEmpty)
   }
+
+  test("an empty/whitespace phrase matches nothing (not everything)") {
+    val out = search(Seq(1L -> "a b c"), Seq(1 -> "", 2 -> "   ", 3 -> "b"))
+    assert(out.keySet === Set((3, 1L)))
+  }
 }
