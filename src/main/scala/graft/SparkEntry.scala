@@ -1525,6 +1525,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Unicode normalization pre-pass (NFC + control/zero-width strip
+    //      + whitespace collapse) — row-local codegen kernel; DuckDB's
+    //      nfc_normalize implements the same Unicode algorithm, so the
+    //      oracle replicates every step verbatim ----
+    "q_normalize_text" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.normalizeText(col("text")).as("norm_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- trained quality classifier: self-supervised clean-vs-scrambled
     //      discriminator (negatives = token-sorted copies, unigram-
     //      identical — the model must learn order structure from hashed
@@ -2364,6 +2375,15 @@ object SparkEntry {
         |SELECT q_id, n_id, rank, round(cos, 6) AS cosine
         |FROM ranked WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    // NFC + C0/DEL/zero-width strip + whitespace collapse, step for step
+    "q_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+        |    '[ \t\n\x0B\x0C\r]+', ' ', 'g')) AS norm_text
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // decode(encode(text)) must equal the whitespace/case-normalized text
     "q_bpe_roundtrip" ->

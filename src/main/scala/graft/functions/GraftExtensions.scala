@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // UDTF: LATERAL VIEW graft_shingles(text, 3) → (pos, shingle) rows
     register("graft_shingles", Seq(2), args =>
       ShingleGenerator(args.head, intLit(args(1), "n")))
+    // Unicode normalization pre-pass (NFC + control/zero-width strip +
+    // whitespace collapse)
+    register("graft_normalize_text", Seq(1), args => NormalizeText(args.head))
     // Gopher repetition fractions → [top_ngram_char_frac, dup_ngram_char_frac]
     register("graft_repetition_fracs", Seq(2), args =>
       RepetitionFracs(args.head, intLit(args(1), "n")))

@@ -345,6 +345,39 @@ object HashKernels {
     out
   }
 
+  /** Unicode text normalization — the standard corpus-ingest pre-pass:
+    * 1. NFC canonical composition (java.text.Normalizer; DuckDB's
+    *    nfc_normalize implements the same Unicode algorithm),
+    * 2. strip C0 controls (minus the whitespace ones), DEL, and the
+    *    zero-width set U+200B..U+200D, U+FEFF,
+    * 3. collapse whitespace runs ([ \t\n\x0B\f\r]) to single spaces and
+    *    trim.
+    * Every step is replicated verbatim in the SQL oracle (explicit
+    * character classes — no engine-specific \p{...} semantics). */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < nfc.length) {
+      val c = nfc.charAt(i)
+      val isCtl = (c < 0x20 && !isWs(c)) || c == 0x7f ||
+        (c >= 0x200b && c <= 0x200d) || c == 0xfeff
+      if (!isCtl) {
+        if (isWs(c)) { if (started) pendingSpace = true }
+        else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(c)
+          started = true
+        }
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Code-point-order less-than — identical to UTF-8 byte order (UTF-8
     * preserves code point order), i.e. the oracle's binary VARCHAR
     * collation; NOT Java's UTF-16 compareTo, which misorders

@@ -164,6 +164,13 @@ object TextAnalysis {
   def dupNgramCharFrac(text: Column, n: Int): Column =
     element_at(expressions.repetition_fracs(text, n), 2)
 
+  /** Unicode normalization pre-pass: NFC + C0/DEL/zero-width strip +
+    * whitespace collapse (see HashKernels.normalizeText). Run this before
+    * fingerprinting/dedup when ingesting text of mixed provenance —
+    * composed vs decomposed accents and invisible characters otherwise
+    * make semantically identical documents hash differently. */
+  def normalizeText(text: Column): Column = expressions.normalize_text(text)
+
   /** 64-bit content fingerprint (whitespace/case-normalized rolling hash),
     * via the codegen'd Fingerprint64 expression. */
   def fingerprint(text: Column): Column = expressions.fingerprint64(text)

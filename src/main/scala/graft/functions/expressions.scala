@@ -196,6 +196,24 @@ case class RepetitionFracs(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Unicode normalization pre-pass (NFC + control/zero-width strip +
+  * whitespace collapse) — see HashKernels.normalizeText for the exact
+  * oracle-replicated contract. Row-local, codegen'd. */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"normalize_text expects STRING, got ${child.dataType.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.normalizeText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.normalizeText($c)")
+  override protected def withNewChildInternal(c: Expression): NormalizeText =
+    copy(child = c)
+}
+
 /** All whitespace tokens of a document (lowercased, non-distinct). */
 case class Tokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -273,6 +291,8 @@ object expressions {
     * — one tokenization pass per document. */
   def repetition_rows(c: Column, minN: Int, maxN: Int): Column =
     ColumnBridge.column(RepetitionProfileGen(ColumnBridge.expression(c), minN, maxN))
+  def normalize_text(c: Column): Column =
+    ColumnBridge.column(NormalizeText(ColumnBridge.expression(c)))
   /** Generator column: one (pos, shingle) row per NON-distinct word n-gram
     * (use in a select like explode; WordShingles dedupes, this keeps
     * multiplicity). */

@@ -59,6 +59,20 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("normalizeText: NFC composition, control/zero-width strip, whitespace collapse") {
+    // decomposed e + combining acute composes to the single code point
+    assert(one("cafe\u0301", TextAnalysis.normalizeText(col("t"))) === "caf\u00e9")
+    // already-composed text unchanged
+    assert(one("caf\u00e9", TextAnalysis.normalizeText(col("t"))) === "caf\u00e9")
+    // zero-width space / joiner / BOM removed (joining the fragments)
+    assert(one("a\u200bb \u200dc\ufeffd", TextAnalysis.normalizeText(col("t"))) === "ab cd")
+    // C0 controls and DEL stripped; whitespace controls collapse instead
+    assert(one("x\u0001y\u007fz", TextAnalysis.normalizeText(col("t"))) === "xyz")
+    assert(one(" a\t\tb\r\nc  ", TextAnalysis.normalizeText(col("t"))) === "a b c")
+    assert(one("", TextAnalysis.normalizeText(col("t"))) === "")
+    assert(one("   ", TextAnalysis.normalizeText(col("t"))) === "")
+  }
+
   test("repetition fractions: closed-form top/dup n-gram char masses") {
     // "a a a": normalized chars 5; bigram "a a" (3 chars) occurs 2x ->
     // top mass 6/5 (overlap double-counts, top is NOT clamped), dup IS
