@@ -1525,6 +1525,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- diversity (coverage) sampling over the embedding corpus:
+    //      deterministic-centroid cells + per-cell md5 exemplars — equal
+    //      per-cell selection covers the semantic space instead of
+    //      mirroring corpus density ----
+    "q_diversity_sample" -> ((s, dir) => {
+      graft.operators.Sampling.diversitySample(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          numCells = 16, perCell = 5)
+        .orderBy(col("cell"), col("pick_rank"))
+    }),
+
     // ---- Unicode normalization pre-pass (NFC + control/zero-width strip
     //      + whitespace collapse) — row-local codegen kernel; DuckDB's
     //      nfc_normalize implements the same Unicode algorithm, so the
@@ -2375,6 +2386,33 @@ object SparkEntry {
         |SELECT q_id, n_id, rank, round(cos, 6) AS cosine
         |FROM ranked WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    // same deterministic centroids/assignment as q_dedup_semantic, then
+    // an md5-ranked per-cell pick
+    "q_diversity_sample" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+        |  FROM v
+        |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+        |  LIMIT 16),
+        |assign AS (
+        |  SELECT id, cent_id AS cell FROM (
+        |    SELECT v.vec_id AS id, cent_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_dot_product(v.v, cv) / (v.nrm * cn) DESC, cent_id) AS crank
+        |    FROM v CROSS JOIN cents)
+        |  WHERE crank = 1)
+        |SELECT id, cell, pick_rank FROM (
+        |  SELECT id, cell,
+        |    row_number() OVER (PARTITION BY cell
+        |      ORDER BY md5(CAST(id AS VARCHAR)), id) AS pick_rank
+        |  FROM assign)
+        |WHERE pick_rank <= 5
+        |ORDER BY cell, pick_rank""".stripMargin,
 
     // NFC + C0/DEL/zero-width strip + whitespace collapse, step for step
     "q_normalize_text" ->

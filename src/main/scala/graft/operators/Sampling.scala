@@ -152,4 +152,44 @@ object Sampling {
             || md5(col("component").cast("string")) < lit(thr), "holdout")
           .otherwise("train"))
   }
+
+  /** Diversity (coverage) sampling over an embedding corpus: partition the
+    * semantic space into `numCells` deterministic-centroid cells (the same
+    * integer-hash centroid pick and argmax-cosine assignment as
+    * `Dedup.semanticNeardupPairs` — pure integer/double arithmetic a SQL
+    * oracle replicates exactly), then keep `perCell` deterministic
+    * exemplars per cell by md5(id). Equal-per-cell selection is the
+    * point: a uniform random sample mirrors the corpus density and
+    * oversamples dense regions; this covers the embedding space — the
+    * data-curation "semantic coverage" primitive.
+    *
+    * Output: (id, cell, pick_rank) for the selected rows.
+    *
+    * Scale: centroids are a numCells-row broadcast; assignment is one
+    * corpus pass; the pick is one window partitioned by cell. */
+  def diversitySample(emb: DataFrame, idCol: String, vecCol: String,
+                      numCells: Int, perCell: Int): DataFrame = {
+    require(numCells >= 1 && perCell >= 1, s"bad ($numCells, $perCell)")
+    val v = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Dedup.l2norm(col("v")))
+    // low-31-bit multiplicative hash (overflow-safe at any id scale; see
+    // semanticNeardupPairs)
+    val hkey = pmod(pmod(col("id").cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val cents = v.orderBy(hkey, col("id")).limit(numCells)
+      .select(col("id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("csim", Dedup.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("id"), col("cent_id").as("cell"))
+    val wPick = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    assigned.withColumn("pick_rank", row_number().over(wPick))
+      .filter(col("pick_rank") <= perCell)
+      .select(col("id"), col("cell"), col("pick_rank"))
+  }
 }

@@ -35,6 +35,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_ann_ivf", "q_ann_ivf_kmeans",       // broadcast centroid table (<=16 rows)
     "q_ann_ivfpq",                         // broadcast centroid table (auto-C ~ 8·sqrt(N) small rows)
     "q_dedup_semantic",                    // broadcast centroid table (8 rows)
+    "q_diversity_sample",                  // broadcast centroid table (16 rows)
     "q15_top_supplier", "q22_global_sales", // broadcast scalar-aggregate row
     "q_sketch_tokens", "q_corpus_clean",    // broadcast single-row threshold/sketch
     "q_tfidf",                              // broadcast single-row doc count

