@@ -38,14 +38,23 @@ object SparkEntry {
       }))
     }
 
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects. Sessions set
-    * spark.sql.legacy.parquet.nanosAsLong=true (see Verify/Bench), making ts
-    * arrive as nanos-since-epoch LongType; convert with integer division
-    * (nanos exceed double's 2^53 mantissa — a floating divide would corrupt
-    * microseconds). */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** events.parquet's ts column has shipped as both INT64 TIMESTAMP(NANOS)
+    * (older testdata: Spark's reader rejects it unless
+    * spark.sql.legacy.parquet.nanosAsLong=true makes it arrive as
+    * nanos-since-epoch LongType — converted with INTEGER division: nanos
+    * exceed double's 2^53 mantissa, a floating divide would corrupt
+    * microseconds) and TIMESTAMP(MICROS) (current testdata: arrives as
+    * TIMESTAMP_NTZ natively). Handle both by schema inspection; either way
+    * downstream sees a session-TZ TimestampType column. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: 3-way join + agg + top-k. */
@@ -1577,6 +1586,61 @@ object SparkEntry {
           round(col("dup_frac"), 6).as("dup_frac"))
         .orderBy(col("doc_id"), col("n"))
     }),
+
+    // ---- interpolated Kneser-Ney bigram LM surprisal: the smoothed
+    //      perplexity filter (continuation-probability mass separates
+    //      everywhere-words from one-context words); self-trained, exact
+    //      closed-form counts -> value-exact oracle. ----
+    "q_kneser_ney" -> ((s, dir) => {
+      graft.operators.UnigramLM.kneserNeySurprisal(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- exact edit-distance near-dup pairs: PassJoin pigeonhole
+    //      blocking (complete) + exact levenshtein verify over the
+    //      normalized 120-char head; output equals brute force. ----
+    "q_dedup_editdist" -> ((s, dir) => {
+      graft.operators.Dedup.editDistancePairs(
+          t(s, dir, "documents"), "doc_id", "text", maxDist = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- per-document char/token Shannon entropy (repeated-char junk
+    //      and flat-profile blob detector). ----
+    "q_entropy" -> ((s, dir) => {
+      graft.operators.CorpusStats.entropyProfile(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-source lexical diversity: distinct-n ratios n=1..3
+    //      (collapsed distinct-2/3 flags template floods). ----
+    "q_distinct_ngrams" -> ((s, dir) => {
+      graft.operators.CorpusStats.distinctNgramStats(
+          t(s, dir, "documents"), "source", "text")
+        .orderBy(col("slice"))
+    }),
+
+    // ---- blocklist screening: token-level term hits + consecutive-run
+    //      phrase hits, broadcast list, no UDF. ----
+    "q_blocklist" -> ((s, dir) => {
+      graft.operators.Blocklist.annotate(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("slow", "vector", "zzqq_absent", "slow hash", "table hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-group cap: keep the 20 largest docs per source
+    //      (deterministic n_chars DESC, doc_id tiebreak) — the C4-style
+    //      per-domain cap. ----
+    "q_cap_per_source" -> ((s, dir) => {
+      graft.operators.Sampling.capPerGroup(
+          t(s, dir, "documents"), "source", 20,
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("cap_rank"))
+        .orderBy(col("source"), col("cap_rank"))
+    }),
   )
 
   /** DuckDB-runnable oracles over the same parquet tables. Table names are
@@ -2909,5 +2973,141 @@ object SparkEntry {
         |SELECT t.doc_id, t.n, t.top_frac, d.dup_frac
         |FROM top t JOIN dup d USING (doc_id, n)
         |ORDER BY doc_id, n""".stripMargin,
+
+    // interpolated Kneser-Ney replica: D = 0.75, same <s> begin context,
+    // continuation counts over bigram TYPES, -log2 averaged and rounded 4
+    "q_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS prev, w[i] AS cur
+        |  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)
+        |  WHERE len(w) > 0),
+        |bc AS (SELECT prev, cur, count(*) AS c FROM bi GROUP BY 1, 2),
+        |pc AS (SELECT prev, count(*) AS pcnt FROM bi GROUP BY 1),
+        |np AS (SELECT prev, count(*) AS n1prev FROM bc GROUP BY 1),
+        |ncont AS (SELECT cur, count(*) AS n1cont FROM bc GROUP BY 1),
+        |tots AS (SELECT count(*) AS tt FROM bc),
+        |scored AS (
+        |  SELECT doc_id,
+        |    -log2(greatest(c - 0.75, 0) / pcnt
+        |          + 0.75 * n1prev / pcnt * (n1cont * 1.0 / tt)) AS s
+        |  FROM bi JOIN bc USING (prev, cur) JOIN pc USING (prev)
+        |    JOIN np USING (prev) JOIN ncont USING (cur) CROSS JOIN tots),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, round(avg(s), 4) AS kn_surprisal
+        |  FROM scored GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(kn_surprisal, 0.0) AS kn_surprisal
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // brute-force replica of the PassJoin-blocked operator: blocking is
+    // complete and the verify exact, so output == brute force with the
+    // implied |len diff| <= k band
+    "q_dedup_editdist" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(lower(trim(text)), 1, 120) AS h FROM documents),
+        |dd AS (SELECT doc_id, h, length(h) AS len FROM d WHERE length(h) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    levenshtein(a.h, b.h) AS dist
+        |  FROM dd a JOIN dd b ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 6)
+        |SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist
+        |FROM pairs WHERE dist <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // per-doc Shannon entropy replica: H = log2(N) - sum(c*log2 c)/N over
+    // chars of lower(trim(text)) and over whitespace tokens, rounded 4
+    "q_entropy" ->
+      """WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        |chars AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INTEGER), 1) AS s
+        |  FROM d, unnest(range(1, length(t) + 1)) AS u(i)
+        |  WHERE length(t) > 0),
+        |cc AS (SELECT doc_id, s, count(*) AS c FROM chars GROUP BY 1, 2),
+        |ce AS (SELECT doc_id, sum(c) AS n_chars,
+        |    round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS char_entropy
+        |  FROM cc GROUP BY 1),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(t, '\s+'), x -> length(x) > 0)) AS s
+        |  FROM d),
+        |tc AS (SELECT doc_id, s, count(*) AS c FROM toks GROUP BY 1, 2),
+        |te AS (SELECT doc_id, sum(c) AS n_tokens,
+        |    round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS token_entropy
+        |  FROM tc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(ce.n_chars, 0) AS n_chars,
+        |  coalesce(ce.char_entropy, 0.0) AS char_entropy,
+        |  coalesce(te.n_tokens, 0) AS n_tokens,
+        |  coalesce(te.token_entropy, 0.0) AS token_entropy
+        |FROM documents d LEFT JOIN ce USING (doc_id) LEFT JOIN te USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // distinct-n replica: positional n-grams with multiplicity, per-source
+    // distinct/total, ratios rounded 6
+    "q_distinct_ngrams" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |g1 AS (SELECT source, unnest(w) AS g FROM toks),
+        |g2 AS (SELECT source, w[i] || ' ' || w[i+1] AS g
+        |       FROM toks, unnest(range(1, len(w))) AS t(i)),
+        |g3 AS (SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |       FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
+        |s1 AS (SELECT source, count(*) AS tot, count(DISTINCT g) AS d FROM g1 GROUP BY 1),
+        |s2 AS (SELECT source, count(*) AS tot, count(DISTINCT g) AS d FROM g2 GROUP BY 1),
+        |s3 AS (SELECT source, count(*) AS tot, count(DISTINCT g) AS d FROM g3 GROUP BY 1)
+        |SELECT s1.source AS slice, s1.tot AS n_tokens,
+        |  s1.d AS distinct_1,
+        |  coalesce(s2.d, 0) AS distinct_2, coalesce(s3.d, 0) AS distinct_3,
+        |  round(s1.d * 1.0 / s1.tot, 6) AS ratio_1,
+        |  coalesce(round(s2.d * 1.0 / s2.tot, 6), 0.0) AS ratio_2,
+        |  coalesce(round(s3.d * 1.0 / s3.tot, 6), 0.0) AS ratio_3
+        |FROM s1 LEFT JOIN s2 USING (source) LEFT JOIN s3 USING (source)
+        |ORDER BY slice""".stripMargin,
+
+    // blocklist replica: same tokenizer, token IN-list for single terms,
+    // consecutive-run containment for phrases (overlapping matches)
+    "q_blocklist" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, count(*) AS term_hits, count(DISTINCT tok) AS distinct_terms
+        |  FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+        |  WHERE tok IN ('slow', 'vector', 'zzqq_absent')
+        |  GROUP BY 1),
+        |ph AS (
+        |  SELECT doc_id, count(*) AS phrase_hits
+        |  FROM (
+        |    SELECT t.doc_id
+        |    FROM toks t,
+        |      (VALUES (['slow','hash']), (['table','hash'])) p(pw),
+        |      unnest(range(1, len(t.w) - len(p.pw) + 2)) AS u(i)
+        |    WHERE t.w[i:i+len(p.pw)-1] = p.pw)
+        |  GROUP BY 1)
+        |SELECT d.doc_id, coalesce(term_hits, 0) AS term_hits,
+        |  coalesce(distinct_terms, 0) AS distinct_terms,
+        |  coalesce(phrase_hits, 0) AS phrase_hits,
+        |  (coalesce(term_hits, 0) + coalesce(phrase_hits, 0)) > 0 AS blocked
+        |FROM documents d LEFT JOIN th USING (doc_id) LEFT JOIN ph USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // per-source cap replica: row_number over (n_chars DESC, doc_id)
+    "q_cap_per_source" ->
+      """SELECT doc_id, source, n_chars, CAST(cap_rank AS INTEGER) AS cap_rank
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS cap_rank
+        |  FROM documents)
+        |WHERE cap_rank <= 20
+        |ORDER BY source, cap_rank""".stripMargin,
   )
 }

@@ -134,6 +134,109 @@ object Dedup {
         round(col("cont_b_in_a"), 6).as("cont_b_in_a"))
   }
 
+  /** Exact edit-distance near-dup pairs: (id_a, id_b, dist) with
+    * levenshtein(head_a, head_b) <= maxDist over the normalized bounded
+    * head (`substring(lower(trim(text)), 1, headLen)`) — the fixed window
+    * bounds the per-pair DP at headLen² regardless of document length,
+    * the standard trick for char-level dedup of long documents.
+    *
+    * Candidate generation is PassJoin-style pigeonhole blocking (Li, Deng,
+    * Feng: "PASS-JOIN: a partition-based method for similarity joins",
+    * VLDB 2011): split each string into maxDist+1 segments; k edits can
+    * touch at most k segments, so two strings within distance k share at
+    * least one segment VERBATIM, shifted by at most k positions. One side
+    * emits its own segments keyed by (sourceLen, segIdx, segHash); the
+    * other emits every substring a matching segment could occupy — for
+    * each candidate partner length l in [len±k], each segment slot, each
+    * start within ±k of the slot's home position. Blocking is COMPLETE
+    * (no false dismissals) and the final levenshtein check is exact, so
+    * the output equals brute force.
+    *
+    * Scale: candidates are an equi-join on (l, j, xxhash64(seg)) — 8-byte
+    * content keys, k+1 rows per doc on the segment side and
+    * O(k²·(2k+1)) ≈ bounded rows on the window side, both linear in corpus
+    * size; nothing all-pairs. Strings of length <= maxDist carry no
+    * non-trivial segment and are handled by a separate tiny-bucket join
+    * (they can only pair with strings of length <= 2·maxDist — a
+    * degenerate sliver of any real corpus). */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, headLen: Int = 120): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(headLen > 2 * maxDist, s"headLen $headLen too small for maxDist $maxDist")
+    val k = maxDist
+    val nSeg = k + 1
+    val docs = df.select(col(idCol).as("id"),
+        substring(lower(trim(col(textCol))), 1, headLen).as("h"))
+      .select(col("id"), col("h"), length(col("h")).as("len"))
+      .filter(col("len") > 0)
+    val main = docs.filter(col("len") > k)
+
+    // segment side: k+1 deterministic segments of the own head, slot j of
+    // a length-l string covering [floor(j*l/(k+1)), floor((j+1)*l/(k+1)))
+    val segStart = (j: Column, l: Column) => floor(j * l / nSeg).cast("int")
+    val segsA = main
+      .select(col("id").as("id_a"), col("h"), col("len").as("l"),
+        explode(sequence(lit(0), lit(k))).as("j"))
+      .select(col("id_a"), col("l"), col("j"),
+        segStart(col("j"), col("l")).as("s0"),
+        (segStart(col("j") + 1, col("l")) - segStart(col("j"), col("l"))).as("sl"),
+        col("h"))
+      .filter(col("sl") >= 1)
+      .select(col("id_a"), col("l"), col("j"),
+        xxhash64(expr("substring(h, s0 + 1, sl)")).as("sh"))
+
+    // window side: every substring a partner's segment could occupy —
+    // partner length l in [len-k, len+k] (and > k: shorter partners live
+    // in the tiny bucket), slot j, start within ±k of the slot's home
+    val winsB = main
+      .select(col("id").as("id_b"), col("h"), col("len"),
+        explode(sequence(greatest(col("len") - k, lit(k + 1)), col("len") + k)).as("l"))
+      .select(col("id_b"), col("h"), col("len"), col("l"),
+        explode(sequence(lit(0), lit(k))).as("j"))
+      .select(col("id_b"), col("h"), col("len"), col("l"), col("j"),
+        segStart(col("j"), col("l")).as("s0"),
+        (segStart(col("j") + 1, col("l")) - segStart(col("j"), col("l"))).as("sl"))
+      .filter(col("sl") >= 1)
+      .select(col("id_b"), col("h"), col("l"), col("j"), col("sl"),
+        explode(sequence(greatest(col("s0") - k, lit(0)),
+          least(col("len") - col("sl"), col("s0") + k))).as("s"))
+      .filter(col("s") >= 0)
+      .select(col("id_b"), col("l"), col("j"),
+        xxhash64(expr("substring(h, s + 1, sl)")).as("sh"))
+
+    val mainCand = segsA.join(winsB, Seq("l", "j", "sh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+
+    // tiny bucket: strings of length <= k match anything within distance k
+    // only among strings of length <= 2k (|len diff| <= dist). Join keyed
+    // on candidate partner LENGTH (one side fans out to its 2k+1 admissible
+    // partner lengths) — a real equi-join over that degenerate sliver, not
+    // a constant-key join Catalyst would fold into a cartesian.
+    val tinyA = docs.filter(col("len") <= k)
+      .select(col("id").as("id_a"),
+        explode(sequence(greatest(col("len") - k, lit(1)), col("len") + k)).as("lb"))
+    val tinyB = docs.filter(col("len") <= 2 * k)
+      .select(col("id").as("id_b"), col("len").as("lb"))
+    val tinyCand = tinyA.join(tinyB, "lb")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+
+    val ha = docs.select(col("id").as("id_a"), col("h").as("ha"), col("len").as("la"))
+    val hb = docs.select(col("id").as("id_b"), col("h").as("hb"), col("len").as("lb"))
+    mainCand.union(tinyCand).distinct()
+      .join(ha, "id_a").join(hb, "id_b")
+      .filter(abs(col("la") - col("lb")) <= k)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ha"), col("hb"), k).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Exact word-n-gram Jaccard similarity pairs with sim >= threshold.
     * Formulation: explode distinct shingles, self-join on shingle (only
     * docs sharing at least one shingle ever meet), aggregate intersection

@@ -192,4 +192,28 @@ object Sampling {
       .filter(col("pick_rank") <= perCell)
       .select(col("id"), col("cell"), col("pick_rank"))
   }
+
+  /** Per-group cap: keep at most `n` rows per group, ranked by the given
+    * order columns (callers append a unique id as the final tiebreak to
+    * make selection deterministic) — the C4-style per-domain cap that stops
+    * a single mega-site from dominating a web corpus.
+    *
+    * Output: the input columns plus `cap_rank` (1-based rank within the
+    * group) for the kept rows only.
+    *
+    * Scale: one window PARTITIONED by the group key — each group sorts
+    * locally after the hash partition, nothing global. Heavily-skewed
+    * groups (the mega-domain) are exactly the rows the cap discards, and
+    * the sort within a group is O(group) — for pathological single-group
+    * skew, pre-aggregate with a per-partition top-n (TakeOrdered shape)
+    * before the window; at web-corpus domain cardinalities the plain
+    * window is the right default. */
+  def capPerGroup(df: DataFrame, groupCol: String, n: Int,
+                  orderCols: Seq[Column]): DataFrame = {
+    require(n >= 1, s"cap must be >= 1, got $n")
+    require(orderCols.nonEmpty, "orderCols must not be empty")
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    df.withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= n)
+  }
 }

@@ -88,4 +88,71 @@ object UnigramLM {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
   }
+
+  /** Interpolated Kneser–Ney bigram surprisal — the standard smoothed LM
+    * the unsmoothed [[bigramSurprisal]] approximates. Absolute discount D
+    * is redistributed through the CONTINUATION distribution (how many
+    * distinct contexts a word follows), which is what separates boilerplate
+    * words that appear everywhere from topical words that appear often but
+    * in one context:
+    *
+    *   P_KN(cur|prev) = max(c(prev,cur)-D, 0)/c(prev)
+    *                  + D * N1p(prev,*)/c(prev) * N1p(*,cur)/T
+    *
+    * with N1p(prev,*) = distinct continuations of prev, N1p(*,cur) =
+    * distinct contexts of cur, T = total distinct bigram types. Self-trained
+    * on the scored corpus (every scored bigram has c >= 1), `<s>` begin
+    * context, mean -log2 P per document rounded to 4 decimals.
+    *
+    * Scale: identical shuffle shape to [[bigramSurprisal]] — all model
+    * tables are keyed by 8-byte xxhash64 of the token/pair (exact modulo
+    * ~2^-64), counts partial-aggregate map-side, the text itself never
+    * shuffles, and only T rides a single-row broadcast. The continuation
+    * table adds one extra distinct-aggregate over bigram TYPES (already a
+    * deduplicated, bounded-cardinality table), not over occurrences. */
+  def kneserNeySurprisal(df: DataFrame, idCol: String, textCol: String,
+                         discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val toks = df.select(col(idCol).as("__id"),
+      TextAnalysis.tokens(col(textCol)).as("__w"))
+    val bi = toks.filter(size(col("__w")) > 0)
+      .select(col("__id"), col("__w"),
+        posexplode(col("__w")).as(Seq("__i", "__cur")))
+      .select(col("__id"),
+        when(col("__i") === 0, lit("<s>"))
+          .otherwise(element_at(col("__w"), col("__i"))).as("__prev"),
+        col("__cur"))
+      .select(col("__id"), xxhash64(col("__prev")).as("__ph"),
+        xxhash64(col("__cur")).as("__ch"),
+        // space-joined pair key: tokens are whitespace-split so neither
+        // side can contain a space (no ("ab","c") vs ("a","bc") collision)
+        xxhash64(concat_ws(" ", col("__prev"), col("__cur"))).as("__bh"))
+    // bigram type table (one row per distinct (prev,cur)): carries the
+    // occurrence count plus both endpoint hashes for the fan-out counts
+    val btypes = bi.groupBy(col("__bh"))
+      .agg(count(lit(1)).as("__bc"),
+        first(col("__ph")).as("__tph"), first(col("__ch")).as("__tch"))
+    val pcounts = bi.groupBy(col("__ph")).agg(count(lit(1)).as("__pc"))
+    val n1prev = btypes.groupBy(col("__tph")).agg(count(lit(1)).as("__n1p"))
+    val n1cont = btypes.groupBy(col("__tch")).agg(count(lit(1)).as("__n1c"))
+    val totalTypes = btypes.agg(count(lit(1)).as("__tt"))
+    val d = lit(discount)
+    val scored = bi
+      .join(btypes.select(col("__bh"), col("__bc")), "__bh")
+      .join(pcounts, "__ph")
+      .join(n1prev.withColumnRenamed("__tph", "__ph"), "__ph")
+      .join(n1cont.withColumnRenamed("__tch", "__ch"), "__ch")
+      .crossJoin(broadcast(totalTypes))
+      .select(col("__id"),
+        (-log2(greatest(col("__bc") - d, lit(0.0)) / col("__pc") +
+          d * col("__n1p") / col("__pc") * (col("__n1c") / col("__tt"))))
+          .as("__s"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__s")), 4).as("kn_surprisal"))
+    df.select(col(idCol)).join(scored, df(idCol) === scored("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_surprisal"), lit(0.0)).as("kn_surprisal"))
+  }
 }

@@ -49,8 +49,10 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
                          // bucketed LSH variant (same oracle) is the scale
                          // path and stays BNLJ-free (asserted in DedupSpec)
     "q_unigram_surprisal", // broadcast single-row token total (tf-idf pattern)
-    "q_dsir_weights"       // two broadcast single-row frames: the (tr, tt)
+    "q_dsir_weights",      // two broadcast single-row frames: the (tr, tt)
                            // feature totals and the selection threshold
+    "q_kneser_ney"         // broadcast single-row bigram-type total
+                           // (unigram-surprisal pattern)
   )
 
   /** Queries allowed a partition-less Window: the window runs over the

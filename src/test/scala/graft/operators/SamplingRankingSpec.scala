@@ -216,4 +216,24 @@ class SamplingRankingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(out.toSet === out2.toSet)
   }
+
+  test("capPerGroup keeps the top-n per group with deterministic tiebreak") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 200L), (4L, "a", 300L),
+      (5L, "b", 50L), (6L, "c", 10L))
+      .toDF("id", "grp", "sz")
+    val out = Sampling.capPerGroup(df, "grp", 2, Seq(col("sz").desc, col("id")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    // group a: sz 300 ties between id 2 and 4 -> id ASC breaks it
+    assert(out === Set((2L, "a", 1), (4L, "a", 2), (5L, "b", 1), (6L, "c", 1)))
+    // stability under partition layout
+    val out2 = Sampling.capPerGroup(df.repartition(5), "grp", 2,
+        Seq(col("sz").desc, col("id")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    assert(out === out2)
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(df, "grp", 0, Seq(col("id")))
+    }
+  }
 }

