@@ -45,8 +45,10 @@ object SparkEntry {
     * exceed double's 2^53 mantissa, a floating divide would corrupt
     * microseconds) and TIMESTAMP(MICROS) (current testdata: arrives as
     * TIMESTAMP_NTZ natively). Handle both by schema inspection; either way
-    * downstream sees a session-TZ TimestampType column. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+    * downstream sees a session-TZ TimestampType column. (Public: specs
+    * load events through this too, so the schema adaptation has exactly
+    * one implementation.) */
+  def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -1641,6 +1643,45 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"), col("cap_rank"))
         .orderBy(col("source"), col("cap_rank"))
     }),
+
+    // ---- winnowing (MOSS) fingerprint overlap pairs ----
+    "q_dedup_winnow" -> ((s, dir) => {
+      graft.operators.Winnowing.overlapPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          k = 5, w = 4, threshold = 0.2, maxDf = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- unicode-script composition + dominant-script routing ----
+    "q_script_profile" -> ((s, dir) => {
+      graft.operators.CorpusStats.scriptProfile(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id"))
+    }),
+
+    // ---- per-source vocabulary panel: TTR / hapax / head coverage /
+    //      Zipf slope ----
+    "q_vocab_stats" -> ((s, dir) => {
+      graft.operators.CorpusStats.vocabStats(
+          t(s, dir, "documents"), "source", "text", topN = 10)
+        .orderBy(col("slice"))
+    }),
+
+    // ---- per-doc OOV rate vs the corpus top-16 token vocabulary (the
+    //      synthetic corpus vocabulary is ~31 types; 16 keeps the gate
+    //      discriminating) ----
+    "q_oov_rate" -> ((s, dir) => {
+      graft.operators.CorpusStats.oovRate(
+          t(s, dir, "documents"), "doc_id", "text", vocabSize = 16)
+        .orderBy(col("id"))
+    }),
+
+    // ---- incremental n-gram novelty (first-occurrence fraction) ----
+    "q_novelty" -> ((s, dir) => {
+      graft.operators.Dedup.noveltyScores(
+          t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy(col("id"))
+    }),
   )
 
   /** DuckDB-runnable oracles over the same parquet tables. Table names are
@@ -3109,5 +3150,159 @@ object SparkEntry {
         |  FROM documents)
         |WHERE cap_rank <= 20
         |ORDER BY source, cap_rank""".stripMargin,
+
+    // Winnowing: k=5 char-grams, window w=4, fingerprint = low 60 bits of
+    // md5; truncated-window fallback keeps docs with < w k-grams.
+    "q_dedup_winnow" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(trim(text)) AS t FROM documents
+        |  WHERE length(lower(trim(text))) >= 5),
+        |g AS (
+        |  SELECT doc_id, i AS p,
+        |    ('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)), 1, 15))::BIGINT AS h
+        |  FROM d, unnest(range(1, length(t) - 3)) AS u(i)),
+        |win AS (
+        |  SELECT doc_id, p,
+        |    count(*) OVER (PARTITION BY doc_id) AS n,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM g),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM win WHERE p <= greatest(1, n - 3)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY 1),
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM fps a JOIN rare r ON a.fp = r.fp JOIN fps b ON b.fp = a.fp
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared,
+        |  round(shared * 1.0 / least(sa.sz, sb.sz), 4) AS overlap
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE round(shared * 1.0 / least(sa.sz, sb.sz), 4) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Script classes: RE2 \p{Latin}-style == Java \p{IsLatin}-style for
+    // these scripts; 'g' flag makes regexp_replace global like Spark's.
+    "q_script_profile" ->
+      """WITH c AS (
+        |  SELECT doc_id AS id, length(text) AS n_chars,
+        |    length(text) - length(regexp_replace(text, '[\p{Latin}]', '', 'g')) AS c_latin,
+        |    length(text) - length(regexp_replace(text, '[\p{Cyrillic}]', '', 'g')) AS c_cyrillic,
+        |    length(text) - length(regexp_replace(text, '[\p{Han}]', '', 'g')) AS c_han,
+        |    length(text) - length(regexp_replace(text, '[\p{Arabic}]', '', 'g')) AS c_arabic,
+        |    length(text) - length(regexp_replace(text, '[\p{Devanagari}]', '', 'g')) AS c_devanagari,
+        |    length(text) - length(regexp_replace(text, '[\p{Greek}]', '', 'g')) AS c_greek,
+        |    length(text) - length(regexp_replace(text, '[\p{Hangul}]', '', 'g')) AS c_hangul,
+        |    length(text) - length(regexp_replace(text, '[\p{Hiragana}\p{Katakana}]', '', 'g')) AS c_kana,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS c_digit,
+        |    length(text) - length(regexp_replace(text, '[\s]', '', 'g')) AS c_space
+        |  FROM documents),
+        |m AS (
+        |  SELECT *,
+        |    greatest(c_latin, c_cyrillic, c_han, c_arabic, c_devanagari,
+        |             c_greek, c_hangul, c_kana) AS mx,
+        |    c_latin + c_cyrillic + c_han + c_arabic + c_devanagari + c_greek
+        |      + c_hangul + c_kana + c_digit + c_space AS known
+        |  FROM c)
+        |SELECT id, n_chars,
+        |  CASE WHEN n_chars > 0 THEN round(c_latin * 1.0 / n_chars, 4) ELSE 0.0 END AS latin_frac,
+        |  CASE WHEN n_chars > 0 THEN round(c_cyrillic * 1.0 / n_chars, 4) ELSE 0.0 END AS cyrillic_frac,
+        |  CASE WHEN n_chars > 0 THEN round(c_han * 1.0 / n_chars, 4) ELSE 0.0 END AS han_frac,
+        |  CASE WHEN n_chars > 0 THEN round(c_arabic * 1.0 / n_chars, 4) ELSE 0.0 END AS arabic_frac,
+        |  CASE WHEN n_chars > 0 THEN round(c_devanagari * 1.0 / n_chars, 4) ELSE 0.0 END AS devanagari_frac,
+        |  CASE WHEN n_chars > 0 THEN round(c_greek * 1.0 / n_chars, 4) ELSE 0.0 END AS greek_frac,
+        |  CASE WHEN n_chars > 0 THEN round(c_hangul * 1.0 / n_chars, 4) ELSE 0.0 END AS hangul_frac,
+        |  CASE WHEN n_chars > 0 THEN round(c_kana * 1.0 / n_chars, 4) ELSE 0.0 END AS kana_frac,
+        |  CASE WHEN n_chars > 0 THEN round(c_digit * 1.0 / n_chars, 4) ELSE 0.0 END AS digit_frac,
+        |  CASE WHEN n_chars > 0 THEN round(c_space * 1.0 / n_chars, 4) ELSE 0.0 END AS space_frac,
+        |  CASE WHEN n_chars > 0 THEN round((n_chars - known) * 1.0 / n_chars, 4) ELSE 0.0 END AS other_frac,
+        |  CASE WHEN mx <= 0 THEN 'none'
+        |       WHEN c_latin = mx THEN 'latin'
+        |       WHEN c_cyrillic = mx THEN 'cyrillic'
+        |       WHEN c_han = mx THEN 'han'
+        |       WHEN c_arabic = mx THEN 'arabic'
+        |       WHEN c_devanagari = mx THEN 'devanagari'
+        |       WHEN c_greek = mx THEN 'greek'
+        |       WHEN c_hangul = mx THEN 'hangul'
+        |       ELSE 'kana' END AS dominant_script
+        |FROM m ORDER BY id""".stripMargin,
+
+    "q_vocab_stats" ->
+      """WITH toks AS (
+        |  SELECT source AS slice,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                       x -> x <> '')) AS w
+        |  FROM documents),
+        |freq AS (SELECT slice, w, count(*) AS f FROM toks GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT slice, w, f,
+        |    row_number() OVER (PARTITION BY slice ORDER BY f DESC, w) AS r
+        |  FROM freq),
+        |agg AS (
+        |  SELECT slice,
+        |    CAST(sum(f) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    count(*) FILTER (f = 1) AS hapax,
+        |    CAST(coalesce(sum(f) FILTER (r <= 10), 0) AS BIGINT) AS head,
+        |    count(*) FILTER (r <= 1000) AS zn,
+        |    coalesce(sum(ln(r)) FILTER (r <= 1000), 0.0) AS sx,
+        |    coalesce(sum(ln(f)) FILTER (r <= 1000), 0.0) AS sy,
+        |    coalesce(sum(ln(r) * ln(f)) FILTER (r <= 1000), 0.0) AS sxy,
+        |    coalesce(sum(ln(r) * ln(r)) FILTER (r <= 1000), 0.0) AS sxx
+        |  FROM ranked GROUP BY 1)
+        |SELECT slice, n_tokens, n_types,
+        |  round(n_types * 1.0 / n_tokens, 6) AS type_token_ratio,
+        |  round(hapax * 1.0 / n_types, 6) AS hapax_frac,
+        |  round(head * 1.0 / n_tokens, 6) AS head_coverage,
+        |  CASE WHEN zn < 2 OR zn * sxx - sx * sx = 0 THEN 0.0
+        |       ELSE round((zn * sxy - sx * sy) / (zn * sxx - sx * sx), 3)
+        |  END AS zipf_slope
+        |FROM agg ORDER BY slice""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                       x -> x <> '')) AS w
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT w FROM (SELECT w, count(*) AS f FROM toks GROUP BY 1)
+        |  ORDER BY f DESC, w LIMIT 16),
+        |per AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    count(*) FILTER (v.w IS NULL) AS n_oov
+        |  FROM toks t LEFT JOIN vocab v ON t.w = v.w GROUP BY 1)
+        |SELECT d.doc_id AS id,
+        |  coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(n_oov, 0) AS n_oov,
+        |  coalesce(round(n_oov * 1.0 / n_tokens, 6), 0.0) AS oov_frac
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN per ON per.doc_id = d.doc_id
+        |ORDER BY id""".stripMargin,
+
+    "q_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT AS h
+        |  FROM d, unnest(range(1, len(w) - 1)) AS t(i)),
+        |fst AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |per AS (
+        |  SELECT s.doc_id, count(*) AS n_shingles,
+        |    count(*) FILTER (f.first_doc = s.doc_id) AS n_novel
+        |  FROM sh s JOIN fst f ON s.h = f.h GROUP BY 1)
+        |SELECT doc.doc_id AS id,
+        |  coalesce(n_shingles, 0) AS n_shingles,
+        |  coalesce(n_novel, 0) AS n_novel,
+        |  coalesce(round(n_novel * 1.0 / n_shingles, 6), 1.0) AS novelty
+        |FROM (SELECT DISTINCT doc_id FROM documents) doc
+        |LEFT JOIN per ON per.doc_id = doc.doc_id
+        |ORDER BY id""".stripMargin,
   )
 }

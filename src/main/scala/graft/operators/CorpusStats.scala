@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -107,5 +108,138 @@ object CorpusStats {
         round(coalesce(col("1_d") / col("1_tot"), lit(0.0)), 6).as("ratio_1"),
         round(coalesce(col("2_d") / col("2_tot"), lit(0.0)), 6).as("ratio_2"),
         round(coalesce(col("3_d") / col("3_tot"), lit(0.0)), 6).as("ratio_3"))
+  }
+
+  /** Unicode-script composition per document: the fraction of characters
+    * in each major script, plus digits/whitespace/other, and the dominant
+    * script — the cheap language-family router multilingual pipelines run
+    * before (or instead of) n-gram language ID. Kana (Hiragana+Katakana)
+    * is reported as one bucket, as language routing treats them together.
+    *
+    * Output: (id, n_chars, latin_frac, cyrillic_frac, han_frac,
+    * arabic_frac, devanagari_frac, greek_frac, hangul_frac, kana_frac,
+    * digit_frac, space_frac, other_frac, dominant_script). Fractions are
+    * over n_chars (code points), rounded to 4; empty docs are all-zero
+    * with dominant 'none'. Dominant ties break by the fixed priority
+    * order latin > cyrillic > han > arabic > devanagari > greek > hangul
+    * > kana (deterministic).
+    *
+    * Scale: entirely row-local regexp counting — scan-speed bound, no
+    * shuffle at all; the per-script count is length(t) minus the length
+    * with that script class removed (no explode, no per-char rows). */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col("__t")
+    def cnt(clazz: String) =
+      length(t) - length(regexp_replace(t, clazz, ""))
+    // (name, Java regex class); DuckDB RE2 equivalents use \p{Latin} etc.
+    val scripts = Seq(
+      "latin" -> "[\\p{IsLatin}]", "cyrillic" -> "[\\p{IsCyrillic}]",
+      "han" -> "[\\p{IsHan}]", "arabic" -> "[\\p{IsArabic}]",
+      "devanagari" -> "[\\p{IsDevanagari}]", "greek" -> "[\\p{IsGreek}]",
+      "hangul" -> "[\\p{IsHangul}]",
+      "kana" -> "[\\p{IsHiragana}\\p{IsKatakana}]")
+    val counted = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .select(col("id") +: length(t).as("n_chars") +:
+        scripts.map { case (n, c) => cnt(c).as(s"__c_$n") } :+
+        cnt("[0-9]").as("__c_digit") :+ cnt("[\\s]").as("__c_space"): _*)
+    val scriptCnts = scripts.map { case (n, _) => col(s"__c_$n") }
+    val known = scriptCnts.reduce(_ + _) + col("__c_digit") + col("__c_space")
+    val m = greatest(scriptCnts: _*)
+    val dominant = when(coalesce(m, lit(0L)) <= 0, lit("none"))
+      .otherwise(scripts.foldRight(lit("none")) { case ((n, _), acc) =>
+        when(col(s"__c_$n") === m, lit(n)).otherwise(acc)
+      })
+    def frac(c: org.apache.spark.sql.Column) =
+      when(col("n_chars") > 0, round(c / col("n_chars"), 4)).otherwise(lit(0.0))
+    counted.select(
+      col("id") +: coalesce(col("n_chars"), lit(0L)).as("n_chars") +:
+        scripts.map { case (n, _) => frac(col(s"__c_$n")).as(s"${n}_frac") } :+
+        frac(col("__c_digit")).as("digit_frac") :+
+        frac(col("__c_space")).as("space_frac") :+
+        frac(col("n_chars") - known).as("other_frac") :+
+        dominant.as("dominant_script"): _*)
+  }
+
+  /** Per-slice vocabulary statistics: token/type counts, type-token
+    * ratio, hapax fraction, top-`topN` head coverage, and the Zipf slope — the
+    * corpus-health panel that catches template floods (collapsed TTR),
+    * OCR noise (inflated hapax fraction), and unnatural frequency
+    * profiles (slope far from −1).
+    *
+    * Output per slice: (slice, n_tokens, n_types, type_token_ratio,
+    * hapax_frac, head_coverage, zipf_slope). zipf_slope is the OLS
+    * slope of ln(freq) on ln(rank) over the top-`slopeN` ranks (rank by
+    * freq desc, token asc — deterministic), rounded to 3; slices with
+    * fewer than 2 ranked types report 0.0.
+    *
+    * Scale: one (slice, token) partial-aggregated count — tokens shuffle
+    * once as short strings (the rank tie-break needs them); everything
+    * after is per-slice over at most vocabulary-size rows, and the window
+    * rank partitions by slice over type counts, not corpus size. */
+  def vocabStats(df: DataFrame, sliceCol: String, textCol: String,
+                 topN: Int = 100, slopeN: Int = 1000): DataFrame = {
+    val freq = df.select(col(sliceCol).as("slice"),
+        explode(TextAnalysis.tokens(lower(trim(col(textCol))))).as("__w"))
+      .groupBy(col("slice"), col("__w"))
+      .agg(count(lit(1)).as("__f"))
+    val ranked = freq.withColumn("__r",
+      row_number().over(Window.partitionBy(col("slice"))
+        .orderBy(col("__f").desc, col("__w").asc)))
+    val x = log(col("__r").cast("double"))
+    val y = log(col("__f").cast("double"))
+    ranked.groupBy(col("slice"))
+      .agg(
+        sum(col("__f")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__f") === 1, 1L).otherwise(0L)).as("__hapax"),
+        sum(when(col("__r") <= topN, col("__f")).otherwise(0L)).as("__head"),
+        count(when(col("__r") <= slopeN, 1)).as("__zn"),
+        sum(when(col("__r") <= slopeN, x).otherwise(lit(0.0))).as("__sx"),
+        sum(when(col("__r") <= slopeN, y).otherwise(lit(0.0))).as("__sy"),
+        sum(when(col("__r") <= slopeN, x * y).otherwise(lit(0.0))).as("__sxy"),
+        sum(when(col("__r") <= slopeN, x * x).otherwise(lit(0.0))).as("__sxx"))
+      .select(col("slice"), col("n_tokens"), col("n_types"),
+        round(col("n_types") / col("n_tokens"), 6).as("type_token_ratio"),
+        round(col("__hapax") / col("n_types"), 6).as("hapax_frac"),
+        round(col("__head") / col("n_tokens"), 6).as("head_coverage"),
+        when(col("__zn") < 2 ||
+            col("__zn") * col("__sxx") - col("__sx") * col("__sx") === 0.0,
+            lit(0.0))
+          .otherwise(round(
+            (col("__zn") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("__zn") * col("__sxx") - col("__sx") * col("__sx")), 3))
+          .as("zipf_slope"))
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-`vocabSize` token vocabulary (rank by global frequency desc,
+    * token asc — deterministic). The standard proxy for "how much of
+    * this document will a fixed word vocabulary fail to cover" and a
+    * junk detector in its own right (gibberish → OOV ≈ 1).
+    *
+    * Output: (id, n_tokens, n_oov, oov_frac rounded to 6); token-less
+    * documents report (0, 0, 0.0).
+    *
+    * Scale: the vocabulary is vocabSize rows — broadcast; the per-token
+    * membership test is a broadcast left join at scan speed, and only
+    * (id, flag) rows aggregate. Text never shuffles. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int = 256): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(lower(trim(col(textCol))))).as("__w"))
+    val vocab = toks.groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("__w").asc)
+      .limit(vocabSize)
+      .select(col("__w").as("__v"), lit(1).as("__in"))
+    val flagged = toks.join(broadcast(vocab), toks("__w") === vocab("__v"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, 1)).as("n_oov"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(flagged, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(round(col("n_oov") / col("n_tokens"), 6), lit(0.0)).as("oov_frac"))
   }
 }

@@ -686,4 +686,43 @@ object Dedup {
             filter(col("_lines"), (l, i) => !array_contains(col("_drop"), i)), "\n")))
       .drop("_lines", "_id", "_drop")
   }
+
+  /** Incremental n-gram novelty: score each document by the fraction of
+    * its DISTINCT word n-grams whose FIRST corpus occurrence (minimum
+    * `idCol` over all documents containing the n-gram) is this document.
+    * With ids as ingestion order this is the "how much new text does this
+    * document add" signal used for novelty-ordered training curricula and
+    * crawl-frontier pruning — late near-copies of earlier documents score
+    * near 0, fresh content near 1.
+    *
+    * Output: (id, n_shingles, n_novel, novelty) — novelty rounded to 6;
+    * documents with no n-grams (fewer than n tokens) report (0, 0, 1.0):
+    * nothing in them has been seen before.
+    *
+    * The n-gram key is the low 60 bits of md5 (value-exact in SQL
+    * oracles); collisions (2^-60) only ever mark a novel n-gram as seen.
+    *
+    * Scale: distinct per-doc shingles shuffle once as (8-byte hash, id)
+    * pairs for the min-id aggregate, then once more (hash-keyed) for the
+    * join back — text never shuffles, and both aggregates are partial
+    * (map-side) first. This is the exact-dedup shuffle shape, not a
+    * self-join: cost is linear in total distinct shingle occurrences. */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.wordShingles(lower(trim(col(textCol))), n)).as("__g"))
+      .select(col("id"),
+        conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long").as("__h"))
+    val firstSeen = sh.groupBy(col("__h")).agg(min(col("id")).as("__first"))
+    val scored = sh.join(firstSeen, "__h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("__first") === col("id"), 1)).as("n_novel"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(round(col("n_novel") / col("n_shingles"), 6), lit(1.0)).as("novelty"))
+  }
 }

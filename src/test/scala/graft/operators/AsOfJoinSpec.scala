@@ -100,8 +100,7 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("matches a window-function reference implementation on real events") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
-    val ev = spark2.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = graft.SparkEntry.events(spark2, "/root/testdata/sf0.001")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("ts"), col("user_id"))
     val views = ev.filter(col("event_type").isin("click", "view"))

@@ -397,4 +397,39 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) === (("a\n\nb", 0L)))
     assert(out(3L) === (("e\n\nf", 0L)))
   }
+
+  test("noveltyScores: first occurrence wins, copies score 0, short docs 1.0") {
+    val df = docs(
+      1L -> "alpha beta gamma delta",          // 2 distinct trigrams, all first
+      2L -> "alpha beta gamma delta",          // exact copy -> novelty 0
+      3L -> "alpha beta gamma epsilon zeta",   // trigram 1 seen, 2 new -> 2/3
+      4L -> "one two",                         // < 3 tokens -> no trigrams -> 1.0
+      5L -> "wholly new content entirely here")
+    val out = Dedup.noveltyScores(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 2L, 1.0)))
+    assert(out(2L) === ((2L, 0L, 0.0)))
+    assert(out(3L) === ((3L, 2L, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(out(4L) === ((0L, 0L, 1.0)))
+    assert(out(5L) === ((3L, 3L, 1.0)))
+  }
+
+  test("noveltyScores: repeated trigram within one doc counts once (distinct)") {
+    val df = docs(
+      1L -> "x y z x y z x y z")  // trigrams distinct: {x y z, y z x, z x y}
+    val r = Dedup.noveltyScores(df, "doc_id", "text", n = 3).collect().head
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(2) === 3L)
+  }
+
+  test("noveltyScores: ordering is by id — the lower id owns shared text") {
+    val df = docs(
+      10L -> "shared trigram content here",
+      2L -> "shared trigram content here")
+    val out = Dedup.noveltyScores(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(2L) === 1.0)
+    assert(out(10L) === 0.0)
+  }
 }

@@ -50,13 +50,27 @@ class SeqFileStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       writeFile(dir, "c.seq", 1500, 250)
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       var n = 0L
+      var polls = 0
       while (n != 1750L && System.nanoTime() < deadline) {
         q.processAllAvailable()
         n = spark.table("seqstream").head().getLong(0)
+        polls += 1
         if (n != 1750L) Thread.sleep(100)
       }
       val r2 = spark.table("seqstream").head()
-      assert(r2.getLong(0) === 1750L)
+      // One full-suite flake (r7, r8) showed the source polling ~50x/s for
+      // the whole window without ever surfacing c.seq, while the same test
+      // passes in isolation — if it recurs, record which side is stuck:
+      // the OS directory contents vs what the source's persisted log holds.
+      def diag(): String = {
+        val osFiles = Option(dir.toFile.listFiles()).map(_.map(f =>
+          s"${f.getName}:${f.length()}").sorted.mkString(",")).getOrElse("<unlistable>")
+        val ckLog = try
+          s"lastProgress=${Option(q.lastProgress).map(_.json).getOrElse("none")}"
+        catch { case e: Exception => s"progress unavailable: $e" }
+        s"after $polls polls: dir=[$osFiles] $ckLog"
+      }
+      assert(r2.getLong(0) === 1750L, diag())
       assert(r2.getLong(1) === (0L until 1750L).sum)
     } finally q.stop()
   }

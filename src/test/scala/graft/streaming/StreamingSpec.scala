@@ -193,8 +193,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("file-based streaming over events parquet: stream count == batch count") {
     // copy a slice of the real events table into a dir and stream it
     import spark.implicits._
-    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val src = graft.SparkEntry.events(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     src.write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema(src.schema).parquet(dir)
