@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
 
-import graft.operators.{Chunking, ConnectedComponents, Dedup, ImportanceSampling, PqIndex, SimilaritySearch, TextRanking}
+import graft.operators.{Chunking, ConnectedComponents, CorpusStats, Dedup, ImportanceSampling, PqIndex, SimilaritySearch, TextRanking, Winnowing}
 
 /** SQL-invocable TABLE functions for the operator suite — the pure-SQL seat
   * (a JDBC/SQL-client user who never touches the Scala API) can run the
@@ -137,5 +137,44 @@ object GraftTableFunctions {
       plan(ImportanceSampling.dsirResample(table(strLit(args(0), "table")),
         strLit(args(1), "idCol"), strLit(args(2), "textCol"),
         expr(strLit(args(3), "targetPredicate")), intLit(args(4), "n"))))
+
+    // winnowing (MOSS) fingerprint overlap pairs
+    // -> (id_a, id_b, shared, overlap)
+    registerTable("graft_winnow_pairs", Seq(3, 7), args =>
+      plan(if (args.length == 3)
+        Winnowing.overlapPairs(table(strLit(args(0), "table")),
+          strLit(args(1), "idCol"), strLit(args(2), "textCol"))
+      else
+        Winnowing.overlapPairs(table(strLit(args(0), "table")),
+          strLit(args(1), "idCol"), strLit(args(2), "textCol"),
+          intLit(args(3), "k"), intLit(args(4), "w"),
+          doubleLit(args(5), "threshold"), intLit(args(6), "maxDf"))))
+
+    // unicode-script composition per document -> fractions + dominant
+    registerTable("graft_script_profile", Seq(3), args =>
+      plan(CorpusStats.scriptProfile(table(strLit(args(0), "table")),
+        strLit(args(1), "idCol"), strLit(args(2), "textCol"))))
+
+    // per-slice vocabulary panel -> TTR / hapax / head coverage / Zipf
+    registerTable("graft_vocab_stats", Seq(3, 5), args =>
+      plan(if (args.length == 3)
+        CorpusStats.vocabStats(table(strLit(args(0), "table")),
+          strLit(args(1), "sliceCol"), strLit(args(2), "textCol"))
+      else
+        CorpusStats.vocabStats(table(strLit(args(0), "table")),
+          strLit(args(1), "sliceCol"), strLit(args(2), "textCol"),
+          intLit(args(3), "topN"), intLit(args(4), "slopeN"))))
+
+    // per-doc OOV rate vs the corpus top-V token vocabulary
+    registerTable("graft_oov_rate", Seq(4), args =>
+      plan(CorpusStats.oovRate(table(strLit(args(0), "table")),
+        strLit(args(1), "idCol"), strLit(args(2), "textCol"),
+        intLit(args(3), "vocabSize"))))
+
+    // incremental n-gram novelty -> (id, n_shingles, n_novel, novelty)
+    registerTable("graft_novelty", Seq(4), args =>
+      plan(Dedup.noveltyScores(table(strLit(args(0), "table")),
+        strLit(args(1), "idCol"), strLit(args(2), "textCol"),
+        intLit(args(3), "n"))))
   }
 }

@@ -170,6 +170,33 @@ class GraftSqlTableFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.toSeq === viaApi.toSeq)
   }
 
+  test("round-8 corpus-stat TVFs match their Scala twins byte for byte") {
+    docs
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      ("SELECT * FROM graft_winnow_pairs('docs','doc_id','text',5,4,0.2,64) ORDER BY id_a, id_b",
+        graft.operators.Winnowing.overlapPairs(docs, "doc_id", "text", 5, 4, 0.2, 64)
+          .orderBy("id_a", "id_b")),
+      ("SELECT * FROM graft_script_profile('docs','doc_id','text') ORDER BY id",
+        graft.operators.CorpusStats.scriptProfile(docs, "doc_id", "text").orderBy("id")),
+      ("SELECT * FROM graft_vocab_stats('docs','source','text',10,1000) ORDER BY slice",
+        graft.operators.CorpusStats.vocabStats(docs, "source", "text", 10, 1000)
+          .orderBy("slice")),
+      ("SELECT * FROM graft_oov_rate('docs','doc_id','text',16) ORDER BY id",
+        graft.operators.CorpusStats.oovRate(docs, "doc_id", "text", 16).orderBy("id")),
+      ("SELECT * FROM graft_novelty('docs','doc_id','text',3) ORDER BY id",
+        graft.operators.Dedup.noveltyScores(docs, "doc_id", "text", 3).orderBy("id")))
+    for ((sql, api) <- cases) {
+      val viaSql = spark.sql(sql).collect().map(_.toString).toSeq
+      val viaApi = api.collect().map(_.toString).toSeq
+      assert(viaSql === viaApi && viaSql.nonEmpty, sql)
+    }
+    // default-arity variants resolve too
+    assert(spark.sql("SELECT * FROM graft_winnow_pairs('docs','doc_id','text')")
+      .columns.toSeq === Seq("id_a", "id_b", "shared", "overlap"))
+    assert(spark.sql("SELECT * FROM graft_vocab_stats('docs','source','text')")
+      .columns.contains("zipf_slope"))
+  }
+
   test("literal-argument validation fails loudly, not silently") {
     docs
     val e = intercept[Exception](spark.sql(
