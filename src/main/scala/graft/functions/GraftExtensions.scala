@@ -53,6 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Gopher repetition fractions → [top_ngram_char_frac, dup_ngram_char_frac]
     register("graft_repetition_fracs", Seq(2), args =>
       RepetitionFracs(args.head, intLit(args(1), "n")))
+    // Winnowing fingerprint hash array (distinct window minima)
+    register("graft_winnow_fps", Seq(3), args =>
+      WinnowFingerprints(args.head, intLit(args(1), "k"), intLit(args(2), "w")))
     // UDTF: LATERAL VIEW graft_repetition_rows(text, 2, 10) → one
     // (n, top_frac, dup_frac) row per n — single tokenization pass
     register("graft_repetition_rows", Seq(3), args =>

@@ -393,4 +393,65 @@ object HashKernels {
     }
     a.length - i < b.length - j
   }
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, MOSS) as
+    * one row-local pass: code-point k-grams of lower(trim(text)), each
+    * hashed to the LOW 60 BITS OF MD5 (== `conv(substring(md5(g),1,15),
+    * 16,10)` — 15 hex digits are the top 60 bits of the first 8 digest
+    * bytes), sliding-window minima over `w` consecutive hashes (window
+    * starts 1..max(1, n-w+1); the last window truncates at the array end,
+    * so docs with fewer than w k-grams keep one whole-doc window), then
+    * first-occurrence-ordered distinct. A pure-Column formulation of the
+    * same math exists but is optimizer-fragile: CollapseProject inlines
+    * the gram-array alias into the per-window lambda and re-hashes the
+    * whole document once per window (measured 290x overcompute at 10x
+    * bench scale). */
+  def winnowFpsOf(s: UTF8String, k: Int, w: Int): ArrayData = {
+    // UTF-8 bytes of lower(trim(text)); k-grams are code-point slices, so
+    // record each code point's byte offset once (UTF-8 lead bytes) and md5
+    // byte ranges directly — no per-gram String/byte[] allocation.
+    val bytes = s.trim().toLowerCase.getBytes
+    val nBytes = bytes.length
+    var nCp = 0
+    var b = 0
+    while (b < nBytes) { if ((bytes(b) & 0xc0) != 0x80) nCp += 1; b += 1 }
+    val n = nCp - (k - 1)
+    if (n < 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[AnyRef](0))
+    val starts = new Array[Int](nCp + 1)
+    var c = 0
+    b = 0
+    while (b < nBytes) { if ((bytes(b) & 0xc0) != 0x80) { starts(c) = b; c += 1 }; b += 1 }
+    starts(c) = nBytes
+    val md = md5Local.get()
+    val hashes = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      md.reset()
+      md.update(bytes, starts(p), starts(p + k) - starts(p))
+      val d = md.digest()
+      hashes(p) = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      p += 1
+    }
+    val out = new java.util.LinkedHashSet[AnyRef]()
+    val nw = math.max(1, n - w + 1)
+    var st = 0
+    while (st < nw) {
+      var m = hashes(st)
+      var q = st + 1
+      val end = math.min(st + w, n)
+      while (q < end) { if (hashes(q) < m) m = hashes(q); q += 1 }
+      out.add(java.lang.Long.valueOf(m))
+      st += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
 }

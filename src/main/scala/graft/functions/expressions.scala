@@ -199,6 +199,26 @@ case class RepetitionFracs(child: Expression, n: Int) extends UnaryExpression {
 /** Unicode normalization pre-pass (NFC + control/zero-width strip +
   * whitespace collapse) — see HashKernels.normalizeText for the exact
   * oracle-replicated contract. Row-local, codegen'd. */
+/** Winnowing (MOSS) fingerprint hashes of the text — array of the distinct
+  * sliding-window minima over md5-60bit code-point k-gram hashes (see
+  * HashKernels.winnowFpsOf for the exact selection contract). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps expects STRING, got ${child.dataType.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.winnowFpsOf(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.winnowFpsOf($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
 case class NormalizeText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def checkInputDataTypes() = {
@@ -293,6 +313,8 @@ object expressions {
     ColumnBridge.column(RepetitionProfileGen(ColumnBridge.expression(c), minN, maxN))
   def normalize_text(c: Column): Column =
     ColumnBridge.column(NormalizeText(ColumnBridge.expression(c)))
+  def winnow_fps(c: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w))
   /** Generator column: one (pos, shingle) row per NON-distinct word n-gram
     * (use in a select like explode; WordShingles dedupes, this keeps
     * multiplicity). */

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
@@ -22,9 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object Winnowing {
 
-  private def hash60(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
   /** Distinct winnowing fingerprint hashes per document:
     * (id, fp) — one row per distinct selected hash.
     *
@@ -35,30 +31,21 @@ object Winnowing {
     * with at least one k-gram has at least one fingerprint. Documents
     * shorter than k characters (after lower+trim) produce no rows.
     *
-    * Scale: the window min is a per-document sort — documents are the
-    * partition key, so this parallelizes per-doc and the sorted width is
-    * one document's k-gram count. Output is the 2/(w+1)-dense distinct
-    * hash set; everything downstream handles only 16-byte rows. */
+    * Scale: selection is entirely ROW-LOCAL — one codegen kernel pass per
+    * document (graft.functions.HashKernels.winnowFpsOf) computes the
+    * k-gram hash array, the sliding-window minima, and the distinct set
+    * with zero per-position rows, shuffles, or sorts. The first shuffle
+    * anything downstream sees is over the 2/(w+1)-dense (id, 8-byte hash)
+    * output. Two rejected formulations, both value-identical: a window
+    * function over exploded per-k-gram rows (pays a 15M-row partition
+    * sort at 10x bench scale), and a pure array-expression pipeline
+    * (optimizer-fragile — CollapseProject inlines the gram-array alias
+    * into the per-window lambda and re-hashes the whole document once
+    * per window; measured ~300x overcompute). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 5, w: Int = 4): DataFrame = {
-    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
-    val norm = df.select(col(idCol).as("id"),
-        lower(trim(col(textCol))).as("__t"))
-      .filter(length(col("__t")) >= k)
-    val grams = norm.select(col("id"),
-        posexplode(transform(sequence(lit(1), length(col("__t")) - (k - 1)),
-          i => col("__t").substr(i, lit(k)))))
-      .select(col("id"), (col("pos") + 1).as("__p"), hash60(col("col")).as("__h"))
-    val byDoc = Window.partitionBy(col("id"))
-    val frame = Window.partitionBy(col("id")).orderBy(col("__p"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams.select(col("id"), col("__p"),
-        count(lit(1)).over(byDoc).as("__n"),
-        min(col("__h")).over(frame).as("fp"))
-      .filter(col("__p") <= greatest(lit(1), col("__n") - (w - 1)))
-      .select(col("id"), col("fp"))
-      .distinct()
-  }
+                   k: Int = 5, w: Int = 4): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.expressions.winnow_fps(col(textCol), k, w)).as("fp"))
 
   /** Document pairs whose winnowing fingerprint sets overlap:
     * (id_a, id_b, shared, overlap) with id_a < id_b and
