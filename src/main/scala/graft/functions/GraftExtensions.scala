@@ -56,6 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Winnowing fingerprint hash array (distinct window minima)
     register("graft_winnow_fps", Seq(3), args =>
       WinnowFingerprints(args.head, intLit(args(1), "k"), intLit(args(2), "w")))
+    // Unicode-script counts: [latin, cyrillic, han, arabic, devanagari,
+    // greek, hangul, kana, digit, space, total]
+    register("graft_script_counts", Seq(1), args => ScriptCounts(args.head))
     // UDTF: LATERAL VIEW graft_repetition_rows(text, 2, 10) → one
     // (n, top_frac, dup_frac) row per n — single tokenization pass
     register("graft_repetition_rows", Seq(3), args =>

@@ -394,6 +394,42 @@ object HashKernels {
     a.length - i < b.length - j
   }
 
+  /** Unicode-script classification counts in ONE code-point pass:
+    * [latin, cyrillic, han, arabic, devanagari, greek, hangul, kana,
+    * digit, space, total]. Bucket definitions are exactly the regex
+    * classes the oracle uses — \p{IsX} == Character.UnicodeScript.X,
+    * kana = Hiragana|Katakana, digit = [0-9], space = Java \s
+    * ([ \t\n\x0B\f\r]); ASCII digits/whitespace are script COMMON, so the
+    * buckets never overlap and each equals its standalone regex count.
+    * Replaces 11 full regexp_replace passes per document (linear but
+    * 10x the constant factor at bench scale). */
+  def scriptCountsOf(s: UTF8String): ArrayData = {
+    import java.lang.Character.UnicodeScript
+    val t = s.toString
+    val counts = new Array[Long](11)
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      counts(10) += 1
+      if (cp >= '0' && cp <= '9') counts(8) += 1
+      else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+               cp == '\f' || cp == '\r') counts(9) += 1
+      else UnicodeScript.of(cp) match {
+        case UnicodeScript.LATIN      => counts(0) += 1
+        case UnicodeScript.CYRILLIC   => counts(1) += 1
+        case UnicodeScript.HAN        => counts(2) += 1
+        case UnicodeScript.ARABIC     => counts(3) += 1
+        case UnicodeScript.DEVANAGARI => counts(4) += 1
+        case UnicodeScript.GREEK      => counts(5) += 1
+        case UnicodeScript.HANGUL     => counts(6) += 1
+        case UnicodeScript.HIRAGANA | UnicodeScript.KATAKANA => counts(7) += 1
+        case _ => ()
+      }
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
   private val md5Local =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))

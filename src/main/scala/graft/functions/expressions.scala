@@ -199,6 +199,24 @@ case class RepetitionFracs(child: Expression, n: Int) extends UnaryExpression {
 /** Unicode normalization pre-pass (NFC + control/zero-width strip +
   * whitespace collapse) — see HashKernels.normalizeText for the exact
   * oracle-replicated contract. Row-local, codegen'd. */
+/** Unicode-script classification counts of the text in one pass:
+  * [latin, cyrillic, han, arabic, devanagari, greek, hangul, kana, digit,
+  * space, total] (see HashKernels.scriptCountsOf for bucket contracts). */
+case class ScriptCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"script_counts expects STRING, got ${child.dataType.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.scriptCountsOf(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.scriptCountsOf($c)")
+  override protected def withNewChildInternal(c: Expression): ScriptCounts =
+    copy(child = c)
+}
+
 /** Winnowing (MOSS) fingerprint hashes of the text — array of the distinct
   * sliding-window minima over md5-60bit code-point k-gram hashes (see
   * HashKernels.winnowFpsOf for the exact selection contract). */
@@ -315,6 +333,8 @@ object expressions {
     ColumnBridge.column(NormalizeText(ColumnBridge.expression(c)))
   def winnow_fps(c: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w))
+  def script_counts(c: Column): Column =
+    ColumnBridge.column(ScriptCounts(ColumnBridge.expression(c)))
   /** Generator column: one (pos, shingle) row per NON-distinct word n-gram
     * (use in a select like explode; WordShingles dedupes, this keeps
     * multiplicity). */

@@ -124,36 +124,34 @@ object CorpusStats {
     * order latin > cyrillic > han > arabic > devanagari > greek > hangul
     * > kana (deterministic).
     *
-    * Scale: entirely row-local regexp counting — scan-speed bound, no
-    * shuffle at all; the per-script count is length(t) minus the length
-    * with that script class removed (no explode, no per-char rows). */
+    * Scale: entirely row-local — ONE code-point classification pass per
+    * document (graft.functions.HashKernels.scriptCountsOf, codegen), no
+    * shuffle, no explode. The kernel's buckets are definitionally equal
+    * to the oracle's standalone regex-class counts (\p{IsX} ==
+    * UnicodeScript.X; ASCII digits/whitespace are script Common, so
+    * buckets never overlap); an 11-regexp_replace formulation measured
+    * ~10x the constant factor at bench scale. */
   def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col("__t")
-    def cnt(clazz: String) =
-      length(t) - length(regexp_replace(t, clazz, ""))
-    // (name, Java regex class); DuckDB RE2 equivalents use \p{Latin} etc.
-    val scripts = Seq(
-      "latin" -> "[\\p{IsLatin}]", "cyrillic" -> "[\\p{IsCyrillic}]",
-      "han" -> "[\\p{IsHan}]", "arabic" -> "[\\p{IsArabic}]",
-      "devanagari" -> "[\\p{IsDevanagari}]", "greek" -> "[\\p{IsGreek}]",
-      "hangul" -> "[\\p{IsHangul}]",
-      "kana" -> "[\\p{IsHiragana}\\p{IsKatakana}]")
-    val counted = df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .select(col("id") +: length(t).as("n_chars") +:
-        scripts.map { case (n, c) => cnt(c).as(s"__c_$n") } :+
-        cnt("[0-9]").as("__c_digit") :+ cnt("[\\s]").as("__c_space"): _*)
-    val scriptCnts = scripts.map { case (n, _) => col(s"__c_$n") }
+    val scripts = Seq("latin", "cyrillic", "han", "arabic", "devanagari",
+      "greek", "hangul", "kana")
+    // kernel layout: [8 scripts..., digit(8), space(9), total(10)]
+    val counted = df.select(col(idCol).as("id"),
+        graft.functions.expressions.script_counts(col(textCol)).as("__sc"))
+      .select(col("id") +: col("__sc")(10).as("n_chars") +:
+        scripts.zipWithIndex.map { case (n, i) => col("__sc")(i).as(s"__c_$n") } :+
+        col("__sc")(8).as("__c_digit") :+ col("__sc")(9).as("__c_space"): _*)
+    val scriptCnts = scripts.map(n => col(s"__c_$n"))
     val known = scriptCnts.reduce(_ + _) + col("__c_digit") + col("__c_space")
     val m = greatest(scriptCnts: _*)
     val dominant = when(coalesce(m, lit(0L)) <= 0, lit("none"))
-      .otherwise(scripts.foldRight(lit("none")) { case ((n, _), acc) =>
+      .otherwise(scripts.foldRight(lit("none")) { case (n, acc) =>
         when(col(s"__c_$n") === m, lit(n)).otherwise(acc)
       })
     def frac(c: org.apache.spark.sql.Column) =
       when(col("n_chars") > 0, round(c / col("n_chars"), 4)).otherwise(lit(0.0))
     counted.select(
       col("id") +: coalesce(col("n_chars"), lit(0L)).as("n_chars") +:
-        scripts.map { case (n, _) => frac(col(s"__c_$n")).as(s"${n}_frac") } :+
+        scripts.map(n => frac(col(s"__c_$n")).as(s"${n}_frac")) :+
         frac(col("__c_digit")).as("digit_frac") :+
         frac(col("__c_space")).as("space_frac") :+
         frac(col("n_chars") - known).as("other_frac") :+

@@ -30,7 +30,10 @@ object DumpPlans extends App {
     "q_dedup_semantic" -> "broadcast-centroid assignment, within-cluster pairs repartitioned by cluster",
     "q_phrase_search" -> "phrase terms broadcast into the token stream; one length-agnostic anchor aggregate",
     "q_dsir_weights" -> "one corpus n-gram pass; bucket stats re-aggregate partials and broadcast back",
-    "q_repetition_ngrams" -> "row-local codegen repetition kernel: quality metrics at scan speed, zero text shuffle")
+    "q_repetition_ngrams" -> "row-local codegen repetition kernel: quality metrics at scan speed, zero text shuffle",
+    "q_dedup_winnow" -> "row-local winnow-fingerprint kernel, df-capped 8-byte hash self-join",
+    "q_novelty" -> "first-occurrence min-id over shingle hashes; text never shuffles",
+    "q_script_profile" -> "one-pass script-classification kernel: whole profile at scan speed")
   val sb = new StringBuilder
   sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
   sb.append("GENERATED artifact — regenerate with `sbt \"runMain graft.tools.DumpPlans\"`.\n")
