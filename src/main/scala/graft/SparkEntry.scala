@@ -752,6 +752,27 @@ object SparkEntry {
       qty.join(price, "l_returnflag").orderBy(col("l_returnflag"))
     }),
 
+    // ---- mergeable quantile SKETCH (KLL, deterministic compaction):
+    //      the 100 TB complement to q_percentiles — fixed O(k·log n) state
+    //      per group rides the partial-agg path, so a hot group never
+    //      requires sorting its values. Estimates carry a RANK bound, not
+    //      a value bound → no SQL oracle; Verify measures the realized
+    //      rank error vs the exact column into the evidence file, and
+    //      KllQuantileAggSpec asserts the bound on adversarial orders. ----
+    "q_quantile_sketch" -> ((s, dir) => {
+      val kll = udaf(new graft.functions.KllQuantileAgg(
+        k = 800, qs = Array(0.5, 0.9, 0.99)))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          kll(col("l_extendedprice").cast("double")).as("est"))
+        .select(col("l_returnflag"), col("n"),
+          element_at(col("est"), 1).as("p50_est"),
+          element_at(col("est"), 2).as("p90_est"),
+          element_at(col("est"), 3).as("p99_est"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- array ops: per-dimension embedding statistics ----
     "q_array_positions" -> ((s, dir) => {
       t(s, dir, "embeddings")

@@ -217,6 +217,26 @@ object Verify {
         .agg(avg(col("quality_score"))).head().getDouble(0)
       f"""{"metric":"holdout_auc","value":${m.holdoutAuc}%.4f,"clean_mean_score":$cleanMean%.4f,"scrambled_mean_score":$scrMean%.4f}"""
     }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
+    // KLL quantile sketch: true rank of each per-group estimate vs the
+    // exact column — the sketch's contract is |rank(est) - q·n| <= eps·n,
+    // so the evidence is the worst realized rank error across groups.
+    def kllRankError: String = Try {
+      val qs = Seq(0.5 -> "p50_est", 0.9 -> "p90_est", 0.99 -> "p99_est")
+      val est = load("q_quantile_sketch").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          qs.map { case (q, c) => q -> r.getDouble(r.fieldIndex(c)) }))
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+        .cache()
+      val worst = est.flatMap { case (flag, n, ests) =>
+        ests.map { case (q, e) =>
+          val rank = li.filter(col("l_returnflag") === flag && col("v") <= e).count()
+          math.abs(rank.toDouble / n - q)
+        }
+      }.max
+      li.unpersist()
+      f"""{"metric":"kll_max_rank_err","value":$worst%.5f,"k":800,"groups":${est.length},"quantiles":[0.5,0.9,0.99]}"""
+    }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
     val body =
       s"""{"q_ann_lsh": ${annRecall("q_ann_lsh")},
          |"q_ann_ivf_kmeans": ${annRecall("q_ann_ivf_kmeans")},
@@ -228,7 +248,8 @@ object Verify {
          |"q_bpe_encode": $bpeEncodeExactness,
          |"q_quality_classifier": $qualityClassifierEvidence,
          |"q_sketch_tokens": $cmsExactness,
-         |"q_approx_distinct": $hllError}""".stripMargin
+         |"q_approx_distinct": $hllError,
+         |"q_quantile_sketch": $kllRankError}""".stripMargin
     Files.writeString(Paths.get(s"$outDir/no_oracle_evidence.json"), body)
     // Also land a copy at a stable cwd path (the repo when run via sbt):
     // outDir is transient in the driver's flow, and the recall/error numbers

@@ -50,7 +50,11 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_bpe_encode",
       // L-BFGS logistic training has no SQL form; Verify emits holdout
       // AUC + clean-vs-scrambled separation evidence
-      "q_quality_classifier")
+      "q_quality_classifier",
+      // KLL sketch: approximate by contract (rank bound, merge-order
+      // sensitive); Verify measures realized rank error vs the exact
+      // column; KllQuantileAggSpec asserts the bound adversarially
+      "q_quantile_sketch")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries missing oracles: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
