@@ -1071,6 +1071,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- temperature-scaled source mixing weights (alpha=0.3): the
+    //      multilingual/multi-source sampling recipe — small sources get
+    //      upweighted, eff_epochs shows the implied repetition at a
+    //      budget of one corpus-total of tokens ----
+    "q_mixture_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"),
+        size(graft.functions.TextAnalysis.tokens(col("text")))
+          .cast("long").as("toks"))
+      graft.operators.Sampling.temperatureWeights(
+          docs, "source", "toks", alpha = 0.3)
+        .orderBy(col("source"))
+    }),
+
+    // ---- greedy token-budget selection: keep the highest-quality docs
+    //      until 50k tokens — the "select best N tokens" curation step.
+    //      Scale shape: bucket-prefix + in-bucket-prefix windows, never a
+    //      global single-partition running sum. ----
+    "q_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"),
+        size(graft.functions.TextAnalysis.tokens(col("text")))
+          .cast("long").as("toks"))
+      graft.operators.Sampling.tokenBudgetSelect(
+          docs, "doc_id", "quality", "toks", budget = 50000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sel"),
+          sum(col("toks")).as("tokens_sel"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- CCNet perplexity bucketing: per-language head/middle/tail split
+    //      at the 30th/70th surprisal percentiles (Wenzek et al. 2020).
+    //      Exact interpolated cutoffs -> fully oracled; KLL sketch is the
+    //      documented escape hatch for degenerate group concentration. ----
+    "q_ccnet_buckets" -> ((s, dir) => {
+      graft.operators.UnigramLM.perplexityBuckets(
+          t(s, dir, "documents"), "doc_id", "text", "lang")
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("surprisal")), 4).as("avg_surprisal"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // ---- BPE vocabulary induction: 16 merges over the corpus (corpus
     //      touched once; rounds run over the cached distinct-word table).
     //      No SQL oracle (iterative global argmax) -> rows-only; BpeSpec
@@ -2404,6 +2448,66 @@ object SparkEntry {
         |  coalesce(surprisal, 0.0) AS surprisal
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Temperature mixing replica: same pow/sum/div operand order as the
+    // operator so the doubles agree bit-for-bit before the 6dp round.
+    "q_mixture_weights" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0)) AS toks
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1),
+        |z AS (SELECT sum(pow(n_tokens, 0.3)) AS zz,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tot FROM a)
+        |SELECT source, n_items, n_tokens,
+        |  round(pow(n_tokens, 0.3) / zz, 6) AS weight,
+        |  round(tot * pow(n_tokens, 0.3) / zz / n_tokens, 6) AS eff_epochs
+        |FROM a, z ORDER BY source""".stripMargin,
+
+    "q_token_budget" -> SparkEntryOracles.tokenBudgetSql,
+
+    // CCNet bucketing replica: the q_bigram_surprisal pipeline (coalesced
+    // to 0 for token-less docs, rounded to 4dp BEFORE the percentile so
+    // both engines cut on identical doubles), per-language interpolated
+    // 30/70 percentile cutoffs (quantile_cont == Spark percentile), then
+    // head/middle/tail by <= on the cutoffs.
+    "q_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS prev, w[i] AS cur
+        |  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)
+        |  WHERE len(w) > 0),
+        |bc AS (SELECT prev, cur, count(*) AS c FROM bi GROUP BY 1, 2),
+        |pc AS (SELECT prev, count(*) AS pcnt FROM bi GROUP BY 1),
+        |scoredbi AS (
+        |  SELECT doc_id, -log2(c * 1.0 / pcnt) AS s
+        |  FROM bi JOIN bc USING (prev, cur) JOIN pc USING (prev)),
+        |aggd AS (
+        |  SELECT doc_id, round(avg(s), 4) AS surprisal FROM scoredbi GROUP BY 1),
+        |j AS (
+        |  SELECT d.lang, d.doc_id, coalesce(a.surprisal, 0.0) AS surprisal
+        |  FROM documents d LEFT JOIN aggd a USING (doc_id)),
+        |cuts AS (
+        |  SELECT lang, quantile_cont(surprisal, 0.3) AS c1,
+        |    quantile_cont(surprisal, 0.7) AS c2
+        |  FROM j GROUP BY 1),
+        |b AS (
+        |  SELECT j.lang,
+        |    CASE WHEN surprisal <= c1 THEN 'head'
+        |         WHEN surprisal <= c2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket, surprisal
+        |  FROM j JOIN cuts USING (lang))
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  round(avg(surprisal), 4) AS avg_surprisal
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Unigram surprisal replica: same top-64 vocab (count DESC, token ASC),
     // OOV floor 1, -log2(count/total) averaged per doc.

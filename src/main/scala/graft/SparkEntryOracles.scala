@@ -199,4 +199,38 @@ object SparkEntryOracles {
        |    (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.1, 1.0), 0.0), 4) AS quality
        |FROM c
        |ORDER BY doc_id""".stripMargin
+
+  /** Replicates Sampling.tokenBudgetSelect over qualityScore priorities:
+    * the bucket-prefix + in-bucket-prefix decomposition equals one global
+    * running sum ordered by (quality DESC, doc_id). Same quality formula
+    * as qualityScoreSql (rounded to 4dp BEFORE ordering, so both engines
+    * order on identical doubles). */
+  val tokenBudgetSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text,
+       |    greatest(length(text), 1) AS n,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS w
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, len(w) AS toks,
+       |    (length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))) * -1.0 / n + 1.0 AS alpha_ratio,
+       |    (length(text) - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))) * -1.0 / n + 1.0 AS punct_ratio,
+       |    ${hits("en")} * 1.0 / greatest(len(w), 1) AS stop_ratio,
+       |    least(len(w) / 20.0, 1.0) AS len_score
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, source, toks,
+       |    round(greatest(least(
+       |      len_score * 0.4 + alpha_ratio * 0.3 +
+       |      least(stop_ratio * 5.0, 1.0) * 0.2 +
+       |      (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.1, 1.0), 0.0), 4) AS quality
+       |  FROM c),
+       |sel AS (
+       |  SELECT *, sum(toks) OVER (ORDER BY quality DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM q)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_sel,
+       |  CAST(sum(toks) AS BIGINT) AS tokens_sel,
+       |  round(avg(quality), 4) AS avg_quality
+       |FROM sel WHERE cum <= 50000 GROUP BY source ORDER BY source""".stripMargin
 }

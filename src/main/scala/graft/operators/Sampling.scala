@@ -216,4 +216,73 @@ object Sampling {
     df.withColumn("cap_rank", row_number().over(w))
       .filter(col("cap_rank") <= n)
   }
+
+  /** Temperature-scaled source mixing weights — the standard multilingual /
+    * multi-source sampling recipe (sample source i with probability
+    * proportional to its size raised to alpha < 1, boosting small sources;
+    * used by multilingual BERT, XLM-R, LLaMA-style data recipes).
+    *
+    *   w_i = c_i^alpha / sum_j c_j^alpha
+    *   eff_epochs_i = (budget · w_i) / c_i   — how many times source i's
+    *   tokens repeat when `budget` tokens are drawn under these weights
+    *   (budget defaults to the corpus total).
+    *
+    * Scale: one per-stratum aggregate (|sources| rows), then a broadcast
+    * single-row scalar frame (the tf-idf/BM25 pattern — the BNLJ is one
+    * in-memory row per probe row, PlanGuard-allowlisted) — so nothing
+    * beyond the stratum aggregate ever shuffles. */
+  def temperatureWeights(df: DataFrame, strataCol: String, sizeCol: String,
+                         alpha: Double,
+                         budget: Option[Long] = None): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val agg = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_items"), sum(col(sizeCol)).as("n_tokens"))
+    val tot = agg.agg(sum(pow(col("n_tokens"), alpha)).as("__z"),
+        sum(col("n_tokens")).as("__tot"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        round(pow(col("n_tokens"), alpha) / col("__z"), 6))
+      .withColumn("eff_epochs",
+        round(budget.map(lit(_)).getOrElse(col("__tot")) *
+          pow(col("n_tokens"), alpha) / col("__z") / col("n_tokens"), 6))
+      .select(col(strataCol), col("n_items"), col("n_tokens"),
+        col("weight"), col("eff_epochs"))
+  }
+
+  /** Greedy token-budget corpus selection: take documents in priority
+    * order (highest `priorityCol` first, ties broken by ascending
+    * `idCol`) until the selected documents' `sizeCol` sum would exceed
+    * `budget`. This is the "keep the best N tokens" step that follows
+    * quality scoring in every curation pipeline.
+    *
+    * Returns the SELECTED rows of `df` with their selection rank columns
+    * removed — composable with any downstream op.
+    *
+    * Scale: a naive global running sum is a single-partition window. This
+    * implements the same selection as two partitioned passes: (1) aggregate
+    * `sizeCol` per distinct priority value — the priority table is bounded
+    * by the priority's resolution (4-decimal quality → ≤ 10^4·|range|
+    * rows), and ONLY that small table takes an unpartitioned window for
+    * its prefix sum; (2) docs join the broadcast bucket prefix and need a
+    * running sum only WITHIN their priority bucket (window partitioned by
+    * priority value, ordered by id). Selection = bucket prefix + in-bucket
+    * prefix <= budget — identical to the global order-by running sum. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, priorityCol: String,
+                        sizeCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val buckets = df.groupBy(col(priorityCol).as("__p"))
+      .agg(sum(col(sizeCol)).as("__btok"))
+    // small-table prefix sum: tokens in all strictly-higher buckets
+    val wb = Window.orderBy(col("__p").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = buckets.withColumn("__before",
+      coalesce(sum(col("__btok")).over(wb), lit(0L)))
+    val wd = Window.partitionBy(col(priorityCol)).orderBy(col(idCol))
+    df.join(broadcast(prefix.select(col("__p"), col("__before"))),
+        col(priorityCol) === col("__p"))
+      .withColumn("__cum",
+        col("__before") + sum(col(sizeCol)).over(wd))
+      .filter(col("__cum") <= budget)
+      .drop("__p", "__before", "__cum")
+  }
 }

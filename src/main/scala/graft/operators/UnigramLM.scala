@@ -155,4 +155,36 @@ object UnigramLM {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("kn_surprisal"), lit(0.0)).as("kn_surprisal"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+    * score every document with the self-trained bigram LM, then split each
+    * language into head / middle / tail at the per-language `lo` and `hi`
+    * surprisal percentiles (head = lowest-perplexity fraction — the
+    * "cleanest" slice most pipelines keep or upsample).
+    *
+    * Output: one row per doc — (idCol, groupCol, surprisal, bucket).
+    *
+    * Scale: surprisal cost is [[bigramSurprisal]] (hash-keyed shuffles,
+    * text never moves). The per-group cutoffs use the exact interpolated
+    * percentile — per LANGUAGE, so the aggregate's value map is bounded by
+    * distinct 4-decimal surprisal values per language, and the resulting
+    * cutoff table (|languages| rows) broadcasts. If a corpus has a single
+    * dominant language with billions of DISTINCT surprisal values, swap the
+    * exact percentile for [[graft.functions.KllQuantileAgg]] (fixed-size
+    * mergeable state, measured sub-1% rank error) — bucketing tolerates
+    * epsilon-rank cutoffs by design. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        groupCol: String,
+                        lo: Double = 0.3, hi: Double = 0.7): DataFrame = {
+    val scored = bigramSurprisal(df, idCol, textCol)
+      .join(df.select(col(idCol), col(groupCol)), idCol)
+    val cuts = scored.groupBy(col(groupCol))
+      .agg(expr(s"percentile(surprisal, array(${lo}D, ${hi}D))").as("__cuts"))
+    scored.join(broadcast(cuts), groupCol)
+      .select(col(idCol), col(groupCol), col("surprisal"),
+        when(col("surprisal") <= element_at(col("__cuts"), 1), lit("head"))
+          .when(col("surprisal") <= element_at(col("__cuts"), 2), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

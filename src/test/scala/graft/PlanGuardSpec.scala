@@ -51,14 +51,20 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_unigram_surprisal", // broadcast single-row token total (tf-idf pattern)
     "q_dsir_weights",      // two broadcast single-row frames: the (tr, tt)
                            // feature totals and the selection threshold
-    "q_kneser_ney"         // broadcast single-row bigram-type total
+    "q_kneser_ney",        // broadcast single-row bigram-type total
                            // (unigram-surprisal pattern)
+    "q_mixture_weights"    // broadcast single-row (z, total) scalar frame
+                           // over the |sources|-row stratum aggregate
   )
 
   /** Queries allowed a partition-less Window: the window runs over the
     * per-bucket TOTALS of the two-phase distributed prefix sum (<=256
     * rows), never over the data. */
-  private val globalWindowOk = Set("q_pack_sequences", "q_shard_assign")
+  private val globalWindowOk = Set("q_pack_sequences", "q_shard_assign",
+    // token-budget selection: the unpartitioned window is the prefix sum
+    // over per-priority-bucket totals (<= distinct 4dp quality values);
+    // the per-doc running sum is partitioned by priority bucket
+    "q_token_budget")
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     (p +: p.children.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)

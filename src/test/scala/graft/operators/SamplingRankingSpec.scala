@@ -236,4 +236,51 @@ class SamplingRankingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Sampling.capPerGroup(df, "grp", 0, Seq(col("id")))
     }
   }
+
+  test("temperatureWeights: alpha<1 upweights small sources; alpha=1 is proportional") {
+    // source a: 8 docs x 100 tokens = 800; source b: 1 doc x 100 = 100
+    val df = ((1 to 8).map(i => ("a", 100L)) :+ ("b", 100L)).toDF("src", "toks")
+    def weights(alpha: Double): Map[String, (Long, Long, Double, Double)] =
+      Sampling.temperatureWeights(df, "src", "toks", alpha)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val w1 = weights(1.0)
+    assert(math.abs(w1("a")._3 - 800.0 / 900) < 1e-6) // weights round to 6dp
+    assert(math.abs(w1("b")._3 - 100.0 / 900) < 1e-6)
+    // eff_epochs at alpha=1 with default budget (=total) is exactly 1
+    assert(math.abs(w1("a")._4 - 1.0) < 1e-9 && math.abs(w1("b")._4 - 1.0) < 1e-9)
+    val w03 = weights(0.3)
+    val za = math.pow(800, 0.3); val zb = math.pow(100, 0.3)
+    assert(math.abs(w03("b")._3 - zb / (za + zb)) < 1e-6)
+    // the small source's share of the budget EXCEEDS its natural share
+    assert(w03("b")._3 > 100.0 / 900)
+    assert(w03("b")._4 > 1.0 && w03("a")._4 < 1.0) // b repeats, a is subsampled
+    // counts/token sums exact
+    assert(w03("a")._1 === 8L && w03("a")._2 === 800L)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(df, "src", "toks", 0.0)
+    }
+  }
+
+  test("tokenBudgetSelect equals the global greedy (priority desc, id asc) prefix") {
+    // priorities with ties; sizes chosen so the budget cuts INSIDE a tie group
+    val rows = Seq(
+      (1L, 0.9, 10L), (2L, 0.9, 10L), (3L, 0.9, 10L),
+      (4L, 0.5, 10L), (5L, 0.5, 25L), (6L, 0.1, 5L))
+    val df = rows.toDF("id", "q", "toks").repartition(3)
+    def sel(budget: Long): Set[Long] =
+      Sampling.tokenBudgetSelect(df, "id", "q", "toks", budget)
+        .select("id").as[Long].collect().toSet
+    def ref(budget: Long): Set[Long] = {
+      var cum = 0L
+      rows.sortBy { case (id, q, _) => (-q, id) }.flatMap { case (id, _, t) =>
+        cum += t; if (cum <= budget) Some(id) else None
+      }.toSet
+    }
+    for (b <- Seq(0L, 9L, 10L, 25L, 30L, 40L, 64L, 65L, 70L, 1000L))
+      assert(sel(b) === ref(b), s"budget $b")
+    // selected rows keep their original schema (composable downstream)
+    assert(Sampling.tokenBudgetSelect(df, "id", "q", "toks", 30L).columns
+      === Array("id", "q", "toks"))
+  }
 }

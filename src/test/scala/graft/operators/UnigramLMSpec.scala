@@ -134,4 +134,40 @@ class UnigramLMSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(out.values.forall(_ > 0.0))
   }
+
+  test("perplexityBuckets: per-group cutoffs order head <= middle <= tail") {
+    import spark.implicits._
+    // Self-trained bigram LM: a doc's surprisal is driven by how PREDICTABLE
+    // its continuations are, so a fully-unique sequence scores 0 (every
+    // bigram has probability 1 in its own context). Build three genuine
+    // tiers per lang via a shared head token with continuation frequencies
+    // 4 / 3 / 1: -log2(0.4) < -log2(0.3) < -log2(0.1).
+    val docs = (for {
+      lang <- Seq("en", "de")
+      i <- 1 to 10
+    } yield {
+      val txt =
+        if (i <= 4) s"${lang}a ${lang}common"
+        else if (i <= 7) s"${lang}a ${lang}mid"
+        else s"${lang}a ${lang}u$i"
+      (lang.hashCode.toLong * 100 + i, txt, lang)
+    }).toDF("doc_id", "text", "lang")
+    val out = UnigramLM.perplexityBuckets(docs, "doc_id", "text", "lang")
+    assert(out.count() === 20) // every doc bucketed exactly once
+    val byLang = out.collect()
+      .groupBy(_.getString(1))
+      .view.mapValues(_.map(r => (r.getString(3), r.getDouble(2)))).toMap
+    for ((lang, rows) <- byLang) {
+      val h = rows.filter(_._1 == "head").map(_._2)
+      val m = rows.filter(_._1 == "middle").map(_._2)
+      val t = rows.filter(_._1 == "tail").map(_._2)
+      assert(h.nonEmpty && t.nonEmpty, s"$lang missing extreme buckets")
+      if (m.nonEmpty) {
+        assert(h.max <= m.min, s"$lang head > middle")
+        assert(m.max <= t.min, s"$lang middle > tail")
+      } else assert(h.max <= t.min, s"$lang head > tail")
+      // ~30% head at lo=0.3 (ties may widen a bucket, never shrink below)
+      assert(h.length >= 3, s"$lang head too small: ${h.length}")
+    }
+  }
 }
