@@ -1071,6 +1071,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- corpus cartography: cluster the embedding corpus around the
+    //      deterministic ivfTopK centroid pick and profile each cluster
+    //      (size, majority label, purity, coherence) — fully oracled
+    //      because the centroid choice is integer arithmetic ----
+    "q_cluster_purity" -> ((s, dir) => {
+      graft.operators.SimilaritySearch.clusterProfile(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+          numCentroids = 16)
+        .orderBy(col("cent_id"))
+    }),
+
     // ---- temperature-scaled source mixing weights (alpha=0.3): the
     //      multilingual/multi-source sampling recipe — small sources get
     //      upweighted, eff_epochs shows the implied repetition at a
@@ -2448,6 +2459,44 @@ object SparkEntry {
         |  coalesce(surprisal, 0.0) AS surprisal
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Cluster-profile replica: identical centroid pick / assignment /
+    // cosine arithmetic as the q_ann_ivf oracle, then per-cluster label
+    // histogram -> majority (count DESC, label ASC), purity, avg cosine.
+    "q_cluster_purity" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+        |  FROM v
+        |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+        |  LIMIT 16),
+        |assign AS (
+        |  SELECT c_id, cent_id, csim FROM (
+        |    SELECT v.vec_id AS c_id, cent_id,
+        |      list_dot_product(v.v, cv) / (v.nrm * cn) AS csim,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_dot_product(v.v, cv) / (v.nrm * cn) DESC, cent_id) AS crank
+        |    FROM v CROSS JOIN cents)
+        |  WHERE crank = 1),
+        |j AS (
+        |  SELECT a.cent_id, a.c_id, a.csim, e.label
+        |  FROM assign a JOIN embeddings e ON a.c_id = e.vec_id),
+        |pl AS (SELECT cent_id, label, count(*) AS n_lbl FROM j GROUP BY 1, 2),
+        |mj AS (
+        |  SELECT cent_id, label AS majority_label, n_lbl AS n_major FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cent_id
+        |      ORDER BY n_lbl DESC, label) AS lr FROM pl)
+        |  WHERE lr = 1),
+        |sz AS (
+        |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
+        |    round(avg(csim), 4) AS avg_cos
+        |  FROM j GROUP BY 1)
+        |SELECT s.cent_id, n_members, majority_label,
+        |  round(n_major * 1.0 / n_members, 4) AS purity, avg_cos
+        |FROM sz s JOIN mj USING (cent_id) ORDER BY cent_id""".stripMargin,
 
     // Temperature mixing replica: same pow/sum/div operand order as the
     // operator so the doubles agree bit-for-bit before the 6dp round.

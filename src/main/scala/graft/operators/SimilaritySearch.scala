@@ -149,6 +149,53 @@ object SimilaritySearch {
     ivfWithCentroids(c, queries, idCol, vecCol, cents, k, nProbe)
   }
 
+  /** Corpus cartography: partition the embedding corpus into `numCentroids`
+    * clusters around deterministic sampled centroids (the ivfTopK
+    * multiplicative-id-hash pick — pure integer arithmetic, so the whole
+    * profile is SQL-oracle-replicable) and profile every cluster: member
+    * count, majority label, label purity, and mean cosine to the centroid.
+    * This is the "map the corpus" step of curation — find label-impure or
+    * low-coherence regions worth auditing before training.
+    *
+    * Output: (cent_id, n_members, majority_label, purity, avg_cos).
+    *
+    * Scale: the centroid table broadcasts (bounded, PlanGuard-allowlisted);
+    * assignment is one corpus pass; label counts and cosine means partial-
+    * aggregate map-side, so the shuffle carries |clusters|·|labels| rows.
+    * At real scale swap the sampled centroids for k-means codebooks
+    * (ivfTopKKMeans's bounded trainer) — profile mechanics are identical. */
+  def clusterProfile(df: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String, numCentroids: Int = 16): DataFrame = {
+    val c = prepared(df, idCol, vecCol)
+    val hkey = pmod(pmod(col("id").cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val cents = c.orderBy(hkey, col("id")).limit(numCentroids)
+      .select(col("id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("id"), col("cent_id"), col("csim"))
+      .join(df.select(col(idCol).as("id"), col(labelCol).as("label")), "id")
+    val perLabel = assigned.groupBy(col("cent_id"), col("label"))
+      .agg(count(lit(1)).as("n_lbl"))
+    val wMaj = Window.partitionBy(col("cent_id"))
+      .orderBy(col("n_lbl").desc, col("label"))
+    val major = perLabel.withColumn("lr", row_number().over(wMaj))
+      .filter(col("lr") === 1)
+      .select(col("cent_id"), col("label").as("majority_label"),
+        col("n_lbl").as("n_major"))
+    val sizes = assigned.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("csim")), 4).as("avg_cos"))
+    sizes.join(major, "cent_id")
+      .select(col("cent_id"), col("n_members"), col("majority_label"),
+        round(col("n_major") * lit(1.0) / col("n_members"), 4).as("purity"),
+        col("avg_cos"))
+  }
+
   /** IVF with k-means-trained centroids (MLlib KMeans, fixed seed →
     * deterministic): tighter clusters → better recall per probed list than
     * the sampled-centroid variant. This is the production path.

@@ -53,8 +53,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
                            // feature totals and the selection threshold
     "q_kneser_ney",        // broadcast single-row bigram-type total
                            // (unigram-surprisal pattern)
-    "q_mixture_weights"    // broadcast single-row (z, total) scalar frame
+    "q_mixture_weights",   // broadcast single-row (z, total) scalar frame
                            // over the |sources|-row stratum aggregate
+    "q_cluster_purity"     // broadcast centroid table (16 rows)
   )
 
   /** Queries allowed a partition-less Window: the window runs over the

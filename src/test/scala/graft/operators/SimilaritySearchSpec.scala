@@ -250,4 +250,46 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
         "embedding", k = 5, posThreshold = thr, overfetch = 8)
       .collect().forall(_.getDouble(3) < thr))
   }
+
+  test("clusterProfile matches an in-test reference (centroid pick, purity, coherence)") {
+    val profile = SimilaritySearch.clusterProfile(
+        emb, "vec_id", "embedding", "label", numCentroids = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+
+    // reference: same hash pick + nearest-centroid assignment, locally
+    val rows = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    def h(id: Long): Long = ((id % 2147483648L) * 2654435761L) % 4294967296L
+    val centIds = rows.map(_._1).sortBy(id => (h(id), id)).take(4)
+    val vecs = rows.map(t => t._1 -> t._2).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val assigned = rows.map { case (id, v, lbl) =>
+      val best = centIds.map(c => (c, cos(v, vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.head
+      (best._1, id, lbl, best._2)
+    }
+    val refProfile = assigned.groupBy(_._1).map { case (cent, ms) =>
+      val byLbl = ms.groupBy(_._3).map { case (l, g) => (l, g.length) }
+      val (majLbl, majN) = byLbl.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      cent -> ((ms.length.toLong, majLbl,
+        math.rint(majN.toDouble / ms.length * 1e4) / 1e4,
+        math.rint(ms.map(_._4).sum / ms.length * 1e4) / 1e4))
+    }
+    assert(profile.keySet === refProfile.keySet)
+    for ((cent, (n, maj, pur, avg)) <- refProfile) {
+      val (gn, gmaj, gpur, gavg) = profile(cent)
+      assert(gn === n, s"cluster $cent size")
+      assert(gmaj === maj, s"cluster $cent majority")
+      assert(math.abs(gpur - pur) < 1e-9, s"cluster $cent purity")
+      assert(math.abs(gavg - avg) < 2e-4, s"cluster $cent coherence")
+    }
+    // every corpus vector lands in exactly one cluster
+    assert(refProfile.values.map(_._1).sum === rows.length.toLong)
+  }
 }
