@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
 
-import graft.operators.{Chunking, ConnectedComponents, CorpusStats, Dedup, ImportanceSampling, PqIndex, SimilaritySearch, TextRanking, Winnowing}
+import graft.operators.{Chunking, ConnectedComponents, CorpusStats, Dedup, ImportanceSampling, PqIndex, Sampling, SimilaritySearch, TextRanking, UnigramLM, Winnowing}
 
 /** SQL-invocable TABLE functions for the operator suite — the pure-SQL seat
   * (a JDBC/SQL-client user who never touches the Scala API) can run the
@@ -176,5 +176,37 @@ object GraftTableFunctions {
       plan(Dedup.noveltyScores(table(strLit(args(0), "table")),
         strLit(args(1), "idCol"), strLit(args(2), "textCol"),
         intLit(args(3), "n"))))
+
+    // temperature-scaled source mixing weights
+    // -> (strata, n_items, n_tokens, weight, eff_epochs)
+    registerTable("graft_mixture_weights", Seq(4), args =>
+      plan(Sampling.temperatureWeights(table(strLit(args(0), "table")),
+        strLit(args(1), "strataCol"), strLit(args(2), "sizeCol"),
+        doubleLit(args(3), "alpha"))))
+
+    // greedy token-budget selection: SELECTED input rows, priority desc
+    registerTable("graft_token_budget", Seq(5), args =>
+      plan(Sampling.tokenBudgetSelect(table(strLit(args(0), "table")),
+        strLit(args(1), "idCol"), strLit(args(2), "priorityCol"),
+        strLit(args(3), "sizeCol"), intLit(args(4), "budget").toLong)))
+
+    // CCNet perplexity bucketing -> (id, group, surprisal, bucket)
+    registerTable("graft_ccnet_buckets", Seq(4, 6), args =>
+      plan(if (args.length == 4)
+        UnigramLM.perplexityBuckets(table(strLit(args(0), "table")),
+          strLit(args(1), "idCol"), strLit(args(2), "textCol"),
+          strLit(args(3), "groupCol"))
+      else
+        UnigramLM.perplexityBuckets(table(strLit(args(0), "table")),
+          strLit(args(1), "idCol"), strLit(args(2), "textCol"),
+          strLit(args(3), "groupCol"),
+          doubleLit(args(4), "lo"), doubleLit(args(5), "hi"))))
+
+    // embedding cluster profile -> (cent_id, n_members, majority_label,
+    // purity, avg_cos)
+    registerTable("graft_cluster_profile", Seq(5), args =>
+      plan(SimilaritySearch.clusterProfile(table(strLit(args(0), "table")),
+        strLit(args(1), "idCol"), strLit(args(2), "vecCol"),
+        strLit(args(3), "labelCol"), intLit(args(4), "numCentroids"))))
   }
 }

@@ -197,6 +197,38 @@ class GraftSqlTableFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .columns.contains("zipf_slope"))
   }
 
+  test("curation TVFs (mixture/budget/ccnet/cluster) match their Scala twins") {
+    docs
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW sized AS
+        |SELECT doc_id, source,
+        |  CAST(size(graft_tokens(text)) AS BIGINT) AS toks,
+        |  length(text) AS quality
+        |FROM docs""".stripMargin)
+    val sized = spark.table("sized")
+    val cases = Seq(
+      ("SELECT * FROM graft_mixture_weights('sized','source','toks',0.3) ORDER BY source",
+        graft.operators.Sampling.temperatureWeights(sized, "source", "toks", 0.3)
+          .orderBy("source")),
+      ("SELECT * FROM graft_token_budget('sized','doc_id','quality','toks',5000) ORDER BY doc_id",
+        graft.operators.Sampling.tokenBudgetSelect(sized, "doc_id", "quality", "toks", 5000L)
+          .orderBy("doc_id")),
+      ("SELECT * FROM graft_ccnet_buckets('docs','doc_id','text','lang') ORDER BY doc_id",
+        graft.operators.UnigramLM.perplexityBuckets(docs, "doc_id", "text", "lang")
+          .orderBy("doc_id")),
+      ("SELECT * FROM graft_cluster_profile('emb','vec_id','embedding','label',4) ORDER BY cent_id",
+        graft.operators.SimilaritySearch.clusterProfile(
+          spark.table("emb"), "vec_id", "embedding", "label", 4)
+          .orderBy("cent_id")))
+    for ((sql, api) <- cases) {
+      val viaSql = spark.sql(sql).collect().map(_.toString).toSeq
+      val viaApi = api.collect().map(_.toString).toSeq
+      assert(viaSql === viaApi && viaSql.nonEmpty, sql)
+    }
+  }
+
   test("literal-argument validation fails loudly, not silently") {
     docs
     val e = intercept[Exception](spark.sql(
