@@ -1180,6 +1180,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- duplicated-span REMOVAL (Lee et al. ExactSubstr surgery):
+    //      cut every token covered by a 6-token window shared by >= 2
+    //      docs; value-exact oracle re-derives the cleaned token stream ----
+    "q_dedup_span_removal" -> ((s, dir) => {
+      graft.operators.Dedup.removeSharedSpans(
+          t(s, dir, "documents"), "doc_id", "text", w = 6)
+        .filter(col("n_removed") > 0)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- cross-source overlap matrix: distinct 3-gram sharing + Jaccard
     //      per source pair — the pre-mixing diligence pass ----
     "q_source_overlap" -> ((s, dir) => {
@@ -1631,6 +1643,26 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           graft.functions.TextAnalysis.normalizeText(col("text")).as("norm_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- HTML -> visible-text extraction: wrap every document in a
+    //      deterministic doc_id-derived HTML shell (script/style/comment
+    //      noise + entities), extract with the row-local regex kernel,
+    //      certify the recovered text byte-for-byte via md5 ----
+    "q_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var id="),
+        col("doc_id").cast("string"),
+        lit(";track(id);</script><style>p{margin:0}</style></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><!-- auto --><p>"), col("text"),
+        lit(" &amp; more</p></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.htmlExtract(html).as("ex"))
+        .select(col("doc_id"), length(col("ex")).as("n_chars"),
+          md5(col("ex")).as("text_md5"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2702,6 +2734,42 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // Same synthesis + the same RE2-safe regex chain (no backreferences,
+    // no lookarounds), entity decode in the same order, &amp; last.
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="text/javascript">var id=' ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    ';track(id);</script><style>p{margin:0}</style></head><body><h1>Doc ' ||
+        |    CAST(doc_id AS VARCHAR) || '</h1><!-- auto --><p>' || text ||
+        |    ' &amp; more</p></body></html>' AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          replace(replace(replace(replace(replace(replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(
+        |                    regexp_replace(html,
+        |                      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |                    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |                  '(?s)<!--.*?-->', ' ', 'g'),
+        |                '(?i)<(br|/p|/div|/li|/tr|/h[1-6])[^>]*>', chr(10), 'g'),
+        |              '<[^>]+>', ' ', 'g'),
+        |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |            '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |          '[ \t\r]+', ' ', 'g'),
+        |        ' ?\n ?', chr(10), 'g'),
+        |      '\n+', chr(10), 'g'), ' ' || chr(10)) AS ex
+        |  FROM h)
+        |SELECT doc_id, length(ex) AS n_chars, md5(ex) AS text_md5
+        |FROM x ORDER BY doc_id""".stripMargin,
+
     // decode(encode(text)) must equal the whitespace/case-normalized text
     "q_bpe_roundtrip" ->
       """SELECT doc_id,
@@ -2880,6 +2948,42 @@ object SparkEntry {
 
     // 6-token windows as strings (operator hashes them; exact modulo
     // ~2^-64 collisions); df cap 2..64 replicated in okw
+    // Span-removal replica: window strings join directly (vs the 8-byte
+    // hash on the Spark side — exact modulo ~2^-64); 1-based slice i
+    // covers tokens i..i+5; cleaned stream re-joined in position order.
+    "q_dedup_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[i:i+5], ' ') AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 5, 0) + 1)) AS t(i)),
+        |dup AS (
+        |  SELECT s FROM (
+        |    SELECT s, count(DISTINCT doc_id) AS df FROM wins GROUP BY s)
+        |  WHERE df >= 2),
+        |starts AS (SELECT doc_id, pos FROM wins WHERE s IN (SELECT s FROM dup)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + d AS cp
+        |  FROM starts, unnest(range(0, 6)) AS t(d)),
+        |tok AS (
+        |  SELECT doc_id, i AS pos, w[i] AS tokn
+        |  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tokn FROM tok t
+        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cp
+        |  WHERE c.doc_id IS NULL),
+        |stats AS (SELECT doc_id, len(w) AS n_tokens FROM toks),
+        |agg AS (
+        |  SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(s.n_tokens - count(k.pos) AS BIGINT) AS n_removed,
+        |    md5(coalesce(string_agg(k.tokn, ' ' ORDER BY k.pos), '')) AS clean_md5
+        |  FROM stats s LEFT JOIN kept k USING (doc_id)
+        |  GROUP BY s.doc_id, s.n_tokens)
+        |SELECT doc_id, n_tokens, n_removed, clean_md5 FROM agg
+        |WHERE n_removed > 0 ORDER BY doc_id""".stripMargin,
+
     "q_dedup_substring" ->
       """WITH toks AS (
         |  SELECT doc_id,

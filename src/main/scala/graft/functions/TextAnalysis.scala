@@ -177,4 +177,34 @@ object TextAnalysis {
 
   /** SimHash signature of the document's tokens. */
   def simhash(text: Column): Column = expressions.simhash64(tokens(text))
+
+  /** HTML → visible text extraction (the crawl-ingestion step before any
+    * text operator runs): drop script/style blocks and comments, turn
+    * block-closing tags into newlines, strip remaining tags, decode the
+    * six ubiquitous entities (&amp; last, per the standard order), and
+    * collapse whitespace. A deliberate regex pipeline of plain Column
+    * functions — whole-stage-codegen'd, row-local, zero shuffle — and
+    * every regex avoids backreferences/lookarounds so an RE2-based SQL
+    * engine (the DuckDB oracle) replicates it byte for byte. Not a full
+    * HTML5 parser: malformed nesting degrades to extra whitespace, never
+    * to dropped visible text. */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val breaks = regexp_replace(noComment,
+      "(?i)<(br|/p|/div|/li|/tr|/h[1-6])[^>]*>", "\n")
+    val noTags = regexp_replace(breaks, "<[^>]+>", " ")
+    val decoded = replace(replace(replace(replace(replace(replace(
+      noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" ")), lit("&amp;"), lit("&"))
+    val spaces = regexp_replace(decoded, "[ \\t\\r]+", " ")
+    val tightNl = regexp_replace(spaces, " ?\\n ?", "\n")
+    // trim() strips only spaces; newlines at the edges need the char list
+    trim(regexp_replace(tightNl, "\\n+", "\n"), " \n")
+  }
 }

@@ -101,6 +101,53 @@ object Dedup {
       .agg(count(lit(1)).as("shared_windows"))
   }
 
+  /** Exact duplicated-span REMOVAL — the surgery step of Lee et al.'s
+    * ExactSubstr pipeline ("Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022): [[sharedWindowPairs]] only FINDS documents
+    * sharing long verbatim spans; this cuts the spans out. Every token
+    * covered by a `w`-token window whose window string occurs in >=
+    * `minDocFreq` DISTINCT documents is removed (all occurrences — the
+    * deterministic variant; within-doc self-repetition is the repetition
+    * filters' job, not this operator's). Remaining tokens re-join with
+    * single spaces, so `clean_text` is the normalized token stream.
+    *
+    * Output: the input rows plus (n_tokens, n_removed, clean_text).
+    *
+    * Scale (the removeBoilerplateLines shape, one level finer): window
+    * hashes shuffle as 8-byte keys for the distinct-doc frequency count;
+    * duplicated-window START positions come back as one per-doc
+    * collect_set joined against the docs table; the token-drop itself is
+    * a row-local higher-order filter (token i is covered iff some start p
+    * has p <= i <= p+w-1 — O(|starts|) per token, and |starts| is only
+    * the doc's duplicated-window count). The text column crosses the wire
+    * once (the join), never through an explode/regroup. */
+  def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
+                        w: Int, minDocFreq: Int = 2): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val withToks = df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+    val wins = df.select(col(idCol).as("_id"),
+        posexplode(TextAnalysis.wordShingles(col(textCol), w))
+          .as(Seq("_pos", "_s")))
+      .select(col("_id"), col("_pos"), xxhash64(col("_s")).as("_h"))
+    val dup = wins.groupBy(col("_h"))
+      .agg(countDistinct(col("_id")).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("_h"))
+    val starts = wins.join(dup, "_h")
+      .groupBy(col("_id"))
+      .agg(collect_set(col("_pos")).as("_starts"))
+    withToks.join(starts, col(idCol) === col("_id"), "left")
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("_kept",
+        when(col("_starts").isNull, col("_toks"))
+          .otherwise(filter(col("_toks"), (_, i) =>
+            !exists(col("_starts"), p => i >= p && i <= p + lit(w) - 1))))
+      .withColumn("n_removed", (col("n_tokens") - size(col("_kept"))).cast("long"))
+      .withColumn("clean_text", array_join(col("_kept"), " "))
+      .drop("_toks", "_id", "_starts", "_kept")
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs: containment(A⊆B) = |A∩B| / |A|
     * over distinct word n-grams. Catches fragment duplication that Jaccard
     * structurally misses — a short document quoted wholly inside a long one

@@ -179,4 +179,22 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       .asInstanceOf[scala.collection.Seq[String]].toSeq
     assert(toks === Seq("abc", "123", "def", "-", "x"))
   }
+
+  test("htmlExtract: scripts/styles/comments dropped, blocks break, entities decode") {
+    import spark.implicits._
+    val cases = Seq(
+      ("<html><head><script>var x=1;\nalert(x)</script><style>p{}</style></head>" +
+        "<body><h1>Title</h1><p>one two</p><p>three</p></body></html>",
+        "Title\none two\nthree"),
+      ("<div>a<br>b</div><ul><li>c</li><li>d</li></ul>", "a\nb\nc\nd"),
+      ("x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp; &amp;lt; done",
+        "x <tag> \"q\" 's' &lt; done"), // &amp;lt; -> &lt; (decode once, & last)
+      ("<p>multi   space\t\ttabs</p>", "multi space tabs"),
+      ("<!-- hidden --><P CLASS=\"a\">caps tag</P>", "caps tag"),
+      ("<script SRC=\"x.js\"></script>plain", "plain"),
+      ("", ""))
+    val out = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.htmlExtract(col("h"))).as[String].collect()
+    for (((_, want), got) <- cases.zip(out)) assert(got === want)
+  }
 }

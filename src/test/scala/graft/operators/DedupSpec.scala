@@ -432,4 +432,37 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) === 1.0)
     assert(out(10L) === 0.0)
   }
+
+  test("removeSharedSpans cuts cross-doc 6-token spans, leaves the rest") {
+    val df = docs(
+      1L -> "a b c d e f x y",              // shares [a..f] with doc 2
+      2L -> "z a b c d e f q",
+      3L -> "totally unrelated text here now ok",
+      4L -> "short doc",                     // < w tokens: untouched
+      5L -> "p q r s t u v p q r s t u v")  // within-doc repeat only: kept
+    val out = Dedup.removeSharedSpans(df, "doc_id", "text", w = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) === ((8L, 6L, "x y")))
+    assert(out(2L) === ((8L, 6L, "z q")))
+    assert(out(3L) === ((6L, 0L, "totally unrelated text here now ok")))
+    assert(out(4L) === ((2L, 0L, "short doc")))
+    // duplicated span within ONE doc has distinct-doc df 1 -> not removed
+    assert(out(5L)._2 === 0L)
+    // original columns ride through
+    assert(Dedup.removeSharedSpans(df, "doc_id", "text", w = 6).columns.toSeq
+      === Seq("doc_id", "text", "n_tokens", "n_removed", "clean_text"))
+  }
+
+  test("removeSharedSpans: overlapping duplicated windows merge their cover") {
+    // docs share a 7-token run -> two overlapping 6-windows; covered set is
+    // the union (7 tokens), not 12
+    val df = docs(
+      1L -> "a b c d e f g tail1",
+      2L -> "a b c d e f g tail2")
+    val out = Dedup.removeSharedSpans(df, "doc_id", "text", w = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) === ((7L, "tail1")))
+    assert(out(2L) === ((7L, "tail2")))
+  }
 }
