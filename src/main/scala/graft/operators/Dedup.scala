@@ -234,7 +234,12 @@ object Dedup {
 
     // window side: every substring a partner's segment could occupy —
     // partner length l in [len-k, len+k] (and > k: shorter partners live
-    // in the tiny bucket), slot j, start within ±k of the slot's home
+    // in the tiny bucket), slot j, with PassJoin's MULTI-MATCH-AWARE start
+    // selection: at most j edits can land before segment j and at most
+    // k-j after it, so with Δ = len - l the admissible starts are
+    // [s0 - j, s0 + j] ∩ [s0 + Δ - (k-j), s0 + Δ + (k-j)] — ~4x fewer
+    // windows than the loose ±k rule at k=6, same completeness theorem
+    // (Li/Deng/Feng 2011 §4.2; the all-pairs oracle certifies it).
     val winsB = main
       .select(col("id").as("id_b"), col("h"), col("len"),
         explode(sequence(greatest(col("len") - k, lit(k + 1)), col("len") + k)).as("l"))
@@ -242,12 +247,19 @@ object Dedup {
         explode(sequence(lit(0), lit(k))).as("j"))
       .select(col("id_b"), col("h"), col("len"), col("l"), col("j"),
         segStart(col("j"), col("l")).as("s0"),
-        (segStart(col("j") + 1, col("l")) - segStart(col("j"), col("l"))).as("sl"))
+        (segStart(col("j") + 1, col("l")) - segStart(col("j"), col("l"))).as("sl"),
+        (col("len") - col("l")).as("dl"))
       .filter(col("sl") >= 1)
+      .withColumn("slo", greatest(
+        col("s0") - col("j"),
+        col("s0") + col("dl") - (lit(k) - col("j")), lit(0)))
+      .withColumn("shi", least(
+        col("s0") + col("j"),
+        col("s0") + col("dl") + (lit(k) - col("j")),
+        col("len") - col("sl")))
+      .filter(col("slo") <= col("shi"))
       .select(col("id_b"), col("h"), col("l"), col("j"), col("sl"),
-        explode(sequence(greatest(col("s0") - k, lit(0)),
-          least(col("len") - col("sl"), col("s0") + k))).as("s"))
-      .filter(col("s") >= 0)
+        explode(sequence(col("slo"), col("shi"))).as("s"))
       .select(col("id_b"), col("l"), col("j"),
         xxhash64(expr("substring(h, s + 1, sl)")).as("sh"))
 
