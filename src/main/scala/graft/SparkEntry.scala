@@ -1071,6 +1071,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- z-order clustering cells: quantile-bucket (16/col) + Morton
+    //      interleave over (l_partkey, l_suppkey) — per-cell extents
+    //      certify bucketing, cutoffs, and bit interleave; ZOrderSpec
+    //      proves the layout's 2-D pruning win ----
+    "q_zorder_cells" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val zcols = Seq("l_partkey", "l_suppkey")
+      val cuts = graft.operators.ZOrder.quantileCutoffs(li, zcols, 16)
+      li.withColumn("zv", graft.operators.ZOrder.zvalue(zcols, cuts))
+        .groupBy(col("zv"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+        .orderBy(col("zv"))
+    }),
+
     // ---- corpus cartography: cluster the embedding corpus around the
     //      deterministic ivfTopK centroid pick and profile each cluster
     //      (size, majority label, purity, coherence) — fully oracled
@@ -2550,6 +2566,8 @@ object SparkEntry {
         |FROM a, z ORDER BY source""".stripMargin,
 
     "q_token_budget" -> SparkEntryOracles.tokenBudgetSql,
+
+    "q_zorder_cells" -> SparkEntryOracles.zorderCellsSql,
 
     // CCNet bucketing replica: the q_bigram_surprisal pipeline (coalesced
     // to 0 for token-less docs, rounded to 4dp BEFORE the percentile so

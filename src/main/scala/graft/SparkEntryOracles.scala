@@ -200,6 +200,32 @@ object SparkEntryOracles {
        |FROM c
        |ORDER BY doc_id""".stripMargin
 
+  /** Replicates ZOrder.zvalue over (l_partkey, l_suppkey) with 16 quantile
+    * buckets per column: quantile_cont == Spark percentile for the
+    * cutoffs, bucket = #cutoffs <= value, then the generated Morton
+    * interleave term sum (bit k of column i at position 2k+i). */
+  val zorderCellsSql: String = {
+    val fracs = (1 to 15).map(j => s"${j / 16.0}").mkString(", ")
+    val interleave = (0 until 4).flatMap { k =>
+      Seq(s"((pb >> $k) & 1) * ${1L << (2 * k)}",
+        s"((sb >> $k) & 1) * ${1L << (2 * k + 1)}")
+    }.mkString(" + ")
+    s"""WITH cuts AS (
+       |  SELECT quantile_cont(l_partkey, [$fracs]) AS pc,
+       |    quantile_cont(l_suppkey, [$fracs]) AS sc
+       |  FROM lineitem),
+       |b AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    len(list_filter(pc, c -> l_partkey * 1.0 >= c)) AS pb,
+       |    len(list_filter(sc, c -> l_suppkey * 1.0 >= c)) AS sb
+       |  FROM lineitem, cuts),
+       |z AS (SELECT l_partkey, l_suppkey, $interleave AS zv FROM b)
+       |SELECT zv, CAST(count(*) AS BIGINT) AS n,
+       |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+       |FROM z GROUP BY zv ORDER BY zv""".stripMargin
+  }
+
   /** Replicates Sampling.tokenBudgetSelect over qualityScore priorities:
     * the bucket-prefix + in-bucket-prefix decomposition equals one global
     * running sum ordered by (quality DESC, doc_id). Same quality formula

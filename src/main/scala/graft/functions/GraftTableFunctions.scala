@@ -202,6 +202,13 @@ object GraftTableFunctions {
           strLit(args(3), "groupCol"),
           doubleLit(args(4), "lo"), doubleLit(args(5), "hi"))))
 
+    // z-order clustering rewrite: input rows + zv, range-partitioned and
+    // in-partition sorted by the Morton value (cols arg comma-separated)
+    registerTable("graft_zorder", Seq(4), args =>
+      plan(graft.operators.ZOrder.zorderBy(table(strLit(args(0), "table")),
+        strLit(args(1), "cols").split(',').map(_.trim).toSeq,
+        intLit(args(2), "buckets"), intLit(args(3), "numPartitions"))))
+
     // embedding cluster profile -> (cent_id, n_members, majority_label,
     // purity, avg_cos)
     registerTable("graft_cluster_profile", Seq(5), args =>

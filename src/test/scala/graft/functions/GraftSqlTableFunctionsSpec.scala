@@ -227,6 +227,18 @@ class GraftSqlTableFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val viaApi = api.collect().map(_.toString).toSeq
       assert(viaSql === viaApi && viaSql.nonEmpty, sql)
     }
+    // graft_zorder: same rows + same zv values as the Scala rewrite
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .createOrReplaceTempView("li")
+    val zSql = spark.sql(
+      "SELECT zv, l_orderkey, l_linenumber FROM graft_zorder('li', 'l_partkey,l_suppkey', 16, 8) ORDER BY zv, l_orderkey, l_linenumber")
+      .collect().map(_.toString).toSeq
+    val zApi = graft.operators.ZOrder.zorderBy(spark.table("li"),
+        Seq("l_partkey", "l_suppkey"), 16, 8)
+      .select(col("zv"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("zv"), col("l_orderkey"), col("l_linenumber"))
+      .collect().map(_.toString).toSeq
+    assert(zSql === zApi && zSql.nonEmpty)
   }
 
   test("literal-argument validation fails loudly, not silently") {
