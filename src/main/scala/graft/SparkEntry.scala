@@ -1757,6 +1757,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- substring-level blocklist: Aho-Corasick one-pass multi-pattern
+    //      matching (O(text) regardless of pattern count) — exploded
+    //      (doc, pattern) audit pairs + the early-exit clean count ----
+    "q_blocklist_substr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pats = SparkEntryOracles.substrBlocklistPatterns
+      val pairs = graft.operators.SubstringBlocklist
+        .matchPairs(docs, "doc_id", "text", pats)
+      val clean = graft.operators.SubstringBlocklist
+        .filterClean(docs, "text", pats)
+        .agg(count(lit(1)).as("n"))
+        .select(lit(-1L).as("doc_id"),
+          concat(lit("clean:"), col("n").cast("string")).as("pattern"))
+      pairs.unionAll(clean).orderBy(col("doc_id"), col("pattern"))
+    }),
+
     // ---- per-group cap: keep the 20 largest docs per source
     //      (deterministic n_chars DESC, doc_id tiebreak) — the C4-style
     //      per-domain cap. ----
@@ -2568,6 +2584,8 @@ object SparkEntry {
     "q_token_budget" -> SparkEntryOracles.tokenBudgetSql,
 
     "q_zorder_cells" -> SparkEntryOracles.zorderCellsSql,
+
+    "q_blocklist_substr" -> SparkEntryOracles.substrBlocklistSql,
 
     // CCNet bucketing replica: the q_bigram_surprisal pipeline (coalesced
     // to 0 for token-less docs, rounded to 4dp BEFORE the percentile so

@@ -200,6 +200,32 @@ object SparkEntryOracles {
        |FROM c
        |ORDER BY doc_id""".stripMargin
 
+  /** Shared pattern list for the substring-blocklist gate: real phrases
+    * from the synthetic corpus vocabulary, one cross-token substring
+    * ("der sor" spans "order sort"), one absent canary. */
+  val substrBlocklistPatterns: Seq[String] = Seq(
+    "batch batch", "slow sort", "join order", "spark window", "hash scan",
+    "customer line", "der sor", "zzqq_absent_canary")
+
+  /** Replicates SubstringBlocklist.matchPairs + the filterClean count:
+    * per-pattern `contains` over the cross join (the naive O(text·P) plan
+    * the Aho-Corasick kernel collapses to one pass) + a NOT EXISTS clean
+    * row. */
+  val substrBlocklistSql: String = {
+    val lits = substrBlocklistPatterns.map(p => s"'$p'").mkString(", ")
+    s"""WITH pats AS (SELECT unnest([$lits]) AS pattern),
+       |pairs AS (
+       |  SELECT doc_id, pattern FROM documents, pats
+       |  WHERE contains(text, pattern)),
+       |clean AS (
+       |  SELECT CAST(-1 AS BIGINT) AS doc_id,
+       |    'clean:' || CAST(count(*) AS VARCHAR) AS pattern
+       |  FROM documents d
+       |  WHERE NOT EXISTS (SELECT 1 FROM pats p WHERE contains(d.text, p.pattern)))
+       |SELECT * FROM (SELECT * FROM pairs UNION ALL SELECT * FROM clean)
+       |ORDER BY doc_id, pattern""".stripMargin
+  }
+
   /** Replicates ZOrder.zvalue over (l_partkey, l_suppkey) with 16 quantile
     * buckets per column: quantile_cont == Spark percentile for the
     * cutoffs, bucket = #cutoffs <= value, then the generated Morton

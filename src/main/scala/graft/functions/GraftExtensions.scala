@@ -64,6 +64,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_repetition_rows", Seq(3), args =>
       RepetitionProfileGen(args.head, intLit(args(1), "minN"), intLit(args(2), "maxN")))
 
+    // Aho-Corasick substring blocklist (patterns as one '|'-separated
+    // string literal): matched-pattern array / early-exit boolean /
+    // overlapping-occurrence count — one text pass regardless of |patterns|
+    def patternsLit(e: Expression, what: String): Seq[String] = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        s.toString.split('|').toSeq
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal of '|'-separated patterns, got $other")
+    }
+    register("graft_substr_matches", Seq(2), args =>
+      MultiPatternMatches(args.head, patternsLit(args(1), "patterns")))
+    register("graft_substr_any_match", Seq(2), args =>
+      AnyPatternMatch(args.head, patternsLit(args(1), "patterns")))
+    register("graft_substr_occurrences", Seq(2), args =>
+      PatternOccurrenceCount(args.head, patternsLit(args(1), "patterns")))
+
     // SQL-invocable TABLE functions over the operator suite (dedup, LSH
     // pairs, components, chunking, BM25, ANN over a persisted PQ index) —
     // see GraftTableFunctions for the catalog and examples

@@ -52,6 +52,29 @@ class ExtensionsAndSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(outer === Set((1L, "a b c"), (1L, "b c d"), (2L, null)))
   }
 
+  test("Aho-Corasick blocklist functions callable from SQL") {
+    import spark.implicits._
+    Seq((1L, "the slow sort runs a batch batch pass"), (2L, "clean text"))
+      .toDF("id", "t").createOrReplaceTempView("bl")
+    val rows = spark.sql(
+      """SELECT id, graft_substr_matches(t, 'slow sort|batch batch|absent') AS m,
+        |       graft_substr_any_match(t, 'slow sort|batch batch|absent') AS any,
+        |       graft_substr_occurrences(t, 'a|aa') AS occ
+        |FROM bl ORDER BY id""".stripMargin).collect()
+    assert(rows(0).getAs[scala.collection.Seq[String]]("m") ===
+      Seq("slow sort", "batch batch"))
+    assert(rows(0).getBoolean(2) && !rows(1).getBoolean(2))
+    assert(rows(1).getAs[scala.collection.Seq[String]]("m").isEmpty)
+    // occurrences counts overlaps: "a batch batch pass" has 4 'a's... count
+    // directly against the naive scan
+    val t0 = "the slow sort runs a batch batch pass"
+    assert(rows(0).getLong(3) ===
+      t0.count(_ == 'a') + t0.sliding(2).count(_ == "aa"))
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_substr_matches('x', lower('A'))").collect())
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("SQL function rejects wrong arity / non-literal params with clear errors") {
     val e1 = intercept[Exception](spark.sql("SELECT graft_fingerprint64('a','b')").collect())
     assert(e1.getMessage.contains("argument"))
