@@ -1773,6 +1773,23 @@ object SparkEntry {
       pairs.unionAll(clean).orderBy(col("doc_id"), col("pattern"))
     }),
 
+    // ---- PageRank over the supplier co-supply graph (edge s1->s2 with
+    //      weight = #shared parts, symmetric by construction): 6 exact
+    //      power iterations with dangling-mass handling — the oracle
+    //      unrolls the identical recurrence in SQL ----
+    "q_pagerank" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val e = ps.as("a").join(ps.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") =!= col("b.sk"))
+        .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      graft.operators.PageRank.run(e, "src", "dst", Some("w"), iters = 6)
+        .select(col("node").as("supplier"), round(col("rank"), 7).as("rank"))
+        .orderBy(col("supplier"))
+    }),
+
     // ---- per-group cap: keep the 20 largest docs per source
     //      (deterministic n_chars DESC, doc_id tiebreak) — the C4-style
     //      per-domain cap. ----
@@ -2586,6 +2603,8 @@ object SparkEntry {
     "q_zorder_cells" -> SparkEntryOracles.zorderCellsSql,
 
     "q_blocklist_substr" -> SparkEntryOracles.substrBlocklistSql,
+
+    "q_pagerank" -> SparkEntryOracles.pagerankSql,
 
     // CCNet bucketing replica: the q_bigram_surprisal pipeline (coalesced
     // to 0 for token-less docs, rounded to 4dp BEFORE the percentile so

@@ -226,6 +226,39 @@ object SparkEntryOracles {
        |ORDER BY doc_id, pattern""".stripMargin
   }
 
+  /** Replicates PageRank.run on the supplier co-supply graph: the same
+    * edge construction, then 6 unrolled power iterations of
+    * r'(v) = (1-d)/N + d·Σ r(u)·share(u,v) (the graph is symmetric, so
+    * there are no dangling nodes and the dangling term vanishes). */
+  val pagerankSql: String = {
+    val d = 0.85
+    val iters = (1 to 6).map { k =>
+      s"""r$k AS (
+         |  SELECT nodes.node,
+         |    (1 - $d) / n + $d * coalesce(c.s, 0) AS rank
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT ne.dst, sum(r.rank * ne.share) AS s
+         |    FROM ne JOIN r${k - 1} r ON ne.src = r.node GROUP BY 1) c
+         |  ON nodes.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+       |e AS (
+       |  SELECT a.sk AS src, b.sk AS dst, CAST(count(*) AS DOUBLE) AS w
+       |  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk <> b.sk
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |ne AS (
+       |  SELECT e.src, e.dst, e.w / o.ow AS share
+       |  FROM e JOIN (SELECT src, sum(w) AS ow FROM e GROUP BY 1) o
+       |  ON e.src = o.src),
+       |r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT node AS supplier, round(rank, 7) AS rank
+       |FROM r6 ORDER BY supplier""".stripMargin
+  }
+
   /** Replicates ZOrder.zvalue over (l_partkey, l_suppkey) with 16 quantile
     * buckets per column: quantile_cont == Spark percentile for the
     * cutoffs, bucket = #cutoffs <= value, then the generated Morton

@@ -202,6 +202,15 @@ object GraftTableFunctions {
           strLit(args(3), "groupCol"),
           doubleLit(args(4), "lo"), doubleLit(args(5), "hi"))))
 
+    // PageRank over an edge view -> (node, rank); weightCol '' = unweighted
+    registerTable("graft_pagerank", Seq(5), args =>
+      plan({
+        val wc = strLit(args(3), "weightCol")
+        graft.operators.PageRank.run(table(strLit(args(0), "table")),
+          strLit(args(1), "srcCol"), strLit(args(2), "dstCol"),
+          if (wc.isEmpty) None else Some(wc), intLit(args(4), "iters"))
+      }))
+
     // z-order clustering rewrite: input rows + zv, range-partitioned and
     // in-partition sorted by the Morton value (cols arg comma-separated)
     registerTable("graft_zorder", Seq(4), args =>

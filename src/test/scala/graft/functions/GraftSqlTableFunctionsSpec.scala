@@ -227,6 +227,19 @@ class GraftSqlTableFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val viaApi = api.collect().map(_.toString).toSeq
       assert(viaSql === viaApi && viaSql.nonEmpty, sql)
     }
+    // graft_pagerank: same ranks as the Scala API
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .selectExpr("l_partkey AS s", "l_suppkey AS d")
+      .createOrReplaceTempView("pr_edges")
+    val prSql = spark.sql(
+      "SELECT node, round(rank, 9) AS r FROM graft_pagerank('pr_edges', 's', 'd', '', 4) ORDER BY node")
+      .collect().map(_.toString).toSeq
+    val prApi = graft.operators.PageRank.run(spark.table("pr_edges"),
+        "s", "d", None, iters = 4)
+      .select(col("node"), round(col("rank"), 9).as("r")).orderBy(col("node"))
+      .collect().map(_.toString).toSeq
+    assert(prSql === prApi && prSql.nonEmpty)
+
     // graft_zorder: same rows + same zv values as the Scala rewrite
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("li")
