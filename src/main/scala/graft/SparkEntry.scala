@@ -1790,6 +1790,39 @@ object SparkEntry {
         .orderBy(col("supplier"))
     }),
 
+    // ---- exact triangle counting (degree-ordered orientation — wedge
+    //      join bounded O(m^1.5), no last-reducer hub blowup) on the
+    //      >=140-shared-parts co-supply graph; oracle = naive triple
+    //      join over the same edges ----
+    "q_triangles" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val e = ps.as("a").join(ps.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("lo"), col("b.sk").as("hi"))
+        .agg(count(lit(1)).as("c")).where(col("c") >= 140)
+        .select(col("lo"), col("hi"))
+      graft.operators.Triangles.perNode(e, "lo", "hi")
+        .select(col("node").as("supplier"), col("triangles"))
+        .orderBy(col("supplier"))
+    }),
+
+    // ---- funnel analysis: ordered view -> click -> purchase per user,
+    //      greedy earliest-match chain (K tiny per-user shuffles, never
+    //      the raw event stream) ----
+    "q_funnel" -> ((s, dir) => {
+      graft.operators.Funnel.userFunnel(events(s, dir),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .withColumnRenamed("user", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
+    "q_funnel_conversion" -> ((s, dir) => {
+      graft.operators.Funnel.conversion(events(s, dir),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+    }),
+
     // ---- per-group cap: keep the 20 largest docs per source
     //      (deterministic n_chars DESC, doc_id tiebreak) — the C4-style
     //      per-domain cap. ----
@@ -2605,6 +2638,68 @@ object SparkEntry {
     "q_blocklist_substr" -> SparkEntryOracles.substrBlocklistSql,
 
     "q_pagerank" -> SparkEntryOracles.pagerankSql,
+
+    // funnel replica: chained min-after-previous CTEs, same greedy
+    // earliest-match semantics
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS ts_1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS ts_2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.ts_1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS ts_3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.ts_2 GROUP BY 1)
+        |SELECT s1.user_id, ts_1, ts_2, ts_3,
+        |  CASE WHEN ts_3 IS NOT NULL THEN 3
+        |       WHEN ts_2 IS NOT NULL THEN 2 ELSE 1 END AS steps_completed
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_funnel_conversion" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS ts_1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS ts_2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.ts_1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS ts_3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.ts_2 GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+        |             (SELECT count(*) FROM s2) AS n2,
+        |             (SELECT count(*) FROM s3) AS n3)
+        |SELECT step, step_name, users,
+        |  round(users * 1.0 / n1, 6) AS conversion
+        |FROM n, (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+        |  AS st(step, step_name),
+        |LATERAL (SELECT CASE step WHEN 1 THEN n1 WHEN 2 THEN n2
+        |                 ELSE n3 END AS users)
+        |ORDER BY step""".stripMargin,
+
+    // triangle replica: naive ordered triple join (a<b<c) over the same
+    // thresholded co-supply edges — each triangle exactly once
+    "q_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |e AS (
+        |  SELECT a.sk AS lo, b.sk AS hi
+        |  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+        |  GROUP BY 1, 2 HAVING count(*) >= 140),
+        |t AS (
+        |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.lo = e1.hi
+        |  JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+        |SELECT supplier, CAST(count(*) AS BIGINT) AS triangles
+        |FROM (SELECT a AS supplier FROM t
+        |      UNION ALL SELECT b FROM t
+        |      UNION ALL SELECT c FROM t)
+        |GROUP BY supplier ORDER BY supplier""".stripMargin,
 
     // CCNet bucketing replica: the q_bigram_surprisal pipeline (coalesced
     // to 0 for token-less docs, rounded to 4dp BEFORE the percentile so

@@ -202,6 +202,18 @@ object GraftTableFunctions {
           strLit(args(3), "groupCol"),
           doubleLit(args(4), "lo"), doubleLit(args(5), "hi"))))
 
+    // exact triangle counts per node over an undirected edge view
+    registerTable("graft_triangles", Seq(3), args =>
+      plan(graft.operators.Triangles.perNode(table(strLit(args(0), "table")),
+        strLit(args(1), "aCol"), strLit(args(2), "bCol"))))
+
+    // funnel conversion table over an event view (steps comma-separated)
+    registerTable("graft_funnel", Seq(5), args =>
+      plan(graft.operators.Funnel.conversion(table(strLit(args(0), "table")),
+        strLit(args(1), "userCol"), strLit(args(2), "typeCol"),
+        strLit(args(3), "tsCol"),
+        strLit(args(4), "steps").split(',').map(_.trim).toSeq)))
+
     // PageRank over an edge view -> (node, rank); weightCol '' = unweighted
     registerTable("graft_pagerank", Seq(5), args =>
       plan({

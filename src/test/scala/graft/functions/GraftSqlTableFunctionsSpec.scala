@@ -227,6 +227,28 @@ class GraftSqlTableFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val viaApi = api.collect().map(_.toString).toSeq
       assert(viaSql === viaApi && viaSql.nonEmpty, sql)
     }
+    // graft_triangles / graft_funnel: same rows as the Scala API
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .selectExpr("l_partkey AS a", "l_suppkey AS b")
+      .createOrReplaceTempView("tri_edges")
+    val triSql = spark.sql(
+      "SELECT * FROM graft_triangles('tri_edges', 'a', 'b') ORDER BY node")
+      .collect().map(_.toString).toSeq
+    val triApi = graft.operators.Triangles.perNode(spark.table("tri_edges"),
+        "a", "b").orderBy(col("node"))
+      .collect().map(_.toString).toSeq
+    assert(triSql === triApi && triSql.nonEmpty)
+
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .createOrReplaceTempView("fn_events")
+    val fnSql = spark.sql(
+      "SELECT * FROM graft_funnel('fn_events', 'user_id', 'event_type', 'ts', 'view,click,purchase')")
+      .collect().map(_.toString).toSeq
+    val fnApi = graft.operators.Funnel.conversion(spark.table("fn_events"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect().map(_.toString).toSeq
+    assert(fnSql === fnApi && fnSql.size === 3)
+
     // graft_pagerank: same ranks as the Scala API
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .selectExpr("l_partkey AS s", "l_suppkey AS d")
