@@ -1781,10 +1781,14 @@ object SparkEntry {
       val ps = t(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
-      val e = ps.as("a").join(ps.as("b"),
-          col("a.pk") === col("b.pk") && col("a.sk") =!= col("b.sk"))
+      // build the undirected half (a < b, halves the wedge join) and
+      // mirror after the aggregate — the graph is symmetric by definition
+      val eu = ps.as("a").join(ps.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
         .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
         .agg(count(lit(1)).cast("double").as("w"))
+      val e = eu.unionAll(eu.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
       graft.operators.PageRank.run(e, "src", "dst", Some("w"), iters = 6)
         .select(col("node").as("supplier"), round(col("rank"), 7).as("rank"))
         .orderBy(col("supplier"))

@@ -243,10 +243,12 @@ object SparkEntryOracles {
          |  ON nodes.node = c.dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
-       |e AS (
+       |eu AS (
        |  SELECT a.sk AS src, b.sk AS dst, CAST(count(*) AS DOUBLE) AS w
-       |  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk <> b.sk
+       |  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
        |  GROUP BY 1, 2),
+       |e AS (SELECT src, dst, w FROM eu
+       |      UNION ALL SELECT dst, src, w FROM eu),
        |nodes AS (SELECT DISTINCT src AS node FROM e),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |ne AS (
