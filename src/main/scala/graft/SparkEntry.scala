@@ -1827,6 +1827,16 @@ object SparkEntry {
           "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
     }),
 
+    // ---- cohort retention: day cohorts over events, offsets 0..10 —
+    //      two user-keyed aggregations + one join, the raw stream
+    //      shuffles once ----
+    "q_retention" -> ((s, dir) => {
+      graft.operators.Retention.cohortRetention(events(s, dir),
+          "user_id", floor(unix_micros(col("ts")) / lit(86400000000L)),
+          maxOffset = 10)
+        .orderBy(col("cohort"), col("offset"))
+    }),
+
     // ---- per-group cap: keep the 20 largest docs per source
     //      (deterministic n_chars DESC, doc_id tiebreak) — the C4-style
     //      per-domain cap. ----
@@ -2642,6 +2652,26 @@ object SparkEntry {
     "q_blocklist_substr" -> SparkEntryOracles.substrBlocklistSql,
 
     "q_pagerank" -> SparkEntryOracles.pagerankSql,
+
+    // retention replica: identical day-bucket arithmetic
+    // (floor(epoch_us/86400e6)), distinct activity, min-cohort, offsets
+    "q_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS p
+        |  FROM events),
+        |coh AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY 1),
+        |sizes AS (SELECT cohort, count(*) AS cohort_size FROM coh GROUP BY 1),
+        |o AS (
+        |  SELECT coh.cohort, act.p - coh.cohort AS "offset",
+        |    count(*) AS active_users
+        |  FROM act JOIN coh USING (user_id)
+        |  WHERE act.p - coh.cohort <= 10
+        |  GROUP BY 1, 2)
+        |SELECT o.cohort, o."offset", o.active_users, sizes.cohort_size,
+        |  round(o.active_users * 1.0 / sizes.cohort_size, 6) AS retention
+        |FROM o JOIN sizes USING (cohort)
+        |ORDER BY cohort, "offset"""".stripMargin,
 
     // funnel replica: chained min-after-previous CTEs, same greedy
     // earliest-match semantics

@@ -49,6 +49,13 @@ object GraftTableFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   /** SQL `0.8` parses as a decimal literal; accept decimal/double/int. */
   private def doubleLit(e: Expression, what: String): Double = e match {
     case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) => v.toDouble
@@ -213,6 +220,17 @@ object GraftTableFunctions {
         strLit(args(1), "userCol"), strLit(args(2), "typeCol"),
         strLit(args(3), "tsCol"),
         strLit(args(4), "steps").split(',').map(_.trim).toSeq)))
+
+    // cohort retention over an event view: day/week buckets via
+    // periodMicros -> (cohort, offset, active_users, cohort_size, retention)
+    registerTable("graft_retention", Seq(5), args =>
+      plan(graft.operators.Retention.cohortRetention(
+        table(strLit(args(0), "table")), strLit(args(1), "userCol"),
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col(strLit(args(2), "tsCol"))) /
+          org.apache.spark.sql.functions.lit(longLit(args(3), "periodMicros"))),
+        intLit(args(4), "maxOffset"))))
 
     // PageRank over an edge view -> (node, rank); weightCol '' = unweighted
     registerTable("graft_pagerank", Seq(5), args =>

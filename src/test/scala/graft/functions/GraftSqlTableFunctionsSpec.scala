@@ -249,6 +249,20 @@ class GraftSqlTableFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).toSeq
     assert(fnSql === fnApi && fnSql.size === 3)
 
+    // graft_retention: same cohort table as the Scala API
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .createOrReplaceTempView("rt_events")
+    val rtSql = spark.sql(
+      "SELECT * FROM graft_retention('rt_events', 'user_id', 'ts', 86400000000, 5) ORDER BY cohort, offset")
+      .collect().map(_.toString).toSeq
+    val rtApi = graft.operators.Retention.cohortRetention(
+        spark.table("rt_events"), "user_id",
+        floor(unix_micros(col("ts")) / lit(86400000000L)), 5)
+      .orderBy(col("cohort"), col("offset"))
+      .collect().map(_.toString).toSeq
+    assert(rtSql === rtApi && rtSql.nonEmpty)
+
     // graft_pagerank: same ranks as the Scala API
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .selectExpr("l_partkey AS s", "l_suppkey AS d")
