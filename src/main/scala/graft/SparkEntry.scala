@@ -3543,9 +3543,9 @@ object SparkEntry {
         |te AS (SELECT doc_id, sum(c) AS n_tokens,
         |    round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS token_entropy
         |  FROM tc GROUP BY 1)
-        |SELECT d.doc_id, coalesce(ce.n_chars, 0) AS n_chars,
+        |SELECT d.doc_id, CAST(coalesce(ce.n_chars, 0) AS BIGINT) AS n_chars,
         |  coalesce(ce.char_entropy, 0.0) AS char_entropy,
-        |  coalesce(te.n_tokens, 0) AS n_tokens,
+        |  CAST(coalesce(te.n_tokens, 0) AS BIGINT) AS n_tokens,
         |  coalesce(te.token_entropy, 0.0) AS token_entropy
         |FROM documents d LEFT JOIN ce USING (doc_id) LEFT JOIN te USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,

@@ -17,7 +17,12 @@ import org.apache.spark.sql.types.StructType
   * checkpoint (like Spark's built-in file stream source), so a restart
   * replays offsets against the exact same file ordering even when the live
   * discovery order diverged from timestamp order (slow writers, listing
-  * lag). Assumes an append-only directory.
+  * lag). Assumes an append-only directory whose files APPEAR ATOMICALLY
+  * (write elsewhere or to a dotted temp name, then rename in) — the same
+  * contract as Spark's built-in file sources; a file listed mid-write
+  * would otherwise be admitted at its partial length. Zero-length files
+  * are deferred to a later trigger (never admitted) as a guard against
+  * the most common non-atomic pattern.
   *
   * Admission control (`maxFilesPerTrigger` / `maxBytesPerTrigger` read
   * options, same knobs as Spark's file stream source): a huge backlog — a
@@ -124,7 +129,13 @@ class SeqFileMicroBatchStream(tableSchema: StructType, required: StructType,
   }
 
   private def appendNew(): Unit = synchronized {
-    val fresh = discover().filter(f => !seen.contains(f._1))
+    // Files must APPEAR atomically (write to a temp name, rename in — the
+    // same contract as Spark's built-in file sources): discovery snapshots
+    // (path, length), so a file caught mid-write would be read as a
+    // partial prefix forever (its offset commits with the short length).
+    // The one unambiguous partial state — a zero-length just-created
+    // file — is deferred to a later trigger instead of admitted.
+    val fresh = discover().filter(f => !seen.contains(f._1) && f._2 > 0)
       .sortBy(f => (f._3, f._1))
     if (fresh.nonEmpty) {
       fresh.foreach { case (p, len, _) =>

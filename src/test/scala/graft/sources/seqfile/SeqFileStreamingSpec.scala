@@ -20,10 +20,45 @@ class SeqFileStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   import graft.core.seqfile._
 
   private def writeFile(dir: java.nio.file.Path, name: String, from: Int, n: Int): Unit = {
-    val w = new SeqFileWriter(java.nio.file.Files.newOutputStream(dir.resolve(name)),
+    // Atomic appearance (temp name + rename) — the documented contract of
+    // the streaming source (and of Spark's own file sources): a direct
+    // write races discovery, which snapshots (path, length) and would
+    // admit a mid-write partial prefix (observed as a full-suite flake:
+    // offset committed with 0 rows for a file listed at creation).
+    val tmp = dir.resolve(s".$name.tmp")
+    val w = new SeqFileWriter(java.nio.file.Files.newOutputStream(tmp),
       WritableType.LongW, WritableType.TextW, syncSeed = from.toLong)
     (from until from + n).foreach(i => w.append(i.toLong, s"v$i"))
     w.close()
+    java.nio.file.Files.move(tmp, dir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  test("zero-length files are deferred, then admitted once complete") {
+    val dir = java.nio.file.Files.createTempDirectory("seqzero")
+    writeFile(dir, "a.seq", 0, 100)
+    // a non-atomic writer's just-created empty file: must not be admitted
+    // (it would commit at length 0 and lose its rows forever)
+    java.nio.file.Files.createFile(dir.resolve("b.seq"))
+    val schema = spark.read.format("seqfile").load(dir.toString + "/a.seq").schema
+    val q = spark.readStream.format("seqfile").schema(schema).load(dir.toString)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("seqzero").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("seqzero").head().getLong(0) === 100L)
+      // complete it via atomic rename; the stream now picks it up whole
+      java.nio.file.Files.delete(dir.resolve("b.seq"))
+      writeFile(dir, "b.seq", 100, 50)
+      var rows = 0L
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (rows != 150L && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        rows = spark.table("seqzero").head().getLong(0)
+        if (rows != 150L) Thread.sleep(100)
+      }
+      assert(rows === 150L)
+    } finally q.stop()
   }
 
   test("readStream discovers files incrementally; totals match batch reads") {
