@@ -68,12 +68,16 @@ object PageRank {
       .repartition(parts, col("src"))
       .localCheckpoint(true)
 
-    // dangling nodes (no out-edges): detected once; the per-round scalar
-    // aggregate is skipped when there are none
-    val dangling = nodes.join(outW.select(col("src").as("node")),
-        Seq("node"), "left_anti")
-      .localCheckpoint(true)
-    val hasDangling = dangling.limit(1).count() > 0
+    // dangling nodes (no out-edges): detected by comparing the distinct
+    // src count against |V| (one job); the table itself is only
+    // materialized when the graph actually has dangling nodes
+    val nSrc = normEdges.select(col("src")).distinct().count()
+    val hasDangling = nSrc < n.toLong
+    val dangling =
+      if (!hasDangling) null
+      else nodes.join(normEdges.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_anti")
+        .localCheckpoint(true)
     ConnectedComponents.release(e0) // all derivations are materialized
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
@@ -95,8 +99,11 @@ object PageRank {
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(dm / n)))
             .as("rank"))
+      // no forced checkpoint on the LAST iteration: the caller's action
+      // materializes the (<= checkpointEvery deep) remaining lineage —
+      // forcing one here would pay a whole extra materialization
       ranks =
-        if ((i + 1) % checkpointEvery == 0 || i == iters - 1) {
+        if ((i + 1) % checkpointEvery == 0 && i != iters - 1) {
           val cut = next.localCheckpoint(true)
           if (prev != null) ConnectedComponents.release(prev)
           prev = cut
