@@ -1827,6 +1827,22 @@ object SparkEntry {
           "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
     }),
 
+    // ---- grouped least-squares trend: built-in regr_* aggregates per
+    //      event type, x = hours since a fixed origin (keeps the normal
+    //      equations well-conditioned; raw epoch-micros x makes slopes
+    //      ~1e-13 and cross-engine comparison degenerate) ----
+    "q_regression" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("x",
+          (unix_micros(col("ts")) - lit(1704067200000000L)) / lit(3.6e9))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("regr_slope(value, x)"), 6).as("slope"),
+          round(expr("regr_intercept(value, x)"), 6).as("intercept"),
+          round(expr("regr_r2(value, x)"), 6).as("r2"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- cohort retention: day cohorts over events, offsets 0..10 —
     //      two user-keyed aggregations + one join, the raw stream
     //      shuffles once ----
@@ -2652,6 +2668,18 @@ object SparkEntry {
     "q_blocklist_substr" -> SparkEntryOracles.substrBlocklistSql,
 
     "q_pagerank" -> SparkEntryOracles.pagerankSql,
+
+    // regression replica: same hour-origin x; both engines compute the
+    // textbook least-squares moments, rounded to 6dp
+    "q_regression" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(regr_slope(value, x), 6) AS slope,
+        |  round(regr_intercept(value, x), 6) AS intercept,
+        |  round(regr_r2(value, x), 6) AS r2
+        |FROM (SELECT event_type, value,
+        |        (epoch_us(ts) - 1704067200000000) / 3600000000.0 AS x
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // retention replica: identical day-bucket arithmetic
     // (floor(epoch_us/86400e6)), distinct activity, min-cohort, offsets
