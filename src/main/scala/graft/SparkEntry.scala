@@ -1827,6 +1827,39 @@ object SparkEntry {
           "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
     }),
 
+    // ---- personalized PageRank: teleport to nation-0 suppliers over
+    //      the co-supply graph — relevance FROM the seed set's view ----
+    "q_pagerank_personalized" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val eu = ps.as("a").join(ps.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      val e = eu.unionAll(eu.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      // seed nation = the smallest nationkey PRESENT among suppliers (at
+      // tiny SFs nation 0 may have no suppliers at all)
+      val minNation = t(s, dir, "supplier")
+        .agg(min(col("s_nationkey"))).head().getAs[Number](0).longValue()
+      val seeds = t(s, dir, "supplier")
+        .where(col("s_nationkey") === minNation)
+        .select(col("s_suppkey").as("node"), lit(1.0).as("w"))
+      graft.operators.PageRank.run(e, "src", "dst", Some("w"), iters = 6,
+          personalization = Some(seeds))
+        .select(col("node").as("supplier"), round(col("rank"), 7).as("rank"))
+        .orderBy(col("supplier"))
+    }),
+
+    // ---- PMI collocations: top adjacent-pair pointwise mutual
+    //      information (minCount-floored; one tokenization pass feeds
+    //      both count tables, shuffles carry vocabulary not corpus) ----
+    "q_collocations" -> ((s, dir) => {
+      graft.operators.Collocations.pmiTopK(
+        t(s, dir, "documents"), "text", minCount = 5, topK = 50)
+    }),
+
     // ---- grouped least-squares trend: built-in regr_* aggregates per
     //      event type, x = hours since a fixed origin (keeps the normal
     //      equations well-conditioned; raw epoch-micros x makes slopes
@@ -2668,6 +2701,34 @@ object SparkEntry {
     "q_blocklist_substr" -> SparkEntryOracles.substrBlocklistSql,
 
     "q_pagerank" -> SparkEntryOracles.pagerankSql,
+
+    "q_pagerank_personalized" -> SparkEntryOracles.pagerankPersonalizedSql,
+
+    // collocation replica: same tokenizer, adjacent pairs via positional
+    // subscripts, identical PMI arithmetic rounded 6dp
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT w[CAST(i AS INTEGER)] AS a, w[CAST(i AS INTEGER) + 1] AS b
+        |  FROM toks, unnest(range(1, len(w))) AS u(i)
+        |  WHERE len(w) >= 2),
+        |pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c_t
+        |       FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(c_t) FROM uc) * 1.0 AS n_tokens,
+        |               (SELECT count(*) FROM bg) * 1.0 AS n_bigrams)
+        |SELECT a, b, c_ab, ca.c_t AS c_a, cb.c_t AS c_b,
+        |  round(log2((c_ab / n_bigrams) /
+        |    ((ca.c_t / n_tokens) * (cb.c_t / n_tokens))), 6) AS pmi
+        |FROM pc
+        |JOIN uc ca ON pc.a = ca.t
+        |JOIN uc cb ON pc.b = cb.t
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, a, b LIMIT 50""".stripMargin,
 
     // regression replica: same hour-origin x; both engines compute the
     // textbook least-squares moments, rounded to 6dp

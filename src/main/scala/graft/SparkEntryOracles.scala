@@ -261,6 +261,47 @@ object SparkEntryOracles {
        |FROM r6 ORDER BY supplier""".stripMargin
   }
 
+  /** Personalized-PageRank replica: same co-supply graph, teleport vector
+    * t = normalized nation-0 seed weights, 6 unrolled iterations of
+    * r'(v) = (1-d)·t(v) + d·Σ r(u)·share(u,v) (symmetric graph — no
+    * dangling term). */
+  val pagerankPersonalizedSql: String = {
+    val d = 0.85
+    val iters = (1 to 6).map { k =>
+      s"""r$k AS (
+         |  SELECT tv.node,
+         |    (1 - $d) * tv.t + $d * coalesce(c.s, 0) AS rank
+         |  FROM tv
+         |  LEFT JOIN (
+         |    SELECT ne.dst, sum(r.rank * ne.share) AS s
+         |    FROM ne JOIN r${k - 1} r ON ne.src = r.node GROUP BY 1) c
+         |  ON tv.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+       |eu AS (
+       |  SELECT a.sk AS src, b.sk AS dst, CAST(count(*) AS DOUBLE) AS w
+       |  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+       |  GROUP BY 1, 2),
+       |e AS (SELECT src, dst, w FROM eu
+       |      UNION ALL SELECT dst, src, w FROM eu),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |ne AS (
+       |  SELECT e.src, e.dst, e.w / o.ow AS share
+       |  FROM e JOIN (SELECT src, sum(w) AS ow FROM e GROUP BY 1) o
+       |  ON e.src = o.src),
+       |seeds AS (SELECT s_suppkey AS node, 1.0 AS sw FROM supplier
+       |          WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)),
+       |sv AS (SELECT seeds.node, sw FROM seeds JOIN nodes USING (node)),
+       |tv AS (
+       |  SELECT nodes.node,
+       |    coalesce(s.sw, 0) / (SELECT sum(sw) FROM sv) AS t
+       |  FROM nodes LEFT JOIN sv s ON nodes.node = s.node),
+       |r0 AS (SELECT node, t AS rank FROM tv),
+       |$iters
+       |SELECT node AS supplier, round(rank, 7) AS rank
+       |FROM r6 ORDER BY supplier""".stripMargin
+  }
+
   /** Replicates ZOrder.zvalue over (l_partkey, l_suppkey) with 16 quantile
     * buckets per column: quantile_cont == Spark percentile for the
     * cutoffs, bucket = #cutoffs <= value, then the generated Morton

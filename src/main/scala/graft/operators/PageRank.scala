@@ -32,11 +32,20 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** (node, rank) for every node in `edges`. Edge weights must be
-    * positive; multi-edges are summed. */
+    * positive; multi-edges are summed.
+    *
+    * `personalization`: optional (node) or (node, weight) seed frame —
+    * switches to PERSONALIZED PageRank: the teleport distribution t
+    * (uniform-over-V in the standard form) becomes the normalized seed
+    * weights, i.e. r'(v) = (1-d)·t(v) + d·(Σ contrib + D·t(v)). Relevance
+    * then concentrates around the seeds — "importance FROM this set's
+    * point of view" (topic-sensitive PageRank, Haveliwala 2002). The seed
+    * frame is |seeds|-sized and joins once into the node table. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           weightCol: Option[String] = None, iters: Int = 10,
           damping: Double = 0.85, numPartitions: Int = 0,
-          checkpointEvery: Int = 5): DataFrame = {
+          checkpointEvery: Int = 5,
+          personalization: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
     val parts =
       if (numPartitions > 0) numPartitions
@@ -80,7 +89,34 @@ object PageRank {
         .localCheckpoint(true)
     ConnectedComponents.release(e0) // all derivations are materialized
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    // teleport distribution t: uniform 1/|V|, or the normalized seed
+    // weights (over seeds ∩ V) in personalized mode. The seed frame is
+    // tiny — it broadcasts into one join, materialized once.
+    val nodesT = personalization match {
+      case None => nodes.withColumn("t", lit(1.0 / n))
+      case Some(p) =>
+        val cs = p.columns
+        val seeds0 =
+          if (cs.length >= 2)
+            p.select(col(cs(0)).cast("long").as("node"),
+              col(cs(1)).cast("double").as("sw"))
+          else p.select(col(cs(0)).cast("long").as("node"), lit(1.0).as("sw"))
+        val seedsInV = seeds0.groupBy(col("node")).agg(sum(col("sw")).as("sw"))
+          .join(nodes, "node")
+          .localCheckpoint(true)
+        val tot = seedsInV.agg(sum(col("sw"))).head() match {
+          case r if r.isNullAt(0) => 0.0
+          case r => r.getDouble(0)
+        }
+        require(tot > 0,
+          "personalization seeds have no positive mass on graph nodes")
+        nodes.join(broadcast(seedsInV), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("sw") / lit(tot), lit(0.0)).as("t"))
+          .localCheckpoint(true)
+    }
+
+    var ranks = nodesT.select(col("node"), col("t").as("rank"))
     var prev: DataFrame = null
     var i = 0
     while (i < iters) {
@@ -94,10 +130,10 @@ object PageRank {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("share")).as("c"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      val next = nodesT.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(dm / n)))
+          (lit(1.0 - damping) * col("t") +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(dm) * col("t")))
             .as("rank"))
       // no forced checkpoint on the LAST iteration: the caller's action
       // materializes the (<= checkpointEvery deep) remaining lineage —

@@ -55,7 +55,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
                            // (unigram-surprisal pattern)
     "q_mixture_weights",   // broadcast single-row (z, total) scalar frame
                            // over the |sources|-row stratum aggregate
-    "q_cluster_purity"     // broadcast centroid table (16 rows)
+    "q_cluster_purity",    // broadcast centroid table (16 rows)
+    "q_collocations"       // broadcast single-row (n_tokens, n_bigrams)
+                           // totals frame (tf-idf pattern)
   )
 
   /** Queries allowed a partition-less Window: the window runs over the

@@ -60,6 +60,42 @@ class PageRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((k, v) <- ref) assert(math.abs(viaMulti(k) - v) < 1e-12, s"node $k")
   }
 
+  test("personalized: teleport mass concentrates on and around seeds") {
+    // reference with an explicit teleport vector
+    def refPpr(edges: Seq[(Long, Long, Double)], seeds: Map[Long, Double],
+               iters: Int, d: Double): Map[Long, Double] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      val tot = seeds.filterKeys(nodes.contains).values.sum
+      val t = nodes.map(v => v -> seeds.getOrElse(v, 0.0) / tot).toMap
+      var r = t
+      for (_ <- 0 until iters) {
+        val dm = nodes.filterNot(outW.contains).map(r).sum
+        val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map(e => r(e._1) * e._3 / outW(e._1)).sum }
+        r = nodes.map(v =>
+          v -> ((1 - d) * t(v) + d * (contrib.getOrElse(v, 0.0) + dm * t(v)))).toMap
+      }
+      r
+    }
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0),
+      (4L, 5L, 1.0), (5L, 4L, 1.0), (3L, 4L, 1.0))
+    val seeds = Seq((1L, 2.0), (2L, 1.0))
+    val ref = refPpr(edges, seeds.toMap, iters = 12, d = 0.85)
+    val got = PageRank.run(edges.toDF("s", "d", "w"), "s", "d", Some("w"),
+        iters = 12, personalization = Some(seeds.toDF("node", "w")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((k, v) <- ref) assert(math.abs(got(k) - v) < 1e-12, s"node $k")
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // the seeded cycle {1,2,3} holds most of the mass
+    assert(got(1L) + got(2L) + got(3L) > got(4L) + got(5L))
+    // seeds outside the graph are ignored; all-unknown seeds reject
+    intercept[IllegalArgumentException] {
+      PageRank.run(edges.toDF("s", "d", "w"), "s", "d", Some("w"),
+        iters = 2, personalization = Some(Seq((99L, 1.0)).toDF("node", "w")))
+    }
+  }
+
   test("deterministic across runs") {
     val e = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_partkey").as("s"), col("l_suppkey").as("d"))
