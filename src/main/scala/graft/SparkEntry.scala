@@ -1852,6 +1852,23 @@ object SparkEntry {
         .orderBy(col("supplier"))
     }),
 
+    // ---- Jaro-Winkler fuzzy matching: exact-scored pairs within
+    //      explicit blocks (first-token key) — the record-linkage tier
+    //      next to the edit-distance PassJoin; the oracle pins our JW
+    //      kernel bit-for-bit against DuckDB's on real data ----
+    "q_fuzzy_join" -> ((s, dir) => {
+      // fixed id scope: fuzzy all-pairs within NAME-derived blocks is
+      // inherently quadratic when the name vocabulary (and so the block
+      // count) is fixed — the gate pins kernel+machinery correctness on a
+      // constant slice; production keys must scale with the data (see
+      // FuzzyJoin scaladoc)
+      graft.operators.FuzzyJoin.jaroWinklerPairs(
+          t(s, dir, "part").where(col("p_partkey") < 2000),
+          "p_partkey", "p_name",
+          graft.operators.FuzzyJoin.firstTokenKey("p_name"), 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- PMI collocations: top adjacent-pair pointwise mutual
     //      information (minCount-floored; one tokenization pass feeds
     //      both count tables, shuffles carry vocabulary not corpus) ----
@@ -2703,6 +2720,21 @@ object SparkEntry {
     "q_pagerank" -> SparkEntryOracles.pagerankSql,
 
     "q_pagerank_personalized" -> SparkEntryOracles.pagerankPersonalizedSql,
+
+    // fuzzy-join replica: same first-token blocks, DuckDB's own
+    // jaro_winkler_similarity — pins our kernel to the reference
+    // implementation value-for-value
+    "q_fuzzy_join" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS id, p_name AS s,
+        |    lower(list_filter(string_split_regex(trim(p_name), '\s+'),
+        |      x -> length(x) > 0)[1]) AS k
+        |  FROM part WHERE p_partkey < 2000)
+        |SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
+        |  round(jaro_winkler_similarity(a.s, b.s), 6) AS sim
+        |FROM p a JOIN p b ON a.k = b.k AND a.id < b.id
+        |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // collocation replica: same tokenizer, adjacent pairs via positional
     // subscripts, identical PMI arithmetic rounded 6dp

@@ -80,6 +80,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       AnyPatternMatch(args.head, patternsLit(args(1), "patterns")))
     register("graft_substr_occurrences", Seq(2), args =>
       PatternOccurrenceCount(args.head, patternsLit(args(1), "patterns")))
+    // Jaro-Winkler similarity (record-linkage string metric)
+    register("graft_jaro_winkler", Seq(2), args =>
+      JaroWinklerSim(args.head, args(1)))
 
     // SQL-invocable TABLE functions over the operator suite (dedup, LSH
     // pairs, components, chunking, BM25, ANN over a persisted PQ index) —
