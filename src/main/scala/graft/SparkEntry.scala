@@ -1869,6 +1869,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- sorted-neighborhood fuzzy matching: the LINEAR-cost blocking
+    //      (N·w pairs) — full table, no slice needed; global rank via the
+    //      bucket-prefix decomposition, never a partition-less window ----
+    "q_fuzzy_neighborhood" -> ((s, dir) => {
+      graft.operators.FuzzyJoin.sortedNeighborhoodPairs(
+          t(s, dir, "part"), "p_partkey", "p_name", "p_name",
+          windowSize = 10, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- PMI collocations: top adjacent-pair pointwise mutual
     //      information (minCount-floored; one tokenization pass feeds
     //      both count tables, shuffles carry vocabulary not corpus) ----
@@ -2734,6 +2744,21 @@ object SparkEntry {
         |  round(jaro_winkler_similarity(a.s, b.s), 6) AS sim
         |FROM p a JOIN p b ON a.k = b.k AND a.id < b.id
         |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // sorted-neighborhood replica: one global row_number (the oracle CAN
+    // afford the serial window), band join within 10 positions, same JW
+    "q_fuzzy_neighborhood" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part),
+        |r AS (SELECT id, s, row_number() OVER (ORDER BY s, id) AS rn FROM p),
+        |c AS (
+        |  SELECT a.id AS ia, b.id AS ib, a.s AS sa, b.s AS sb
+        |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 10)
+        |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+        |  CASE WHEN ia < ib THEN sa ELSE sb END AS s_a,
+        |  CASE WHEN ia < ib THEN sb ELSE sa END AS s_b,
+        |  round(jaro_winkler_similarity(sa, sb), 6) AS sim
+        |FROM c WHERE jaro_winkler_similarity(sa, sb) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
     // collocation replica: same tokenizer, adjacent pairs via positional

@@ -60,4 +60,58 @@ object FuzzyJoin {
     * for "<adjective> <noun>"-style names. */
   def firstTokenKey(strCol: String): Column =
     lower(split(trim(col(strCol)), "\\s+").getItem(0))
+
+  /** Sorted-neighborhood blocking (Hernandez & Stolfo 1995) — the
+    * LINEAR-cost strategy the fixed-key caveat above demands: sort the
+    * corpus by a string key, score each record only against the next
+    * `windowSize` records in sort order. Pair count = N·w regardless of
+    * how the data grows, so linear data growth stays linear pair growth
+    * (the windowed analog of a key whose cardinality scales with N).
+    *
+    * Global rank WITHOUT a partition-less window (the [[Sharding]]
+    * pattern): rows bucket by the first `bucketLen` chars of the sort
+    * key — a PREFIX of the sort order, so bucket-major order IS global
+    * order and rank = lower-bucket count + within-bucket row_number; the
+    * only single-partition step is the tiny per-bucket offset cumsum.
+    * Neighbor candidates come from two equi-joins on ⌊rank/w⌋ (own and
+    * next window-bucket) — no range or nested-loop join anywhere.
+    *
+    * Returns (id_a, id_b, s_a, s_b, sim) with id_a < id_b, exact JW
+    * within the window contract, sim rounded 6dp. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, strCol: String,
+                              sortKeyCol: String, windowSize: Int,
+                              threshold: Double,
+                              bucketLen: Int = 2): DataFrame = {
+    require(windowSize >= 1 && threshold > 0 && threshold <= 1)
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("s"), col(sortKeyCol).cast("string").as("sk"))
+    val rows = base.withColumn("bkt_", substring(col("sk"), 1, bucketLen))
+    val offsets = rows.groupBy(col("bkt_")).count()
+      .withColumn("off_", coalesce(sum(col("count")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bkt_"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("count")
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt_")).orderBy(col("sk"), col("id"))
+    val ranked = rows.join(broadcast(offsets), Seq("bkt_"))
+      .withColumn("rn", col("off_") + row_number().over(local))
+      .select(col("id"), col("s"), col("rn"))
+      .withColumn("wb", floor(col("rn") / windowSize))
+    def neighbors(b: DataFrame): DataFrame =
+      ranked.as("a").join(b.as("b"),
+        col("a.wb") === col("b.wb") &&
+          col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + windowSize)
+    val cands = neighbors(ranked)
+      .unionAll(neighbors(ranked.withColumn("wb", col("wb") - 1)))
+    cands
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        when(col("a.id") < col("b.id"), col("a.s")).otherwise(col("b.s")).as("s_a"),
+        when(col("a.id") < col("b.id"), col("b.s")).otherwise(col("a.s")).as("s_b"),
+        jaro_winkler(col("a.s"), col("b.s")).as("jw"))
+      .where(col("jw") >= threshold)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
+        round(col("jw"), 6).as("sim"))
+  }
 }

@@ -67,7 +67,11 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // token-budget selection: the unpartitioned window is the prefix sum
     // over per-priority-bucket totals (<= distinct 4dp quality values);
     // the per-doc running sum is partitioned by priority bucket
-    "q_token_budget")
+    "q_token_budget",
+    // sorted-neighborhood rank: the unpartitioned window is the offset
+    // cumsum over per-bucket COUNTS (<= |alphabet|^bucketLen rows); the
+    // per-row rank window is partitioned by bucket
+    "q_fuzzy_neighborhood")
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     (p +: p.children.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)

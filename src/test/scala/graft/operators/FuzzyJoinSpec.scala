@@ -48,6 +48,25 @@ class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(jw("prefix_abc", "prefix_xyz") > jw("abc", "xyz"))
   }
 
+  test("sorted-neighborhood == naive rank-window pairs; no dup pairs") {
+    val parts = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val w = 7
+    val got = FuzzyJoin.sortedNeighborhoodPairs(parts, "p_partkey", "p_name",
+        "p_name", w, 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).sorted
+    // naive reference: global sort, all pairs within w positions
+    val ranked = parts.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, s) => (s, id) }
+    val naive = (for {
+      i <- ranked.indices; j <- (i + 1) to math.min(i + w, ranked.length - 1)
+      v = jw(ranked(i)._2, ranked(j)._2) if v >= 0.85
+      a = math.min(ranked(i)._1, ranked(j)._1)
+      b = math.max(ranked(i)._1, ranked(j)._1)
+    } yield (a, b, math.rint(v * 1e6) / 1e6)).sorted
+    assert(got.toSeq === naive.toSeq && got.nonEmpty)
+    assert(got.distinct.length === got.length, "duplicate pairs emitted")
+  }
+
   test("blocked pairs: exact within blocks, deterministic, thresholded") {
     val parts = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     val pairs = FuzzyJoin.jaroWinklerPairs(parts, "p_partkey", "p_name",
