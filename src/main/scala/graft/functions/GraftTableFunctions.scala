@@ -221,6 +221,31 @@ object GraftTableFunctions {
         strLit(args(3), "tsCol"),
         strLit(args(4), "steps").split(',').map(_.trim).toSeq)))
 
+    // PMI collocations -> (a, b, c_ab, c_a, c_b, pmi)
+    registerTable("graft_collocations", Seq(4), args =>
+      plan(graft.operators.Collocations.pmiTopK(table(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), intLit(args(2), "minCount").toLong,
+        intLit(args(3), "topK"))))
+
+    // Jaro-Winkler pairs within first-token blocks
+    registerTable("graft_fuzzy_pairs", Seq(4), args =>
+      plan({
+        val sc = strLit(args(2), "strCol")
+        graft.operators.FuzzyJoin.jaroWinklerPairs(
+          table(strLit(args(0), "table")), strLit(args(1), "idCol"), sc,
+          graft.operators.FuzzyJoin.firstTokenKey(sc),
+          doubleLit(args(3), "threshold"))
+      }))
+
+    // sorted-neighborhood Jaro-Winkler pairs (linear N*w blocking)
+    registerTable("graft_fuzzy_neighborhood", Seq(5), args =>
+      plan({
+        val sc = strLit(args(2), "strCol")
+        graft.operators.FuzzyJoin.sortedNeighborhoodPairs(
+          table(strLit(args(0), "table")), strLit(args(1), "idCol"), sc, sc,
+          intLit(args(3), "windowSize"), doubleLit(args(4), "threshold"))
+      }))
+
     // cohort retention over an event view: day/week buckets via
     // periodMicros -> (cohort, offset, active_users, cohort_size, retention)
     registerTable("graft_retention", Seq(5), args =>

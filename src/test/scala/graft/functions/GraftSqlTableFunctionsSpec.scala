@@ -249,6 +249,38 @@ class GraftSqlTableFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).toSeq
     assert(fnSql === fnApi && fnSql.size === 3)
 
+    // graft_collocations / graft_fuzzy_pairs / graft_fuzzy_neighborhood
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("co_docs")
+    val coSql = spark.sql(
+      "SELECT * FROM graft_collocations('co_docs', 'text', 5, 10)")
+      .collect().map(_.toString).toSeq
+    val coApi = graft.operators.Collocations.pmiTopK(
+        spark.table("co_docs"), "text", 5, 10)
+      .collect().map(_.toString).toSeq
+    assert(coSql === coApi && coSql.size === 10)
+
+    spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .createOrReplaceTempView("fz_part")
+    val fzSql = spark.sql(
+      "SELECT * FROM graft_fuzzy_pairs('fz_part', 'p_partkey', 'p_name', 0.9) ORDER BY id_a, id_b")
+      .collect().map(_.toString).toSeq
+    val fzApi = graft.operators.FuzzyJoin.jaroWinklerPairs(
+        spark.table("fz_part"), "p_partkey", "p_name",
+        graft.operators.FuzzyJoin.firstTokenKey("p_name"), 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+      .collect().map(_.toString).toSeq
+    assert(fzSql === fzApi && fzSql.nonEmpty)
+
+    val snSql = spark.sql(
+      "SELECT * FROM graft_fuzzy_neighborhood('fz_part', 'p_partkey', 'p_name', 10, 0.9) ORDER BY id_a, id_b")
+      .collect().map(_.toString).toSeq
+    val snApi = graft.operators.FuzzyJoin.sortedNeighborhoodPairs(
+        spark.table("fz_part"), "p_partkey", "p_name", "p_name", 10, 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+      .collect().map(_.toString).toSeq
+    assert(snSql === snApi && snSql.nonEmpty)
+
     // graft_retention: same cohort table as the Scala API
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", col("ts").cast("timestamp"))
