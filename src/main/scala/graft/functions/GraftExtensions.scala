@@ -83,6 +83,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Jaro-Winkler similarity (record-linkage string metric)
     register("graft_jaro_winkler", Seq(2), args =>
       JaroWinklerSim(args.head, args(1)))
+    // American Soundex (phonetic blocking key for the fuzzy-join family)
+    register("graft_soundex", Seq(1), args => Soundex4(args.head))
 
     // SQL-invocable TABLE functions over the operator suite (dedup, LSH
     // pairs, components, chunking, BM25, ANN over a persisted PQ index) —

@@ -146,6 +146,74 @@ object JaroWinklerKernel {
   }
 }
 
+object SoundexKernel {
+  // American Soundex digit classes; 0 = vowel/ignored (a e i o u y w h)
+  private val code: Array[Byte] = {
+    val c = new Array[Byte](26)
+    "bfpv".foreach(ch => c(ch - 'a') = 1)
+    "cgjkqsxz".foreach(ch => c(ch - 'a') = 2)
+    "dt".foreach(ch => c(ch - 'a') = 3)
+    c('l' - 'a') = 4
+    "mn".foreach(ch => c(ch - 'a') = 5)
+    c('r' - 'a') = 6
+    c
+  }
+
+  /** American Soundex (the census rules): first letter + 3 digits;
+    * doubled/adjacent same-class letters collapse, H and W are
+    * transparent between consonants of the same class, vowels break the
+    * run. Non-ASCII-letter leading characters yield "" (callers treat it
+    * as its own block). The classic phonetic BLOCKING key for
+    * [[graft.operators.FuzzyJoin]] — "Robert" and "Rupert" share R163. */
+  def soundex(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    // find first ASCII letter
+    var first: Int = -1
+    while (i < n && first < 0) {
+      val b = s.getByte(i) | 0x20
+      if (b >= 'a' && b <= 'z') first = b
+      else i += 1
+    }
+    if (first < 0) return UTF8String.EMPTY_UTF8
+    val out = new Array[Byte](4)
+    out(0) = (first - 32).toByte // uppercase
+    var len = 1
+    var lastCode = code(first - 'a')
+    i += 1
+    while (i < n && len < 4) {
+      val b = s.getByte(i) | 0x20
+      if (b >= 'a' && b <= 'z') {
+        val c = code(b - 'a')
+        if (c != 0 && c != lastCode) {
+          out(len) = ('0' + c).toByte
+          len += 1
+        }
+        // vowels reset the run; h/w are transparent (keep lastCode)
+        if (b != 'h' && b != 'w') lastCode = c
+      } else lastCode = 0 // non-letters break runs like vowels
+      i += 1
+    }
+    while (len < 4) { out(len) = '0'; len += 1 }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** Codegen expression: soundex4(s) → 4-char American Soundex code. */
+case class Soundex4(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"soundex4 expects STRING, got ${child.dataType.catalogString}")
+  override def nullSafeEval(v: Any): Any =
+    SoundexKernel.soundex(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SoundexKernel.soundex($c)")
+  override protected def withNewChildInternal(c: Expression): Soundex4 = copy(c)
+}
+
 /** Codegen expression: jaro_winkler(a, b) → double. */
 case class JaroWinklerSim(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -48,6 +48,31 @@ class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(jw("prefix_abc", "prefix_xyz") > jw("abc", "xyz"))
   }
 
+  test("soundex: census textbook vectors; usable as a block key") {
+    import graft.functions.SoundexKernel
+    def sx(s: String) = SoundexKernel.soundex(UTF8String.fromString(s)).toString
+    // the canonical vectors, incl. the h-transparency and collapse rules
+    assert(sx("Robert") === "R163" && sx("Rupert") === "R163")
+    assert(sx("Ashcraft") === "A261" && sx("Ashcroft") === "A261")
+    assert(sx("Tymczak") === "T522")
+    assert(sx("Pfister") === "P236")
+    assert(sx("Honeyman") === "H555")
+    assert(sx("Washington") === "W252")
+    assert(sx("lee") === "L000")
+    assert(sx("  123 Gutierrez") === "G362") // leading non-letters skipped
+    assert(sx("日本") === "")
+    // blockKey seat: jaroWinklerPairs accepts the soundex column
+    val docs = Seq((1L, "Robert"), (2L, "Rupert"), (3L, "Ashcraft"))
+      .toDF("id", "name")
+    val viaSoundex = FuzzyJoin.jaroWinklerPairs(docs, "id", "name",
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.Soundex4(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("name")))),
+      0.5)
+    val pairs = viaSoundex.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L))) // only the R163 block pairs up
+  }
+
   test("sorted-neighborhood == naive rank-window pairs; no dup pairs") {
     val parts = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     val w = 7
