@@ -202,9 +202,22 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
 
 object AcAutomaton {
   /** Per-JVM automaton cache keyed by the pattern list — expression copies
-    * (serialized to every task) share one built automaton per executor. */
+    * (serialized to every task) share one built automaton per executor.
+    * BOUNDED (LRU, access-ordered): a long-lived executor evaluating many
+    * distinct blocklists must not accumulate unbounded automata (each
+    * potentially MBs). 64 entries comfortably covers every concurrent
+    * query's pattern lists; an evicted automaton is simply rebuilt on next
+    * use (construction is milliseconds for realistic lists). */
+  private val MaxCached = 64
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Seq[String], AcAutomaton]()
-  def forPatterns(patterns: Seq[String]): AcAutomaton =
-    cache.computeIfAbsent(patterns, p => new AcAutomaton(p.toArray))
+    new java.util.LinkedHashMap[Seq[String], AcAutomaton](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[String], AcAutomaton]): Boolean =
+        size() > MaxCached
+    }
+  def forPatterns(patterns: Seq[String]): AcAutomaton = cache.synchronized {
+    var a = cache.get(patterns)
+    if (a == null) { a = new AcAutomaton(patterns.toArray); cache.put(patterns, a) }
+    a
+  }
 }

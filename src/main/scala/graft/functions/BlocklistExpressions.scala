@@ -24,7 +24,13 @@ private[functions] trait AcExpression extends UnaryExpression {
     else if (patterns.isEmpty || patterns.exists(p => p == null || p.isEmpty))
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName needs a non-empty list of non-empty patterns")
-    else TypeCheckResult.TypeCheckSuccess
+    else if (patterns.distinct.length != patterns.length) {
+      // reject at ANALYSIS time: letting a duplicate reach the automaton
+      // constructor would fail mid-job on an executor instead
+      val dup = patterns.diff(patterns.distinct).distinct.head
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName pattern list contains duplicate '$dup'")
+    } else TypeCheckResult.TypeCheckSuccess
   }
   protected def genViaAutomaton(ctx: CodegenContext, ev: ExprCode,
                                 method: String): ExprCode = {

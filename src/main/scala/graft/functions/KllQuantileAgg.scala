@@ -55,9 +55,13 @@ final class KllSketch(val k: Int) extends Serializable {
   }
 
   /** Compact any over-capacity levels starting at `h`, cascading upward.
-    * A compaction empties the level: the even- or odd-indexed half (by the
-    * level's alternating parity) of the SORTED buffer moves up with doubled
-    * weight; the other half is discarded. */
+    * A compaction sorts the buffer and moves the even- or odd-indexed half
+    * (by the level's alternating parity) of an EVEN-length prefix up with
+    * doubled weight; the other half is discarded. An odd buffer retains
+    * its last (max) element at the current level — compacting an odd count
+    * would drift total retained weight by ±2^h per compaction (classic KLL
+    * compacts an even count and leaves one item behind), whereas the
+    * retained item keeps its exact weight, so Σ len·2^h == n always. */
   private def compactFrom(h0: Int): Unit = {
     var h = h0
     var overfull = h < levels.length && levels(h).length > capacity(h)
@@ -71,8 +75,10 @@ final class KllSketch(val k: Int) extends Serializable {
       val p = parity(h)
       parity(h) = 1 - p
       levels(h).clear()
+      val evenLen = buf.length & ~1
+      if (evenLen < buf.length) levels(h) += buf(buf.length - 1)
       var i = p
-      while (i < buf.length) {
+      while (i < evenLen) {
         levels(h + 1) += buf(i)
         i += 2
       }

@@ -397,38 +397,54 @@ object Dedup {
     * caught with probability 1-(1-j^r)^b — defaults (r=3, b=16) catch
     * j>=0.8 with P ≈ 1-1e-5. Output identical to ngramJaccardPairs (the
     * exact verification makes false positives impossible; only the
-    * vanishing LSH miss probability separates them). */
+    * vanishing LSH miss probability separates them).
+    *
+    * The corpus is tokenized ONCE: a single `wordShingles` projection
+    * yields both the minhash signature (band buckets) and the sorted
+    * 64-bit shingle-hash set the exact verify walks. Bucket rows CARRY
+    * the hash set (PPJoin-style, like [[ngramJaccardPairsPrefix]]), so a
+    * band collision verifies inline — no candidate `distinct()` and no
+    * second corpus scan to join sets back. A true pair colliding in k
+    * bands verifies k times (the verify is a cheap merge walk); `round()`
+    * is deterministic, so the final distinct collapses survivors. The
+    * carry costs numBands × |set| × 8 bytes per doc through one shuffle;
+    * for corpora where that dominates (very long documents), persist
+    * [[minHashBandIndex]] + [[shingleHashSets]] and use the incremental
+    * path instead — the indexes are built once and the text never moves. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       rowsPerBand: Int = 3, numBands: Int = 16): DataFrame = {
-    // Band buckets via the shared index builder (all h min-hashes in one
-    // codegen kernel pass; band sig = hash of r consecutive min-hashes).
-    val buckets = minHashBandIndex(df, idCol, textCol, n, rowsPerBand, numBands)
-
-    // Bucket join → distinct candidate pairs (each doc shuffles b times,
-    // never O(n²) unless the data is one giant duplicate class).
-    val cand = buckets.as("x").join(buckets.as("y"),
+    val h = rowsPerBand * numBands
+    val docs = df.select(col(idCol).as("id"),
+      TextAnalysis.wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // Both derived columns reference `sh` — a non-cheap expression, so
+    // CollapseProject keeps the shingle kernel in its own stage and it
+    // runs once per row (Jaccard over 64-bit shingle hashes equals
+    // Jaccard over shingles up to ~1e-15 collision probability).
+    val indexed = docs.select(col("id"),
+      sort_array(transform(col("sh"), s => xxhash64(s))).as("shh"),
+      graft.functions.expressions.minhash_sig(col("sh"), h).as("mh"))
+    val bands = array((0 until numBands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(col("mh"), bIdx * rowsPerBand + r + 1)): _*).as("sig"))
+    }: _*)
+    val buckets = indexed
+      .select(col("id"), col("shh"), explode(bands).as("bk"))
+      .select(col("id"), col("shh"),
+        col("bk.band").as("band"), col("bk.sig").as("sig"))
+    buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
           && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-
-    // Exact verification: join candidate ids back to shingle-HASH sets —
-    // sorted 8-byte hashes, not shingle strings, so the verify joins move
-    // ~25x fewer bytes and the intersect is a merge walk (Jaccard over
-    // 64-bit shingle hashes equals Jaccard over shingles up to ~1e-15
-    // collision probability — same equivalence ngramJaccardPairs relies on).
-    val docsH = shingleHashSets(df, idCol, textCol, n)
-    val withSets = cand
-      .join(docsH.select(col("id").as("id_a"), col("shh").as("sha")), "id_a")
-      .join(docsH.select(col("id").as("id_b"), col("shh").as("shb")), "id_b")
-    withSets
       .withColumn("ix",
-        graft.functions.expressions.sorted_intersect_size(col("sha"), col("shb")))
+        graft.functions.expressions.sorted_intersect_size(col("x.shh"), col("y.shh")))
       .withColumn("jaccard",
-        col("ix") / (size(col("sha")) + size(col("shb")) - col("ix")))
+        col("ix") / (size(col("x.shh")) + size(col("y.shh")) - col("ix")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .distinct()
   }
 
   /** The two persistable index tables for INCREMENTAL near-dup dedup —
@@ -483,23 +499,40 @@ object Dedup {
                                  corpusShingles: DataFrame, n: Int,
                                  threshold: Double, rowsPerBand: Int = 3,
                                  numBands: Int = 16): DataFrame = {
-    val batchBands = minHashBandIndex(batch, idCol, textCol, n, rowsPerBand, numBands)
-    val cand = batchBands.as("x")
+    // Batch tokenized ONCE (same single-projection + inline-carry shape
+    // as minHashLshPairs): batch bucket rows carry the batch doc's sorted
+    // hash set into the band join, so only the corpus side's precomputed
+    // sets are joined back. Colliding bands verify repeatedly; the final
+    // distinct collapses (round() is deterministic).
+    val h = rowsPerBand * numBands
+    val batchDocs = batch.select(col(idCol).as("id"),
+      TextAnalysis.wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val batchIndexed = batchDocs.select(col("id"),
+      sort_array(transform(col("sh"), s => xxhash64(s))).as("shh"),
+      graft.functions.expressions.minhash_sig(col("sh"), h).as("mh"))
+    val bands = array((0 until numBands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(col("mh"), bIdx * rowsPerBand + r + 1)): _*).as("sig"))
+    }: _*)
+    val batchBuckets = batchIndexed
+      .select(col("id"), col("shh"), explode(bands).as("bk"))
+      .select(col("id").as("batch_id"), col("shh").as("sha"),
+        col("bk.band").as("band"), col("bk.sig").as("sig"))
+    batchBuckets.as("x")
       .join(corpusBands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
-      .select(col("x.id").as("batch_id"), col("y.id").as("corpus_id"))
-      .distinct()
-    val batchSets = shingleHashSets(batch, idCol, textCol, n)
-    val withSets = cand
-      .join(batchSets.select(col("id").as("batch_id"), col("shh").as("sha")), "batch_id")
+      .select(col("x.batch_id").as("batch_id"), col("x.sha").as("sha"),
+        col("y.id").as("corpus_id"))
       .join(corpusShingles.select(col("id").as("corpus_id"), col("shh").as("shb")), "corpus_id")
-    withSets
       .withColumn("ix",
         graft.functions.expressions.sorted_intersect_size(col("sha"), col("shb")))
       .withColumn("jaccard",
         col("ix") / (size(col("sha")) + size(col("shb")) - col("ix")))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+      .distinct()
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature per doc, pigeonhole

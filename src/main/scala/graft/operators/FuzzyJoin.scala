@@ -34,12 +34,17 @@ import graft.functions.JaroWinklerSim.jaro_winkler
 object FuzzyJoin {
 
   /** (id_a, id_b, s_a, s_b, sim) for distinct same-block pairs (id_a <
-    * id_b) with jaro_winkler(s_a, s_b) >= threshold; sim rounded 6dp. */
+    * id_b) with jaro_winkler(s_a, s_b) >= threshold; sim rounded 6dp.
+    *
+    * NULL handling: rows whose string or block key is NULL take part in no
+    * pair (similarity to nothing is undefined); they are filtered out
+    * explicitly up front rather than left to the equi-join's null-drop. */
   def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
                        blockKey: Column, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1)
     val base = df.select(col(idCol).cast("long").as("id"),
       col(strCol).as("s"), blockKey.as("k"))
+      .filter(col("s").isNotNull && col("k").isNotNull)
     // The build side broadcasts (blocking only makes sense when the keyed
     // table is broadcastable or the blocks are small); the PROBE side
     // inherits its scan's partitioning, and a small parquet scan is 1-2
@@ -77,7 +82,12 @@ object FuzzyJoin {
     * next window-bucket) — no range or nested-loop join anywhere.
     *
     * Returns (id_a, id_b, s_a, s_b, sim) with id_a < id_b, exact JW
-    * within the window contract, sim rounded 6dp. */
+    * within the window contract, sim rounded 6dp.
+    *
+    * NULL handling: rows whose string or sort key is NULL take part in no
+    * pair — a NULL key has no position in the sort order; they are
+    * filtered out explicitly up front rather than left to the
+    * bucket/offset equi-joins' null-drop. */
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, strCol: String,
                               sortKeyCol: String, windowSize: Int,
                               threshold: Double,
@@ -85,6 +95,7 @@ object FuzzyJoin {
     require(windowSize >= 1 && threshold > 0 && threshold <= 1)
     val base = df.select(col(idCol).cast("long").as("id"),
       col(strCol).as("s"), col(sortKeyCol).cast("string").as("sk"))
+      .filter(col("s").isNotNull && col("sk").isNotNull)
     val rows = base.withColumn("bkt_", substring(col("sk"), 1, bucketLen))
     val offsets = rows.groupBy(col("bkt_")).count()
       .withColumn("off_", coalesce(sum(col("count")).over(
