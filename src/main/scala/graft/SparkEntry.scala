@@ -1789,7 +1789,8 @@ object SparkEntry {
         .agg(count(lit(1)).cast("double").as("w"))
       val e = eu.unionAll(eu.select(col("dst").as("src"),
         col("src").as("dst"), col("w")))
-      graft.operators.PageRank.run(e, "src", "dst", Some("w"), iters = 6)
+      graft.operators.PageRank.run(e, "src", "dst", Some("w"), iters = 6,
+          edgesUnique = true) // eu is an aggregate: one row per (src,dst)
         .select(col("node").as("supplier"), round(col("rank"), 7).as("rank"))
         .orderBy(col("supplier"))
     }),
@@ -1847,7 +1848,7 @@ object SparkEntry {
         .where(col("s_nationkey") === minNation)
         .select(col("s_suppkey").as("node"), lit(1.0).as("w"))
       graft.operators.PageRank.run(e, "src", "dst", Some("w"), iters = 6,
-          personalization = Some(seeds))
+          personalization = Some(seeds), edgesUnique = true)
         .select(col("node").as("supplier"), round(col("rank"), 7).as("rank"))
         .orderBy(col("supplier"))
     }),

@@ -18,16 +18,20 @@ import org.apache.spark.sql.functions._
   * data-dependence, so the result is exactly replicable (the oracle
   * unrolls the same recurrence in SQL).
   *
-  * 100 TB design: the edge table is normalized ONCE (one groupBy + one
-  * join), hash-partitioned on `src` and cached — the per-iteration cost is
-  * joining the (|V|-sized) rank vector against it and one groupBy(dst):
-  * exactly the two shuffles a distributed power iteration must pay, with
-  * the big |E| side's partitioning reused from cache. Lineage is cut with
-  * `localCheckpoint` every `checkpointEvery` rounds (the
-  * [[ConnectedComponents]] pattern — executor-cache blocks released as
-  * soon as superseded). The dangling term costs one scalar aggregate per
-  * round and is SKIPPED entirely (zero extra jobs) when the graph has no
-  * dangling nodes.
+  * 100 TB design: the edge table is normalized ONCE — e0 is
+  * hash(src)-partitioned and cached, so the out-weight groupBy and the
+  * normalization join run exchange-free on top of it and the checkpoint
+  * inherits the partitioning. The per-iteration cost is joining the
+  * (|V|-sized) rank vector against the cached edges (the rank side's
+  * alias-aware partitioning usually makes this exchange-free too) and one
+  * groupBy(dst): exactly the shuffles a distributed power iteration must
+  * pay. The rank vector is persisted (blocks released as soon as
+  * superseded) every `checkpointEvery` rounds for dangling-free graphs,
+  * every round when a dangling term exists (its 1-row mass aggregate folds
+  * into the same job as the rank update — never a separate driver-side
+  * action). All materialization uses persist(), not localCheckpoint: an
+  * InMemoryRelation preserves outputPartitioning, a checkpoint's
+  * LogicalRDD forgets it and re-shuffles the cached table on every use.
   */
 object PageRank {
 
@@ -45,7 +49,8 @@ object PageRank {
           weightCol: Option[String] = None, iters: Int = 10,
           damping: Double = 0.85, numPartitions: Int = 0,
           checkpointEvery: Int = 5,
-          personalization: Option[DataFrame] = None): DataFrame = {
+          personalization: Option[DataFrame] = None,
+          edgesUnique: Boolean = false): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
     val parts =
       if (numPartitions > 0) numPartitions
@@ -54,46 +59,62 @@ object PageRank {
     val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
     // Materialize the (often expensive — a pair generator or self-join)
     // input ONCE: nodes, out-weights and normalized edges all re-derive
-    // from it, and without the checkpoint each derivation would recompute
-    // the full upstream plan (measured 4-5x the whole edge construction).
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"), w.as("w"))
-      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    // from it, and without the materialization each derivation would
+    // recompute the full upstream plan (measured 4-5x the whole edge
+    // construction). persist(), NOT localCheckpoint: an InMemoryRelation
+    // preserves the cached plan's outputPartitioning/outputOrdering, so
+    // every downstream src/node-keyed join and groupBy plans exchange-free
+    // on top of it — a checkpoint's LogicalRDD forgets the partitioning
+    // and re-shuffled the |E|-sized table EVERY iteration (measured: the
+    // whole per-iteration cost was that exchange).
+    import org.apache.spark.storage.StorageLevel
+    val eRaw = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"), w.as("w"))
+    // edgesUnique: the caller warrants one row per (src, dst) — commonly
+    // true when the edge table IS an aggregate (as in co-occurrence
+    // graphs), where re-summing would pay a full |E| exchange + aggregate
+    // for nothing. Default (false) sums multi-edges as documented.
+    val eDedup =
+      if (edgesUnique) eRaw
+      else eRaw.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val e0 = eDedup
       .repartition(parts, col("src"))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node")))
-      .distinct()
-      .repartition(parts, col("node"))
-      .localCheckpoint(true)
-    val n = nodes.count().toDouble
+    // node table carries an isSrc flag, so dangling nodes (no out-edges)
+    // are a FILTER of it — no anti-join, and a single aggregate over it
+    // yields |V| and the dangling count in one job (which also fills the
+    // e0 and nodes caches). groupBy(node) output is already hash(node)
+    // partitioned — no explicit repartition needed.
+    val nodes = e0.select(col("src").as("node"), lit(1).as("isSrc"))
+      .union(e0.select(col("dst").as("node"), lit(0).as("isSrc")))
+      .groupBy(col("node")).agg(max(col("isSrc")).as("isSrc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cnts = nodes.agg(count(lit(1)),
+      count(when(col("isSrc") === 0, lit(1)))).head()
+    val n = cnts.getLong(0).toDouble
+    val hasDangling = cnts.getLong(1) > 0
+    val dangling = nodes.filter(col("isSrc") === 0).select(col("node"))
 
-    // normalized edges: share = w / outW(src); partitioned by src so every
-    // iteration's rank join co-locates against the cached big side
+    // normalized edges: share = w / outW(src). e0 is hash(src)-partitioned,
+    // so the out-weight groupBy AND the normalization join run
+    // exchange-free on top of it, and the persisted result keeps that
+    // partitioning for every iteration's rank join to reuse. Filled
+    // cache-to-cache, then the raw edge cache is released — only ONE
+    // |E|-sized table stays resident through the iterations.
     val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val normEdges = e0.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
-      .repartition(parts, col("src"))
-      .localCheckpoint(true)
-
-    // dangling nodes (no out-edges): detected by comparing the distinct
-    // src count against |V| (one job); the table itself is only
-    // materialized when the graph actually has dangling nodes
-    val nSrc = normEdges.select(col("src")).distinct().count()
-    val hasDangling = nSrc < n.toLong
-    val dangling =
-      if (!hasDangling) null
-      else nodes.join(normEdges.select(col("src").as("node")).distinct(),
-          Seq("node"), "left_anti")
-        .localCheckpoint(true)
-    ConnectedComponents.release(e0) // all derivations are materialized
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    normEdges.count()
+    e0.unpersist(false)
 
     // teleport distribution t: uniform 1/|V|, or the normalized seed
     // weights (over seeds ∩ V) in personalized mode. The seed frame is
     // tiny — it broadcasts into one join, materialized once.
+    val nodeIds = nodes.select(col("node"))
     val nodesT = personalization match {
-      case None => nodes.withColumn("t", lit(1.0 / n))
+      case None => nodeIds.withColumn("t", lit(1.0 / n))
       case Some(p) =>
         val cs = p.columns
         val seeds0 =
@@ -102,7 +123,7 @@ object PageRank {
               col(cs(1)).cast("double").as("sw"))
           else p.select(col(cs(0)).cast("long").as("node"), lit(1.0).as("sw"))
         val seedsInV = seeds0.groupBy(col("node")).agg(sum(col("sw")).as("sw"))
-          .join(nodes, "node")
+          .join(nodeIds, "node")
           .localCheckpoint(true)
         val tot = seedsInV.agg(sum(col("sw"))).head() match {
           case r if r.isNullAt(0) => 0.0
@@ -110,36 +131,63 @@ object PageRank {
         }
         require(tot > 0,
           "personalization seeds have no positive mass on graph nodes")
-        nodes.join(broadcast(seedsInV), Seq("node"), "left")
+        // persist (not checkpoint) so the broadcast-joined frame keeps
+        // nodes' hash(node) partitioning for the per-iteration rank join
+        nodeIds.join(broadcast(seedsInV), Seq("node"), "left")
           .select(col("node"),
             coalesce(col("sw") / lit(tot), lit(0.0)).as("t"))
-          .localCheckpoint(true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
     var ranks = nodesT.select(col("node"), col("t").as("rank"))
     var prev: DataFrame = null
     var i = 0
     while (i < iters) {
-      val dm =
-        if (!hasDangling) 0.0
-        else ranks.join(dangling, "node").agg(sum(col("rank"))).head() match {
-          case r if r.isNullAt(0) => 0.0
-          case r => r.getDouble(0)
-        }
+      // shuffle_hash hint on the |V|-sized rank side: a sort-merge join
+      // would re-SORT the cached |E| table every iteration; SHJ streams it
+      // in cache order and builds the (small) rank hash table per partition
       val contrib = normEdges
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.hint("shuffle_hash").withColumnRenamed("node", "src"),
+          "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("share")).as("c"))
-      val next = nodesT.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(1.0 - damping) * col("t") +
-            lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(dm) * col("t")))
-            .as("rank"))
-      // no forced checkpoint on the LAST iteration: the caller's action
-      // materializes the (<= checkpointEvery deep) remaining lineage —
-      // forcing one here would pay a whole extra materialization
+      // Dangling mass folds into the SAME job as the rank update: a 1-row
+      // aggregate frame cross-joined in (the documented single-row-scalar
+      // BNLJ shape) instead of a per-round driver-side action — the old
+      // `.head()` re-ran up to checkpointEvery iterations of lineage just
+      // to read one double.
+      val next =
+        if (!hasDangling)
+          nodesT.join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              (lit(1.0 - damping) * col("t") +
+                lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        else {
+          val dmDf = ranks.join(dangling, "node")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+          nodesT.join(contrib, Seq("node"), "left")
+            .crossJoin(dmDf)
+            .select(col("node"),
+              (lit(1.0 - damping) * col("t") +
+                lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") * col("t")))
+                .as("rank"))
+        }
+      // Dangling graphs cut the rank vector EVERY round: `ranks` feeds
+      // both the contrib join and the dm aggregate, so un-cut lineage
+      // would double per iteration (2^window plan growth). One shallow
+      // |V|-sized job — the same count of actions the old dm `.head()`
+      // paid, without the deep-lineage re-runs. Dangling-free graphs keep
+      // the lazy `checkpointEvery` schedule, and the LAST iteration is
+      // never forced — the caller's action materializes it. The rank
+      // vector uses localCheckpoint, NOT persist: only a checkpoint cuts
+      // logical lineage (a persisted frame's plan keeps growing per
+      // iteration until explain/canonicalization blows up); the
+      // partitioning it forgets costs one |V|-sized exchange per
+      // iteration, noise next to the preserved |E|-side partitioning.
+      val cutNow = i != iters - 1 &&
+        (if (hasDangling) true else (i + 1) % checkpointEvery == 0)
       ranks =
-        if ((i + 1) % checkpointEvery == 0 && i != iters - 1) {
+        if (cutNow) {
           val cut = next.localCheckpoint(true)
           if (prev != null) ConnectedComponents.release(prev)
           prev = cut
