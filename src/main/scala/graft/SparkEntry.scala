@@ -998,6 +998,31 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- embedding LSH at the PRODUCTION operating point (threshold 0.9,
+    //      bitsPerBand ~ log2 N): the PRUNING path. The raw corpus has no
+    //      pairs above ~0.65, so near-dups are planted deterministically —
+    //      every 10th vector gains a replica with +0.1 on its first
+    //      component (unit vectors -> cosine ~0.995), mirrored in the
+    //      oracle. At that margin the per-pair LSH miss probability is
+    //      ~1e-33 (p = 1-acos(0.995)/pi per hyperplane, (1-p^11)^64), so
+    //      the pruned output provably equals the exact all-pairs oracle while
+    //      unrelated (near-orthogonal) pairs collide with probability
+    //      ~64/2^11 — the gate certifies the collapse-to-near-linear
+    //      claim, not just the all-pairs identity. ----
+    "q_dedup_embedding_lsh_prod" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val replicas = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.1)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      graft.operators.Dedup.cosineNeardupPairsBucketed(
+          e.unionAll(replicas), "vec_id", "embedding",
+          threshold = 0.9, bitsPerBand = 11, numBands = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- SemDeDup-style semantic near-dup: deterministic-centroid
     //      clustering + exact within-cluster cosine pairs (clustering is
     //      integer arithmetic → full SQL oracle) ----
@@ -2983,6 +3008,26 @@ object SparkEntry {
         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // production-point LSH gate: replicate the deterministic planting
+    // (every 10th vector, +0.1 on component 1) and the exact all-pairs
+    // cosine at threshold 0.9 — the LSH miss probability at the planted
+    // margin (~1e-33) makes pruned output == exact output
+    "q_dedup_embedding_lsh_prod" ->
+      """WITH base AS (
+        |  SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_concat([v[1] + 0.1], v[2:64])
+        |  FROM base WHERE vec_id % 10 = 0),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM aug)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Exact replica of semanticNeardupPairs: ivfTopK's deterministic

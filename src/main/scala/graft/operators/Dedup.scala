@@ -337,6 +337,16 @@ object Dedup {
     * SLOWER than the naive join at 5k docs (fixed overhead dominates) and
     * wins as Σdf² outgrows corpus size — use it for large corpora, the
     * naive join for small ones.
+    *
+    * SUPERLINEAR when common-shingle document frequency scales with the
+    * corpus: exact-at-threshold prefix filtering is bounded by Σ_prefix
+    * df(s)², and when the same phrases recur across a growing corpus (as
+    * common phrases do), df grows with N — measured 18.5× time for 10×
+    * data at the sf1 rehearsal. Beyond ~10⁸ docs (or any corpus whose
+    * frequent shingles replicate with it), use [[minHashLshPairs]]: same
+    * verified-exact output up to a vanishing LSH miss probability, and
+    * its band-bucket join stays linear in N (measured 8.1× at the same
+    * 10× rehearsal).
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double): DataFrame = {
