@@ -17,6 +17,8 @@ object DumpPlans extends App {
     "q21_waiting_suppliers" -> "correlated EXISTS/NOT EXISTS as semi+anti joins on orderkey",
     "q_dedup_minhash" -> "band-bucket equi-join + sorted-array merge verify",
     "q_dedup_embedding_lsh" -> "LSH buckets carrying vectors, inline verify, no BNLJ",
+    "q_dedup_embedding_lsh_prod" -> "production-point LSH (t=0.9, bits~log2 N): the pruning path, planted oracle",
+    "q_pagerank" -> "persisted hash(src) edges reused exchange-free per iteration; SHJ rank join",
     "q_seqfile_partitioned" -> "partition-pruned seqfile scan feeding an aggregate",
     "q_seqfile_keyrange" -> "zone-map block skipping: key-range over a sorted seqfile copy",
     "q_seqfile_compact" -> "compacted (key-sorted, zone-mapped) files answering a key range",
