@@ -3177,6 +3177,10 @@ object SparkEntry {
     // Exact replica of ivfTopK's deterministic pipeline: centroids are the
     // 16 vectors with the smallest multiplicative id-hash
     // ((id mod 2^31)*2654435761 mod 2^32, ties by id — pure integer
+    // bit-exact hyperplane-LSH replica (plane hash via decomposed HUGEINT
+    // wrap-multiply; sequential-fold dots) — see SparkEntryOracles.annLshSql
+    "q_ann_lsh" -> SparkEntryOracles.annLshSql,
+
     // arithmetic both engines compute identically without 64-bit overflow
     // at any id scale; distributed top-C on the Spark side),
     // nearest-centroid assignment, nProbe=4 probing, top-10 per query.

@@ -361,4 +361,49 @@ object SparkEntryOracles {
        |  CAST(sum(toks) AS BIGINT) AS tokens_sel,
        |  round(avg(quality), 4) AS avg_quality
        |FROM sel WHERE cum <= 50000 GROUP BY source ORDER BY source""".stripMargin
+
+  /** Full bit-exact replica of lshTopK (bitsPerBand=8, numBands=48, k=10,
+    * queries = vec_id < 20): the hyperplane components are deterministic
+    * integer arithmetic (splitmix-style index hash + murmur3 fmix64
+    * finalizer — HashKernels.planeComponent), replicated here with
+    * HUGEINT wrap-multiply decomposed into 32-bit halves (a 64x64 product
+    * can hit 2^128 and overflow INT128 taken whole). Plane dots use
+    * list_dot_product = the same sequential double fold as the kernel's
+    * loop, so sign bits, buckets, candidates, ranking and rounded cosines
+    * all agree bit-for-bit. Promotes q_ann_lsh from rows-only to a full
+    * value-exact row (the 0.63 recall-vs-bruteforce evidence entry stays
+    * — recall is a property of the operating point, correctness of the
+    * implementation). */
+  val annLshSql: String =
+    """WITH pd AS (
+      |  SELECT p.range AS plane, d.range AS dim,
+      |    ((p.range::HUGEINT * 11400714819323198485 + d.range::HUGEINT * 13787848793156543929 + 42) % 18446744073709551616) AS u0
+      |  FROM range(384) p, range(64) d),
+      |s1 AS (SELECT plane, dim, xor((CASE WHEN u0 >= 9223372036854775808 THEN u0 - 18446744073709551616 ELSE u0 END)::BIGINT, (u0 // 8589934592)::BIGINT) AS x1 FROM pd),
+      |m2 AS (SELECT plane, dim, ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 3981806797 + ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 4283543511 + ((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) // 4294967296) * 3981806797) % 4294967296) * 4294967296) % 18446744073709551616) AS u2 FROM s1),
+      |s3 AS (SELECT plane, dim, xor((CASE WHEN u2 >= 9223372036854775808 THEN u2 - 18446744073709551616 ELSE u2 END)::BIGINT, (u2 // 8589934592)::BIGINT) AS x3 FROM m2),
+      |m4 AS (SELECT plane, dim, ((((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) % 4294967296) * 444984403 + ((((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) % 4294967296) * 3301882366 + ((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) // 4294967296) * 444984403) % 4294967296) * 4294967296) % 18446744073709551616) AS u4 FROM s3),
+      |s5 AS (SELECT plane, dim, xor((CASE WHEN u4 >= 9223372036854775808 THEN u4 - 18446744073709551616 ELSE u4 END)::BIGINT, (u4 // 8589934592)::BIGINT) AS x5 FROM m4),
+      |comp AS (SELECT plane, dim,
+      |  ((CASE WHEN x5 < 0 THEN x5::HUGEINT + 18446744073709551616 ELSE x5::HUGEINT END) // 2048)::DOUBLE / 9007199254740992.0 * 2.0 - 1.0 AS c FROM s5),
+      |pvec AS (SELECT plane, list(c ORDER BY dim) AS pv FROM comp GROUP BY plane),
+      |vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+      |dots AS (SELECT vec_id, plane, list_dot_product(v, pv) AS dot FROM vecs CROSS JOIN pvec),
+      |sigt AS (SELECT vec_id, (plane // 8)::BIGINT AS band,
+      |  sum(CASE WHEN dot >= 0 THEN 1 << (plane % 8) ELSE 0 END)::BIGINT AS sig
+      |  FROM dots GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      |  FROM sigt q JOIN sigt c ON q.band = c.band AND q.sig = c.sig AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 20),
+      |scored AS (
+      |  SELECT q_id, c_id, list_dot_product(qv.v, cv.v) / (qv.nrm * cv.nrm) AS cos
+      |  FROM cand JOIN vecs qv ON qv.vec_id = q_id JOIN vecs cv ON cv.vec_id = c_id),
+      |ranked AS (
+      |  SELECT q_id, c_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, c_id AS n_id, rank, round(cos, 6) AS cosine
+      |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 }
