@@ -3181,6 +3181,12 @@ object SparkEntry {
     // wrap-multiply; sequential-fold dots) — see SparkEntryOracles.annLshSql
     "q_ann_lsh" -> SparkEntryOracles.annLshSql,
 
+    // bit-exact FNV-1a + fmix64 replicas (same HUGEINT wrap-multiply
+    // technique): simhash signatures and the Count-Min sketch are both
+    // deterministic functions of the token multiset
+    "q_dedup_simhash" -> SparkEntryOracles.simhashPairsSql,
+    "q_sketch_tokens" -> SparkEntryOracles.cmsTokensSql,
+
     // arithmetic both engines compute identically without 64-bit overflow
     // at any id scale; distributed top-C on the Spark side),
     // nearest-centroid assignment, nProbe=4 probing, top-10 per query.

@@ -406,4 +406,98 @@ object SparkEntryOracles {
       |  FROM scored)
       |SELECT q_id, c_id AS n_id, rank, round(cos, 6) AS cosine
       |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** Full bit-exact replica of simhashPairs (maxHamming=3, numChunks=4):
+    * per-token FNV-1a 64 over UTF-8 bytes (bytes derived from code points
+    * by the UTF-8 encoding arithmetic; the wrapping multiply by the FNV
+    * prime and the fmix64 finalizer run in HUGEINT with 32-bit-half
+    * decomposition), per-bit majority vote, pigeonhole 16-bit chunk
+    * blocking, exact Hamming verify via bit_count(xor). Promotes
+    * q_dedup_simhash from rows-only to value-exact (the planted-recall
+    * evidence stays — recall describes the 64-bit signature's coarseness,
+    * the oracle the implementation). */
+  val simhashPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |    x -> length(x) > 0) AS w
+      |  FROM documents),
+      |tok AS (SELECT doc_id, t.tok FROM toks, unnest(w) AS t(tok)),
+      |tb AS (SELECT doc_id, tok,
+      |  flatten(list_transform(
+      |    list_transform(range(1, length(tok) + 1), i -> unicode(substring(tok, i, 1))),
+      |    cp -> CASE
+      |      WHEN cp < 128 THEN [cp::BIGINT]
+      |      WHEN cp < 2048 THEN [(192 + cp // 64)::BIGINT, (128 + cp % 64)::BIGINT]
+      |      WHEN cp < 65536 THEN [(224 + cp // 4096)::BIGINT, (128 + (cp // 64) % 64)::BIGINT, (128 + cp % 64)::BIGINT]
+      |      ELSE [(240 + cp // 262144)::BIGINT, (128 + (cp // 4096) % 64)::BIGINT, (128 + (cp // 64) % 64)::BIGINT, (128 + cp % 64)::BIGINT] END)) AS bs
+      |  FROM tok),
+      |f0 AS (SELECT doc_id, tok,
+      |  list_reduce(list_prepend(-3750763034362895579::BIGINT, bs), (acc, b) -> (CASE WHEN ((((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) % 4294967296) * 435 + ((((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) % 4294967296) * 256 + ((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) // 4294967296) * 435) % 4294967296) * 4294967296) % 18446744073709551616) >= 9223372036854775808 THEN ((((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) % 4294967296) * 435 + ((((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) % 4294967296) * 256 + ((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) // 4294967296) * 435) % 4294967296) * 4294967296) % 18446744073709551616) - 18446744073709551616 ELSE ((((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) % 4294967296) * 435 + ((((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) % 4294967296) * 256 + ((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) // 4294967296) * 435) % 4294967296) * 4294967296) % 18446744073709551616) END)::BIGINT) AS h0 FROM tb),
+      |f1 AS (SELECT doc_id, tok, xor(h0, ((CASE WHEN h0 < 0 THEN h0::HUGEINT + 18446744073709551616 ELSE h0::HUGEINT END) // 8589934592)::BIGINT) AS x1 FROM f0),
+      |f2 AS (SELECT doc_id, tok, (CASE WHEN ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 3981806797 + ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 4283543511 + ((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) // 4294967296) * 3981806797) % 4294967296) * 4294967296) % 18446744073709551616) >= 9223372036854775808 THEN ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 3981806797 + ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 4283543511 + ((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) // 4294967296) * 3981806797) % 4294967296) * 4294967296) % 18446744073709551616) - 18446744073709551616 ELSE ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 3981806797 + ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 4283543511 + ((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) // 4294967296) * 3981806797) % 4294967296) * 4294967296) % 18446744073709551616) END)::BIGINT AS x2 FROM f1),
+      |f3 AS (SELECT doc_id, tok, xor(x2, ((CASE WHEN x2 < 0 THEN x2::HUGEINT + 18446744073709551616 ELSE x2::HUGEINT END) // 8589934592)::BIGINT) AS x3 FROM f2),
+      |f4 AS (SELECT doc_id, tok, (CASE WHEN ((((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) % 4294967296) * 444984403 + ((((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) % 4294967296) * 3301882366 + ((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) // 4294967296) * 444984403) % 4294967296) * 4294967296) % 18446744073709551616) >= 9223372036854775808 THEN ((((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) % 4294967296) * 444984403 + ((((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) % 4294967296) * 3301882366 + ((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) // 4294967296) * 444984403) % 4294967296) * 4294967296) % 18446744073709551616) - 18446744073709551616 ELSE ((((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) % 4294967296) * 444984403 + ((((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) % 4294967296) * 3301882366 + ((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) // 4294967296) * 444984403) % 4294967296) * 4294967296) % 18446744073709551616) END)::BIGINT AS x4 FROM f3),
+      |f5 AS (SELECT doc_id, tok, xor(x4, ((CASE WHEN x4 < 0 THEN x4::HUGEINT + 18446744073709551616 ELSE x4::HUGEINT END) // 8589934592)::BIGINT) AS h FROM f4),
+      |bits AS (
+      |  SELECT doc_id, b.bit,
+      |    sum(CASE WHEN ((CASE WHEN h < 0 THEN h::HUGEINT + 18446744073709551616 ELSE h::HUGEINT END) // (1::HUGEINT << b.bit)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM f5, unnest(range(64)) AS b(bit) GROUP BY 1, 2),
+      |sigs AS (
+      |  SELECT doc_id, (CASE WHEN sum(CASE WHEN vote > 0 THEN (1::HUGEINT << bit) ELSE 0 END) >= 9223372036854775808 THEN sum(CASE WHEN vote > 0 THEN (1::HUGEINT << bit) ELSE 0 END) - 18446744073709551616 ELSE sum(CASE WHEN vote > 0 THEN (1::HUGEINT << bit) ELSE 0 END) END)::BIGINT AS sig
+      |  FROM bits GROUP BY doc_id),
+      |chunks AS (
+      |  SELECT doc_id, sig, c.chunk, (((CASE WHEN sig < 0 THEN sig::HUGEINT + 18446744073709551616 ELSE sig::HUGEINT END) // (1::HUGEINT << (c.chunk * 16))) % 65536)::BIGINT AS bits
+      |  FROM sigs, unnest(range(4)) AS c(chunk)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sig AS siga, y.sig AS sigb
+      |  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.bits = y.bits AND x.doc_id < y.doc_id)
+      |SELECT id_a, id_b, bit_count(xor(siga, sigb)) AS hamming
+      |FROM cand WHERE bit_count(xor(siga, sigb)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Full bit-exact replica of q_sketch_tokens: the Count-Min sketch is
+    * a deterministic function of the token multiset — counters(d, bucket)
+    * = count of input tokens hashing there (seeded FNV-1a + fmix64,
+    * floorMod width; seeds wrap at d*GOLDEN mod 2^64 exactly as the JVM
+    * Long multiply does) and est = min over depths, with absent probes
+    * hitting empty cells via the left join's coalesce(0). */
+  val cmsTokensSql: String =
+    """WITH seeds AS (
+      |  SELECT d.range AS d,
+      |    xor((CASE WHEN 14695981039346656037 >= 9223372036854775808 THEN 14695981039346656037 - 18446744073709551616 ELSE 14695981039346656037 END)::BIGINT, (CASE WHEN ((d.range::HUGEINT * 11400714819323198485) % 18446744073709551616) >= 9223372036854775808 THEN ((d.range::HUGEINT * 11400714819323198485) % 18446744073709551616) - 18446744073709551616 ELSE ((d.range::HUGEINT * 11400714819323198485) % 18446744073709551616) END)::BIGINT) AS h0
+      |  FROM range(4) d),
+      |toks AS (
+      |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |    x -> length(x) > 0) AS w
+      |  FROM documents),
+      |tok AS (SELECT t.tok FROM toks, unnest(w) AS t(tok)),
+      |probes AS (SELECT * FROM (VALUES ('the'), ('a'), ('data'), ('spark'), ('zz_absent')) p(tok)),
+      |allstr AS (SELECT tok, true AS is_input FROM tok
+      |           UNION ALL SELECT tok, false FROM probes),
+      |tb AS (SELECT tok, is_input,
+      |  flatten(list_transform(
+      |    list_transform(range(1, length(tok) + 1), i -> unicode(substring(tok, i, 1))),
+      |    cp -> CASE
+      |      WHEN cp < 128 THEN [cp::BIGINT]
+      |      WHEN cp < 2048 THEN [(192 + cp // 64)::BIGINT, (128 + cp % 64)::BIGINT]
+      |      WHEN cp < 65536 THEN [(224 + cp // 4096)::BIGINT, (128 + (cp // 64) % 64)::BIGINT, (128 + cp % 64)::BIGINT]
+      |      ELSE [(240 + cp // 262144)::BIGINT, (128 + (cp // 4096) % 64)::BIGINT, (128 + (cp // 64) % 64)::BIGINT, (128 + cp % 64)::BIGINT] END)) AS bs
+      |  FROM allstr),
+      |f0 AS (SELECT tok, is_input, s.d,
+      |  list_reduce(list_prepend(s.h0, bs), (acc, b) -> (CASE WHEN ((((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) % 4294967296) * 435 + ((((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) % 4294967296) * 256 + ((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) // 4294967296) * 435) % 4294967296) * 4294967296) % 18446744073709551616) >= 9223372036854775808 THEN ((((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) % 4294967296) * 435 + ((((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) % 4294967296) * 256 + ((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) // 4294967296) * 435) % 4294967296) * 4294967296) % 18446744073709551616) - 18446744073709551616 ELSE ((((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) % 4294967296) * 435 + ((((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) % 4294967296) * 256 + ((CASE WHEN xor(acc, b) < 0 THEN xor(acc, b)::HUGEINT + 18446744073709551616 ELSE xor(acc, b)::HUGEINT END) // 4294967296) * 435) % 4294967296) * 4294967296) % 18446744073709551616) END)::BIGINT) AS h0f
+      |  FROM tb CROSS JOIN seeds s),
+      |f1 AS (SELECT tok, is_input, d, xor(h0f, ((CASE WHEN h0f < 0 THEN h0f::HUGEINT + 18446744073709551616 ELSE h0f::HUGEINT END) // 8589934592)::BIGINT) AS x1 FROM f0),
+      |f2 AS (SELECT tok, is_input, d, (CASE WHEN ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 3981806797 + ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 4283543511 + ((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) // 4294967296) * 3981806797) % 4294967296) * 4294967296) % 18446744073709551616) >= 9223372036854775808 THEN ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 3981806797 + ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 4283543511 + ((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) // 4294967296) * 3981806797) % 4294967296) * 4294967296) % 18446744073709551616) - 18446744073709551616 ELSE ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 3981806797 + ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 4283543511 + ((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) // 4294967296) * 3981806797) % 4294967296) * 4294967296) % 18446744073709551616) END)::BIGINT AS x2 FROM f1),
+      |f3 AS (SELECT tok, is_input, d, xor(x2, ((CASE WHEN x2 < 0 THEN x2::HUGEINT + 18446744073709551616 ELSE x2::HUGEINT END) // 8589934592)::BIGINT) AS x3 FROM f2),
+      |f4 AS (SELECT tok, is_input, d, (CASE WHEN ((((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) % 4294967296) * 444984403 + ((((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) % 4294967296) * 3301882366 + ((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) // 4294967296) * 444984403) % 4294967296) * 4294967296) % 18446744073709551616) >= 9223372036854775808 THEN ((((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) % 4294967296) * 444984403 + ((((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) % 4294967296) * 3301882366 + ((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) // 4294967296) * 444984403) % 4294967296) * 4294967296) % 18446744073709551616) - 18446744073709551616 ELSE ((((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) % 4294967296) * 444984403 + ((((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) % 4294967296) * 3301882366 + ((CASE WHEN x3 < 0 THEN x3::HUGEINT + 18446744073709551616 ELSE x3::HUGEINT END) // 4294967296) * 444984403) % 4294967296) * 4294967296) % 18446744073709551616) END)::BIGINT AS x4 FROM f3),
+      |f5 AS (SELECT tok, is_input, d, xor(x4, ((CASE WHEN x4 < 0 THEN x4::HUGEINT + 18446744073709551616 ELSE x4::HUGEINT END) // 8589934592)::BIGINT) AS h FROM f4),
+      |bucketed AS (SELECT tok, is_input, d, ((CASE WHEN h < 0 THEN h::HUGEINT + 18446744073709551616 ELSE h::HUGEINT END) % 4096)::BIGINT AS bucket FROM f5),
+      |counters AS (
+      |  SELECT d, bucket, count(*)::BIGINT AS c FROM bucketed WHERE is_input GROUP BY 1, 2),
+      |probe_est AS (
+      |  SELECT b.tok, min(coalesce(c.c, 0)) AS est
+      |  FROM (SELECT DISTINCT tok, d, bucket FROM bucketed WHERE NOT is_input) b
+      |  LEFT JOIN counters c ON c.d = b.d AND c.bucket = b.bucket
+      |  GROUP BY b.tok)
+      |SELECT tok AS token, est::BIGINT AS est_count FROM probe_est ORDER BY token""".stripMargin
 }
