@@ -129,4 +129,19 @@ class KllQuantileAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(0.1, 0.5, 0.85).foreach(q => assert(s.quantile(q) === 7.0))
     assert(s.quantile(0.99) > 1000.0)
   }
+
+  test("total retained weight equals n exactly (even-prefix compaction)") {
+    // an odd-length compaction retains its leftover at the current level,
+    // so Σ len(level_h)·2^h never drifts from n — across sizes chosen to
+    // hit odd buffers at multiple levels, and through merges
+    def weight(s: KllSketch): Long =
+      (0 until s.levels.length).map(h => s.levels(h).length.toLong << h).sum
+    for (n <- Seq(1, 7, 801, 4097, 100001)) {
+      val s = sketchOf(shuffled(n).iterator)
+      assert(s.n == n && weight(s) == n, s"n=$n weight=${weight(s)}")
+    }
+    val merged = sketchOf((1 to 33333).iterator.map(_.toDouble))
+      .mergeWith(sketchOf((1 to 4445).iterator.map(_.toDouble)))
+    assert(weight(merged) == merged.n && merged.n == 33333 + 4445)
+  }
 }

@@ -78,6 +78,21 @@ class SubstringBlocklistSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](new AcAutomaton(Array("a", "")))
   }
 
+  test("per-JVM automaton cache is bounded (LRU, 64 entries)") {
+    // 200 distinct pattern lists; a long-lived executor must not
+    // accumulate one automaton per list forever
+    (0 until 200).foreach(i => AcAutomaton.forPatterns(Seq(s"cache-probe-$i")))
+    val f = AcAutomaton.getClass.getDeclaredFields
+      .find(_.getName.contains("cache")).get
+    f.setAccessible(true)
+    val size = f.get(AcAutomaton).asInstanceOf[java.util.Map[_, _]].size()
+    assert(size <= 64, s"cache grew to $size entries")
+    // a repeated lookup returns the SAME instance (cache hit, not rebuild)
+    val a1 = AcAutomaton.forPatterns(Seq("stable-pattern"))
+    val a2 = AcAutomaton.forPatterns(Seq("stable-pattern"))
+    assert(a1 eq a2)
+  }
+
   test("operator surface over documents == per-pattern contains plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pats = Seq("batch batch", "slow sort", "join order", "spark window",
