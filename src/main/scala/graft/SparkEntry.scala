@@ -1169,7 +1169,8 @@ object SparkEntry {
 
     // ---- BPE vocabulary induction: 16 merges over the corpus (corpus
     //      touched once; rounds run over the cached distinct-word table).
-    //      No SQL oracle (iterative global argmax) -> rows-only; BpeSpec
+    //      Value-exact oracle: a recursive CTE replays training round by
+    //      round (SparkEntryOracles.bpeMergesSql); BpeSpec additionally
     //      pins exact equality with a single-threaded reference. ----
     "q_bpe_merges" -> ((s, dir) => {
       graft.operators.Bpe.train(t(s, dir, "documents"), "text", numMerges = 16)
@@ -1178,9 +1179,11 @@ object SparkEntry {
 
     // ---- BPE corpus tokenization (the APPLY side of q_bpe_merges):
     //      train a small vocab, segment every document row-locally with
-    //      the rank-based encoder. Iterative merges have no SQL form →
-    //      rows-only; Verify emits exact-agreement-vs-reference evidence
-    //      and BpeSpec fuzz-pins the encoder against segmentWord. ----
+    //      the rank-based encoder. Value-exact oracle: the training
+    //      recursion's final state is the encoded word table
+    //      (SparkEntryOracles.bpeEncodeSql); Verify also emits
+    //      exact-agreement-vs-reference evidence and BpeSpec fuzz-pins
+    //      the encoder against segmentWord. ----
     "q_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = graft.operators.Bpe.train(docs, "text", numMerges = 16)
@@ -3186,6 +3189,12 @@ object SparkEntry {
     // deterministic functions of the token multiset
     "q_dedup_simhash" -> SparkEntryOracles.simhashPairsSql,
     "q_sketch_tokens" -> SparkEntryOracles.cmsTokensSql,
+
+    // bit-exact BPE replicas: a recursive CTE's working table is one
+    // training round (pair argmax + greedy merge via boundary-safe
+    // tab-separated replace); encode reads the recursion's final state
+    "q_bpe_merges" -> SparkEntryOracles.bpeMergesSql,
+    "q_bpe_encode" -> SparkEntryOracles.bpeEncodeSql,
 
     // arithmetic both engines compute identically without 64-bit overflow
     // at any id scale; distributed top-C on the Spark side),

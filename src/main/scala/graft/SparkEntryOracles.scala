@@ -500,4 +500,140 @@ object SparkEntryOracles {
       |  LEFT JOIN counters c ON c.d = b.d AND c.bucket = b.bucket
       |  GROUP BY b.tok)
       |SELECT tok AS token, est::BIGINT AS est_count FROM probe_est ORDER BY token""".stripMargin
+
+  /** Full bit-exact replica of BPE training (q_bpe_merges, 16 merges,
+    * minCount 2): a RECURSIVE CTE carries the symbolized distinct-word
+    * table; each step the working table aggregates adjacent pair counts,
+    * takes the argmax (count desc, then (left, right) — DuckDB's binary
+    * collation IS the UTF-8 byte order the trainer tie-breaks on), and
+    * applies the merge to every word. Symbol sequences ride as strings
+    * with TAB separators (tab is whitespace, so it provably never occurs
+    * inside a token): enc = TAB sym TAB TAB sym TAB ..., and the merge is
+    * one non-overlapping left-to-right replace of TAB l TAB TAB r TAB —
+    * exactly applyMerge's greedy scan, boundary-safe because a symbol
+    * can never contain TAB. The long-standing "iterative global argmax
+    * has no SQL form" note was wrong: the working table of a recursive
+    * CTE is precisely one training round. */
+  val bpeMergesSql: String =
+    """WITH RECURSIVE
+      |wc AS (
+      |  SELECT t.tok AS w, count(*)::BIGINT AS c
+      |  FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |          x -> length(x) > 0) AS ws FROM documents) d,
+      |       unnest(d.ws) AS t(tok)
+      |  GROUP BY t.tok),
+      |base AS (
+      |  SELECT 0 AS it, 'w' AS kind,
+      |    chr(9) || array_to_string(
+      |      list_append(list_transform(range(1, length(w) + 1),
+      |        i -> substring(w, i, 1)), '</w>'), chr(9) || chr(9)) || chr(9) AS enc,
+      |    c, NULL::BIGINT AS rank, NULL::VARCHAR AS ml, NULL::VARCHAR AS mr,
+      |    NULL::BIGINT AS pc
+      |  FROM wc),
+      |state(it, kind, enc, c, rank, ml, mr, pc) AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  (
+      |  WITH prev AS (SELECT * FROM state),
+      |  syms AS (
+      |    SELECT enc, c,
+      |      list_transform(string_split(enc, chr(9) || chr(9)),
+      |        s -> trim(s, chr(9))) AS sl
+      |    FROM prev WHERE kind = 'w'),
+      |  pairs AS (
+      |    SELECT sl[i.x] AS l, sl[i.x + 1] AS r, sum(c)::BIGINT AS pc
+      |    FROM syms, unnest(range(1, len(sl))) AS i(x)
+      |    GROUP BY 1, 2 HAVING sum(c) >= 2),
+      |  best AS (SELECT l, r, pc FROM pairs ORDER BY pc DESC, l, r LIMIT 1),
+      |  curit AS (SELECT max(it) AS it FROM prev)
+      |  SELECT curit.it + 1, 'w',
+      |    replace(p.enc, chr(9) || b.l || chr(9) || chr(9) || b.r || chr(9),
+      |      chr(9) || b.l || b.r || chr(9)),
+      |    p.c, NULL, NULL, NULL, NULL
+      |  FROM prev p, best b, curit WHERE p.kind = 'w' AND curit.it < 16
+      |  UNION ALL
+      |  SELECT curit.it + 1, 'm', NULL, NULL, curit.it + 1, b.l, b.r, b.pc
+      |  FROM best b, curit WHERE curit.it < 16
+      |  )
+      |)
+      |SELECT rank::INT AS rank, ml AS "left", mr AS "right", pc AS pair_count
+      |FROM state WHERE kind = 'm' ORDER BY rank""".stripMargin
+
+  /** q_bpe_encode replica: the FINAL iteration of the training recursion
+    * IS the encoded distinct-word table (each word's symbol sequence after
+    * all 16 merges — sequential rank-order application equals the rank-
+    * priority encoder because a merge's operand symbols are created
+    * strictly earlier and pre-existing-symbol adjacencies are never
+    * created, so each pair is merged exhaustively exactly once). Each
+    * document's tokens join to their segmentations and aggregate in
+    * (token, subword) order into the same md5 witness as the gate. */
+  val bpeEncodeSql: String =
+    """WITH RECURSIVE
+      |wc AS (
+      |  SELECT t.tok AS w, count(*)::BIGINT AS c
+      |  FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |          x -> length(x) > 0) AS ws FROM documents) d,
+      |       unnest(d.ws) AS t(tok)
+      |  GROUP BY t.tok),
+      |base AS (
+      |  SELECT 0 AS it, 'w' AS kind,
+      |    chr(9) || array_to_string(
+      |      list_append(list_transform(range(1, length(w) + 1),
+      |        i -> substring(w, i, 1)), '</w>'), chr(9) || chr(9)) || chr(9) AS enc,
+      |    c, NULL::BIGINT AS rank, NULL::VARCHAR AS ml, NULL::VARCHAR AS mr,
+      |    NULL::BIGINT AS pc
+      |  FROM wc),
+      |state(it, kind, enc, c, rank, ml, mr, pc) AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  (
+      |  WITH prev AS (SELECT * FROM state),
+      |  syms AS (
+      |    SELECT enc, c,
+      |      list_transform(string_split(enc, chr(9) || chr(9)),
+      |        s -> trim(s, chr(9))) AS sl
+      |    FROM prev WHERE kind = 'w'),
+      |  pairs AS (
+      |    SELECT sl[i.x] AS l, sl[i.x + 1] AS r, sum(c)::BIGINT AS pc
+      |    FROM syms, unnest(range(1, len(sl))) AS i(x)
+      |    GROUP BY 1, 2 HAVING sum(c) >= 2),
+      |  best AS (SELECT l, r, pc FROM pairs ORDER BY pc DESC, l, r LIMIT 1),
+      |  curit AS (SELECT max(it) AS it FROM prev)
+      |  SELECT curit.it + 1, 'w',
+      |    replace(p.enc, chr(9) || b.l || chr(9) || chr(9) || b.r || chr(9),
+      |      chr(9) || b.l || b.r || chr(9)),
+      |    p.c, NULL, NULL, NULL, NULL
+      |  FROM prev p, best b, curit WHERE p.kind = 'w' AND curit.it < 16
+      |  UNION ALL
+      |  SELECT curit.it + 1, 'm', NULL, NULL, curit.it + 1, b.l, b.r, b.pc
+      |  FROM best b, curit WHERE curit.it < 16
+      |  )
+      |),
+      |
+      |final AS (
+      |  SELECT list_transform(string_split(enc, chr(9) || chr(9)),
+      |           s -> trim(s, chr(9))) AS segs
+      |  FROM state
+      |  WHERE kind = 'w' AND it = (SELECT max(it) FROM state WHERE kind = 'w')),
+      |segmap AS (
+      |  SELECT left(array_to_string(segs, ''),
+      |    length(array_to_string(segs, '')) - 4) AS w, segs FROM final),
+      |dtok AS (
+      |  SELECT d.doc_id, i.x AS pos, d.ws[i.x] AS w
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |          x -> length(x) > 0) AS ws FROM documents) d,
+      |       unnest(range(1, len(d.ws) + 1)) AS i(x)),
+      |sub AS (
+      |  SELECT t.doc_id, t.pos, j.y AS spos, m.segs[j.y] AS sub
+      |  FROM dtok t JOIN segmap m USING (w),
+      |       unnest(range(1, len(m.segs) + 1)) AS j(y)),
+      |perdoc AS (
+      |  SELECT doc_id, count(*)::INT AS n_tokens,
+      |    md5(string_agg(sub, chr(31) ORDER BY pos, spos)) AS tokens_md5
+      |  FROM sub GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+      |  coalesce(p.tokens_md5, md5('')) AS tokens_md5
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN perdoc p USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 }
