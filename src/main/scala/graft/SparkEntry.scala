@@ -1728,6 +1728,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Naive Bayes quality scorer: the CLOSED-FORM trained tier of
+    //      the quality stack — same clean-vs-scrambled self-supervision
+    //      as q_quality_classifier, but exact bigram counts + Laplace
+    //      smoothing instead of L-BFGS, so train AND score replicate
+    //      value-for-value in the DuckDB oracle. ----
+    "q_quality_nb" -> ((s, dir) => {
+      graft.operators.QualityClassifier.naiveBayesCleanVsScrambled(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Gopher repetition rules: top/duplicate n-gram character
     //      fractions for n = 2..10, row-local codegen kernel (quality
     //      filtering at scan speed — no shuffle touches the text). ----
@@ -3195,6 +3206,9 @@ object SparkEntry {
     // tab-separated replace); encode reads the recursion's final state
     "q_bpe_merges" -> SparkEntryOracles.bpeMergesSql,
     "q_bpe_encode" -> SparkEntryOracles.bpeEncodeSql,
+
+    // closed-form Naive Bayes quality scorer: exact counts -> full replica
+    "q_quality_nb" -> SparkEntryOracles.qualityNbSql,
 
     // arithmetic both engines compute identically without 64-bit overflow
     // at any id scale; distributed top-C on the Spark side),

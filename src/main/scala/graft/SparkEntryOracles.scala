@@ -636,4 +636,36 @@ object SparkEntryOracles {
       |FROM (SELECT DISTINCT doc_id FROM documents) d
       |LEFT JOIN perdoc p USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** q_quality_nb replica: exact bigram counts per class (positives =
+    * documents, negatives = token-sorted documents), Laplace-smoothed
+    * log-odds summed per document. Closed-form training means the whole
+    * trained-classifier pipeline is value-exact under SQL (the L-BFGS
+    * tier keeps its rows-only + holdout-AUC evidence). */
+  val qualityNbSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |    x -> length(x) > 0) AS w
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, w[i.x] || ' ' || w[i.x + 1] AS b
+      |  FROM toks, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i(x)),
+      |neg AS (
+      |  SELECT doc_id, sw[i.x] || ' ' || sw[i.x + 1] AS b
+      |  FROM (SELECT doc_id, list_sort(w) AS sw FROM toks) s,
+      |       unnest(range(1, greatest(len(sw) - 1, 0) + 1)) AS i(x)),
+      |cp AS (SELECT b, count(*)::BIGINT AS cp FROM pos GROUP BY b),
+      |cn AS (SELECT b, count(*)::BIGINT AS cn FROM neg GROUP BY b),
+      |vocab AS (
+      |  SELECT coalesce(cp.b, cn.b) AS b, coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
+      |  FROM cp FULL JOIN cn ON cp.b = cn.b),
+      |tot AS (SELECT sum(cp)::DOUBLE AS np, sum(cn)::DOUBLE AS nn,
+      |  count(*)::DOUBLE AS v FROM vocab),
+      |wt AS (
+      |  SELECT b, ln(cp + 1.0) - ln(np + 1.0 * v) - ln(cn + 1.0) + ln(nn + 1.0 * v) AS w
+      |  FROM vocab, tot),
+      |sc AS (SELECT doc_id, sum(w) AS s FROM pos JOIN wt USING (b) GROUP BY doc_id)
+      |SELECT d.doc_id, round(coalesce(sc.s, 0.0), 6) AS nb_logodds
+      |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 }

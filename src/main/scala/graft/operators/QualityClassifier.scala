@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{expressions, TextAnalysis}
@@ -139,5 +139,58 @@ object QualityClassifier {
         (lit(1.0) / (lit(1.0) +
           exp(-(coalesce(col("z"), lit(0.0)) + model.intercept))))
           .as("quality_score"))
+  }
+
+  /** Multinomial Naive Bayes quality scorer — the CLOSED-FORM trained
+    * tier. Same self-supervised setup as [[trainCleanVsScrambled]]
+    * (positives = documents as written, negatives = the same documents
+    * with tokens sorted — identical unigram multisets, so only ORDER
+    * separates the classes), but over exact BIGRAM counts with Laplace
+    * smoothing: no float iteration anywhere, so the whole train+score
+    * pipeline is replicable value-for-value by a SQL oracle (the gate is
+    * value-exact where the L-BFGS tier is rows-only-with-evidence).
+    *
+    * Score(d) = Σ_{b ∈ bigrams(d)} [ log(cnt⁺(b)+α) − log(N⁺+αV)
+    *            − log(cnt⁻(b)+α) + log(N⁻+αV) ]   (equal priors cancel)
+    *
+    * Scale: one bigram-count shuffle per class (the tf-idf shape — swap
+    * the join key to fingerprint64(bigram) for shuffle thrift at corpus
+    * scale); the weight table is vocabulary-bounded and broadcasts into
+    * the scoring join; per-doc score is one partial-aggregated sum. Docs
+    * with fewer than 2 tokens have no bigrams and score 0. */
+  def naiveBayesCleanVsScrambled(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha $alpha")
+    val base = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    def bigramsOf(arr: Column): Column =
+      when(size(arr) >= 2,
+        transform(sequence(lit(1), size(arr) - 1),
+          i => concat_ws(" ", element_at(arr, i), element_at(arr, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    val posBi = base.select(col("id"), explode(bigramsOf(col("toks"))).as("b"))
+    val negBi = base.select(col("id"),
+      explode(bigramsOf(sort_array(col("toks")))).as("b"))
+    val cp = posBi.groupBy(col("b")).agg(count(lit(1)).as("cp"))
+    val cn = negBi.groupBy(col("b")).agg(count(lit(1)).as("cn"))
+    val vocab = cp.join(cn, Seq("b"), "full")
+      .select(col("b"), coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    // totals: one bounded aggregate, cross-joined as the documented
+    // single-row scalar frame
+    val tot = vocab.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+      count(lit(1)).as("v"))
+    val weights = vocab.crossJoin(tot)
+      .select(col("b"),
+        (log(col("cp") + alpha) - log(col("np") + lit(alpha) * col("v"))
+          - log(col("cn") + alpha) + log(col("nn") + lit(alpha) * col("v")))
+          .as("w"))
+    val scores = posBi.join(weights, "b")
+      .groupBy(col("id")).agg(sum(col("w")).as("s"))
+    base.select(col("id")).distinct()
+      .join(scores, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        round(coalesce(col("s"), lit(0.0)), 6).as("nb_logodds"))
   }
 }

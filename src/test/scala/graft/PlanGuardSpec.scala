@@ -56,7 +56,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_mixture_weights",   // broadcast single-row (z, total) scalar frame
                            // over the |sources|-row stratum aggregate
     "q_cluster_purity",    // broadcast centroid table (16 rows)
-    "q_collocations"       // broadcast single-row (n_tokens, n_bigrams)
+    "q_collocations",      // broadcast single-row (n_tokens, n_bigrams)
+                           // totals frame (tf-idf pattern)
+    "q_quality_nb"         // broadcast single-row (np, nn, v) smoothing
                            // totals frame (tf-idf pattern)
   )
 
