@@ -169,14 +169,20 @@ object QualityClassifier {
         transform(sequence(lit(1), size(arr) - 1),
           i => concat_ws(" ", element_at(arr, i), element_at(arr, i + 1))))
         .otherwise(array().cast("array<string>"))
-    val posBi = base.select(col("id"), explode(bigramsOf(col("toks"))).as("b"))
-    val negBi = base.select(col("id"),
-      explode(bigramsOf(sort_array(col("toks")))).as("b"))
-    val cp = posBi.groupBy(col("b")).agg(count(lit(1)).as("cp"))
-    val cn = negBi.groupBy(col("b")).agg(count(lit(1)).as("cn"))
-    val vocab = cp.join(cn, Seq("b"), "full")
-      .select(col("b"), coalesce(col("cp"), lit(0L)).as("cp"),
-        coalesce(col("cn"), lit(0L)).as("cn"))
+    // ONE tokenize+explode pass yields BOTH classes' bigram streams as a
+    // class-tagged frame (the minHashLshPairs lesson: separate subtrees
+    // re-tokenize the corpus once each); both class counts then come from
+    // a single groupBy instead of two aggregations and a full join.
+    val tagged = base.select(col("id"),
+        explode(concat(
+          transform(bigramsOf(col("toks")),
+            b => struct(b.as("b"), lit(1).as("cls"))),
+          transform(bigramsOf(sort_array(col("toks"))),
+            b => struct(b.as("b"), lit(0).as("cls"))))).as("e"))
+      .select(col("id"), col("e.b").as("b"), col("e.cls").as("cls"))
+    val vocab = tagged.groupBy(col("b"))
+      .agg(count(when(col("cls") === 1, lit(1))).as("cp"),
+        count(when(col("cls") === 0, lit(1))).as("cn"))
     // totals: one bounded aggregate, cross-joined as the documented
     // single-row scalar frame
     val tot = vocab.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
@@ -186,7 +192,10 @@ object QualityClassifier {
         (log(col("cp") + alpha) - log(col("np") + lit(alpha) * col("v"))
           - log(col("cn") + alpha) + log(col("nn") + lit(alpha) * col("v")))
           .as("w"))
-    val scores = posBi.join(weights, "b")
+    // scoring re-derives the positive stream (second and final corpus
+    // pass — the counts→weights barrier makes a single-pass form
+    // impossible without persisting the corpus-sized tagged frame)
+    val scores = tagged.filter(col("cls") === 1).join(weights, "b")
       .groupBy(col("id")).agg(sum(col("w")).as("s"))
     base.select(col("id")).distinct()
       .join(scores, Seq("id"), "left")
