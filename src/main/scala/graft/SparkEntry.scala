@@ -1605,11 +1605,31 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    // ---- the exact half of the distinct-count pair: per-source exact
+    //      distinct trigram shingles. Counted over the 64-bit shingle
+    //      hash (8-byte shuffle keys); equals the oracle's count over the
+    //      shingle strings unless xxhash64 collides on this corpus
+    //      (p ~ n²/2⁶⁵ — and a collision would surface as a value
+    //      mismatch). Value-exact gate; its HLL sibling q_approx_distinct
+    //      stays rows-only with measured-error evidence. ----
+    "q_distinct_exact" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("sh0"))
+        .select(col("source"), xxhash64(col("sh0")).as("sh"))
+        .groupBy(col("source"), col("sh")).agg(lit(1).as("one"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("source"))
+    }),
+
     // ---- HLL++ approximate distinct counts per source over trigram
     //      shingles (high-cardinality on purpose — tokens alone have a
     //      tiny vocabulary here). Sketch internals aren't SQL-replicable
     //      → rows-only; measured relative error lands in
-    //      no_oracle_evidence.json and is asserted in the spec. ----
+    //      no_oracle_evidence.json and is asserted in the spec. The
+    //      exact count(distinct) half is additionally split out as the
+    //      value-exact gate q_distinct_exact. ----
     "q_approx_distinct" -> ((s, dir) => {
       import graft.functions.TextAnalysis
       t(s, dir, "documents")
@@ -3188,9 +3208,6 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
 
-    // Exact replica of ivfTopK's deterministic pipeline: centroids are the
-    // 16 vectors with the smallest multiplicative id-hash
-    // ((id mod 2^31)*2654435761 mod 2^32, ties by id — pure integer
     // bit-exact hyperplane-LSH replica (plane hash via decomposed HUGEINT
     // wrap-multiply; sequential-fold dots) — see SparkEntryOracles.annLshSql
     "q_ann_lsh" -> SparkEntryOracles.annLshSql,
@@ -3210,6 +3227,9 @@ object SparkEntry {
     // closed-form Naive Bayes quality scorer: exact counts -> full replica
     "q_quality_nb" -> SparkEntryOracles.qualityNbSql,
 
+    // Exact replica of ivfTopK's deterministic pipeline: centroids are the
+    // 16 vectors with the smallest multiplicative id-hash
+    // ((id mod 2^31)*2654435761 mod 2^32, ties by id — pure integer
     // arithmetic both engines compute identically without 64-bit overflow
     // at any id scale; distributed top-C on the Spark side),
     // nearest-centroid assignment, nProbe=4 probing, top-10 per query.
@@ -3607,6 +3627,21 @@ object SparkEntry {
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_distinct_fp
         |FROM documents""".stripMargin,
+
+    // per-source exact distinct trigram shingles — the SQL-replicable half
+    // of the approx-distinct pair (Spark counts distinct 64-bit shingle
+    // hashes; the count equals this string-shingle count unless xxhash64
+    // collides, which would surface as a value mismatch here)
+    "q_distinct_exact" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i))
+        |SELECT source, count(*) AS n_exact
+        |FROM sh GROUP BY source ORDER BY source""".stripMargin,
 
     // token-anchored phrase containment via list slicing; i is 1-based so
     // anchor = i - 1 matches Spark's posexplode

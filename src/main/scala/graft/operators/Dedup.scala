@@ -421,6 +421,20 @@ object Dedup {
     * for corpora where that dominates (very long documents), persist
     * [[minHashBandIndex]] + [[shingleHashSets]] and use the incremental
     * path instead — the indexes are built once and the text never moves. */
+  /** The LSH band-signature expression — array over bands of
+    * (band, xxhash64(minhash slots bIdx*r+1 .. bIdx*r+r)). ONE definition
+    * shared by the pair join ([[minHashLshPairs]]), the persisted corpus
+    * index ([[minHashBandIndex]]) and the incremental batch path
+    * ([[minHashLshPairsIncremental]]): any drift between index-build and
+    * lookup signatures would silently empty the candidate equi-join
+    * instead of failing, so the construction must not be duplicated. */
+  private def bandSigs(mh: Column, rowsPerBand: Int, numBands: Int): Column =
+    array((0 until numBands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(mh, bIdx * rowsPerBand + r + 1)): _*).as("sig"))
+    }: _*)
+
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       rowsPerBand: Int = 3, numBands: Int = 16): DataFrame = {
@@ -435,11 +449,7 @@ object Dedup {
     val indexed = docs.select(col("id"),
       sort_array(transform(col("sh"), s => xxhash64(s))).as("shh"),
       graft.functions.expressions.minhash_sig(col("sh"), h).as("mh"))
-    val bands = array((0 until numBands).map { bIdx =>
-      struct(lit(bIdx).as("band"),
-        xxhash64((0 until rowsPerBand).map(r =>
-          element_at(col("mh"), bIdx * rowsPerBand + r + 1)): _*).as("sig"))
-    }: _*)
+    val bands = bandSigs(col("mh"), rowsPerBand, numBands)
     val buckets = indexed
       .select(col("id"), col("shh"), explode(bands).as("bk"))
       .select(col("id"), col("shh"),
@@ -473,11 +483,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val sigs = docs.withColumn("mh",
       graft.functions.expressions.minhash_sig(col("sh"), h))
-    val bands = array((0 until numBands).map { bIdx =>
-      struct(lit(bIdx).as("band"),
-        xxhash64((0 until rowsPerBand).map(r =>
-          element_at(col("mh"), bIdx * rowsPerBand + r + 1)): _*).as("sig"))
-    }: _*)
+    val bands = bandSigs(col("mh"), rowsPerBand, numBands)
     sigs.select(col("id"), explode(bands).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
   }
@@ -521,11 +527,7 @@ object Dedup {
     val batchIndexed = batchDocs.select(col("id"),
       sort_array(transform(col("sh"), s => xxhash64(s))).as("shh"),
       graft.functions.expressions.minhash_sig(col("sh"), h).as("mh"))
-    val bands = array((0 until numBands).map { bIdx =>
-      struct(lit(bIdx).as("band"),
-        xxhash64((0 until rowsPerBand).map(r =>
-          element_at(col("mh"), bIdx * rowsPerBand + r + 1)): _*).as("sig"))
-    }: _*)
+    val bands = bandSigs(col("mh"), rowsPerBand, numBands)
     val batchBuckets = batchIndexed
       .select(col("id"), col("shh"), explode(bands).as("bk"))
       .select(col("id").as("batch_id"), col("shh").as("sha"),
@@ -567,8 +569,15 @@ object Dedup {
       s"pigeonhole blocking on $numChunks chunks covers distance <= ${numChunks - 1}")
     val bitsPer = 64 / numChunks
     val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
+    // Token-less (empty/whitespace-only) documents carry no signal: their
+    // signature would be the all-zero vote, pairing every such doc with
+    // every other at hamming 0. They are excluded here — byte-identical
+    // empties belong to exact dedup ([[exactDuplicates]]); the SQL oracle
+    // agrees by construction (its token unnest yields no rows for them).
     val docs = df.select(col(idCol).as("id"),
-      TextAnalysis.simhash(col(textCol)).as("sig"))
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), graft.functions.expressions.simhash64(col("toks")).as("sig"))
     val chunks = docs.select(col("id"), col("sig"),
       explode(array((0 until numChunks).map { c =>
         struct(lit(c).as("chunk"),

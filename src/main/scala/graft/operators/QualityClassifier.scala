@@ -153,22 +153,30 @@ object QualityClassifier {
     * Score(d) = Σ_{b ∈ bigrams(d)} [ log(cnt⁺(b)+α) − log(N⁺+αV)
     *            − log(cnt⁻(b)+α) + log(N⁻+αV) ]   (equal priors cancel)
     *
-    * Scale: one bigram-count shuffle per class (the tf-idf shape — swap
-    * the join key to fingerprint64(bigram) for shuffle thrift at corpus
-    * scale); the weight table is vocabulary-bounded and broadcasts into
-    * the scoring join; per-doc score is one partial-aggregated sum. Docs
-    * with fewer than 2 tokens have no bigrams and score 0. */
+    * Scale: one bigram-count shuffle per class, keyed on the 8-byte
+    * `xxhash64(tok_i, tok_{i+1})` fingerprint instead of the raw bigram
+    * string — the count groupBy and the scoring join never shuffle text
+    * (same shuffle-thrift move as the minhash/simhash kernels; a 64-bit
+    * collision would merge two bigrams' counts, p ≈ |V|²/2⁶⁵, and would
+    * surface as a value mismatch against the string-keyed oracle). The
+    * weight table is vocabulary-bounded; per-doc score is one
+    * partial-aggregated sum. Docs with fewer than 2 tokens have no
+    * bigrams and score 0. */
   def naiveBayesCleanVsScrambled(docs: DataFrame, idCol: String,
                                  textCol: String,
                                  alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"alpha $alpha")
     val base = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
+    // Bigrams are carried ONLY as their 64-bit fingerprint: hashing the
+    // two tokens in the projection lambda means no bigram string is ever
+    // materialized, and every downstream shuffle (class-count groupBy,
+    // weights join) moves 8-byte keys.
     def bigramsOf(arr: Column): Column =
       when(size(arr) >= 2,
         transform(sequence(lit(1), size(arr) - 1),
-          i => concat_ws(" ", element_at(arr, i), element_at(arr, i + 1))))
-        .otherwise(array().cast("array<string>"))
+          i => xxhash64(element_at(arr, i), element_at(arr, i + 1))))
+        .otherwise(array().cast("array<bigint>"))
     // ONE tokenize+explode pass yields BOTH classes' bigram streams as a
     // class-tagged frame (the minHashLshPairs lesson: separate subtrees
     // re-tokenize the corpus once each); both class counts then come from
