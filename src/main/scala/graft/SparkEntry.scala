@@ -863,6 +863,42 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- STREAMING near-dup dedup: the corpus arrives as 4 micro-batches
+    //      (doc_id mod 4), each deduped against the standing MinHash band
+    //      index of batches 0..N-1 then appended to it — the online crawl
+    //      ingestion loop. Band signatures are pure functions of text, so
+    //      the union of per-batch pair outputs equals one full-corpus
+    //      minHashLshPairs run EXACTLY, and the plain batch-mode Jaccard
+    //      oracle certifies the streaming pipeline value-exact (the same
+    //      kernel runs under a real foreachBatch query in
+    //      StreamingNearDedupSpec, asserted stream == batch). ----
+    "q_dedup_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-stream-dedup-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(base)
+      // fresh ingestion run per invocation (bench reps reuse the process)
+      locally {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }
+      val nBatches = 4
+      (0L until nBatches.toLong).foreach { i =>
+        val b = docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
+        graft.streaming.StreamingNearDedup.processBatch(
+            b, i, "doc_id", "text", n = 3, threshold = 0.8,
+            indexDir = base + "/index")
+          .write.mode("overwrite").parquet(base + s"/pairs/batch=$i")
+      }
+      s.read.option("basePath", base + "/pairs").parquet(base + "/pairs")
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- incremental exact dedup: new batch (odd ids) vs the standing
     //      corpus's fingerprint index (even ids) — the ingestion shape;
     //      fingerprint-join equals the oracle's normalized-text join
@@ -2680,6 +2716,10 @@ object SparkEntry {
     // MinHash+LSH is exact-verified with P(miss | j>=0.8) ~ 1e-5, so it
     // shares the exact-Jaccard oracle.
     "q_dedup_minhash" -> SparkEntryOracles.ngramJaccardPairsSql,
+    // the streamed union of per-batch pair outputs equals one full-corpus
+    // LSH run exactly (signatures are pure functions of text), so the
+    // batch-mode Jaccard oracle certifies the streaming ingestion loop
+    "q_dedup_stream" -> SparkEntryOracles.ngramJaccardPairsSql,
     "q_dedup_clusters" -> SparkEntryOracles.dedupClustersSql,
     "q_dedup_cluster_keepbest" -> SparkEntryOracles.dedupClusterKeepBestSql,
     "q_split_leakage" -> SparkEntryOracles.splitLeakageSql,
