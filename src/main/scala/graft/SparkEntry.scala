@@ -1244,6 +1244,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- byte-level BPE (the GPT-2-family formulation): symbols are the
+    //      UTF-8 BYTES of each space-prefixed word (no </w> marker, <=256
+    //      base alphabet, every string encodable — byte fallback). Same
+    //      recursive-CTE oracle replay as the word tier, over the
+    //      hex-pair alphabet. ----
+    "q_bpe_merges_bytes" -> ((s, dir) => {
+      graft.operators.Bpe.trainBytes(t(s, dir, "documents"), "text",
+          numMerges = 16)
+        .orderBy(col("rank"))
+    }),
+
+    "q_bpe_encode_bytes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainBytes(docs, "text", numMerges = 16)
+      graft.operators.Bpe.encodeBytes(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"),
+          // full-sequence witness: \u001f is outside the hex alphabet,
+          // so token boundaries hash unambiguously
+          md5(concat_ws("\u001f", col("tokens"))).as("tokens_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- byte-level round trip: unhex(concat(tokens)) must reproduce
+    //      the normalized text exactly — certifies that byte merges
+    //      splitting multi-byte UTF-8 characters still reassemble. ----
+    "q_bpe_roundtrip_bytes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainBytes(docs, "text", numMerges = 16)
+      graft.operators.Bpe.encodeBytes(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          graft.operators.Bpe.decodeBytesTokens(col("tokens")).as("text_rt"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- asymmetric containment pairs: fragment duplication Jaccard
     //      misses (short doc quoted inside a long one) ----
     "q_dedup_containment" -> ((s, dir) => {
@@ -3263,6 +3297,18 @@ object SparkEntry {
     // tab-separated replace); encode reads the recursion's final state
     "q_bpe_merges" -> SparkEntryOracles.bpeMergesSql,
     "q_bpe_encode" -> SparkEntryOracles.bpeEncodeSql,
+
+    // byte-level tier (GPT-2 formulation): the same recursion over the
+    // lowercase-hex byte alphabet; roundtrip re-assembles via unhex
+    "q_bpe_merges_bytes" -> SparkEntryOracles.bpeMergesBytesSql,
+    "q_bpe_encode_bytes" -> SparkEntryOracles.bpeEncodeBytesSql,
+    "q_bpe_roundtrip_bytes" ->
+      """SELECT doc_id,
+        |  array_to_string(
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
+        |    ' ') AS text_rt
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // closed-form Naive Bayes quality scorer: exact counts -> full replica
     "q_quality_nb" -> SparkEntryOracles.qualityNbSql,

@@ -501,22 +501,26 @@ object SparkEntryOracles {
       |  GROUP BY b.tok)
       |SELECT tok AS token, est::BIGINT AS est_count FROM probe_est ORDER BY token""".stripMargin
 
-  /** Full bit-exact replica of BPE training (q_bpe_merges, 16 merges,
-    * minCount 2): a RECURSIVE CTE carries the symbolized distinct-word
-    * table; each step the working table aggregates adjacent pair counts,
-    * takes the argmax (count desc, then (left, right) — DuckDB's binary
-    * collation IS the UTF-8 byte order the trainer tie-breaks on), and
-    * applies the merge to every word. Symbol sequences ride as strings
-    * with TAB separators (tab is whitespace, so it provably never occurs
-    * inside a token): enc = TAB sym TAB TAB sym TAB ..., and the merge is
-    * one non-overlapping left-to-right replace of TAB l TAB TAB r TAB —
+  /** Shared skeleton of the BPE-training recursion (all four BPE oracles):
+    * a RECURSIVE CTE carries the symbolized distinct-word table; each step
+    * the working table aggregates adjacent pair counts, takes the argmax
+    * (count desc, then (left, right) — DuckDB's binary collation IS the
+    * UTF-8 byte order the trainer tie-breaks on; for the byte tier the
+    * symbols are lowercase-hex strings, whose per-case-monotone alphabet
+    * makes string order equal byte order too), and applies the merge to
+    * every word. Symbol sequences ride as strings with TAB separators
+    * (tab is whitespace, so it provably never occurs inside a token):
+    * enc = TAB sym TAB TAB sym TAB ..., and the merge is one
+    * non-overlapping left-to-right replace of TAB l TAB TAB r TAB —
     * exactly applyMerge's greedy scan, boundary-safe because a symbol
     * can never contain TAB. The long-standing "iterative global argmax
     * has no SQL form" note was wrong: the working table of a recursive
-    * CTE is precisely one training round. */
-  val bpeMergesSql: String =
-    """WITH RECURSIVE
-      |wc AS (
+    * CTE is precisely one training round. `baseEnc` is the SQL expression
+    * symbolizing word `w` into the initial enc string — per-code-point +
+    * '</w>' for the word-internal tier, space-prefixed UTF-8 bytes as
+    * lowercase hex pairs (the GPT-2 formulation) for the byte tier. */
+  private def bpeStateSql(baseEnc: String): String =
+    raw"""wc AS (
       |  SELECT t.tok AS w, count(*)::BIGINT AS c
       |  FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
       |          x -> length(x) > 0) AS ws FROM documents) d,
@@ -524,9 +528,7 @@ object SparkEntryOracles {
       |  GROUP BY t.tok),
       |base AS (
       |  SELECT 0 AS it, 'w' AS kind,
-      |    chr(9) || array_to_string(
-      |      list_append(list_transform(range(1, length(w) + 1),
-      |        i -> substring(w, i, 1)), '</w>'), chr(9) || chr(9)) || chr(9) AS enc,
+      |    $baseEnc AS enc,
       |    c, NULL::BIGINT AS rank, NULL::VARCHAR AS ml, NULL::VARCHAR AS mr,
       |    NULL::BIGINT AS pc
       |  FROM wc),
@@ -555,71 +557,55 @@ object SparkEntryOracles {
       |  SELECT curit.it + 1, 'm', NULL, NULL, curit.it + 1, b.l, b.r, b.pc
       |  FROM best b, curit WHERE curit.it < 16
       |  )
-      |)
+      |)""".stripMargin
+
+  /** Initial symbolization, word-internal tier: one symbol per code
+    * point, plus the '</w>' end-of-word marker. */
+  private val bpeWordEnc: String =
+    "chr(9) || array_to_string(list_append(list_transform(" +
+      "range(1, length(w) + 1), i -> substring(w, i, 1)), '</w>'), " +
+      "chr(9) || chr(9)) || chr(9)"
+
+  /** Initial symbolization, byte tier: the UTF-8 bytes of the
+    * SPACE-PREFIXED word, each as a lowercase two-hex-digit symbol —
+    * DuckDB's hex() of a VARCHAR is the hex of its UTF-8 bytes, split
+    * into pairs. Mirrors Bpe.symbolizeBytes exactly. */
+  private val bpeByteEnc: String =
+    "chr(9) || array_to_string(list_transform(" +
+      "range(1, length(hex(' ' || w)) // 2 + 1), " +
+      "i -> lower(substring(hex(' ' || w), 2 * i - 1, 2))), " +
+      "chr(9) || chr(9)) || chr(9)"
+
+  private def bpeMergesSqlFor(baseEnc: String): String =
+    raw"""WITH RECURSIVE
+      |${bpeStateSql(baseEnc)}
       |SELECT rank::INT AS rank, ml AS "left", mr AS "right", pc AS pair_count
       |FROM state WHERE kind = 'm' ORDER BY rank""".stripMargin
 
-  /** q_bpe_encode replica: the FINAL iteration of the training recursion
-    * IS the encoded distinct-word table (each word's symbol sequence after
-    * all 16 merges — sequential rank-order application equals the rank-
-    * priority encoder because a merge's operand symbols are created
-    * strictly earlier and pre-existing-symbol adjacencies are never
-    * created, so each pair is merged exhaustively exactly once). Each
-    * document's tokens join to their segmentations and aggregate in
-    * (token, subword) order into the same md5 witness as the gate. */
-  val bpeEncodeSql: String =
-    """WITH RECURSIVE
-      |wc AS (
-      |  SELECT t.tok AS w, count(*)::BIGINT AS c
-      |  FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
-      |          x -> length(x) > 0) AS ws FROM documents) d,
-      |       unnest(d.ws) AS t(tok)
-      |  GROUP BY t.tok),
-      |base AS (
-      |  SELECT 0 AS it, 'w' AS kind,
-      |    chr(9) || array_to_string(
-      |      list_append(list_transform(range(1, length(w) + 1),
-      |        i -> substring(w, i, 1)), '</w>'), chr(9) || chr(9)) || chr(9) AS enc,
-      |    c, NULL::BIGINT AS rank, NULL::VARCHAR AS ml, NULL::VARCHAR AS mr,
-      |    NULL::BIGINT AS pc
-      |  FROM wc),
-      |state(it, kind, enc, c, rank, ml, mr, pc) AS (
-      |  SELECT * FROM base
-      |  UNION ALL
-      |  (
-      |  WITH prev AS (SELECT * FROM state),
-      |  syms AS (
-      |    SELECT enc, c,
-      |      list_transform(string_split(enc, chr(9) || chr(9)),
-      |        s -> trim(s, chr(9))) AS sl
-      |    FROM prev WHERE kind = 'w'),
-      |  pairs AS (
-      |    SELECT sl[i.x] AS l, sl[i.x + 1] AS r, sum(c)::BIGINT AS pc
-      |    FROM syms, unnest(range(1, len(sl))) AS i(x)
-      |    GROUP BY 1, 2 HAVING sum(c) >= 2),
-      |  best AS (SELECT l, r, pc FROM pairs ORDER BY pc DESC, l, r LIMIT 1),
-      |  curit AS (SELECT max(it) AS it FROM prev)
-      |  SELECT curit.it + 1, 'w',
-      |    replace(p.enc, chr(9) || b.l || chr(9) || chr(9) || b.r || chr(9),
-      |      chr(9) || b.l || b.r || chr(9)),
-      |    p.c, NULL, NULL, NULL, NULL
-      |  FROM prev p, best b, curit WHERE p.kind = 'w' AND curit.it < 16
-      |  UNION ALL
-      |  SELECT curit.it + 1, 'm', NULL, NULL, curit.it + 1, b.l, b.r, b.pc
-      |  FROM best b, curit WHERE curit.it < 16
-      |  )
-      |),
-      |
+  /** Encode replica: the FINAL iteration of the training recursion IS the
+    * encoded distinct-word table (each word's symbol sequence after all 16
+    * merges — sequential rank-order application equals the rank-priority
+    * encoder because a merge's operand symbols are created strictly
+    * earlier and pre-existing-symbol adjacencies are never created, so
+    * each pair is merged exhaustively exactly once). Each document's
+    * tokens join to their segmentations and aggregate in (token, subword)
+    * order into the same md5 witness as the gate. `segmapKey` recovers the
+    * join key from a final symbol sequence (concat-and-strip-'</w>' for
+    * the word tier, plain hex concat for the byte tier); `dtokKey` renders
+    * a corpus token into the same key space. */
+  private def bpeEncodeSqlFor(baseEnc: String, segmapKey: String,
+                              dtokKey: String): String =
+    raw"""WITH RECURSIVE
+      |${bpeStateSql(baseEnc)},
       |final AS (
       |  SELECT list_transform(string_split(enc, chr(9) || chr(9)),
       |           s -> trim(s, chr(9))) AS segs
       |  FROM state
       |  WHERE kind = 'w' AND it = (SELECT max(it) FROM state WHERE kind = 'w')),
       |segmap AS (
-      |  SELECT left(array_to_string(segs, ''),
-      |    length(array_to_string(segs, '')) - 4) AS w, segs FROM final),
+      |  SELECT $segmapKey AS w, segs FROM final),
       |dtok AS (
-      |  SELECT d.doc_id, i.x AS pos, d.ws[i.x] AS w
+      |  SELECT d.doc_id, i.x AS pos, $dtokKey AS w
       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
       |          x -> length(x) > 0) AS ws FROM documents) d,
       |       unnest(range(1, len(d.ws) + 1)) AS i(x)),
@@ -636,6 +622,27 @@ object SparkEntryOracles {
       |FROM (SELECT DISTINCT doc_id FROM documents) d
       |LEFT JOIN perdoc p USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Full bit-exact replica of BPE training (q_bpe_merges, 16 merges,
+    * minCount 2) — see [[bpeStateSql]]. */
+  val bpeMergesSql: String = bpeMergesSqlFor(bpeWordEnc)
+
+  /** q_bpe_encode replica — see [[bpeEncodeSqlFor]]. */
+  val bpeEncodeSql: String = bpeEncodeSqlFor(bpeWordEnc,
+    "left(array_to_string(segs, ''), length(array_to_string(segs, '')) - 4)",
+    "d.ws[i.x]")
+
+  /** q_bpe_merges_bytes replica: same recursion over the byte-tier
+    * alphabet (space-prefixed UTF-8 bytes as lowercase hex pairs, no
+    * end-of-word marker — the GPT-2-family formulation). */
+  val bpeMergesBytesSql: String = bpeMergesSqlFor(bpeByteEnc)
+
+  /** q_bpe_encode_bytes replica: byte-tier final-state segmentation,
+    * keyed on the word's full hex encoding (a final symbol sequence
+    * concatenates back to exactly that hex string). */
+  val bpeEncodeBytesSql: String = bpeEncodeSqlFor(bpeByteEnc,
+    "array_to_string(segs, '')",
+    "lower(hex(' ' || d.ws[i.x]))")
 
   /** q_quality_nb replica: exact bigram counts per class (positives =
     * documents, negatives = token-sorted documents), Laplace-smoothed

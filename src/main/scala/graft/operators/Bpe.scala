@@ -46,7 +46,29 @@ object Bpe {
     * adjacent symbol pairs, NOT words or occurrences); above it the
     * trainer falls back to the fully-distributed argmax loop. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            minCount: Long = 2L, maxDriverPairs: Int = 1 << 22): DataFrame = {
+            minCount: Long = 2L, maxDriverPairs: Int = 1 << 22): DataFrame =
+    trainWith(df, textCol, numMerges, minCount, maxDriverPairs, symbolize)
+
+  /** BYTE-LEVEL BPE (the GPT-2-family formulation, Radford et al. 2019):
+    * initial symbols are the UTF-8 BYTES of each space-prefixed word
+    * rather than its code points, and there is no end-of-word marker —
+    * the boundary is the leading space byte 0x20 carried at the word
+    * START, exactly the Ġ-prefix convention modern byte-level tokenizers
+    * ship. Consequences the word-internal tier can't offer: the base
+    * alphabet is <= 256 symbols, EVERY string is encodable (byte
+    * fallback — no <unk>), and multi-byte characters can merge partially.
+    * Symbols are rendered as two-hex-digit strings ("20", "c3", ...), so
+    * merged symbols concatenate unambiguously, all symbols are printable
+    * ASCII (UTF-8 tie-break == plain string order), and the SQL oracle
+    * derives the identical alphabet with hex(encode(' ' || w)). Same
+    * distributed architecture and determinism contract as [[train]]. */
+  def trainBytes(df: DataFrame, textCol: String, numMerges: Int,
+                 minCount: Long = 2L, maxDriverPairs: Int = 1 << 22): DataFrame =
+    trainWith(df, textCol, numMerges, minCount, maxDriverPairs, symbolizeBytes)
+
+  private def trainWith(df: DataFrame, textCol: String, numMerges: Int,
+                        minCount: Long, maxDriverPairs: Int,
+                        symbolizer: String => Array[String]): DataFrame = {
     require(numMerges >= 1 && numMerges <= 65536, s"numMerges $numMerges")
     require(maxDriverPairs >= 0 && maxDriverPairs <= (1 << 28),
       s"maxDriverPairs $maxDriverPairs")
@@ -60,7 +82,7 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .as[(String, Long)]
     var words: Dataset[(Array[String], Long)] = wordCounts
-      .map { case (w, c) => (Bpe.symbolize(w), c) }
+      .map { case (w, c) => (symbolizer(w), c) }
       .localCheckpoint(true)
 
     // the ONE full adjacent-pair aggregation. limit(max+1) detects a pair
@@ -318,6 +340,20 @@ object Bpe {
     out.toArray
   }
 
+  /** Byte-level initial symbols ([[trainBytes]]): one symbol per UTF-8
+    * byte of the SPACE-PREFIXED word, each rendered as its two-hex-digit
+    * value — "20" is the word-boundary byte, always the first symbol. */
+  private[operators] def symbolizeBytes(word: String): Array[String] = {
+    val bytes = (" " + word).getBytes("UTF-8")
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = f"${bytes(i) & 0xff}%02x"
+      i += 1
+    }
+    out
+  }
+
   /** Tokenize a corpus with a learned merge list — the APPLY side of
     * [[train]]: (idCol, tokens ARRAY<STRING>, n_tokens). Token definition
     * matches training (lowercased whitespace words, one symbol per code
@@ -336,7 +372,21 @@ object Bpe {
     * one of the few justified mapPartitions in the codebase: the iterative
     * merge loop has no Column-expression form. */
   def encode(df: DataFrame, idCol: String, textCol: String,
-             merges: DataFrame): DataFrame = {
+             merges: DataFrame): DataFrame =
+    encodeWith(df, idCol, textCol, merges, symbolize)
+
+  /** Tokenize with a BYTE-LEVEL merge list from [[trainBytes]]: same
+    * rank-based encoder and memoization, hex-byte initial symbols. Every
+    * word is always encodable (256-symbol base alphabet — the byte
+    * fallback that makes <unk> impossible), including words whose
+    * characters never appeared in training. */
+  def encodeBytes(df: DataFrame, idCol: String, textCol: String,
+                  merges: DataFrame): DataFrame =
+    encodeWith(df, idCol, textCol, merges, symbolizeBytes)
+
+  private def encodeWith(df: DataFrame, idCol: String, textCol: String,
+                         merges: DataFrame,
+                         symbolizer: String => Array[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val mergeList = merges.select(col("rank"), col("left"), col("right"))
@@ -362,7 +412,7 @@ object Bpe {
           if (w.nonEmpty) {
             var seg = memo.get(w)
             if (seg == null) {
-              seg = encodeWord(w, ranks)
+              seg = encodeWord(w, ranks, symbolizer)
               if (memo.size < (1 << 20)) memo.put(w, seg)
             }
             out ++= seg
@@ -386,12 +436,26 @@ object Bpe {
   def decodeTokens(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     trim(regexp_replace(concat_ws("", tokens), "</w>", " "))
 
+  /** Inverse of [[encodeBytes]]: hex-concatenate the subwords, unhex back
+    * to the UTF-8 byte stream, reinterpret as a string; every word carries
+    * its leading boundary byte 0x20, so the only correction is trimming
+    * the first space. Unlike the `</w>` marker this cannot collide with
+    * content — the alphabet IS the raw bytes, which is the point of
+    * byte-level BPE. */
+  def decodeBytesTokens(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(unhex(concat_ws("", tokens)).cast("string"))
+
   /** Rank-based single-word encoder: repeatedly merge (one left-to-right
     * pass) the adjacent pair with the lowest learned rank until none of
     * the present pairs is learned. */
   private[operators] def encodeWord(word: String,
-                                    ranks: Map[(String, String), Int]): Array[String] = {
-    var syms = symbolize(word)
+                                    ranks: Map[(String, String), Int]): Array[String] =
+    encodeWord(word, ranks, symbolize)
+
+  private[operators] def encodeWord(word: String,
+                                    ranks: Map[(String, String), Int],
+                                    symbolizer: String => Array[String]): Array[String] = {
+    var syms = symbolizer(word)
     var done = false
     while (!done && syms.length > 1) {
       var best = Int.MaxValue
@@ -410,8 +474,12 @@ object Bpe {
 
   /** Segment one word with a learned merge list (driver-side helper, used
     * by the spec and for ad-hoc inspection; merges ranked ascending). */
-  def segmentWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms: Seq[String] = symbolize(word).toSeq
+  def segmentWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    segmentWord(word, merges, symbolize)
+
+  def segmentWord(word: String, merges: Seq[(String, String)],
+                  symbolizer: String => Array[String]): Seq[String] = {
+    var syms: Seq[String] = symbolizer(word).toSeq
     merges.foreach { case (l, r) =>
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0
@@ -431,9 +499,11 @@ object Bpe {
     * used by BpeSpec's equality pin and by Verify's evidence probe (which
     * re-derives the sf0.01 merge list independently and compares). */
   def referenceTrain(wordCounts: Map[String, Long], numMerges: Int,
-                     minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
+                     minCount: Long = 2L,
+                     symbolizer: String => Array[String] = symbolize)
+      : Seq[(Int, String, String, Long)] = {
     var words: Seq[(Vector[String], Long)] =
-      wordCounts.toSeq.map { case (w, c) => (symbolize(w).toVector, c) }
+      wordCounts.toSeq.map { case (w, c) => (symbolizer(w).toVector, c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var done = false

@@ -161,6 +161,84 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("byte tier: symbolizeBytes is the hex of the space-prefixed UTF-8 bytes") {
+    assert(Bpe.symbolizeBytes("ab").toSeq === Seq("20", "61", "62"))
+    // é = C3 A9; the 𝄞 clef = F0 9D 84 9E — one symbol per BYTE
+    assert(Bpe.symbolizeBytes("é").toSeq === Seq("20", "c3", "a9"))
+    assert(Bpe.symbolizeBytes("𝄞").toSeq === Seq("20", "f0", "9d", "84", "9e"))
+  }
+
+  test("byte tier: distributed trainBytes reproduces the byte-level reference") {
+    val texts = Seq(
+      "low lower lowest low low",
+      "newer newest new new newer",
+      "wider wide widest wider",
+      "low newer wide lowest")
+    val got = Bpe.trainBytes(texts.toDF("text"), "text", numMerges = 12)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    val want = Bpe.referenceTrain(tokenize(texts), 12,
+      symbolizer = Bpe.symbolizeBytes)
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the word-boundary byte participates: some early merge starts at "20"
+    assert(got.exists(_._2.startsWith("20")),
+      s"expected a space-anchored merge (the Ġ-prefix convention), got $got")
+  }
+
+  test("byte tier: every string is encodable — unseen chars fall back to raw bytes") {
+    val train = Seq("aa aa aa ab ab").toDF("text")
+    val merges = Bpe.trainBytes(train, "text", 4)
+    // 'é' and '𝄞' never appeared in training: word-internal BPE would
+    // need <unk>; byte-level emits their raw byte symbols
+    val df = Seq((0L, "aa éz𝄞")).toDF("id", "text")
+    val out = Bpe.encodeBytes(df, "id", "text", merges)
+      .select(Bpe.decodeBytesTokens(org.apache.spark.sql.functions.col("tokens")))
+      .head().getString(0)
+    assert(out === "aa éz𝄞")
+  }
+
+  test("byte tier: decodeBytesTokens inverts encodeBytes on multi-byte text") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq("Low  LOW lower", "a 𝄞b c", "héllo héllo héllo wörld", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // enough merges that multi-byte sequences merge PARTIALLY (a token may
+    // end mid-character) — the unhex reassembly must still be exact
+    val merges = Bpe.trainBytes(df, "text", 12)
+    val out = Bpe.encodeBytes(df, "id", "text", merges)
+      .select(col("id"), Bpe.decodeBytesTokens(col("tokens")).as("rt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = t.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(out(i.toLong) === want, s"doc $i")
+    }
+  }
+
+  test("byte tier: encodeWord equals segmentWord under the byte symbolizer (fuzz)") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abé𝄞"
+    def randWord(): String =
+      (1 to (1 + rnd.nextInt(8))).map { _ =>
+        val cp = alphabet.codePointAt(
+          alphabet.offsetByCodePoints(0, rnd.nextInt(4)))
+        new String(Character.toChars(cp))
+      }.mkString
+    (1 to 30).foreach { _ =>
+      val corpus = (1 to 40).map(_ => randWord())
+      val wc = corpus.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      val merges = Bpe.referenceTrain(wc, numMerges = 12, minCount = 2,
+          symbolizer = Bpe.symbolizeBytes)
+        .map(m => (m._2, m._3))
+      val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+      corpus.distinct.foreach { w =>
+        assert(Bpe.encodeWord(w, ranks, Bpe.symbolizeBytes).toSeq ===
+          Bpe.segmentWord(w, merges, Bpe.symbolizeBytes),
+          s"word $w merges $merges")
+      }
+    }
+  }
+
   test("encode preserves a string id column's type and values") {
     val df = Seq(("a", "x y x y x y"), ("b", "x x")).toDF("sid", "text")
     val merges = Bpe.train(df, "text", 4)
