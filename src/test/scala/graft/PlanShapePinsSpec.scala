@@ -78,6 +78,40 @@ class PlanShapePinsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     (p +: p.children.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
 
+  test("NB quality scorer shuffles 8-byte fingerprints, never bigram strings") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val d = spark.read.parquet(docs)
+    val nb = operators.QualityClassifier
+      .naiveBayesCleanVsScrambled(d, "doc_id", "text")
+    val exchanges = collectAll(nb.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec => e
+    }
+    // the round-9 shape shuffled raw bigram strings in the vocab groupBy
+    // and the scoring join (50.5s at sf1); the fingerprint fix keys every
+    // text-derived shuffle on xxhash64 longs
+    val stringKeyed = exchanges.filter {
+      _.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.exists(_.dataType == StringType)
+        case _ => false
+      }
+    }
+    assert(stringKeyed.isEmpty,
+      s"bigram-string shuffle keys crept back in:\n${stringKeyed.mkString("\n")}")
+    // anti-vacuity: the bigram-hash groupBy/join exchanges must exist and
+    // be long-keyed (if the plan stopped shuffling at all, this pin would
+    // otherwise assert nothing)
+    assert(exchanges.exists {
+      _.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.nonEmpty && h.expressions.forall(_.dataType == LongType)
+        case _ => false
+      }
+    }, s"no long-keyed exchange found — NB plan shape changed:\n" +
+      s"${nb.queryExecution.executedPlan}")
+  }
+
   test("PageRank iterations never re-shuffle the persisted edge table") {
     import spark.implicits._
     // K4 plus a pendant chain (has a dangling node, so the dm path and its
