@@ -176,6 +176,22 @@ object Verify {
       s"""{"metric":"merge_list_exact_match_vs_reference","value":${
         if (matches) 1.0 else 0.0},"merges":${got.length},"reference_merges":${want.length}}"""
     }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
+    // Byte-tier merge-list exactness: same independent re-derivation with
+    // the byte symbolizer (space-prefixed UTF-8 bytes as hex pairs).
+    def bpeBytesExactness: String = Try {
+      val wc = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = graft.operators.Bpe.referenceTrain(wc, numMerges = 16,
+        symbolizer = graft.operators.Bpe.symbolizeBytes)
+      val got = load("q_bpe_merges_bytes").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      val matches = got == want
+      s"""{"metric":"merge_list_exact_match_vs_reference","value":${
+        if (matches) 1.0 else 0.0},"merges":${got.length},"reference_merges":${want.length}}"""
+    }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
     // BPE encode exactness: segment EVERY sf document on the driver with
     // segmentWord (the naive replay-the-merge-list reference) and compare
     // the distributed rank-based encoder's (n_tokens, first, last) dump
@@ -254,6 +270,7 @@ object Verify {
          |"q_ann_ivfpq": ${annRecall("q_ann_ivfpq", ivfpqExtra)},
          |"q_dedup_simhash": $simhashRecall,
          |"q_bpe_merges": $bpeExactness,
+         |"q_bpe_merges_bytes": $bpeBytesExactness,
          |"q_bpe_encode": $bpeEncodeExactness,
          |"q_quality_classifier": $qualityClassifierEvidence,
          |"q_sketch_tokens": $cmsExactness,

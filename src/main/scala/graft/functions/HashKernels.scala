@@ -217,6 +217,38 @@ object HashKernels {
     out
   }
 
+  /** Distinct character n-grams (codepoint windows, first-occurrence
+    * order) of the lowercased, whitespace-normalized text: all whitespace
+    * runs — leading, trailing, internal — collapse to at most one ' ';
+    * leading/trailing whitespace is dropped entirely. One normalization
+    * pass per STRING, not per window (the Column-level HOF form this
+    * replaces re-ran the regexp normalization inside the transform lambda
+    * once per character position — no CSE inside lambdas). */
+  def charShingles(s: UTF8String, n: Int): ArrayData = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val text = s.toLowerCase.toString
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (isWs(c)) { if (sb.length > 0 && sb.charAt(sb.length - 1) != ' ') sb.append(' ') }
+      else sb.append(c)
+      i += 1
+    }
+    while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ')
+      sb.setLength(sb.length - 1)
+    val cps = sb.toString.codePoints().toArray
+    val count = cps.length - n + 1
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var p = 0
+    while (p < count) {
+      out.add(UTF8String.fromString(new String(cps, p, n)))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+
   /** Intersection size of two ASCENDING-sorted long arrays by merge walk —
     * no hash-set build, no result-array materialization (array_intersect
     * does both). Callers guarantee sortedness (sort_array at plan level)

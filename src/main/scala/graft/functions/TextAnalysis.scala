@@ -33,13 +33,14 @@ object TextAnalysis {
     expressions.word_shingles(text, n)
   }
 
-  /** Character n-gram shingles (distinct) over normalized text. */
+  /** Character n-gram shingles (distinct, codepoint windows) over
+    * lowercased whitespace-normalized text — a codegen kernel for the
+    * same reason as [[wordShingles]]: the HOF form it replaces evaluated
+    * the regexp normalization inside the transform lambda once per
+    * character position. */
   def charShingles(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    val count = length(norm) - (n - 1)
-    array_distinct(when(count >= 1,
-      transform(sequence(lit(1), greatest(count, lit(0))),
-        i => norm.substr(i, lit(n)))).otherwise(array()))
+    require(n >= 1 && n <= 8)
+    expressions.char_shingles(text, n)
   }
 
   // --- language identification (stopword + CJK heuristic) ---------------

@@ -130,6 +130,20 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_shingles expects STRING, got ${child.dataType.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.charShingles(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.charShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
+}
+
 /** Generator form of the repetition profile: one (n, top_frac, dup_frac)
   * row per n in [minN, maxN] with at least one n-gram in the document —
   * ONE tokenization pass for the whole range (Catalyst does not CSE
@@ -321,6 +335,8 @@ object expressions {
     ColumnBridge.column(SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def word_shingles(c: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
+  def char_shingles(c: Column, n: Int): Column =
+    ColumnBridge.column(CharShingles(ColumnBridge.expression(c), n))
   def tokens(c: Column): Column =
     ColumnBridge.column(Tokens(ColumnBridge.expression(c)))
   def repetition_fracs(c: Column, n: Int): Column =

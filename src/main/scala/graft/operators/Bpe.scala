@@ -343,7 +343,7 @@ object Bpe {
   /** Byte-level initial symbols ([[trainBytes]]): one symbol per UTF-8
     * byte of the SPACE-PREFIXED word, each rendered as its two-hex-digit
     * value — "20" is the word-boundary byte, always the first symbol. */
-  private[operators] def symbolizeBytes(word: String): Array[String] = {
+  private[graft] def symbolizeBytes(word: String): Array[String] = {
     val bytes = (" " + word).getBytes("UTF-8")
     val out = new Array[String](bytes.length)
     var i = 0

@@ -172,10 +172,18 @@ object QualityClassifier {
     // two tokens in the projection lambda means no bigram string is ever
     // materialized, and every downstream shuffle (class-count groupBy,
     // weights join) moves 8-byte keys.
+    // zip_with over two slices, NOT transform-with-element_at: a lambda
+    // body re-evaluates every OUTER expression it references once PER
+    // ELEMENT (Catalyst does no CSE inside higher-order-function lambdas),
+    // so element_at(sort_array(toks), i) re-sorted the token array twice
+    // per bigram — measured 34 s of the gate's 45 s at sf1. The slices are
+    // ordinary per-row expressions; the lambda touches only its element
+    // variables.
     def bigramsOf(arr: Column): Column =
       when(size(arr) >= 2,
-        transform(sequence(lit(1), size(arr) - 1),
-          i => xxhash64(element_at(arr, i), element_at(arr, i + 1))))
+        zip_with(slice(arr, lit(1), size(arr) - 1),
+          slice(arr, lit(2), size(arr) - 1),
+          (a, b) => xxhash64(a, b)))
         .otherwise(array().cast("array<bigint>"))
     // ONE tokenize+explode pass yields BOTH classes' bigram streams as a
     // class-tagged frame (the minHashLshPairs lesson: separate subtrees
@@ -202,8 +210,14 @@ object QualityClassifier {
           .as("w"))
     // scoring re-derives the positive stream (second and final corpus
     // pass — the counts→weights barrier makes a single-pass form
-    // impossible without persisting the corpus-sized tagged frame)
-    val scores = tagged.filter(col("cls") === 1).join(weights, "b")
+    // impossible without persisting the corpus-sized tagged frame).
+    // Derived DIRECTLY, not as tagged.filter(cls === 1): a filter after
+    // explode(concat(pos, neg)) cannot prune the negative branch, so the
+    // filter form re-pays the sort_array and the scrambled-stream hashing
+    // just to discard them (measured 44.7 s at sf1 vs 30 s direct).
+    val scores = base
+      .select(col("id"), explode(bigramsOf(col("toks"))).as("b"))
+      .join(weights, "b")
       .groupBy(col("id")).agg(sum(col("w")).as("s"))
     base.select(col("id")).distinct()
       .join(scores, Seq("id"), "left")

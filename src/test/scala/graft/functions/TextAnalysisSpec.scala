@@ -124,6 +124,22 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sh === Seq("ab ", "b c", " cd"))
   }
 
+  test("charShingles edges: empty, short, tabs/newlines, non-BMP windows") {
+    def sh(t: String, n: Int): Seq[String] =
+      one(t, TextAnalysis.charShingles(col("t"), n))
+        .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(sh("", 3).isEmpty)
+    assert(sh("ab", 3).isEmpty)          // shorter than n
+    assert(sh("   ", 2).isEmpty)         // whitespace-only
+    assert(sh("\t a\nb \t", 3) === Seq("a b")) // all ws runs -> one space, ends trimmed
+    // windows advance by CODEPOINT: the clef (non-BMP, 2 UTF-16 units)
+    // is one position, never split into surrogate halves
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(sh(s"a${clef}b", 2) === Seq(s"a$clef", s"${clef}b"))
+    // distinct with first-occurrence order
+    assert(sh("aaaa", 2) === Seq("aa"))
+  }
+
   test("langId on real multilingual sentences") {
     val cases = Seq(
       "the quick brown fox jumps over the lazy dog and it is fast" -> "en",
