@@ -45,9 +45,6 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
                          // bucketed lshTopK is the scale path
     "q_hard_negatives",  // same broadcast-anchors exact shape; the PQ-served
                          // hardNegativesPq is the scale path (spec-asserted)
-    "q_dedup_embedding", // documented all-pairs small-corpus baseline; the
-                         // bucketed LSH variant (same oracle) is the scale
-                         // path and stays BNLJ-free (asserted in DedupSpec)
     "q_unigram_surprisal", // broadcast single-row token total (tf-idf pattern)
     "q_dsir_weights",      // two broadcast single-row frames: the (tr, tt)
                            // feature totals and the selection threshold
