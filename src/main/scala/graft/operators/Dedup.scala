@@ -624,6 +624,10 @@ object Dedup {
     import spark.implicits._
     val v = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
+      // null ids / vectors can never satisfy the pair predicate (the
+      // declarative form dropped them via null-propagating comparisons);
+      // drop them up front so the typed kernel never sees nulls
+      .filter(col("id").isNotNull && col("v").isNotNull)
       .withColumn("nrm", l2norm(col("v")))
     // One-time setup scalar: the tile list needs the block count. >=16
     // blocks keeps a 32-thread executor busy at tiny scale; <=1024 bounds

@@ -192,6 +192,18 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cosineNeardupPairs drops null ids/vectors (declarative-join semantics)") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1L), Option(Seq(1.0, 0.0))),
+      (Option(2L), Option(Seq(1.0, 0.0))),
+      (Option(3L), Option.empty[Seq[Double]]),
+      (Option.empty[Long], Option(Seq(1.0, 0.0)))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.cosineNeardupPairs(df, "vec_id", "embedding", 0.5).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
   test("bucketed cosine near-dup equals all-pairs exactly, with no " +
        "BroadcastNestedLoopJoin in the plan") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
