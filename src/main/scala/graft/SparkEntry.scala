@@ -1389,6 +1389,30 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- hybrid retrieval: BM25 top-10 ⊕ embedding-cosine top-10 fused
+    //      by reciprocal-rank fusion (rrfK=60), top-5 per query — the
+    //      RAG-stack hybrid-search shape; queries are the first 4 docs
+    //      (text for the lexical leg, their aligned embedding for the
+    //      semantic leg). Both legs and the fusion replicated
+    //      term-for-term in the oracle. ----
+    "q_hybrid_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = graft.operators.TextRanking.bm25TopK(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 4)
+          .select(col("doc_id").as("qid"), col("text").as("qtext")),
+        "qid", "qtext", k = 10)
+      val sem = graft.operators.SimilaritySearch.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 4), "vec_id", "embedding", k = 10)
+        .select(col("q_id"), col("n_id").as("id"), col("rank"))
+      graft.operators.TextRanking.rrfFuse(lex, sem, k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("rank_a", "lex_rank")
+        .withColumnRenamed("rank_b", "sem_rank")
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- deterministic stratified sampling (exact per-stratum counts) ----
     "q_sample_stratified" -> ((s, dir) => {
       graft.operators.Sampling.stratifiedExact(
@@ -3611,6 +3635,73 @@ object SparkEntry {
         |  FROM scored)
         |SELECT q_id, rank, doc_id, score
         |FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // Hybrid retrieval replica: the q_bm25 pipeline at k=10 (queries
+    // doc_id < 4), the q_ann_bruteforce pipeline at k=10 (vec_id < 4),
+    // then the same 1/(60+rank) reciprocal-rank fusion — integer ranks
+    // make the fused doubles engine-identical.
+    "q_hybrid_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |terms AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scal AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_total,
+        |    (SELECT count(*) FROM terms) * 1.0
+        |      / (SELECT count(*) FROM documents) AS avgdl),
+        |qterms AS (
+        |  SELECT DISTINCT doc_id AS q_id, term FROM terms WHERE doc_id < 4),
+        |hits AS (
+        |  SELECT q.q_id, tf.doc_id,
+        |    ln(1.0 + (s.n_total - d.df + 0.5) / (d.df + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS contrib
+        |  FROM tf
+        |  JOIN qterms q USING (term)
+        |  JOIN dft d USING (term)
+        |  JOIN dlen l ON tf.doc_id = l.doc_id
+        |  CROSS JOIN scal s),
+        |lscored AS (
+        |  SELECT q_id, doc_id, round(sum(contrib), 6) AS score
+        |  FROM hits GROUP BY 1, 2),
+        |lranked AS (
+        |  SELECT q_id, doc_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM lscored),
+        |lex AS (SELECT q_id, doc_id, rank FROM lranked WHERE rank <= 10),
+        |v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |sscored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 4),
+        |sranked AS (
+        |  SELECT q_id, doc_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rank
+        |  FROM sscored),
+        |sem AS (SELECT q_id, doc_id, rank FROM sranked WHERE rank <= 10),
+        |fused AS (
+        |  SELECT coalesce(l.q_id, s.q_id) AS q_id,
+        |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |    l.rank AS lex_rank, s.rank AS sem_rank,
+        |    coalesce(1.0 / (60 + l.rank), 0.0)
+        |      + coalesce(1.0 / (60 + s.rank), 0.0) AS rrf
+        |  FROM lex l FULL OUTER JOIN sem s
+        |    ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
+        |final AS (
+        |  SELECT q_id, doc_id, lex_rank, sem_rank, rrf,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused)
+        |SELECT q_id, rank, doc_id, round(rrf, 6) AS rrf_score, lex_rank, sem_rank
+        |FROM final WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
 
     // Mixture resampling replica: same per-source token sums, same

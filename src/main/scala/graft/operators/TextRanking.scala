@@ -104,6 +104,41 @@ object TextRanking {
       .select(col("q_id"), col("rank"), col("id"), col("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of two
+    * rankings of the same corpus — the standard hybrid-retrieval combiner
+    * (BM25 ⊕ embedding ANN) modern RAG stacks ship, chosen over score
+    * interpolation because it needs no score normalization across
+    * heterogeneous scorers:
+    *
+    *   rrf(d) = Σ_{lists containing d} 1 / (rrfK + rank_list(d))
+    *
+    * Inputs are any two frames with (q_id, id, rank) columns (extra
+    * columns ignored), e.g. [[bm25TopK]] and
+    * [[SimilaritySearch.bruteForceTopK]]/lshTopK output. A document
+    * absent from one list simply contributes nothing from it. Output:
+    * (q_id, rank, id, rrf_score, rank_a, rank_b) — rank_a/rank_b are the
+    * source ranks (null when absent), final rank orders by rrf desc then
+    * id, top `k` per query.
+    *
+    * Scale: the inputs are already top-k lists (Q·k rows each) — the fuse
+    * is a (q_id, id) equi-join of two slivers plus a per-query window;
+    * all heavy lifting stays in the upstream rankers. Determinism: ranks
+    * are integers, 1/(rrfK+rank) is the same IEEE double in any engine,
+    * ties break by id — so the fusion is value-exact replicable in SQL. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
+    val ra = a.select(col("q_id"), col("id"), col("rank").as("rank_a"))
+    val rb = b.select(col("q_id"), col("id"), col("rank").as("rank_b"))
+    val fused = ra.join(rb, Seq("q_id", "id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_b")), lit(0.0)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"),
+        round(col("rrf"), 6).as("rrf_score"), col("rank_a"), col("rank_b"))
+  }
+
   /** Exact phrase search over a corpus via a positional join — the
     * "grep the lake for these quoted strings" primitive (contamination
     * audits, eval-set provenance, doc lookup). A phrase matches at token

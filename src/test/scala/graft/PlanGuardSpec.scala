@@ -40,6 +40,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_sketch_tokens", "q_corpus_clean",    // broadcast single-row threshold/sketch
     "q_tfidf",                              // broadcast single-row doc count
     "q_bm25",                               // broadcast single-row N/avgdl scalars
+    "q_hybrid_retrieval", // inherits q_bm25's scalar frames and
+                          // q_ann_bruteforce's broadcast query set — the
+                          // fusion itself is an equi-join of two top-k slivers
     "q_ann_bruteforce",  // the documented EXACT baseline: broadcast query set
                          // vs corpus with a non-equi self-exclusion — the
                          // bucketed lshTopK is the scale path

@@ -184,6 +184,33 @@ class SamplingRankingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(self.getLong(2) === 3L)
   }
 
+  test("rrfFuse: hand-checked fusion, one-list docs, id tie-break, top-k cut") {
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q_id", "id", "rank")
+    val sem = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 10L, 3))
+      .toDF("q_id", "id", "rank")
+    val out = TextRanking.rrfFuse(lex, sem, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    def rrf(rs: Int*) = math.rint(rs.map(r => 1.0 / (60 + r)).sum * 1e6) / 1e6
+    // doc11: ranks (2,1) — 1/62+1/61; doc10: (1,3) — 1/61+1/63; both beat
+    // the single-list docs 12 (1/63) and 13 (1/62); 13 > 12 but k=3 cuts 12
+    assert(out.toSeq === Seq(
+      (1L, 1, 11L, rrf(2, 1)),
+      (1L, 2, 10L, rrf(1, 3)),
+      (1L, 3, 13L, rrf(2))))
+    // null source ranks surface for one-list docs
+    val r13 = TextRanking.rrfFuse(lex, sem, k = 3)
+      .filter(col("id") === 13L).head()
+    assert(r13.isNullAt(r13.fieldIndex("rank_a")) &&
+      r13.getInt(r13.fieldIndex("rank_b")) === 2)
+    // exact tie (same rank in mirrored lists) breaks by id: swap lists
+    val a = Seq((1L, 20L, 1), (1L, 21L, 2)).toDF("q_id", "id", "rank")
+    val b = Seq((1L, 21L, 1), (1L, 20L, 2)).toDF("q_id", "id", "rank")
+    val tied = TextRanking.rrfFuse(a, b, k = 2).orderBy("rank")
+      .collect().map(_.getLong(2))
+    assert(tied.toSeq === Seq(20L, 21L))
+  }
+
   test("diversitySample: per-cell cap, full cell coverage, layout stability") {
     import spark.implicits._
     // two dense blobs + a sparse one: equal-per-cell selection must not
