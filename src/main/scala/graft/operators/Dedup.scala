@@ -640,9 +640,14 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("vs"))
     val tiles = (0 until b).flatMap(i => (i until b).map(j => (i, j)))
       .toDF("bi", "bj")
-    tiles
+    // Broadcast ONLY the payload-free tile-key table; the second join must
+    // shuffle (shuffle_hash) — left to stats, Spark broadcasts the
+    // tiles×payload intermediate, which is B/2 corpus copies in one
+    // broadcast at large N.
+    tiles.hint("broadcast")
       .join(blocks.select(col("blk").as("bi"), col("vs").as("va")), "bi")
-      .join(blocks.select(col("blk").as("bj"), col("vs").as("vb")), "bj")
+      .join(blocks.select(col("blk").as("bj"), col("vs").as("vb"))
+        .hint("shuffle_hash"), "bj")
       .repartition(col("bi"), col("bj"))
       .select(col("bi"), col("bj"), col("va"), col("vb"))
       .as[(Int, Int, Seq[(Long, Array[Double], Double)], Seq[(Long, Array[Double], Double)])]

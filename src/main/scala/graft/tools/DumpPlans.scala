@@ -35,7 +35,10 @@ object DumpPlans extends App {
     "q_repetition_ngrams" -> "row-local codegen repetition kernel: quality metrics at scan speed, zero text shuffle",
     "q_dedup_winnow" -> "row-local winnow-fingerprint kernel, df-capped 8-byte hash self-join",
     "q_novelty" -> "first-occurrence min-id over shingle hashes; text never shuffles",
-    "q_script_profile" -> "one-pass script-classification kernel: whole profile at scan speed")
+    "q_script_profile" -> "one-pass script-classification kernel: whole profile at scan speed",
+    "q_dedup_embedding" -> "tiled exact cosine: block payloads equi-joined to driver-enumerated tiles, dense kernel flatMap, no BNLJ",
+    "q_quality_nb" -> "NB scorer: 8-byte bigram fingerprints through the class-count groupBy and weights join",
+    "q_hybrid_retrieval" -> "RRF fusion: two top-k slivers full-outer joined; heavy work stays in the BM25/cosine legs")
   val sb = new StringBuilder
   sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
   sb.append("GENERATED artifact — regenerate with `sbt \"runMain graft.tools.DumpPlans\"`.\n")
