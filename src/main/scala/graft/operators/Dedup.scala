@@ -709,7 +709,11 @@ object Dedup {
     * thresholds: at cosine 0.9, raise bitsPerBand to ~log2(n) so buckets
     * stay O(1)-sized and set numBands ≈ (1-p^r)-quantile for target recall;
     * candidates then collapse to near-linear while the verify step keeps
-    * the output exact over whatever the buckets propose. */
+    * the output exact over whatever the buckets propose. At LOW thresholds
+    * the tiled exact kernel ([[cosineNeardupPairs]]) is strictly faster —
+    * each pair is evaluated once instead of once per shared band — so
+    * choose by operating point: exact tiles below ~0.7, LSH pruning
+    * above. */
   def cosineNeardupPairsBucketed(df: DataFrame, idCol: String, vecCol: String,
                                  threshold: Double, bitsPerBand: Int = 2,
                                  numBands: Int = 40): DataFrame = {
