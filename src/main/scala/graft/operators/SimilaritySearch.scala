@@ -378,18 +378,47 @@ object SimilaritySearch {
     val centsDf = centModel.clusterCenters.zipWithIndex.toSeq
       .map { case (vec, i) => (i.toLong, vec.toArray.toSeq) }
       .toDF("cent_id", "cv")
-    // list assignment (nearest centroid) + PQ encode, one narrow pass each
-    val cn = centsDf.withColumn("cnrm", graft.operators.Dedup.l2norm(col("cv")))
-    val w1 = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cent_id"))
-    val assigned = c.crossJoin(broadcast(cn))
-      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("crank", row_number().over(w1))
-      .filter(col("crank") === 1)
-      .select(col("id").cast("long").as("id"), col("cent_id").as("list_id"))
+    // FUSED list assignment + PQ encode: one narrow pass over the corpus
+    // computes the nearest-centroid list (argmax cosine, ties -> lowest
+    // cent_id; an all-NaN row from a zero-norm vector keeps list 0) and
+    // the code together. The previous crossJoin(broadcast(centroids)) +
+    // per-id window pushed N·C rows through a sort (715M at sf10 with
+    // auto-C) and then JOINED two corpus-sized frames — this is the FAISS
+    // add() loop instead: broadcast centroids, row-local argmax, no
+    // corpus shuffle at all.
     val bcCb = spark.sparkContext.broadcast(cbs)
-    val codes = pqEncode(c, bcCb, starts).toDF("id", "code")
-      .join(assigned, "id")
-      .select(col("id"), col("list_id"), col("code"))
+    val bcCents = spark.sparkContext.broadcast(
+      centModel.clusterCenters.map(_.toArray))
+    val codes = c.select(col("id").cast("long"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        val cbsv = bcCb.value
+        val cents = bcCents.value
+        val cnrms = cents.map { cv =>
+          var s = 0.0; var i = 0
+          while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+          math.sqrt(s)
+        }
+        def csim(v: Array[Double], nrm: Double, ci: Int): Double = {
+          val cv = cents(ci)
+          val n = math.min(v.length, cv.length)
+          var s = 0.0; var i = 0
+          while (i < n) { s += v(i) * cv(i); i += 1 }
+          s / (nrm * cnrms(ci))
+        }
+        it.map { case (id, vSeq, nrm) =>
+          val v = vSeq.toArray
+          var best = 0
+          var bestSim = csim(v, nrm, 0)
+          var ci = 1
+          while (ci < cents.length) {
+            val s = csim(v, nrm, ci)
+            if (s > bestSim) { bestSim = s; best = ci }
+            ci += 1
+          }
+          (id, best.toLong, encodeOne(v, cbsv, starts))
+        }
+      }.toDF("id", "list_id", "code")
     IvfPqIndex(centsDf, cbDf, codes)
   }
 
@@ -563,6 +592,36 @@ object SimilaritySearch {
   }
 
   /** Nearest-codeword encoding: d doubles → m bytes per vector. */
+  /** PQ-encode ONE vector: per subspace, the squared-L2-nearest codeword
+    * (ties → lowest codeword). The single implementation shared by the
+    * bulk/incremental encoders and the fused assign+encode pass in
+    * buildIvfPqIndex — a drift here would make incremental codes disagree
+    * with built codes (spec-pinned equal). */
+  private def encodeOne(v: Array[Double], cbs: Array[Array[Array[Double]]],
+                        starts: Array[Int]): Array[Byte] = {
+    val mm = cbs.length
+    val code = new Array[Byte](mm)
+    var j = 0
+    while (j < mm) {
+      val off = starts(j)
+      val cb = cbs(j)
+      var best = 0; var bestD = Double.MaxValue
+      var w = 0
+      while (w < cb.length) {
+        val cw = cb(w)
+        var d = 0.0; var i = 0
+        while (i < cw.length) {
+          val diff = v(off + i) - cw(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = w }
+        w += 1
+      }
+      code(j) = best.toByte
+      j += 1
+    }
+    code
+  }
+
   private def pqEncode(c: DataFrame,
                        bcCb: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
                        starts: Array[Int]): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
@@ -571,30 +630,7 @@ object SimilaritySearch {
     c.select(col("id").cast("long"), col("v")).as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val cbs = bcCb.value
-        val mm = cbs.length
-        it.map { case (id, vSeq) =>
-          val v = vSeq.toArray
-          val code = new Array[Byte](mm)
-          var j = 0
-          while (j < mm) {
-            val off = starts(j)
-            val cb = cbs(j)
-            var best = 0; var bestD = Double.MaxValue
-            var w = 0
-            while (w < cb.length) {
-              val cw = cb(w)
-              var d = 0.0; var i = 0
-              while (i < cw.length) {
-                val diff = v(off + i) - cw(i); d += diff * diff; i += 1
-              }
-              if (d < bestD) { bestD = d; best = w } // ties -> lowest codeword
-              w += 1
-            }
-            code(j) = best.toByte
-            j += 1
-          }
-          (id, code)
-        }
+        it.map { case (id, vSeq) => (id, encodeOne(vSeq.toArray, cbs, starts)) }
       }
   }
 
