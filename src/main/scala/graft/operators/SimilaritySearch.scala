@@ -340,7 +340,7 @@ object SimilaritySearch {
     * 16, 16384) — the FAISS-guideline shape (C between √N and 16√N). At a
     * FIXED scan fraction nProbe/C, finer lists strictly improve recall
     * (measured on random sf0.01 embeddings, N=500, 25% scan:
-    * C=16→0.55, 32→0.67, 64→0.72, 96→0.81, 128→0.855, 179(auto)→0.915
+    * C=16→0.55, 32→0.67, 64→0.72, 96→0.81, 128→0.855, 179(auto)→0.915; absolute values move ±0.04 with the seeded init, the monotone shape is the rule
     * recall@10), so prefer raising numCentroids over nProbe. The 16384
     * auto cap reflects this Lloyd-iteration trainer's O(C·sample·dim)
     * cost; beyond ~1e8 vectors pass numCentroids explicitly (production
@@ -434,7 +434,7 @@ object SimilaritySearch {
     *
     * `nProbe = 0` (default) selects AUTO-nProbe = ⌈C/4⌉ — a 25% scan
     * fraction, the committed recall-first operating point: with auto-C
-    * lists this measures recall@10 = 0.915 on the sf0.01 evidence corpus
+    * lists this measures recall@10 ≈ 0.88–0.92 on the sf0.01 evidence corpus (init-dependent; the committed evidence stamps the current value)
     * (vs 0.72 for the previous fixed 64/16). Serving stacks that prefer
     * latency over recall pass an explicit small nProbe (FAISS-style
     * 8–64 probes of thousands of lists). */
@@ -522,12 +522,21 @@ object SimilaritySearch {
 
   private def hashSample(c: DataFrame, maxTrainVectors: Int): DataFrame = {
     val n = memoizedCount(c)
-    if (n <= maxTrainVectors) c
-    else {
-      val hkey = pmod(xxhash64(col("id")), lit(4294967296L))
-      val threshold = math.ceil(4294967296.0 * maxTrainVectors / n).toLong
-      c.filter(hkey < lit(threshold))
-    }
+    val sampled =
+      if (n <= maxTrainVectors) c
+      else {
+        val hkey = pmod(xxhash64(col("id")), lit(4294967296L))
+        val threshold = math.ceil(4294967296.0 * maxTrainVectors / n).toLong
+        c.filter(hkey < lit(threshold))
+      }
+    // A bounded sample scanned from a handful of parquet files often lands
+    // in ONE partition — and then every MLlib Lloyd iteration runs as a
+    // single task (measured: the sf3 coarse fit was 10 single-threaded
+    // jobs, ~90 s of a ~96 s build). Spread the sample by id hash
+    // (deterministic, rerun-stable) so training uses the whole executor;
+    // the shuffle is bounded by maxTrainVectors rows.
+    sampled.repartition(
+      c.sparkSession.sparkContext.defaultParallelism, col("id"))
   }
 
   private def trainPqCodebooks(c: DataFrame, dim: Int, m: Int,
