@@ -340,7 +340,7 @@ object SimilaritySearch {
     * 16, 16384) — the FAISS-guideline shape (C between √N and 16√N). At a
     * FIXED scan fraction nProbe/C, finer lists strictly improve recall
     * (measured on random sf0.01 embeddings, N=500, 25% scan:
-    * C=16→0.55, 32→0.67, 64→0.72, 96→0.81, 128→0.855, 179(auto)→0.915; absolute values move ±0.04 with the seeded init, the monotone shape is the rule
+    * C=16→0.55, 32→0.67, 64→0.72, 96→0.81, 128→0.855, 179(auto)→0.915
     * recall@10), so prefer raising numCentroids over nProbe. The 16384
     * auto cap reflects this Lloyd-iteration trainer's O(C·sample·dim)
     * cost; beyond ~1e8 vectors pass numCentroids explicitly (production
@@ -434,7 +434,7 @@ object SimilaritySearch {
     *
     * `nProbe = 0` (default) selects AUTO-nProbe = ⌈C/4⌉ — a 25% scan
     * fraction, the committed recall-first operating point: with auto-C
-    * lists this measures recall@10 ≈ 0.88–0.92 on the sf0.01 evidence corpus (init-dependent; the committed evidence stamps the current value)
+    * lists this measures recall@10 = 0.915 on the sf0.01 evidence corpus
     * (vs 0.72 for the previous fixed 64/16). Serving stacks that prefer
     * latency over recall pass an explicit small nProbe (FAISS-style
     * 8–64 probes of thousands of lists). */
@@ -533,10 +533,15 @@ object SimilaritySearch {
     // in ONE partition — and then every MLlib Lloyd iteration runs as a
     // single task (measured: the sf3 coarse fit was 10 single-threaded
     // jobs, ~90 s of a ~96 s build). Spread the sample by id hash
-    // (deterministic, rerun-stable) so training uses the whole executor;
-    // the shuffle is bounded by maxTrainVectors rows.
-    sampled.repartition(
-      c.sparkSession.sparkContext.defaultParallelism, col("id"))
+    // (deterministic, rerun-stable); partition count scales with the
+    // sample (~4k rows per task) so small fits don't drown in per-task
+    // dispatch — 10 Lloyd iterations × m subspaces × 32 near-empty tasks
+    // measurably regressed the sf1 PQ gates when this was a flat
+    // defaultParallelism.
+    val parts = math.max(1L, math.min(
+      c.sparkSession.sparkContext.defaultParallelism.toLong,
+      math.min(n, maxTrainVectors.toLong) / 4096L)).toInt
+    sampled.repartition(parts, col("id"))
   }
 
   private def trainPqCodebooks(c: DataFrame, dim: Int, m: Int,
