@@ -112,6 +112,23 @@ class PlanShapePinsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${nb.queryExecution.executedPlan}")
   }
 
+  test("IVF-PQ codes: fused assign+encode — no corpus shuffle, no argmax window") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = operators.SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding")
+    val plan = idx.codes.queryExecution.executedPlan
+    val nodes = collectAll(plan)
+    // the pre-round-10 shape crossJoined the corpus against the broadcast
+    // centroid table and ranked per id through a window (N·C rows through
+    // an exchange+sort), then joined two corpus-sized frames
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"fused assign+encode must not shuffle the corpus:\n$plan")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"the per-id argmax window crept back:\n$plan")
+    // anti-vacuity: the object kernel must actually be the plan's engine
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.MapPartitionsExec]),
+      s"expected the mapPartitions assign+encode kernel:\n$plan")
+  }
+
   test("PageRank iterations never re-shuffle the persisted edge table") {
     import spark.implicits._
     // K4 plus a pendant chain (has a dangling node, so the dm path and its
