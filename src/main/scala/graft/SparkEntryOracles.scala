@@ -675,4 +675,172 @@ object SparkEntryOracles {
       |SELECT d.doc_id, round(coalesce(sc.s, 0.0), 6) AS nb_logodds
       |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ANN split-gate oracles: the gate freezes its trained codebooks /
+  // centroids under SparkEntry.frozenRoot (hive-partitioned by corpus row
+  // count); these replays select their partition with WHERE n = count(*)
+  // and replicate the DETERMINISTIC half — encode, probe, ADC scan, exact
+  // re-rank — term-for-term. Bit-exactness discipline: every JVM
+  // ascending-index fold maps to either list_dot_product (proven
+  // bit-identical to the array_dot codegen) or an EXPLICIT left-
+  // associative term expansion (SQL's `a+b+c` parses ((a+b)+c), exactly
+  // the kernel's `acc += term` order; the JVM's 0.0+t0 == t0).
+  // ---------------------------------------------------------------------
+
+  /** Frozen-frame reader: hive n=<count> partition matching the corpus. */
+  private def frozenScan(gate: String, part: String): String =
+    s"""read_parquet('/tmp/graft_frozen/$gate/$part/*/*.parquet',
+       |    hive_partitioning=true)
+       |  WHERE CAST(n AS BIGINT) = (SELECT count(*) FROM embeddings)""".stripMargin
+
+  /** Expanded per-subspace squared-L2 distance, ascending-index
+    * left-associative — replicates SimilaritySearch.encodeOne's
+    * `d += diff*diff` fold over the 8-element subvector exactly. */
+  private def sqL2Terms(vExpr: String, offExpr: String, cwExpr: String,
+                        subLen: Int): String =
+    (1 to subLen).map { i =>
+      s"($vExpr[$offExpr+$i]-$cwExpr[$i])*($vExpr[$offExpr+$i]-$cwExpr[$i])"
+    }.mkString(" + ")
+
+  /** Left-associative pivot sum over the m per-subspace rows — replicates
+    * the ADC kernel's ascending-j `acc += lut(j)` fold exactly. */
+  private def pivotSum(colName: String, m: Int): String =
+    (0 until m).map(j => s"max(CASE WHEN j=$j THEN $colName END)")
+      .mkString(" + ")
+
+  /** Shared ADC tail: per-(query, candidate-code) approx cosine from the
+    * pivoted LUT terms, global top-R by (approx DESC, n_id), exact
+    * re-rank to top-k — the pqRerank replica. Expects CTEs `v` (id, v,
+    * nrm), `q` (q_id, qv, qn), and `pairsrc` (q_id, id — the candidate
+    * code pairs) plus `enc` (id, j, cw, cn2) to be in scope. */
+  private def adcTailSql(m: Int, subLen: Int, k: Int, r: Int): String =
+    s"""terms AS (
+       |  SELECT p.q_id, p.id, e.j,
+       |    list_dot_product(q.qv[e.j*$subLen+1 : e.j*$subLen+$subLen], e.cw) AS t,
+       |    e.cn2 AS c
+       |  FROM pairsrc p
+       |  JOIN enc e ON e.id = p.id
+       |  JOIN q ON q.q_id = p.q_id),
+       |ssum AS (
+       |  SELECT q_id, id,
+       |    ${pivotSum("t", m)} AS adot,
+       |    ${pivotSum("c", m)} AS n2
+       |  FROM terms GROUP BY q_id, id),
+       |approx AS (
+       |  SELECT s.q_id, s.id AS n_id, s.adot / (q.qn * sqrt(s.n2)) AS ap
+       |  FROM ssum s JOIN q ON q.q_id = s.q_id
+       |  WHERE s.id <> s.q_id AND sqrt(s.n2) > 0),
+       |cand AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ap DESC, n_id) AS r0
+       |    FROM approx) WHERE r0 <= $r),
+       |rer AS (
+       |  SELECT c.q_id, c.n_id,
+       |    list_dot_product(q.qv, v.v) / (q.qn * v.nrm) AS cos
+       |  FROM cand c JOIN q ON q.q_id = c.q_id JOIN v ON v.id = c.n_id)
+       |SELECT q_id, n_id, rank, round(cos, 6) AS cosine FROM (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM rer) WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Corpus + query prep and PQ encode (per-(id, subspace) nearest
+    * codeword by expanded squared L2, ties -> lowest codeword — the
+    * encodeOne replica) against the gate's frozen codebooks. */
+  private def pqPreludeSql(gate: String, subLen: Int, maxQ: Int): String =
+    s"""WITH cb AS (
+       |  SELECT CAST(subspace AS INT) AS j, CAST(codeword AS INT) AS w,
+       |    vec::DOUBLE[] AS cw,
+       |    list_dot_product(vec::DOUBLE[], vec::DOUBLE[]) AS cn2
+       |  FROM ${frozenScan(gate, "codebooks")}),
+       |v AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT id AS q_id, v AS qv, nrm AS qn FROM v WHERE id < $maxQ),
+       |enc AS (
+       |  SELECT id, j, cw, cn2 FROM (
+       |    SELECT v.id, cb.j, cb.w, cb.cw, cb.cn2,
+       |      row_number() OVER (PARTITION BY v.id, cb.j ORDER BY
+       |        ${sqL2Terms("v.v", s"cb.j*$subLen", "cb.cw", subLen)}, cb.w) AS rn
+       |    FROM v CROSS JOIN cb)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** q_ann_pq / q_ann_pq_index replica: full ADC scan (every query scores
+    * every code), then the shared top-R + exact re-rank tail. */
+  def annPqSql(gate: String): String =
+    s"""${pqPreludeSql(gate, subLen = 8, maxQ = 20)},
+       |pairsrc AS (SELECT q.q_id, v.id FROM q CROSS JOIN v),
+       |${adcTailSql(m = 8, subLen = 8, k = 10, r = 40)}""".stripMargin
+
+  /** q_ann_ivfpq replica: frozen centroids bound WHICH codes each query
+    * scores — corpus list assignment (argmax cosine, ties -> lowest
+    * cent_id: the fused-kernel replica), auto-nProbe = max(1, C//4)
+    * probes per query, then the shared ADC tail over the probed pairs. */
+  val annIvfPqSql: String =
+    s"""${pqPreludeSql("q_ann_ivfpq", subLen = 8, maxQ = 20)},
+       |cents AS (
+       |  SELECT CAST(cent_id AS BIGINT) AS cent_id, cv::DOUBLE[] AS cv,
+       |    sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[])) AS cn
+       |  FROM ${frozenScan("q_ann_ivfpq", "centroids")}),
+       |assign AS (
+       |  SELECT id, cent_id AS list_id FROM (
+       |    SELECT v.id, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY
+       |        list_dot_product(v.v, c.cv) / (v.nrm * c.cn) DESC, c.cent_id) AS rn
+       |    FROM v CROSS JOIN cents c) WHERE rn = 1),
+       |np AS (SELECT greatest(1, CAST(count(*) AS BIGINT) // 4) AS eff FROM cents),
+       |probes AS (
+       |  SELECT q_id, cent_id AS list_id FROM (
+       |    SELECT q.q_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC, c.cent_id) AS rn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE rn <= (SELECT eff FROM np)),
+       |pairsrc AS (
+       |  SELECT p.q_id, a.id FROM probes p JOIN assign a ON a.list_id = p.list_id),
+       |${adcTailSql(m = 8, subLen = 8, k = 10, r = 40)}""".stripMargin
+
+  /** q_ann_ivf_kmeans replica: IVF-flat over the frozen k-means centroids
+    * — assignment and probes by exact cosine (ties -> lowest cent_id),
+    * nProbe=32 of the C=128 lists (25% scan), exact scoring within the
+    * probed lists. The whole serve path is deterministic given the
+    * frozen centroids. */
+  val annIvfKMeansSql: String =
+    """WITH cents AS (
+      |  SELECT CAST(cent_id AS BIGINT) AS cent_id, cv::DOUBLE[] AS cv,
+      |    sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[])) AS cn
+      |  FROM read_parquet('/tmp/graft_frozen/q_ann_ivf_kmeans/centroids/*/*.parquet',
+      |    hive_partitioning=true)
+      |  WHERE CAST(n AS BIGINT) = (SELECT count(*) FROM embeddings)),
+      |v AS (
+      |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT id AS q_id, v AS qv, nrm AS qn FROM v WHERE id < 20),
+      |assign AS (
+      |  SELECT id, v, nrm, cent_id AS list_id FROM (
+      |    SELECT v.id, v.v, v.nrm, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.id ORDER BY
+      |        list_dot_product(v.v, c.cv) / (v.nrm * c.cn) DESC, c.cent_id) AS rn
+      |    FROM v CROSS JOIN cents c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT q_id, qv, qn, cent_id AS list_id FROM (
+      |    SELECT q.q_id, q.qv, q.qn, c.cent_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC, c.cent_id) AS rn
+      |    FROM q CROSS JOIN cents c)
+      |  WHERE rn <= 32),
+      |scored AS (
+      |  SELECT p.q_id, a.id AS n_id,
+      |    list_dot_product(p.qv, a.v) / (p.qn * a.nrm) AS cos
+      |  FROM probes p JOIN assign a ON a.list_id = p.list_id
+      |  WHERE p.q_id <> a.id)
+      |SELECT q_id, n_id, rank, round(cos, 6) AS cosine FROM (
+      |  SELECT q_id, n_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      |  FROM scored) WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
 }

@@ -497,6 +497,82 @@ object Dedup {
       .select(col("id"),
         sort_array(transform(col("sh"), s => xxhash64(s))).as("shh"))
 
+  /** ONE-PASS per-doc signature index (id, mh, shh): the single
+    * tokenize+minhash projection BOTH persisted index halves derive from —
+    * band rows via [[bandIndexFromDocIndex]] (= [[minHashBandIndex]] rows)
+    * and shingle sets via `select(id, shh)` (= [[shingleHashSets]] rows).
+    * The streaming ingestion loop caches this frame, writes both halves,
+    * and never touches the batch text again (previously each consumer
+    * re-shingled the batch from raw text — 4 passes per micro-batch). */
+  def minHashDocIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      rowsPerBand: Int = 3, numBands: Int = 16): DataFrame = {
+    val h = rowsPerBand * numBands
+    df.select(col(idCol).as("id"),
+        TextAnalysis.wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        graft.functions.expressions.minhash_sig(col("sh"), h).as("mh"),
+        sort_array(transform(col("sh"), s => xxhash64(s))).as("shh"))
+  }
+
+  /** Band rows (id, band, sig) from a [[minHashDocIndex]] frame — the same
+    * rows [[minHashBandIndex]] computes from raw text (same shared
+    * [[bandSigs]] construction), without re-tokenizing. */
+  def bandIndexFromDocIndex(docIndex: DataFrame, rowsPerBand: Int = 3,
+                            numBands: Int = 16): DataFrame =
+    docIndex
+      .select(col("id"),
+        explode(bandSigs(col("mh"), rowsPerBand, numBands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+
+  /** Exact-Jaccard verify over DISTINCT candidate id pairs, joining each
+    * side's persisted shingle sets — the shared tail of the two
+    * from-index pair forms. Output columns named (aOut, bOut, jaccard).
+    * The final distinct() makes the result a pure SET function of the
+    * index CONTENTS: duplicated index rows (the transient state a
+    * crash-interrupted index compaction can leave) cannot change it. */
+  private def verifyIndexedCandidates(cand: DataFrame, aShingles: DataFrame,
+                                      bShingles: DataFrame, aOut: String,
+                                      bOut: String,
+                                      threshold: Double): DataFrame =
+    cand
+      .join(aShingles.select(col("id").as(aOut), col("shh").as("sha")), aOut)
+      .join(bShingles.select(col("id").as(bOut), col("shh").as("shb")), bOut)
+      .withColumn("ix",
+        graft.functions.expressions.sorted_intersect_size(col("sha"), col("shb")))
+      .withColumn("jaccard",
+        col("ix") / (size(col("sha")) + size(col("shb")) - col("ix")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(aOut), col(bOut), round(col("jaccard"), 6).as("jaccard"))
+      .distinct()
+
+  /** Near-dup pairs of an ingested batch ENTIRELY from persisted indexes —
+    * zero tokenization, ONE join tree for both pair kinds: the batch's
+    * freshly written band rows equi-join the COMBINED band table (standing
+    * corpus + the batch itself, its strictly-earlier rows marked by the
+    * boolean `prior` column) on (band, sig); `prior` rows pair
+    * unconditionally (cross-set — ids are disjoint across batches so each
+    * unordered pair appears once), same-batch rows pair under id< (the
+    * within-batch half). Candidates are normalized to id_a < id_b and
+    * distinct-collapsed BEFORE the verify joins pull both shingle sets by
+    * id — only 24-byte band rows cross the candidate join, never carried
+    * sets. Output: (id_a, id_b, jaccard), the exact union
+    * [[minHashLshPairsIncremental]] + [[minHashLshPairs]] would emit for
+    * the same batch (same shared band construction, same exact verify). */
+  def minHashLshPairsBatchVsAll(batchBands: DataFrame, allBands: DataFrame,
+                                allShingles: DataFrame,
+                                threshold: Double): DataFrame = {
+    val cand = batchBands.select(col("id").as("bid"), col("band"), col("sig"))
+      .join(allBands.select(col("id").as("aid"), col("band"), col("sig"),
+        col("prior")), Seq("band", "sig"))
+      .filter(col("prior") || col("bid") < col("aid"))
+      .select(least(col("bid"), col("aid")).as("id_a"),
+        greatest(col("bid"), col("aid")).as("id_b"))
+      .distinct()
+    verifyIndexedCandidates(cand, allShingles, allShingles, "id_a", "id_b",
+      threshold)
+  }
+
   /** Incremental MinHash-LSH near-dup: find (batch doc, corpus doc) pairs
     * with exact Jaccard >= threshold, where the corpus side exists ONLY as
     * its precomputed band + shingle-set indexes (minHashBandIndex /

@@ -210,21 +210,45 @@ object SimilaritySearch {
     * set stays ~256k vectors regardless of corpus size. */
   def ivfTopKKMeans(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, numCentroids: Int = 16,
-                    nProbe: Int = 4, maxTrainVectors: Int = 262144): DataFrame = {
+                    nProbe: Int = 4, maxTrainVectors: Int = 262144,
+                    centroids: Option[DataFrame] = None): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val centsRaw = centroids.getOrElse(
+      ivfKMeansCentroidsDf(corpus, idCol, vecCol, numCentroids, maxTrainVectors))
+    val cents = centsRaw
+      .select(col("cent_id").cast("long").as("cent_id"),
+        col("cv").cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    ivfWithCentroids(c, queries, idCol, vecCol, cents, k, nProbe)
+  }
+
+  /** Train the IVF k-means centroids ALONE and return them as a
+    * persistable (cent_id, cv) frame — the freeze/audit surface: persist
+    * this once and every downstream step (list assignment, probe
+    * selection, scoring) is deterministic arithmetic that an external
+    * engine can replay from the frozen frame. Feed it back through
+    * `ivfTopKKMeans(..., centroids = Some(df))`. Training is the same
+    * bounded deterministic hash-sample as every trainer here. */
+  def ivfKMeansCentroidsDf(corpus: DataFrame, idCol: String, vecCol: String,
+                           numCentroids: Int = 16,
+                           maxTrainVectors: Int = 262144): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = prepared(corpus, idCol, vecCol)
-    val train = hashSample(c, maxTrainVectors)
-      .select(array_to_vector(col("v")).as("features"))
-    val model = new KMeans().setK(numCentroids).setSeed(42L).setMaxIter(10)
-      .fit(train)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (vec, i) => (i.toLong, vec.toArray) }
+    val train = hashSample(c, maxTrainVectors)
+      .select(array_to_vector(col("v")).as("features")).cache()
+    val model =
+      try new KMeans()
+        .setK(math.min(numCentroids.toLong,
+          math.max(1L, train.count())).toInt)
+        .setSeed(42L).setMaxIter(10)
+        .fit(train)
+      finally train.unpersist()
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (vec, i) => (i.toLong, vec.toArray.toSeq) }
       .toDF("cent_id", "cv")
-      .withColumn("cn", l2norm(col("cv")))
-    ivfWithCentroids(c, queries, idCol, vecCol, cents, k, nProbe)
   }
 
   /** Product-quantization ANN (IVF-ADC's compression half): each vector is
@@ -257,18 +281,50 @@ object SimilaritySearch {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, numSubspaces: Int = 8,
              codebookSize: Int = 256, rerankFactor: Int = 4,
-             maxTrainVectors: Int = 262144): DataFrame = {
+             maxTrainVectors: Int = 262144,
+             codebooks: Option[DataFrame] = None): DataFrame = {
     val c = prepared(corpus, idCol, vecCol)
     val q = prepared(queries, idCol, vecCol)
     val qRows = collectQueries(q)
     require(qRows.nonEmpty, "pqTopK needs a non-empty query set")
     val dim = qRows.head._2.length
-    val cbs = trainPqCodebooks(c, dim, numSubspaces, codebookSize, maxTrainVectors)
-    val starts = pqStarts(dim, numSubspaces)
+    val (cbs, starts) = codebooks match {
+      case Some(df) =>
+        val (cb, st) = pqCodebooksFromDf(df)
+        require(st.last == dim, s"codebooks dim ${st.last} != corpus dim $dim")
+        (cb, st)
+      case None =>
+        (trainPqCodebooks(c, dim, numSubspaces, codebookSize, maxTrainVectors),
+          pqStarts(dim, numSubspaces))
+    }
     val bcCb = c.sparkSession.sparkContext.broadcast(cbs)
     val codes = pqEncode(c, bcCb, starts)
     val cand = pqCandidates(codes, cbs, starts, qRows, k * rerankFactor)
     pqRerank(cand, c, q, k, k * rerankFactor)
+  }
+
+  /** Train the PQ codebooks ALONE and return them as the persistable
+    * (subspace, codeword, vec) frame — the freeze/audit surface: persist
+    * this once and everything downstream (encode, ADC scan, re-rank) is
+    * deterministic arithmetic an external engine can replay from the
+    * frozen frame. Feed it back through `pqTopK(..., codebooks =
+    * Some(df))` or `encodePq`. Identical training (seeds, sample, fits)
+    * to `buildPqIndex`, which returns the same frame inside its index. */
+  def pqCodebooksDf(corpus: DataFrame, idCol: String, vecCol: String,
+                    numSubspaces: Int = 8, codebookSize: Int = 256,
+                    maxTrainVectors: Int = 262144): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    cbsToDf(corpus.sparkSession,
+      trainPqCodebooks(c, dim, numSubspaces, codebookSize, maxTrainVectors))
+  }
+
+  private def cbsToDf(spark: org.apache.spark.sql.SparkSession,
+                      cbs: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (w, wi) => (j, wi, w.toSeq) }
+    }.toSeq.toDF("subspace", "codeword", "vec")
   }
 
   /** Build a PERSISTED product-quantization index over a standing corpus —
@@ -289,11 +345,8 @@ object SimilaritySearch {
     val dim = c.select(size(col("v"))).head().getInt(0)
     val cbs = trainPqCodebooks(c, dim, numSubspaces, codebookSize, maxTrainVectors)
     val starts = pqStarts(dim, numSubspaces)
-    val cbDf = cbs.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (w, wi) => (j, wi, w.toSeq) }
-    }.toSeq.toDF("subspace", "codeword", "vec")
     val bcCb = spark.sparkContext.broadcast(cbs)
-    PqIndex(cbDf, pqEncode(c, bcCb, starts).toDF("id", "code"))
+    PqIndex(cbsToDf(spark, cbs), pqEncode(c, bcCb, starts).toDF("id", "code"))
   }
 
   /** Encode a NEW batch of vectors against a standing index's codebooks —
@@ -372,9 +425,7 @@ object SimilaritySearch {
         (cbs, cents)
       } finally trainDf.unpersist()
     val starts = pqStarts(dim, numSubspaces)
-    val cbDf = cbs.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (w, wi) => (j, wi, w.toSeq) }
-    }.toSeq.toDF("subspace", "codeword", "vec")
+    val cbDf = cbsToDf(spark, cbs)
     val centsDf = centModel.clusterCenters.zipWithIndex.toSeq
       .map { case (vec, i) => (i.toLong, vec.toArray.toSeq) }
       .toDF("cent_id", "cv")

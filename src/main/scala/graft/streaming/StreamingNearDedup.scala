@@ -56,24 +56,110 @@ object StreamingNearDedup {
     val spark = batch.sparkSession
     val bandsDir = s"$indexDir/bands"
     val shinglesDir = s"$indexDir/shingles"
-    Dedup.minHashBandIndex(batch, idCol, textCol, n, rowsPerBand, numBands)
-      .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
-    Dedup.shingleHashSets(batch, idCol, textCol, n)
-      .write.mode("overwrite").parquet(s"$shinglesDir/batch=$batchId")
-    // standing index = strictly earlier arrivals; the partition filter is
-    // what makes crash-replay deterministic (see class doc)
-    val corpusBands = spark.read.option("basePath", bandsDir)
-      .parquet(bandsDir).filter(col("batch") < batchId).drop("batch")
-    val corpusShingles = spark.read.option("basePath", shinglesDir)
-      .parquet(shinglesDir).filter(col("batch") < batchId).drop("batch")
-    val cross = Dedup.minHashLshPairsIncremental(batch, idCol, textCol,
-        corpusBands, corpusShingles, n, threshold, rowsPerBand, numBands)
-      .select(least(col("batch_id"), col("corpus_id")).as("id_a"),
-        greatest(col("batch_id"), col("corpus_id")).as("id_b"),
-        col("jaccard"))
-    val within = Dedup.minHashLshPairs(batch, idCol, textCol, n, threshold,
-      rowsPerBand, numBands)
-    cross.unionByName(within)
+    // SINGLE tokenize+minhash pass over the batch text: the (id, mh, shh)
+    // doc index is cached, feeds both partition writes, and every pair
+    // join below reads the WRITTEN partitions — the text is never
+    // shingled again (the previous shape re-tokenized the batch ~4x:
+    // band write, shingle write, cross join, within join).
+    val docIdx = Dedup.minHashDocIndex(batch, idCol, textCol, n,
+      rowsPerBand, numBands).persist()
+    try {
+      Dedup.bandIndexFromDocIndex(docIdx, rowsPerBand, numBands)
+        .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
+      docIdx.select(col("id"), col("shh"))
+        .write.mode("overwrite").parquet(s"$shinglesDir/batch=$batchId")
+    } finally { docIdx.unpersist(); () }
+    // batch side re-read from its own freshly written partition, so the
+    // returned frame depends only on durable state (crash-replay safe to
+    // re-execute) and costs no recompute; the combined table's `batch <=
+    // batchId` partition filter (with strictly-earlier rows marked
+    // `prior`) is what makes crash-replay deterministic (see class doc)
+    val batchBands = spark.read.parquet(s"$bandsDir/batch=$batchId")
+    val allBands = spark.read.option("basePath", bandsDir)
+      .parquet(bandsDir).filter(col("batch") <= batchId)
+      .select(col("id"), col("band"), col("sig"),
+        (col("batch") < batchId).as("prior"))
+    val allShingles = spark.read.option("basePath", shinglesDir)
+      .parquet(shinglesDir).filter(col("batch") <= batchId).drop("batch")
+    Dedup.minHashLshPairsBatchVsAll(batchBands, allBands, allShingles,
+      threshold)
+  }
+
+  /** Compact the standing index: collapse every `batch=<id>` partition
+    * with id <= upToBatch (in BOTH index halves) into a single
+    * `batch=<upToBatch>` partition — the small-file bound for a
+    * crawl-scale ingestion loop, where one directory per micro-batch
+    * would eventually make partition LISTING the per-batch cost.
+    *
+    * Visibility contract preserved: a future batch J > upToBatch reads
+    * `batch < J`, which includes the merged `batch=<upToBatch>` — the
+    * same rows as before, in one partition. Callers must only compact
+    * COMMITTED batches (pair outputs durable): a foreachBatch replay only
+    * re-delivers the last uncommitted batch, which is > upToBatch.
+    *
+    * Crash-safe without a transaction log, by DUPLICATE-tolerance rather
+    * than atomicity: pair derivation is a pure SET function of index
+    * contents (candidates are distinct-collapsed and the verify output is
+    * distinct — see Dedup.verifyIndexedCandidates), so a state where a
+    * row exists in both an old partition and the merged one changes
+    * nothing. The protocol only ever ADDS rows before it removes any:
+    *  1. write the merged rows (distinct, so a re-run after a crash
+    *     cannot bake duplicates in) to a dot-prefixed staging dir —
+    *     invisible to partition discovery;
+    *  2. move the staged files INTO `batch=<upToBatch>` one atomic
+    *     rename at a time (visible rows now duplicated — harmless);
+    *  3. delete the absorbed `batch<upToBatch` partitions, the
+    *     pre-existing `batch=<upToBatch>` files, and the staging dir.
+    * A crash in 1 leaves invisible garbage; in 2 or 3, duplicates that
+    * the next compaction's distinct() absorbs. At no point is a row of
+    * the visible index missing. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String, upToBatch: Long): Unit = {
+    compactPartitioned(spark, s"$indexDir/bands", upToBatch)
+    compactPartitioned(spark, s"$indexDir/shingles", upToBatch)
+  }
+
+  private def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+                                 root: String, upToBatch: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (!fs.exists(rootPath)) return
+    def batchOf(name: String): Option[Long] =
+      if (name.startsWith("batch="))
+        scala.util.Try(name.stripPrefix("batch=").toLong).toOption
+      else None
+    val parts = fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
+      .flatMap(st => batchOf(st.getPath.getName).map(b => (b, st.getPath)))
+      .filter(_._1 <= upToBatch)
+    if (parts.size <= 1) return
+    // 1. merged rows aside (dot-dir: invisible to partition discovery)
+    val staging = new Path(rootPath, s".compact-staging-$upToBatch")
+    spark.read.option("basePath", root).parquet(root)
+      .filter(col("batch") <= upToBatch).drop("batch")
+      .distinct()
+      .write.mode("overwrite").parquet(staging.toString)
+    // 2. add staged files to the target partition (atomic per-file renames;
+    // duplicate rows during this window are harmless — see scaladoc)
+    val target = new Path(rootPath, s"batch=$upToBatch")
+    if (!fs.exists(target)) { fs.mkdirs(target): Unit }
+    val oldTargetFiles = fs.listStatus(target).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    fs.listStatus(staging).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        fs.rename(st.getPath,
+          new Path(target, s"compact-$tok-${st.getPath.getName}")): Unit
+      }
+    // 3. remove absorbed partitions, the superseded target files, staging
+    parts.filter(_._1 < upToBatch).foreach { case (_, p) =>
+      fs.delete(p, true): Unit
+    }
+    oldTargetFiles.foreach(p => fs.delete(p, false): Unit)
+    fs.delete(staging, true): Unit
   }
 
   /** The continuous form: drive [[processBatch]] from a Structured
