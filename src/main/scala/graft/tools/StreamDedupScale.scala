@@ -14,15 +14,21 @@ import org.apache.spark.sql.functions._
   * crawl dedup sustains at any corpus size.
   *
   * Usage: runMain graft.tools.StreamDedupScale <documentsParquet>
-  *          <batchRows> [maxBatches]
+  *          <batchRows> [maxBatches] [compactEvery]
+  * With compactEvery = E > 0, the standing index is compacted (all
+  * partitions collapsed into one) after every E-th batch — the
+  * small-file-bound configuration a long-lived crawl loop runs with; the
+  * ladder then also certifies that per-batch cost stays flat WITH
+  * compaction on and that compaction itself is cheap.
   * Prints one JSON line per batch:
-  *   {"batch":K,"index_docs":N,"secs":S,"pairs":P}
+  *   {"batch":K,"index_docs":N,"secs":S,"pairs":P[,"compact_secs":C]}
   */
 object StreamDedupScale {
   def main(args: Array[String]): Unit = {
     val docsPath = args(0)
     val batchRows = args(1).toInt
     val maxBatches = if (args.length > 2) args(2).toInt else Int.MaxValue
+    val compactEvery = if (args.length > 3) args(3).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,7 +52,14 @@ object StreamDedupScale {
       pairs.write.mode("overwrite").parquet(s"$base/pairs/batch=$i")
       val secs = (System.nanoTime() - t0) / 1e9
       val nPairs = spark.read.parquet(s"$base/pairs/batch=$i").count()
-      println(f"""{"batch":$i,"index_docs":${i * (n / nBatches)},"secs":$secs%.2f,"pairs":$nPairs}""")
+      val compactField =
+        if (compactEvery > 0 && i > 0 && i % compactEvery == 0) {
+          val c0 = System.nanoTime()
+          graft.streaming.StreamingNearDedup.compactIndex(spark,
+            s"$base/index", i)
+          f""","compact_secs":${(System.nanoTime() - c0) / 1e9}%.2f"""
+        } else ""
+      println(f"""{"batch":$i,"index_docs":${i * (n / nBatches)},"secs":$secs%.2f,"pairs":$nPairs$compactField}""")
     }
     spark.stop()
   }

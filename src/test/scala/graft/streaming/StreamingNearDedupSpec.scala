@@ -99,4 +99,74 @@ class StreamingNearDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first === replayed)
     assert(first.map(p => (p._1, p._2)).contains((1L, 11L)))
   }
+
+  test("mid-run index compaction changes nothing: pair outputs identical") {
+    import spark.implicits._
+    val all = docs.toDF("doc_id", "text")
+    def ingest(indexDir: String,
+               compactAfter: Option[Long]): Set[(Long, Long, Double)] = {
+      var got = Set.empty[(Long, Long, Double)]
+      (0L until 4L).foreach { i =>
+        val b = all.filter(pmod(col("doc_id"), lit(4)) === i)
+        got ++= pairsOf(StreamingNearDedup.processBatch(
+          b, i, "doc_id", "text", 3, 0.8, indexDir)
+          .select("id_a", "id_b", "jaccard"))
+        if (compactAfter.contains(i))
+          StreamingNearDedup.compactIndex(spark, indexDir, i)
+      }
+      got
+    }
+    val plain = ingest(tmpDir("snd-nocompact"), None)
+    val compactedDir = tmpDir("snd-compact")
+    val compacted = ingest(compactedDir, Some(1L))
+    assert(compacted === plain)
+    assert(plain.map(p => (p._1, p._2)).contains((1L, 11L))) // anti-vacuity
+    // the compaction actually collapsed partitions 0..1 into batch=1
+    val bandParts = new java.io.File(s"$compactedDir/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    assert(bandParts === Set("batch=1", "batch=2", "batch=3"))
+  }
+
+  test("compaction is duplicate-tolerant: a crash-window copy of an index file changes nothing") {
+    import spark.implicits._
+    val indexDir = tmpDir("snd-dup")
+    val all = docs.toDF("doc_id", "text")
+    (0L until 2L).foreach { i =>
+      StreamingNearDedup.processBatch(
+        all.filter(pmod(col("doc_id"), lit(2)) === i),
+        i, "doc_id", "text", 3, 0.8, indexDir).count()
+    }
+    // a FRESH doc (ids are disjoint across batches by contract) that
+    // near-dups the 1/11/21 cluster already in the index
+    val probe = Seq(31L -> (base + " anew")).toDF("doc_id", "text")
+    val clean = pairsOf(StreamingNearDedup.processBatch(
+      probe, 2L, "doc_id", "text", 3, 0.8,
+      indexDir).select("id_a", "id_b", "jaccard"))
+    assert(clean.map(p => (p._1, p._2)).contains((1L, 31L))) // anti-vacuity
+    // simulate the interrupted-compaction window: rows present in BOTH an
+    // absorbed partition and the merged one — here, a verbatim file copy
+    // of batch=0's rows into batch=1 (ids stay visible twice under the
+    // batch<=id filter)
+    Seq("bands", "shingles").foreach { half =>
+      val src = new java.io.File(s"$indexDir/$half/batch=0").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(s"$indexDir/$half/batch=1", s"dup-${src.getName}").toPath)
+    }
+    val withDups = pairsOf(StreamingNearDedup.processBatch(
+      probe, 2L, "doc_id", "text", 3, 0.8,
+      indexDir).select("id_a", "id_b", "jaccard"))
+    assert(withDups === clean)
+    // and the next compaction's distinct() absorbs the duplicates for good
+    StreamingNearDedup.compactIndex(spark, indexDir, 2L)
+    val afterCompact = pairsOf(StreamingNearDedup.processBatch(
+      probe.select((col("doc_id") + 10L).as("doc_id"), col("text")),
+      3L, "doc_id", "text", 3, 0.8,
+      indexDir).select("id_a", "id_b", "jaccard"))
+    // 41 carries 31's text, so it sees exactly 31's standing pairs plus 31
+    // itself (jaccard 1.0) — exact-set equality, post-compaction
+    val expected = clean.map { case (a, _, j) => (a, 41L, j) } + ((31L, 41L, 1.0))
+    assert(afterCompact === expected)
+  }
 }
