@@ -1467,6 +1467,39 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- hybrid retrieval, PQ-SERVED semantic leg: same BM25 ⊕ RRF
+    //      shape, but the cosine leg comes from the IVF-PQ index
+    //      (probe-bounded ADC scan + exact re-rank) instead of a
+    //      brute-force corpus pass — the production RAG serving stack.
+    //      Split gate: centroids + codebooks frozen for the oracle, so
+    //      BOTH legs and the fusion are value-exact; fused-list overlap
+    //      vs the exact hybrid additionally lands in the evidence file. ----
+    "q_hybrid_retrieval_pq" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      val built = graft.operators.SimilaritySearch.buildIvfPqIndex(
+        emb, "vec_id", "embedding")
+      val idx = graft.operators.IvfPqIndex(
+        freeze(built.centroids, "q_hybrid_retrieval_pq", "centroids", n),
+        freeze(built.codebooks, "q_hybrid_retrieval_pq", "codebooks", n),
+        built.codes)
+      val lex = graft.operators.TextRanking.bm25TopK(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 4)
+          .select(col("doc_id").as("qid"), col("text").as("qtext")),
+        "qid", "qtext", k = 10)
+      val sem = graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+          k = 10)
+        .select(col("q_id"), col("n_id").as("id"), col("rank"))
+      graft.operators.TextRanking.rrfFuse(lex, sem, k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("rank_a", "lex_rank")
+        .withColumnRenamed("rank_b", "sem_rank")
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- deterministic stratified sampling (exact per-stratum counts) ----
     "q_sample_stratified" -> ((s, dir) => {
       graft.operators.Sampling.stratifiedExact(
@@ -3766,6 +3799,10 @@ object SparkEntry {
         |SELECT q_id, rank, doc_id, round(rrf, 6) AS rrf_score, lex_rank, sem_rank
         |FROM final WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    // PQ-served hybrid: BM25 leg + the frozen-index IVF-PQ replay leg,
+    // same RRF fusion — see SparkEntryOracles.hybridRetrievalPqSql
+    "q_hybrid_retrieval_pq" -> SparkEntryOracles.hybridRetrievalPqSql,
 
     // Mixture resampling replica: same per-source token sums, same
     // frac = min(1, 0.05 x 8000 / cur), same md5-vs-%08x threshold.

@@ -709,13 +709,16 @@ object SparkEntryOracles {
     (0 until m).map(j => s"max(CASE WHEN j=$j THEN $colName END)")
       .mkString(" + ")
 
-  /** Shared ADC tail: per-(query, candidate-code) approx cosine from the
-    * pivoted LUT terms, global top-R by (approx DESC, n_id), exact
-    * re-rank to top-k — the pqRerank replica. Expects CTEs `v` (id, v,
-    * nrm), `q` (q_id, qv, qn), and `pairsrc` (q_id, id — the candidate
-    * code pairs) plus `enc` (id, j, cw, cn2) to be in scope. */
-  private def adcTailSql(m: Int, subLen: Int, k: Int, r: Int): String =
-    s"""terms AS (
+  /** Shared ADC CTE chain ending in `pqranked` (q_id, n_id, cos, rank
+    * <= k): per-(query, candidate-code) approx cosine from the pivoted
+    * LUT terms, global top-R by (approx DESC, n_id), exact re-rank — the
+    * pqRerank replica. Expects CTEs `v` (id, v, nrm), `q` (q_id, qv,
+    * qn), `pairsrc` (q_id, id — the candidate code pairs) and `enc`
+    * (id, j, cw, cn2) in scope. Composable: callers append their own
+    * final SELECT (the plain gates) or further CTEs (the hybrid
+    * fusion). */
+  private def adcRankedCtes(m: Int, subLen: Int, k: Int, r: Int): String =
+    s"""pqt AS (
        |  SELECT p.q_id, p.id, e.j,
        |    list_dot_product(q.qv[e.j*$subLen+1 : e.j*$subLen+$subLen], e.cw) AS t,
        |    e.cn2 AS c
@@ -726,7 +729,7 @@ object SparkEntryOracles {
        |  SELECT q_id, id,
        |    ${pivotSum("t", m)} AS adot,
        |    ${pivotSum("c", m)} AS n2
-       |  FROM terms GROUP BY q_id, id),
+       |  FROM pqt GROUP BY q_id, id),
        |approx AS (
        |  SELECT s.q_id, s.id AS n_id, s.adot / (q.qn * sqrt(s.n2)) AS ap
        |  FROM ssum s JOIN q ON q.q_id = s.q_id
@@ -739,12 +742,16 @@ object SparkEntryOracles {
        |rer AS (
        |  SELECT c.q_id, c.n_id,
        |    list_dot_product(q.qv, v.v) / (q.qn * v.nrm) AS cos
-       |  FROM cand c JOIN q ON q.q_id = c.q_id JOIN v ON v.id = c.n_id)
-       |SELECT q_id, n_id, rank, round(cos, 6) AS cosine FROM (
-       |  SELECT q_id, n_id, cos,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-       |  FROM rer) WHERE rank <= $k
-       |ORDER BY q_id, rank""".stripMargin
+       |  FROM cand c JOIN q ON q.q_id = c.q_id JOIN v ON v.id = c.n_id),
+       |pqranked AS (
+       |  SELECT q_id, n_id, cos, rank FROM (
+       |    SELECT q_id, n_id, cos,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |    FROM rer) WHERE rank <= $k)""".stripMargin
+
+  private val pqFinalSelect: String =
+    """SELECT q_id, n_id, rank, round(cos, 6) AS cosine FROM pqranked
+      |ORDER BY q_id, rank""".stripMargin
 
   /** Corpus + query prep and PQ encode (per-(id, subspace) nearest
     * codeword by expanded squared L2, ties -> lowest codeword — the
@@ -773,18 +780,18 @@ object SparkEntryOracles {
   def annPqSql(gate: String): String =
     s"""${pqPreludeSql(gate, subLen = 8, maxQ = 20)},
        |pairsrc AS (SELECT q.q_id, v.id FROM q CROSS JOIN v),
-       |${adcTailSql(m = 8, subLen = 8, k = 10, r = 40)}""".stripMargin
+       |${adcRankedCtes(m = 8, subLen = 8, k = 10, r = 40)}
+       |$pqFinalSelect""".stripMargin
 
-  /** q_ann_ivfpq replica: frozen centroids bound WHICH codes each query
-    * scores — corpus list assignment (argmax cosine, ties -> lowest
-    * cent_id: the fused-kernel replica), auto-nProbe = max(1, C//4)
-    * probes per query, then the shared ADC tail over the probed pairs. */
-  val annIvfPqSql: String =
-    s"""${pqPreludeSql("q_ann_ivfpq", subLen = 8, maxQ = 20)},
-       |cents AS (
+  /** IVF probe CTE chain ending in `pairsrc` (q_id, id): corpus list
+    * assignment (argmax cosine, ties -> lowest cent_id: the fused-kernel
+    * replica) against the gate's frozen centroids, auto-nProbe =
+    * max(1, C//4) probes per query, probed (query, code) pairs. */
+  private def ivfPairsrcCtes(gate: String): String =
+    s"""cents AS (
        |  SELECT CAST(cent_id AS BIGINT) AS cent_id, cv::DOUBLE[] AS cv,
        |    sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[])) AS cn
-       |  FROM ${frozenScan("q_ann_ivfpq", "centroids")}),
+       |  FROM ${frozenScan(gate, "centroids")}),
        |assign AS (
        |  SELECT id, cent_id AS list_id FROM (
        |    SELECT v.id, c.cent_id,
@@ -800,8 +807,74 @@ object SparkEntryOracles {
        |    FROM q CROSS JOIN cents c)
        |  WHERE rn <= (SELECT eff FROM np)),
        |pairsrc AS (
-       |  SELECT p.q_id, a.id FROM probes p JOIN assign a ON a.list_id = p.list_id),
-       |${adcTailSql(m = 8, subLen = 8, k = 10, r = 40)}""".stripMargin
+       |  SELECT p.q_id, a.id FROM probes p JOIN assign a ON a.list_id = p.list_id)""".stripMargin
+
+  /** q_ann_ivfpq replica: frozen centroids bound WHICH codes each query
+    * scores, then the shared ADC tail over the probed pairs. */
+  val annIvfPqSql: String =
+    s"""${pqPreludeSql("q_ann_ivfpq", subLen = 8, maxQ = 20)},
+       |${ivfPairsrcCtes("q_ann_ivfpq")},
+       |${adcRankedCtes(m = 8, subLen = 8, k = 10, r = 40)}
+       |$pqFinalSelect""".stripMargin
+
+  /** q_hybrid_retrieval_pq replica: the q_bm25 pipeline at k=10 (queries
+    * doc_id < 4) fused with the IVF-PQ serve pipeline at k=10 (vec_id <
+    * 4, this gate's own frozen centroids + codebooks) by the same
+    * 1/(60+rank) reciprocal-rank fusion — the production RAG shape where
+    * the semantic leg is index-served. Every stage deterministic given
+    * the frozen frames -> value-exact. */
+  val hybridRetrievalPqSql: String =
+    s"""${pqPreludeSql("q_hybrid_retrieval_pq", subLen = 8, maxQ = 4)},
+       |${ivfPairsrcCtes("q_hybrid_retrieval_pq")},
+       |${adcRankedCtes(m = 8, subLen = 8, k = 10, r = 40)},
+       |toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS w
+       |  FROM documents),
+       |terms AS (SELECT doc_id, unnest(w) AS term FROM toks),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |dlen AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scal AS (
+       |  SELECT (SELECT count(*) FROM documents) AS n_total,
+       |    (SELECT count(*) FROM terms) * 1.0
+       |      / (SELECT count(*) FROM documents) AS avgdl),
+       |qterms AS (
+       |  SELECT DISTINCT doc_id AS q_id, term FROM terms WHERE doc_id < 4),
+       |hits AS (
+       |  SELECT qt.q_id, tf.doc_id,
+       |    ln(1.0 + (s.n_total - d.df + 0.5) / (d.df + 0.5))
+       |      * tf.tf * 2.2
+       |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS contrib
+       |  FROM tf
+       |  JOIN qterms qt USING (term)
+       |  JOIN dft d USING (term)
+       |  JOIN dlen l ON tf.doc_id = l.doc_id
+       |  CROSS JOIN scal s),
+       |lscored AS (
+       |  SELECT q_id, doc_id, round(sum(contrib), 6) AS score
+       |  FROM hits GROUP BY 1, 2),
+       |lranked AS (
+       |  SELECT q_id, doc_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM lscored),
+       |lex AS (SELECT q_id, doc_id, rank FROM lranked WHERE rank <= 10),
+       |sem AS (SELECT q_id, n_id AS doc_id, rank FROM pqranked),
+       |fused AS (
+       |  SELECT coalesce(l.q_id, s.q_id) AS q_id,
+       |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+       |    l.rank AS lex_rank, s.rank AS sem_rank,
+       |    coalesce(1.0 / (60 + l.rank), 0.0)
+       |      + coalesce(1.0 / (60 + s.rank), 0.0) AS rrf
+       |  FROM lex l FULL OUTER JOIN sem s
+       |    ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
+       |final AS (
+       |  SELECT q_id, doc_id, lex_rank, sem_rank, rrf,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM fused)
+       |SELECT q_id, rank, doc_id, round(rrf, 6) AS rrf_score, lex_rank, sem_rank
+       |FROM final WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
 
   /** q_ann_ivf_kmeans replica: IVF-flat over the frozen k-means centroids
     * — assignment and probes by exact cosine (ties -> lowest cent_id),

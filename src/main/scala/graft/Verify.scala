@@ -86,6 +86,16 @@ object Verify {
     // coverage + exact re-rank).
     val annTierNote: String =
       ""","tier":"teaching baseline: partition-pruning recall is scan-fraction-bounded on uniform-random testdata; production path is q_ann_ivfpq""""
+    // Round-11: the four ANN gates below are now VALUE-EXACT-oracled (the
+    // serve path replays from frozen codebooks/centroids in DuckDB);
+    // recall here quantifies TRAINING quality, not an unchecked pipeline.
+    val frozenNote: String =
+      ""","oracle":"serve path value-exact (frozen index); recall measures training quality""""
+    // IVF-kmeans runs the lifted production point: C=128 lists, nProbe=32
+    // (the same 25% scan as the old C=16/4 teaching tier — finer lists
+    // strictly improve recall at a fixed scan fraction).
+    val ivfKMeansExtra: String =
+      ""","num_lists":128,"n_probe":32,"scan_fraction":0.25""" + frozenNote
     // IVF-PQ runs the committed auto operating point (auto-C lists,
     // auto-nProbe = 25% scan); derive the same numbers the gate used so
     // the recall is stamped WITH its scan fraction.
@@ -262,12 +272,28 @@ object Verify {
       li.unpersist()
       f"""{"metric":"kll_max_rank_err","value":$worst%.5f,"k":800,"groups":${est.length},"quantiles":[0.5,0.9,0.99]}"""
     }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
+    // PQ-served hybrid vs the exact (brute-force-leg) hybrid: fraction of
+    // the exact fused list the PQ-leg fusion reproduces. The gate itself
+    // is value-exact-oracled (frozen index); this measures the PQ LEG's
+    // retrieval fidelity at the gated operating point.
+    def hybridPqOverlap: String = Try {
+      val exact = load("q_hybrid_retrieval").select("q_id", "doc_id")
+      val nE = exact.count()
+      if (nE == 0L) """{"error":"empty q_hybrid_retrieval dump"}"""
+      else {
+        val got = load("q_hybrid_retrieval_pq").select("q_id", "doc_id")
+        val hit = exact.join(got, Seq("q_id", "doc_id"), "left_semi").count()
+        f"""{"metric":"fused_overlap_vs_exact_hybrid","value":${
+          hit.toDouble / nE}%.4f,"note":"gate is value-exact-oracled from its frozen index; this measures the PQ leg's fidelity vs the brute-force hybrid"}"""
+      }
+    }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
     val body =
       s"""{"q_ann_lsh": ${annRecall("q_ann_lsh", annTierNote)},
-         |"q_ann_ivf_kmeans": ${annRecall("q_ann_ivf_kmeans", annTierNote)},
-         |"q_ann_pq": ${annRecall("q_ann_pq")},
-         |"q_ann_pq_index": ${annRecall("q_ann_pq_index")},
-         |"q_ann_ivfpq": ${annRecall("q_ann_ivfpq", ivfpqExtra)},
+         |"q_ann_ivf_kmeans": ${annRecall("q_ann_ivf_kmeans", ivfKMeansExtra)},
+         |"q_ann_pq": ${annRecall("q_ann_pq", frozenNote)},
+         |"q_ann_pq_index": ${annRecall("q_ann_pq_index", frozenNote)},
+         |"q_ann_ivfpq": ${annRecall("q_ann_ivfpq", ivfpqExtra + frozenNote)},
+         |"q_hybrid_retrieval_pq": $hybridPqOverlap,
          |"q_dedup_simhash": $simhashRecall,
          |"q_bpe_merges": $bpeExactness,
          |"q_bpe_merges_bytes": $bpeBytesExactness,

@@ -292,4 +292,29 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every corpus vector lands in exactly one cluster
     assert(refProfile.values.map(_._1).sum === rows.length.toLong)
   }
+
+  test("PQ-served hybrid retrieval: fused list overlaps the exact hybrid >= 0.9") {
+    // the production RAG shape: BM25 leg ⊕ IVF-PQ-served cosine leg via
+    // RRF, compared against the same fusion with a brute-force cosine leg
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val qdocs = docs.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val lex = TextRanking.bm25TopK(docs, "doc_id", "text", qdocs,
+      "qid", "qtext", k = 10)
+    def fuse(sem: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      TextRanking.rrfFuse(lex,
+          sem.select(col("q_id"), col("n_id").as("id"), col("rank")), k = 5)
+        .select("q_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val anchors = emb01.filter(col("vec_id") < 4)
+    val exact = fuse(SimilaritySearch.bruteForceTopK(
+      emb01, anchors, "vec_id", "embedding", 10))
+    val idx = SimilaritySearch.buildIvfPqIndex(emb01, "vec_id", "embedding")
+    val served = fuse(SimilaritySearch.searchIvfPqIndex(
+      idx, emb01, anchors, "vec_id", "embedding", 10))
+    assert(exact.nonEmpty && exact.size === served.size)
+    val overlap = (exact & served).size.toDouble / exact.size
+    assert(overlap >= 0.9, s"fused overlap $overlap < 0.9")
+  }
 }
