@@ -56,6 +56,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // HEAT SENTINEL (machine-readable hot-box detection — see NOTES.md
+    // "Bench heat sentinel" for the read thresholds): 1-minute loadavg is
+    // sampled before anything starts (co-tenant load the timed rounds will
+    // compete with) and again after the last timed round; the emitted
+    // "heat" object also carries the medians of three long-stable cheap
+    // gates, so a hot run is detectable from the artifact alone instead of
+    // via cross-round archaeology.
+    def loadavg1: Double = try {
+      scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    val loadBefore = loadavg1
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -82,6 +94,7 @@ object Bench {
     val rounds: Seq[Map[String, Double]] = (1 to reps).map { _ =>
       queries.map { case (name, fn) => name -> timeOnce(fn, spark, sfDir) }.toMap
     }
+    val loadAfter = loadavg1
     val med = queries.map { case (name, _) => name -> median(rounds.map(_(name))) }
     val mins = queries.map { case (name, _) =>
       val ok = rounds.map(_(name)).filter(_ >= 0)
@@ -119,9 +132,19 @@ object Bench {
     // full-precision form grew past that window and never parsed.
     val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    // sentinel gates: cheap, structurally stable since round 1 — their
+    // medians move with box heat, not with engine changes
+    val sentinelNames = Seq("q1_pricing_summary", "q_filter_project",
+      "q_scalar_funcs")
+    val medMap = med.toMap
+    val sentinels = sentinelNames.flatMap(n => medMap.get(n).map(n -> _))
+    val heatJson =
+      s""""heat":{"loadavg_before":${f"$loadBefore%.2f"},""" +
+      s""""loadavg_after":${f"$loadAfter%.2f"},""" +
+      s""""sentinels":${jsonMap2(sentinels)}}"""
     val metricLine =
       s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$reps,""" +
-      s""""failed":$failedJson,"queries":${jsonMap2(med)},"sf":$sfNum}"""
+      s""""failed":$failedJson,$heatJson,"queries":${jsonMap2(med)},"sf":$sfNum}"""
     // Belt and braces: persist the metric line to stable paths too, so a
     // harness that loses the stdout tail can still recover the numbers.
     // bench_out.json lands in the launch cwd (the repo when run via sbt).
@@ -142,6 +165,6 @@ object Bench {
     println(metricLine)
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
       s""""runs":$reps,"n_queries":${queries.size},"n_failed":${failed.size},""" +
-      s""""sf":$sfNum,"detail_file":"bench_out.json"}""")
+      s"""$heatJson,"sf":$sfNum,"detail_file":"bench_out.json"}""")
   }
 }
