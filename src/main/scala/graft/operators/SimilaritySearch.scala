@@ -856,6 +856,8 @@ object SimilaritySearch {
   private def ivfWithCentroids(c: DataFrame, queries: DataFrame, idCol: String,
                                vecCol: String, cents: DataFrame, k: Int,
                                nProbe: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
 
     def nearestCentroids(df: DataFrame, take: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))
@@ -865,9 +867,49 @@ object SimilaritySearch {
         .filter(col("crank") <= take)
     }
 
-    val assigned = nearestCentroids(c, 1)
-      .select(col("cent_id").as("list_id"), col("id").as("c_id"),
-        col("v").as("c_v"), col("nrm").as("c_n"))
+    // CORPUS-side list assignment is a row-local fused argmax over the
+    // broadcast centroid arrays (the buildIvfPqIndex shape): the
+    // crossJoin+window form pushes N·C rows through a per-id sort — 64M
+    // rows at sf10 with C=128, the exact pattern the fused IVF-PQ build
+    // removed. Strict-> ascending scan == the window's (csim DESC,
+    // cent_id ASC) tie-break, and the kernel's ascending dot/norm folds
+    // are bit-identical to the declarative dot/l2norm, so the SQL oracle
+    // replica is unchanged. Centroid collect is bounded (C <= thousands
+    // — same class as the PQ codebook collect). QUERY-side probing keeps
+    // the declarative window: |Q| is small and it needs top-nProbe, not
+    // argmax.
+    val centArr = cents
+      .select(col("cent_id").cast("long"), col("cv").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .sortBy(_._1)
+      .map { case (cid, cv) => (cid, cv.toArray) }
+    val bcCents = spark.sparkContext.broadcast(centArr)
+    val assigned = c
+      .select(col("id").cast("long"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        val cn = cs.map { case (_, cv) =>
+          var s = 0.0; var i = 0
+          while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+          math.sqrt(s)
+        }
+        it.map { case (id, vSeq, nrm) =>
+          val v = vSeq.toArray
+          var best = 0; var bestSim = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            val cv = cs(ci)._2
+            val n = math.min(v.length, cv.length)
+            var s = 0.0; var i = 0
+            while (i < n) { s += v(i) * cv(i); i += 1 }
+            val sim = s / (nrm * cn(ci))
+            if (sim > bestSim) { bestSim = sim; best = ci }
+            ci += 1
+          }
+          (cs(best)._1, id, vSeq, nrm)
+        }
+      }.toDF("list_id", "c_id", "c_v", "c_n")
 
     val probes = nearestCentroids(prepared(queries, idCol, vecCol), nProbe)
       .select(col("cent_id").as("list_id"), col("id").as("q_id"),
