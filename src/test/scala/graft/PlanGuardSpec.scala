@@ -43,6 +43,10 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_hybrid_retrieval", // inherits q_bm25's scalar frames and
                           // q_ann_bruteforce's broadcast query set — the
                           // fusion itself is an equi-join of two top-k slivers
+    "q_hybrid_retrieval_pq", // inherits q_bm25's scalar frames and the
+                             // IVF-PQ probe side's broadcast centroid
+                             // table; the PQ leg's corpus work is the
+                             // probe-bounded ADC kernel, never a loop join
     "q_ann_bruteforce",  // the documented EXACT baseline: broadcast query set
                          // vs corpus with a non-equi self-exclusion — the
                          // bucketed lshTopK is the scale path

@@ -129,6 +129,30 @@ class PlanShapePinsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the mapPartitions assign+encode kernel:\n$plan")
   }
 
+  test("IVF serve path: corpus list assignment has no per-id argmax window") {
+    // round-11 fusion (ivfWithCentroids): the corpus side is a row-local
+    // argmax over broadcast centroid arrays — the pre-fusion shape pushed
+    // N·C crossJoin rows through an exchange + per-id window sort (64M
+    // rows at sf10 with C=128). The probe side's small-|Q| top-nProbe
+    // window is allowed; corpus windows are not.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = operators.SimilaritySearch.ivfTopKKMeans(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      "vec_id", "embedding", k = 5, numCentroids = 8, nProbe = 2)
+    val nodes = collectAll(out.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.MapPartitionsExec]),
+      s"expected the fused corpus-assignment kernel:\n${out.queryExecution.executedPlan}")
+    // pre-fusion the plan held TWO ×cents crossJoins (corpus assignment +
+    // query probing); fused, only the small-|Q| probe side may remain
+    val crossJoins = nodes.count { n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]
+    }
+    assert(crossJoins <= 1,
+      s"corpus-side crossJoin assignment crept back ($crossJoins cross joins):\n" +
+        s"${out.queryExecution.executedPlan}")
+  }
+
   test("PageRank iterations never re-shuffle the persisted edge table") {
     import spark.implicits._
     // K4 plus a pendant chain (has a dangling node, so the dm path and its
