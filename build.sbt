@@ -41,4 +41,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
+  // Spark's whole-stage-codegen methods routinely exceed HotSpot's
+  // 8000-bytecode-byte "huge method" JIT cutoff; without this flag the
+  // hottest generated pipelines run INTERPRETED until (sometimes never)
+  // OSR rescues them — q_dedup_embedding_lsh's collision-verify loop
+  // measured 61 s interpreted vs 19 s compiled on identical plans. The
+  // standard production-Spark JVM flag pair for exactly this.
+  "-XX:-DontCompileHugeMethods",
 )

@@ -37,6 +37,19 @@ object Bench {
     // per-query isolation — each query measures from the same clean slate
     // the correctness driver gives it.
     spark.catalog.clearCache()
+    // clearCache() only drops SQL-level InMemoryRelations. MLlib trainers
+    // (the k-means fits inside the ANN gates) persist RDD-LEVEL blocks
+    // (norm-augmented training vectors) that no SQL API sees — with the
+    // round-11 ANN gates a dozen ~25MB fits per rep accumulated until a
+    // later gate's build-side spilled: q_dedup_embedding_lsh measured 23 s
+    // isolated but 62 s run after the ANN gates (same tree, idle box).
+    // Sweep persistent RDDs too; also outside the timed window.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // Force a full GC outside the timed window: weak-ref-driven cleanup
+    // (ContextCleaner broadcast/shuffle release) only runs after refs are
+    // collected, and heap shape left by an allocation-heavy query
+    // measurably taxes the next one's pipeline otherwise.
+    System.gc()
     dt
   }
 
