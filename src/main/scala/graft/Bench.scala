@@ -88,6 +88,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // ~150 gates × several codegen stages each overflow the default
+      // 100-entry generated-class cache every interleaved round, so each
+      // rep re-instantiates (and re-interprets, and re-JITs) every hot
+      // pipeline from scratch — q_dedup_embedding_lsh measured 63 s as a
+      // perpetually-cold class vs 19 s warm. A long-lived executor keeps
+      // its classes; let the bench JVM do the same.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
