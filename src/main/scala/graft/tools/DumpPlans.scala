@@ -38,7 +38,11 @@ object DumpPlans extends App {
     "q_script_profile" -> "one-pass script-classification kernel: whole profile at scan speed",
     "q_dedup_embedding" -> "tiled exact cosine: block payloads equi-joined to driver-enumerated tiles, dense kernel flatMap, no BNLJ",
     "q_quality_nb" -> "NB scorer: 8-byte bigram fingerprints through the class-count groupBy and weights join",
-    "q_hybrid_retrieval" -> "RRF fusion: two top-k slivers full-outer joined; heavy work stays in the BM25/cosine legs")
+    "q_hybrid_retrieval" -> "RRF fusion: two top-k slivers full-outer joined; heavy work stays in the BM25/cosine legs",
+    "q_hybrid_retrieval_pq" -> "PQ-served hybrid: the semantic leg probes the IVF-PQ index (broadcast centroids, ADC kernel), fused by RRF",
+    "q_ann_ivfpq" -> "frozen-index IVF-PQ serve: fused assign+encode kernel, probe-bounded ADC, exact re-rank",
+    "q_ann_ivf_kmeans" -> "IVF-flat over k-means centroids: fused row-local corpus assignment (no N*C window), probe window on the small query side",
+    "q_dedup_stream" -> "single-pass micro-batch ingest: one doc-index pass, unified band join over the standing parquet index")
   val sb = new StringBuilder
   sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
   sb.append("GENERATED artifact — regenerate with `sbt \"runMain graft.tools.DumpPlans\"`.\n")
