@@ -712,7 +712,7 @@ object Dedup {
     // stacked operators over the same corpus pay the sizing pass once per
     // session instead of once per invocation; the count only sizes the
     // grid — a stale value can shift block granularity, never a pair.
-    val n = PlanStats.memoizedCount(v)
+    val n = PlanStats.sizingCount(v)
     val b = math.max(16L, math.min(1024L, (n + blockRows - 1) / blockRows)).toInt
     val blocks = v
       .withColumn("blk", pmod(xxhash64(col("id")), lit(b.toLong)).cast("int"))

@@ -553,7 +553,7 @@ object SimilaritySearch {
     * sizes the sampling ratio — on an immutable training corpus reuse is
     * exact, and even a stale count would merely shift the sample size,
     * never correctness. */
-  private def memoizedCount(c: DataFrame): Long = PlanStats.memoizedCount(c)
+  private def memoizedCount(c: DataFrame): Long = PlanStats.sizingCount(c)
 
   private def hashSample(c: DataFrame, maxTrainVectors: Int): DataFrame = {
     val n = memoizedCount(c)

@@ -148,12 +148,25 @@ object StreamingNearDedup {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
     val tok = java.util.UUID.randomUUID().toString.take(8)
-    fs.listStatus(staging).toSeq
+    // Hadoop FileSystem.rename reports most failures by RETURNING FALSE,
+    // not throwing. The add-before-remove invariant holds only if every
+    // staged file actually became visible — so collect the results and,
+    // if any move failed, ABORT before the delete phase: the absorbed
+    // source partitions stay, the already-moved files are harmless
+    // duplicates the next compaction's distinct() collapses.
+    val allMoved = fs.listStatus(staging).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .foreach { st =>
+      .forall { st =>
         fs.rename(st.getPath,
-          new Path(target, s"compact-$tok-${st.getPath.getName}")): Unit
+          new Path(target, s"compact-$tok-${st.getPath.getName}"))
       }
+    if (!allMoved) {
+      fs.delete(staging, true): Unit // invisible leftovers only
+      throw new java.io.IOException(
+        s"compaction aborted: rename into $target returned false; " +
+          "source partitions left intact (visible rows are duplicated, " +
+          "not lost — rerun compaction)")
+    }
     // 3. remove absorbed partitions, the superseded target files, staging
     parts.filter(_._1 < upToBatch).foreach { case (_, p) =>
       fs.delete(p, true): Unit
@@ -165,18 +178,45 @@ object StreamingNearDedup {
   /** The continuous form: drive [[processBatch]] from a Structured
     * Streaming query. Pair outputs land under `pairsDir/batch=<id>`
     * (read the root to get the growing pair log); the standing index
-    * accumulates under `indexDir`. */
+    * accumulates under `indexDir`.
+    *
+    * `compactEvery` > 0 bounds the small-file growth of a long-running
+    * loop: every `compactEvery`-th batch first collapses all index AND
+    * pair partitions with `batch <= id - 1` into one partition each
+    * ([[compactIndex]] / [[compactPairs]]) before processing. The bound
+    * `id - 1` is what makes the cadence crash-safe under foreachBatch's
+    * at-least-once replay: batch `id - 1` is committed by the time batch
+    * `id` is delivered, and a re-delivered batch `id` re-runs the same
+    * idempotent compaction and then OVERWRITES only its own `batch=<id>`
+    * partitions — it can never clobber a partition the compactor merged
+    * into. Pair outputs are a pure set function of the (order-insensitive)
+    * index contents, so the unioned pair log is row-identical to the
+    * cadence-off run (StreamingNearDedupSpec drives both through a real
+    * MemoryStream query and asserts equality after >= 2 compactions). */
   def start(docs: DataFrame, idCol: String, textCol: String, n: Int,
             threshold: Double, indexDir: String, pairsDir: String,
             checkpointDir: String, rowsPerBand: Int = 3,
-            numBands: Int = 16): StreamingQuery =
+            numBands: Int = 16, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: Dataset[Row], id: Long) =>
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+          compactIndex(b.sparkSession, indexDir, id - 1)
+          compactPairs(b.sparkSession, pairsDir, id - 1)
+        }
         processBatch(b.toDF(), id, idCol, textCol, n, threshold, indexDir,
             rowsPerBand, numBands)
           .write.mode("overwrite").parquet(s"$pairsDir/batch=$id")
         ()
       }
       .start()
+
+  /** Compact the pair log the same way as the index halves: pair rows are
+    * globally distinct (ids are unique across batches and a pair is
+    * emitted exactly once, by the later doc's batch), so the merged
+    * partition's distinct() preserves the multiset and the same
+    * duplicate-tolerant add-before-remove protocol applies. */
+  def compactPairs(spark: org.apache.spark.sql.SparkSession,
+                   pairsDir: String, upToBatch: Long): Unit =
+    compactPartitioned(spark, pairsDir, upToBatch)
 }

@@ -45,6 +45,18 @@ object StreamDedupScale {
     (0L until nBatches.toLong).foreach { i =>
       // deterministic round-robin batching by id, like the gate
       val b = docs.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === i)
+      // the exact cadence StreamingNearDedup.start(compactEvery) runs:
+      // every E-th batch first collapses index AND pair partitions with
+      // batch <= i-1 (committed by delivery time) into one each
+      val compactField =
+        if (compactEvery > 0 && i > 0 && i % compactEvery == 0) {
+          val c0 = System.nanoTime()
+          graft.streaming.StreamingNearDedup.compactIndex(spark,
+            s"$base/index", i - 1)
+          graft.streaming.StreamingNearDedup.compactPairs(spark,
+            s"$base/pairs", i - 1)
+          f""","compact_secs":${(System.nanoTime() - c0) / 1e9}%.2f"""
+        } else ""
       val t0 = System.nanoTime()
       val pairs = graft.streaming.StreamingNearDedup.processBatch(
         b, i, "doc_id", "text", n = 3, threshold = 0.8,
@@ -52,13 +64,6 @@ object StreamDedupScale {
       pairs.write.mode("overwrite").parquet(s"$base/pairs/batch=$i")
       val secs = (System.nanoTime() - t0) / 1e9
       val nPairs = spark.read.parquet(s"$base/pairs/batch=$i").count()
-      val compactField =
-        if (compactEvery > 0 && i > 0 && i % compactEvery == 0) {
-          val c0 = System.nanoTime()
-          graft.streaming.StreamingNearDedup.compactIndex(spark,
-            s"$base/index", i)
-          f""","compact_secs":${(System.nanoTime() - c0) / 1e9}%.2f"""
-        } else ""
       println(f"""{"batch":$i,"index_docs":${i * (n / nBatches)},"secs":$secs%.2f,"pairs":$nPairs$compactField}""")
     }
     spark.stop()

@@ -10,6 +10,22 @@ import org.scalatest.BeforeAndAfterAll
 
 import graft.operators.Dedup
 
+/** A local FS whose rename RETURNS FALSE for compaction step-2 moves
+  * (dst name "compact-*") while the flag is set — the exact Hadoop
+  * failure mode compactPartitioned must survive. Everything else
+  * (parquet writes, committer renames of part-* files) delegates. */
+class FailingRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("failrename:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (FailingRenameFileSystem.fail.get() && dst.getName.startsWith("compact-"))
+      false
+    else super.rename(src, dst)
+}
+object FailingRenameFileSystem {
+  val fail = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 /** Stream == batch for NEAR-dup dedup: micro-batches deduped against the
   * standing MinHash band index must produce exactly the pair set a single
   * full-corpus minHashLshPairs run produces — signatures are pure
@@ -21,6 +37,8 @@ class StreamingNearDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.hadoop.fs.failrename.impl",
+      classOf[FailingRenameFileSystem].getName)
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
@@ -126,6 +144,76 @@ class StreamingNearDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
       .map(_.getName).toSet
     assert(bandParts === Set("batch=1", "batch=2", "batch=3"))
+  }
+
+  test("start(compactEvery=2): >=3 auto-compactions, pair log identical to cadence-off, partitions bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def run(compactEvery: Int, tag: String): (Set[(Long, Long, Double)], String, String) = {
+      val indexDir = tmpDir(s"snd-ce-idx-$tag")
+      val pairsDir = tmpDir(s"snd-ce-pairs-$tag")
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingNearDedup.start(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, threshold = 0.8, indexDir = indexDir, pairsDir = pairsDir,
+        checkpointDir = tmpDir(s"snd-ce-ckpt-$tag"), compactEvery = compactEvery)
+      // one doc per micro-batch -> 8 batches; cadence 2 fires the
+      // compactor at ids 2, 4, 6 (three auto-compactions mid-run)
+      docs.foreach { d => stream.addData(d); q.processAllAvailable() }
+      q.stop()
+      val got = pairsOf(spark.read.option("basePath", pairsDir)
+        .parquet(pairsDir).select("id_a", "id_b", "jaccard"))
+      (got, indexDir, pairsDir)
+    }
+    val (plain, _, _) = run(compactEvery = 0, "off")
+    val (compacted, indexDir, pairsDir) = run(compactEvery = 2, "on")
+    assert(compacted === plain)
+    assert(plain.map(p => (p._1, p._2)).contains((1L, 11L))) // anti-vacuity
+    def batchParts(dir: String): Set[String] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).toSet
+    // last compaction ran at id=6 merging <=5; batches 6 and 7 arrived after
+    val bounded = Set("batch=5", "batch=6", "batch=7")
+    assert(batchParts(s"$indexDir/bands") === bounded)
+    assert(batchParts(s"$indexDir/shingles") === bounded)
+    assert(batchParts(pairsDir) === bounded)
+  }
+
+  test("compactPartitioned aborts the delete phase when a rename fails (rows never lost)") {
+    import spark.implicits._
+    // Hadoop's FileSystem.rename signals most failures by RETURNING FALSE,
+    // not throwing — inject exactly that through a local-FS subclass that
+    // fails step-2 moves (dst "compact-*") while a flag is set. (POSIX
+    // permission tricks don't work here: the suite runs as root.)
+    val rawDir = tmpDir("snd-renamefail")
+    val indexDir = s"failrename:$rawDir"
+    val all = docs.toDF("doc_id", "text")
+    (0L until 2L).foreach { i =>
+      StreamingNearDedup.processBatch(
+        all.filter(pmod(col("doc_id"), lit(2)) === i),
+        i, "doc_id", "text", 3, 0.8, indexDir).count()
+    }
+    val before = spark.read.option("basePath", s"$indexDir/bands")
+      .parquet(s"$indexDir/bands").drop("batch").distinct().count()
+    FailingRenameFileSystem.fail.set(true)
+    try {
+      val ex = intercept[java.io.IOException] {
+        StreamingNearDedup.compactIndex(spark, indexDir, 1L)
+      }
+      assert(ex.getMessage.contains("rename"))
+      // the absorbed source partition must still exist — nothing deleted
+      assert(new java.io.File(s"$rawDir/bands/batch=0").exists())
+    } finally FailingRenameFileSystem.fail.set(false)
+    val after = spark.read.option("basePath", s"$indexDir/bands")
+      .parquet(s"$indexDir/bands").drop("batch").distinct().count()
+    assert(after === before)
+    // and a rerun with renames healthy completes normally
+    StreamingNearDedup.compactIndex(spark, indexDir, 1L)
+    val merged = spark.read.option("basePath", s"$indexDir/bands")
+      .parquet(s"$indexDir/bands").drop("batch").distinct().count()
+    assert(merged === before)
+    assert(!new java.io.File(s"$rawDir/bands/batch=0").exists())
   }
 
   test("compaction is duplicate-tolerant: a crash-window copy of an index file changes nothing") {
