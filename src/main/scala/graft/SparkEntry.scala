@@ -44,19 +44,87 @@ object SparkEntry {
     * operators: k-means training stays evidence-tiered, while everything
     * downstream of the frozen frame (encode, probe, ADC scan, re-rank) is
     * deterministic arithmetic the oracle replays value-exactly.
-    * Hive-partitioned by corpus row count (n=<count>) so concurrent runs
-    * at different scale factors never clobber each other; the oracle
-    * selects its own partition via WHERE n = (SELECT count(*) FROM t).
+    * Hive-partitioned by corpus row count AND content token
+    * (n=<count>/h=<token>) so concurrent runs at different scale factors
+    * — or over DIFFERENT corpora that happen to share a row count — never
+    * select each other's frames; the oracle recomputes both keys from the
+    * corpus itself (WHERE n = count(*) AND h = <same integer aggregate>,
+    * see SparkEntryOracles.frozenScan). Partitions older than a day are
+    * GC'd at freeze time, bounding the root across rounds without ever
+    * touching a frame a concurrent same-round process could be reading.
     * Returns the RELOADED frame so the gate serves from exactly the bytes
     * the oracle will read (parquet doubles round-trip exactly). Not
     * cleaned on exit: the oracle runs after this JVM is gone; the frames
     * are m·ks/C rows. */
   private[graft] val frozenRoot = "/tmp/graft_frozen"
-  private def freeze(df: DataFrame, gate: String, part: String,
-                     n: Long): DataFrame = {
-    val dir = s"$frozenRoot/$gate/$part/n=$n"
+
+  /** (row count, content token) of an embeddings corpus in ONE aggregate
+    * pass. The token is pure bounded-integer arithmetic both engines
+    * compute identically (no FP accumulation-order hazard: the only
+    * double op is a per-row IEEE multiply + floor, then integer sums):
+    * per row, pmod(pmod(vec_id, 2^31)·2654435761 + floor(v[0]·4096), 1e9)
+    * — two equal-count corpora collide only if the sum of these per-row
+    * hashes (ids AND leading-coordinate content) agrees. Per-row value
+    * < 1e9, so the Long sum is exact below ~9.2e9 rows — far above any
+    * frozen-gate corpus. DuckDB replica in SparkEntryOracles. */
+  private[graft] def corpusSig(emb: DataFrame): (Long, Long) = {
+    val r = emb.select(
+      count(lit(1)),
+      sum(pmod(
+        pmod(col("vec_id").cast("long"), lit(2147483648L)) * lit(2654435761L)
+          + floor(element_at(col("embedding").cast("array<double>"), 1)
+              * lit(4096.0)).cast("long"),
+        lit(1000000000L)))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** PQ gates only make sense when the embedding dimension decomposes
+    * into AnnConfig's m·subLen — and the oracle SQL is generated from the
+    * same constants, so a dim change must fail HERE, loudly, before a
+    * frozen frame desynchronizes gate and replay. */
+  private def requirePqDims(emb: DataFrame): DataFrame = {
+    import graft.operators.AnnConfig
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim == AnnConfig.numSubspaces * AnnConfig.subLen,
+      s"embedding dim $dim != AnnConfig m*subLen = " +
+        s"${AnnConfig.numSubspaces * AnnConfig.subLen}: gate and generated " +
+        "oracle SQL would desynchronize — retune AnnConfig first")
+    emb
+  }
+
+  private[graft] def freeze(df: DataFrame, gate: String, part: String,
+                            n: Long, tok: Long): DataFrame = {
+    gcFrozen(s"$frozenRoot/$gate/$part")
+    val dir = s"$frozenRoot/$gate/$part/n=$n/h=$tok"
     df.coalesce(1).write.mode("overwrite").parquet(dir)
     df.sparkSession.read.parquet(dir)
+  }
+
+  /** Delete frozen partitions older than a day (leaf h=<tok> dirs by
+    * mtime, then emptied n=<count> dirs): bounds /tmp/graft_frozen across
+    * rounds while never racing a same-run process — gates re-freeze
+    * minutes before their oracle replays, so any same-round frame is
+    * hours young. */
+  private def gcFrozen(partRoot: String,
+                       maxAgeMs: Long = 24L * 3600 * 1000): Unit = {
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val root = new java.io.File(partRoot)
+    val nDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("n="))
+    nDirs.foreach { nDir =>
+      Option(nDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.lastModified() < cutoff)
+        .foreach {
+          // h=<tok> leafs, plus stale files directly under n= (the
+          // pre-token single-level layout earlier rounds wrote)
+          case h if h.isDirectory =>
+            Option(h.listFiles()).getOrElse(Array.empty)
+              .foreach(f => f.delete(): Unit)
+            h.delete(): Unit
+          case f => f.delete(): Unit
+        }
+      if (Option(nDir.listFiles()).exists(_.isEmpty)) nDir.delete(): Unit
+    }
   }
 
   /** events.parquet's ts column has shipped as both INT64 TIMESTAMP(NANOS)
@@ -1136,14 +1204,17 @@ object SparkEntry {
     //      strictly improve recall at a fixed fraction (the measured
     //      C-ladder in buildIvfPqIndex's doc). ----
     "q_ann_ivf_kmeans" -> ((s, dir) => {
+      import graft.operators.AnnConfig
       val emb = t(s, dir, "embeddings")
+      val (n, tok) = corpusSig(emb)
       val cents = freeze(
         graft.operators.SimilaritySearch.ivfKMeansCentroidsDf(
-          emb, "vec_id", "embedding", numCentroids = 128),
-        "q_ann_ivf_kmeans", "centroids", emb.count())
+          emb, "vec_id", "embedding", numCentroids = AnnConfig.kmeansLists),
+        "q_ann_ivf_kmeans", "centroids", n, tok)
       graft.operators.SimilaritySearch.ivfTopKKMeans(
-          emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10,
-          nProbe = 32, centroids = Some(cents))
+          emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          nProbe = AnnConfig.kmeansProbes, centroids = Some(cents))
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -1354,13 +1425,21 @@ object SparkEntry {
     //      only the training stays evidence-tiered (recall@10 vs
     //      q_ann_bruteforce in the evidence file). ----
     "q_ann_pq" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      import graft.operators.AnnConfig
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val (n, tok) = corpusSig(emb)
       val cb = freeze(
         graft.operators.SimilaritySearch.pqCodebooksDf(
-          emb, "vec_id", "embedding"),
-        "q_ann_pq", "codebooks", emb.count())
+          emb, "vec_id", "embedding",
+          numSubspaces = AnnConfig.numSubspaces,
+          codebookSize = AnnConfig.codebookSize),
+        "q_ann_pq", "codebooks", n, tok)
       graft.operators.SimilaritySearch.pqTopK(
-          emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10,
+          emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          numSubspaces = AnnConfig.numSubspaces,
+          codebookSize = AnnConfig.codebookSize,
+          rerankFactor = AnnConfig.rerankFactor,
           codebooks = Some(cb))
         .orderBy(col("q_id"), col("rank"))
     }),
@@ -1376,16 +1455,21 @@ object SparkEntry {
     //      re-rank all deterministic) -> value-exact; training stays
     //      evidence-tiered. ----
     "q_ann_ivfpq" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val n = emb.count()
+      import graft.operators.AnnConfig
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val (n, tok) = corpusSig(emb)
       val built = graft.operators.SimilaritySearch.buildIvfPqIndex(
-        emb, "vec_id", "embedding")
+        emb, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize)
       val idx = graft.operators.IvfPqIndex(
-        freeze(built.centroids, "q_ann_ivfpq", "centroids", n),
-        freeze(built.codebooks, "q_ann_ivfpq", "codebooks", n),
+        freeze(built.centroids, "q_ann_ivfpq", "centroids", n, tok),
+        freeze(built.codebooks, "q_ann_ivfpq", "codebooks", n, tok),
         built.codes)
       graft.operators.SimilaritySearch.searchIvfPqIndex(
-          idx, emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -1398,17 +1482,23 @@ object SparkEntry {
         "graft-pq-idx-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
           "-p" + ProcessHandle.current().pid()).toString
       registerCleanupOnExit(tmp)
-      val emb = t(s, dir, "embeddings")
+      import graft.operators.AnnConfig
+      val emb = requirePqDims(t(s, dir, "embeddings"))
       graft.operators.SimilaritySearch.buildPqIndex(
-        emb, "vec_id", "embedding").save(tmp)
+        emb, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize).save(tmp)
       val loaded = graft.operators.PqIndex.load(s, tmp)
       // split gate: freeze the (re-loaded) codebooks for the oracle's
       // replay — same training as q_ann_pq, its own frozen path
+      val (n, tok) = corpusSig(emb)
       val idx = graft.operators.PqIndex(
-        freeze(loaded.codebooks, "q_ann_pq_index", "codebooks", emb.count()),
+        freeze(loaded.codebooks, "q_ann_pq_index", "codebooks", n, tok),
         loaded.codes)
       graft.operators.SimilaritySearch.searchPqIndex(
-          idx, emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -1475,23 +1565,27 @@ object SparkEntry {
     //      BOTH legs and the fusion are value-exact; fused-list overlap
     //      vs the exact hybrid additionally lands in the evidence file. ----
     "q_hybrid_retrieval_pq" -> ((s, dir) => {
+      import graft.operators.AnnConfig
       val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-      val n = emb.count()
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val (n, tok) = corpusSig(emb)
       val built = graft.operators.SimilaritySearch.buildIvfPqIndex(
-        emb, "vec_id", "embedding")
+        emb, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize)
       val idx = graft.operators.IvfPqIndex(
-        freeze(built.centroids, "q_hybrid_retrieval_pq", "centroids", n),
-        freeze(built.codebooks, "q_hybrid_retrieval_pq", "codebooks", n),
+        freeze(built.centroids, "q_hybrid_retrieval_pq", "centroids", n, tok),
+        freeze(built.codebooks, "q_hybrid_retrieval_pq", "codebooks", n, tok),
         built.codes)
       val lex = graft.operators.TextRanking.bm25TopK(
         docs, "doc_id", "text",
-        docs.filter(col("doc_id") < 4)
+        docs.filter(col("doc_id") < AnnConfig.hybridQueries)
           .select(col("doc_id").as("qid"), col("text").as("qtext")),
         "qid", "qtext", k = 10)
       val sem = graft.operators.SimilaritySearch.searchIvfPqIndex(
-          idx, emb, emb.filter(col("vec_id") < 4), "vec_id", "embedding",
-          k = 10)
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.hybridQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
         .select(col("q_id"), col("n_id").as("id"), col("rank"))
       graft.operators.TextRanking.rrfFuse(lex, sem, k = 5)
         .withColumnRenamed("id", "doc_id")

@@ -688,11 +688,23 @@ object SparkEntryOracles {
   // the kernel's `acc += term` order; the JVM's 0.0+t0 == t0).
   // ---------------------------------------------------------------------
 
-  /** Frozen-frame reader: hive n=<count> partition matching the corpus. */
+  /** DuckDB replica of SparkEntry.corpusSig's content token: the same
+    * bounded-integer per-row hash of (vec_id, leading coordinate), summed
+    * — pmod semantics spelled out since DuckDB's % keeps the dividend's
+    * sign while Spark's pmod is always non-negative. */
+  private val corpusTokenSql: String =
+    """(SELECT CAST(SUM((((vec_id % 2147483648) * 2654435761
+      |   + CAST(floor(list_extract(CAST(embedding AS DOUBLE[]), 1) * 4096) AS BIGINT))
+      |   % 1000000000 + 1000000000) % 1000000000) AS BIGINT) FROM embeddings)""".stripMargin
+
+  /** Frozen-frame reader: hive n=<count>/h=<token> partition matching the
+    * corpus by BOTH row count and content token — a frame frozen from a
+    * different equal-count corpus can never be selected. */
   private def frozenScan(gate: String, part: String): String =
-    s"""read_parquet('/tmp/graft_frozen/$gate/$part/*/*.parquet',
+    s"""read_parquet('/tmp/graft_frozen/$gate/$part/*/*/*.parquet',
        |    hive_partitioning=true)
-       |  WHERE CAST(n AS BIGINT) = (SELECT count(*) FROM embeddings)""".stripMargin
+       |  WHERE CAST(n AS BIGINT) = (SELECT count(*) FROM embeddings)
+       |    AND CAST(h AS BIGINT) = $corpusTokenSql""".stripMargin
 
   /** Expanded per-subspace squared-L2 distance, ascending-index
     * left-associative — replicates SimilaritySearch.encodeOne's
@@ -775,12 +787,17 @@ object SparkEntryOracles {
        |    FROM v CROSS JOIN cb)
        |  WHERE rn = 1)""".stripMargin
 
+  // The oracle constants are string-interpolated from the SAME AnnConfig
+  // object the gates run with (m, subLen, k, r = k·rerankFactor, query
+  // cutoffs) — retuning a gate default re-derives the SQL with it.
+  private val A = graft.operators.AnnConfig
+
   /** q_ann_pq / q_ann_pq_index replica: full ADC scan (every query scores
     * every code), then the shared top-R + exact re-rank tail. */
   def annPqSql(gate: String): String =
-    s"""${pqPreludeSql(gate, subLen = 8, maxQ = 20)},
+    s"""${pqPreludeSql(gate, subLen = A.subLen, maxQ = A.maxQueries)},
        |pairsrc AS (SELECT q.q_id, v.id FROM q CROSS JOIN v),
-       |${adcRankedCtes(m = 8, subLen = 8, k = 10, r = 40)}
+       |${adcRankedCtes(m = A.numSubspaces, subLen = A.subLen, k = A.k, r = A.rerankR)}
        |$pqFinalSelect""".stripMargin
 
   /** IVF probe CTE chain ending in `pairsrc` (q_id, id): corpus list
@@ -812,9 +829,9 @@ object SparkEntryOracles {
   /** q_ann_ivfpq replica: frozen centroids bound WHICH codes each query
     * scores, then the shared ADC tail over the probed pairs. */
   val annIvfPqSql: String =
-    s"""${pqPreludeSql("q_ann_ivfpq", subLen = 8, maxQ = 20)},
+    s"""${pqPreludeSql("q_ann_ivfpq", subLen = A.subLen, maxQ = A.maxQueries)},
        |${ivfPairsrcCtes("q_ann_ivfpq")},
-       |${adcRankedCtes(m = 8, subLen = 8, k = 10, r = 40)}
+       |${adcRankedCtes(m = A.numSubspaces, subLen = A.subLen, k = A.k, r = A.rerankR)}
        |$pqFinalSelect""".stripMargin
 
   /** q_hybrid_retrieval_pq replica: the q_bm25 pipeline at k=10 (queries
@@ -824,9 +841,9 @@ object SparkEntryOracles {
     * the semantic leg is index-served. Every stage deterministic given
     * the frozen frames -> value-exact. */
   val hybridRetrievalPqSql: String =
-    s"""${pqPreludeSql("q_hybrid_retrieval_pq", subLen = 8, maxQ = 4)},
+    s"""${pqPreludeSql("q_hybrid_retrieval_pq", subLen = A.subLen, maxQ = A.hybridQueries)},
        |${ivfPairsrcCtes("q_hybrid_retrieval_pq")},
-       |${adcRankedCtes(m = 8, subLen = 8, k = 10, r = 40)},
+       |${adcRankedCtes(m = A.numSubspaces, subLen = A.subLen, k = A.k, r = A.rerankR)},
        |toks AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS w
@@ -840,7 +857,8 @@ object SparkEntryOracles {
        |    (SELECT count(*) FROM terms) * 1.0
        |      / (SELECT count(*) FROM documents) AS avgdl),
        |qterms AS (
-       |  SELECT DISTINCT doc_id AS q_id, term FROM terms WHERE doc_id < 4),
+       |  SELECT DISTINCT doc_id AS q_id, term FROM terms
+       |  WHERE doc_id < ${A.hybridQueries}),
        |hits AS (
        |  SELECT qt.q_id, tf.doc_id,
        |    ln(1.0 + (s.n_total - d.df + 0.5) / (d.df + 0.5))
@@ -882,17 +900,15 @@ object SparkEntryOracles {
     * probed lists. The whole serve path is deterministic given the
     * frozen centroids. */
   val annIvfKMeansSql: String =
-    """WITH cents AS (
+    s"""WITH cents AS (
       |  SELECT CAST(cent_id AS BIGINT) AS cent_id, cv::DOUBLE[] AS cv,
       |    sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[])) AS cn
-      |  FROM read_parquet('/tmp/graft_frozen/q_ann_ivf_kmeans/centroids/*/*.parquet',
-      |    hive_partitioning=true)
-      |  WHERE CAST(n AS BIGINT) = (SELECT count(*) FROM embeddings)),
+      |  FROM ${frozenScan("q_ann_ivf_kmeans", "centroids")}),
       |v AS (
       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings),
-      |q AS (SELECT id AS q_id, v AS qv, nrm AS qn FROM v WHERE id < 20),
+      |q AS (SELECT id AS q_id, v AS qv, nrm AS qn FROM v WHERE id < ${A.maxQueries}),
       |assign AS (
       |  SELECT id, v, nrm, cent_id AS list_id FROM (
       |    SELECT v.id, v.v, v.nrm, c.cent_id,
@@ -905,7 +921,7 @@ object SparkEntryOracles {
       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
       |        list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC, c.cent_id) AS rn
       |    FROM q CROSS JOIN cents c)
-      |  WHERE rn <= 32),
+      |  WHERE rn <= ${A.kmeansProbes}),
       |scored AS (
       |  SELECT p.q_id, a.id AS n_id,
       |    list_dot_product(p.qv, a.v) / (p.qn * a.nrm) AS cos
@@ -914,6 +930,6 @@ object SparkEntryOracles {
       |SELECT q_id, n_id, rank, round(cos, 6) AS cosine FROM (
       |  SELECT q_id, n_id, cos,
       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-      |  FROM scored) WHERE rank <= 10
+      |  FROM scored) WHERE rank <= ${A.k}
       |ORDER BY q_id, rank""".stripMargin
 }

@@ -1,0 +1,31 @@
+package graft.operators
+
+/** THE single source of the frozen-index ANN operating point, shared by
+  * the gates (SparkEntry) and their DuckDB oracle replicas
+  * (SparkEntryOracles). The oracle SQL is string-interpolated from these
+  * values, so changing a default here re-derives BOTH sides — the failure
+  * mode where a gate retunes (say rerankFactor) while the oracle keeps a
+  * hardcoded literal, desynchronizing them with no pointer to the cause,
+  * is structurally gone. Gates additionally assert the testdata embedding
+  * dimension equals numSubspaces·subLen before freezing, so a dimension
+  * change surfaces as an explicit error, not a silent encode mismatch. */
+object AnnConfig {
+  /** PQ subspace count (m) — bytes per encoded vector. */
+  val numSubspaces: Int = 8
+  /** Dimensions per subspace; embedding dim must equal m·subLen. */
+  val subLen: Int = 8
+  /** Codewords per subspace (one byte of code addresses them all). */
+  val codebookSize: Int = 256
+  /** Neighbors returned per query. */
+  val k: Int = 10
+  /** ADC candidates re-ranked exactly = k·rerankFactor. */
+  val rerankFactor: Int = 4
+  def rerankR: Int = k * rerankFactor
+  /** ANN gates score queries vec_id < maxQueries. */
+  val maxQueries: Int = 20
+  /** Hybrid-retrieval gates use queries id < hybridQueries. */
+  val hybridQueries: Int = 4
+  /** q_ann_ivf_kmeans operating point: C lists, nProbe probes (25% scan). */
+  val kmeansLists: Int = 128
+  val kmeansProbes: Int = 32
+}
