@@ -1316,6 +1316,18 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- BPE at a REALISTIC vocabulary tier: 256 merges, same trainer,
+    //      same recursive-CTE oracle (the replay is depth-agnostic). The
+    //      per-round cost is ONE bounded net-delta job over the distinct-
+    //      word table; the driver pair table's high-water mark lands in
+    //      SCALE.md's merges-vs-time curve as the maxDriverPairs headroom
+    //      gauge for the 32k-merge design claim. ----
+    "q_bpe_merges_256" -> ((s, dir) => {
+      graft.operators.Bpe.train(t(s, dir, "documents"), "text",
+          numMerges = 256)
+        .orderBy(col("rank"))
+    }),
+
     // ---- BPE corpus tokenization (the APPLY side of q_bpe_merges):
     //      train a small vocab, segment every document row-locally with
     //      the rank-based encoder. Value-exact oracle: the training
@@ -3501,6 +3513,7 @@ object SparkEntry {
     // training round (pair argmax + greedy merge via boundary-safe
     // tab-separated replace); encode reads the recursion's final state
     "q_bpe_merges" -> SparkEntryOracles.bpeMergesSql,
+    "q_bpe_merges_256" -> SparkEntryOracles.bpeMerges256Sql,
     "q_bpe_encode" -> SparkEntryOracles.bpeEncodeSql,
 
     // byte-level tier (GPT-2 formulation): the same recursion over the

@@ -519,7 +519,7 @@ object SparkEntryOracles {
     * symbolizing word `w` into the initial enc string — per-code-point +
     * '</w>' for the word-internal tier, space-prefixed UTF-8 bytes as
     * lowercase hex pairs (the GPT-2 formulation) for the byte tier. */
-  private def bpeStateSql(baseEnc: String): String =
+  private def bpeStateSql(baseEnc: String, numMerges: Int = 16): String =
     raw"""wc AS (
       |  SELECT t.tok AS w, count(*)::BIGINT AS c
       |  FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -552,10 +552,10 @@ object SparkEntryOracles {
       |    replace(p.enc, chr(9) || b.l || chr(9) || chr(9) || b.r || chr(9),
       |      chr(9) || b.l || b.r || chr(9)),
       |    p.c, NULL, NULL, NULL, NULL
-      |  FROM prev p, best b, curit WHERE p.kind = 'w' AND curit.it < 16
+      |  FROM prev p, best b, curit WHERE p.kind = 'w' AND curit.it < $numMerges
       |  UNION ALL
       |  SELECT curit.it + 1, 'm', NULL, NULL, curit.it + 1, b.l, b.r, b.pc
-      |  FROM best b, curit WHERE curit.it < 16
+      |  FROM best b, curit WHERE curit.it < $numMerges
       |  )
       |)""".stripMargin
 
@@ -576,9 +576,9 @@ object SparkEntryOracles {
       "i -> lower(substring(hex(' ' || w), 2 * i - 1, 2))), " +
       "chr(9) || chr(9)) || chr(9)"
 
-  private def bpeMergesSqlFor(baseEnc: String): String =
+  private def bpeMergesSqlFor(baseEnc: String, numMerges: Int = 16): String =
     raw"""WITH RECURSIVE
-      |${bpeStateSql(baseEnc)}
+      |${bpeStateSql(baseEnc, numMerges)}
       |SELECT rank::INT AS rank, ml AS "left", mr AS "right", pc AS pair_count
       |FROM state WHERE kind = 'm' ORDER BY rank""".stripMargin
 
@@ -626,6 +626,14 @@ object SparkEntryOracles {
   /** Full bit-exact replica of BPE training (q_bpe_merges, 16 merges,
     * minCount 2) — see [[bpeStateSql]]. */
   val bpeMergesSql: String = bpeMergesSqlFor(bpeWordEnc)
+
+  /** q_bpe_merges_256 replica: the SAME recursion, 256 rounds — the
+    * realistic-vocabulary tier. The replay is depth-agnostic (one
+    * recursive step per merge), so promoting the merge count needs no
+    * new oracle machinery; if the corpus exhausts pairs >= minCount
+    * early, `best` comes back empty and BOTH sides stop on the same
+    * round. */
+  val bpeMerges256Sql: String = bpeMergesSqlFor(bpeWordEnc, 256)
 
   /** q_bpe_encode replica — see [[bpeEncodeSqlFor]]. */
   val bpeEncodeSql: String = bpeEncodeSqlFor(bpeWordEnc,

@@ -163,6 +163,7 @@ object Bpe {
                                 numMerges: Int, minCount: Long): Seq[(Int, String, String, Long)] = {
     var words = words0
     var ckpt = words0 // current checkpoint generation (for unpersist)
+    var highWater = 0L
     val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
     initPairs.foreach(row =>
       pc.update((row.getString(0), row.getString(1)), row.getLong(2)))
@@ -196,6 +197,7 @@ object Bpe {
           if (next <= 0L) pc.remove(k)
           else { pc.update(k, next); heap.add((k._1, k._2, next)) }
         }
+        highWater = math.max(highWater, pc.size.toLong)
         words = afterMerge(words, l, r)
         // cut lineage periodically so T merges never build a T-deep plan;
         // release the superseded checkpoint only AFTER the new one
@@ -215,8 +217,16 @@ object Bpe {
       }
     }
     ckpt.unpersist()
+    lastPairHighWater = math.max(highWater, initPairs.length.toLong)
     merges.toSeq
   }
+
+  /** Diagnostic only: driver pair-table high-water mark of the most
+    * recent trainDriverCounts run in this JVM — the headroom gauge for
+    * the maxDriverPairs bound that SCALE.md's large-vocabulary claim
+    * (32k merges) is judged against. Written after training completes;
+    * racy under concurrent trainings by design (a gauge, not state). */
+  @volatile var lastPairHighWater: Long = 0L
 
   private val heapOrdering: java.util.Comparator[(String, String, Long)] =
     new java.util.Comparator[(String, String, Long)] {
