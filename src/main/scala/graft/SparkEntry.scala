@@ -1065,15 +1065,16 @@ object SparkEntry {
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
 
-    // ---- SimHash near-dup pairs (hash not SQL-replicable → rows-only) ----
-    // maxHamming=3 over 4 x 16-bit chunks is the standard 64-bit simhash
-    // near-dup setting (Manku et al., WWW'07). 16-bit block keys give 65536
-    // buckets per chunk; the previous 8-bit keys collapsed skewed signatures
-    // into a handful of mega-buckets (top bucket held 38% of all docs at
-    // sf0.1 → 6.5M candidate pairs).
+    // ---- SimHash near-dup pairs, value-exact-oracled ----
+    // maxHamming=7 over 4 x 16-bit chunks + one-bit-flip probe variants
+    // (the r12 contract lift from Manku et al.'s <= 3): the wide 65536-
+    // bucket chunk keys are kept — the alternative 8-bit chunks collapsed
+    // skewed signatures into mega-buckets (top bucket held 38% of all
+    // docs at sf0.1 → 6.5M candidate pairs), while flip-variant probing
+    // multiplies PROBE rows 17x but keeps candidates bucket-bounded.
     "q_dedup_simhash" -> ((s, dir) => {
       graft.operators.Dedup.simhashPairs(
-          t(s, dir, "documents"), "doc_id", "text", maxHamming = 3, numChunks = 4)
+          t(s, dir, "documents"), "doc_id", "text", maxHamming = 7, numChunks = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -407,15 +407,17 @@ object SparkEntryOracles {
       |SELECT q_id, c_id AS n_id, rank, round(cos, 6) AS cosine
       |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
-  /** Full bit-exact replica of simhashPairs (maxHamming=3, numChunks=4):
-    * per-token FNV-1a 64 over UTF-8 bytes (bytes derived from code points
-    * by the UTF-8 encoding arithmetic; the wrapping multiply by the FNV
-    * prime and the fmix64 finalizer run in HUGEINT with 32-bit-half
-    * decomposition), per-bit majority vote, pigeonhole 16-bit chunk
-    * blocking, exact Hamming verify via bit_count(xor). Promotes
-    * q_dedup_simhash from rows-only to value-exact (the planted-recall
-    * evidence stays — recall describes the 64-bit signature's coarseness,
-    * the oracle the implementation). */
+  /** Full bit-exact replica of simhashPairs (maxHamming=7, numChunks=4 —
+    * the r12 widened contract): per-token FNV-1a 64 over UTF-8 bytes
+    * (bytes derived from code points by the UTF-8 encoding arithmetic;
+    * the wrapping multiply by the FNV prime and the fmix64 finalizer run
+    * in HUGEINT with 32-bit-half decomposition), per-bit majority vote,
+    * pigeonhole 16-bit chunk blocking PLUS one-bit-flip probe variants
+    * (probes join exact keys, lower-id side probes — mirrors the
+    * operator exactly), exact Hamming verify via bit_count(xor). Keeps
+    * q_dedup_simhash value-exact at the widened operating point (the
+    * planted-recall evidence stays — recall describes the 64-bit
+    * signature's coarseness, the oracle the implementation). */
   val simhashPairsSql: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -448,11 +450,16 @@ object SparkEntryOracles {
       |chunks AS (
       |  SELECT doc_id, sig, c.chunk, (((CASE WHEN sig < 0 THEN sig::HUGEINT + 18446744073709551616 ELSE sig::HUGEINT END) // (1::HUGEINT << (c.chunk * 16))) % 65536)::BIGINT AS bits
       |  FROM sigs, unnest(range(4)) AS c(chunk)),
+      |probes AS (
+      |  SELECT doc_id, sig, chunk, bits FROM chunks
+      |  UNION ALL
+      |  SELECT doc_id, sig, chunk, xor(bits, (1::BIGINT << b.bit)) AS bits
+      |  FROM chunks, unnest(range(16)) AS b(bit)),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sig AS siga, y.sig AS sigb
-      |  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.bits = y.bits AND x.doc_id < y.doc_id)
+      |  FROM probes x JOIN chunks y ON x.chunk = y.chunk AND x.bits = y.bits AND x.doc_id < y.doc_id)
       |SELECT id_a, id_b, bit_count(xor(siga, sigb)) AS hamming
-      |FROM cand WHERE bit_count(xor(siga, sigb)) <= 3
+      |FROM cand WHERE bit_count(xor(siga, sigb)) <= 7
       |ORDER BY id_a, id_b""".stripMargin
 
   /** Full bit-exact replica of q_sketch_tokens: the Count-Min sketch is

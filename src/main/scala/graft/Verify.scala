@@ -109,8 +109,8 @@ object Verify {
     // every sf0.01 document plus two deterministic token-drop perturbations
     // (~5% and ~10% of tokens removed, xxhash-seeded) -> 2·|docs| >= 1000
     // truth pairs of known similarity. Measures what the gate's operating
-    // point (Hamming <= 3 over 4 chunks) actually catches, stratified by
-    // perturbation strength. The legacy vs-exact-Jaccard(0.8) number is
+    // point (Hamming <= 7 over 4 chunks + flip-variant probes) actually
+    // catches, stratified by perturbation strength. The legacy vs-exact-Jaccard(0.8) number is
     // kept for continuity but its truth set is ~25 pairs — screening-tier
     // context only.
     def simhashRecall: String = Try {
@@ -125,7 +125,7 @@ object Verify {
       val corpus = base.unionByName(perturbed(20, off1))
         .unionByName(perturbed(10, off2))
       val found = graft.operators.Dedup
-        .simhashPairs(corpus, "doc_id", "text", maxHamming = 3, numChunks = 4)
+        .simhashPairs(corpus, "doc_id", "text", maxHamming = 7, numChunks = 4)
         .select(col("id_a"), col("id_b")).cache()
       def recallAt(off: Long): (Long, Long) = {
         val truth = base.select(col("doc_id").as("id_a"),
@@ -143,7 +143,7 @@ object Verify {
         n1 + n2},"recall_drop5pct":${hit1.toDouble / math.max(1L, n1)}%.4f,"recall_drop10pct":${
         hit2.toDouble / math.max(1L, n2)}%.4f,"jaccard08_recall":${
         hitJ.toDouble / math.max(1L, truthJ.count())}%.4f,"jaccard08_truth_pairs":${
-        truthJ.count()},"tier":"screening: exact within Hamming<=3 contract; high-recall tier is minhash-lsh"}"""
+        truthJ.count()},"tier":"screening: exact within Hamming<=7 contract (r12 flip-variant lift); high-recall tier is minhash-lsh"}"""
     }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
     // Count-Min estimates vs exact counts for the same probe tokens: CMS
     // must never undercount; report the worst overcount ratio.

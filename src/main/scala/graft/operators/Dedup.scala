@@ -624,25 +624,38 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature per doc, pigeonhole
-    * blocking on `numChunks` equal bit-chunks (any pair within Hamming
-    * distance <= numChunks-1 must agree on at least one chunk), exact
-    * Hamming verification. Output: (id_a, id_b, hamming).
+    * blocking on `numChunks` equal bit-chunks, exact Hamming
+    * verification. Output: (id_a, id_b, hamming).
+    *
+    * Blocking covers TWO contract ranges:
+    *  - maxHamming <= numChunks-1: plain exact-chunk blocking (a pair
+    *    with <= numChunks-1 differing bits must agree on some chunk);
+    *  - maxHamming <= 2·numChunks-1: exact chunks PLUS one-bit-flip
+    *    probe variants (HmSearch-style). If every chunk held >= 2 errors
+    *    the total would be >= 2·numChunks, so some chunk has <= 1 error
+    *    — and flipping that bit on one side's probe reproduces the other
+    *    side's exact chunk key. This keeps the WIDE 16-bit keys (65536
+    *    buckets/chunk) at Hamming <= 7 instead of shrinking to 8-bit
+    *    chunks, whose mega-buckets measurably blow the candidate set
+    *    (top bucket held 38%% of all docs at sf0.1): probe rows grow
+    *    17x per doc, but candidate pairs stay ~N²·68/65536 per uniform
+    *    bucket instead of ~N²·8/256.
     *
     * SCREENING TIER. The operator is EXACT within its contract — blocking
     * provably loses no pair with Hamming <= maxHamming — but a 64-bit
-    * signature is deliberately coarse about token-level similarity: at the
-    * standard (Manku et al., WWW'07) operating point maxHamming=3,
-    * numChunks=4, planted-perturbation recall measured on the sf0.01
-    * corpus is ~0.69 for documents with ~5%% of tokens removed and ~0.44
-    * at ~10%% (EVIDENCE, `q_dedup_simhash`). Use it to cheaply screen
+    * signature is deliberately coarse about token-level similarity; the
+    * default operating point is Hamming <= 7 (the r12 lift from the
+    * Manku et al. WWW'07 <= 3 setting; planted-perturbation recall in
+    * EVIDENCE, `q_dedup_simhash`). Use it to cheaply screen
     * near-identical documents (one 8-byte signature per doc, equi-join
     * blocking); the high-recall similarity tier is MinHash-LSH
     * ([[minHashLshPairs]]), whose truth-set recall is exact-verified. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, numChunks: Int = 4): DataFrame = {
+                   maxHamming: Int = 7, numChunks: Int = 4): DataFrame = {
     require(64 % numChunks == 0, "numChunks must divide 64")
-    require(maxHamming < numChunks,
-      s"pigeonhole blocking on $numChunks chunks covers distance <= ${numChunks - 1}")
+    require(maxHamming < 2 * numChunks,
+      s"pigeonhole blocking on $numChunks chunks with 1-bit probe " +
+        s"variants covers distance <= ${2 * numChunks - 1}")
     val bitsPer = 64 / numChunks
     val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
     // Token-less (empty/whitespace-only) documents carry no signal: their
@@ -660,7 +673,18 @@ object Dedup {
           shiftright(col("sig"), c * bitsPer).bitwiseAND(lit(mask)).as("bits"))
       }: _*)).as("ck"))
       .select(col("id"), col("sig"), col("ck.chunk").as("chunk"), col("ck.bits").as("bits"))
-    chunks.as("x").join(chunks.as("y"),
+    // probe side: exact chunk keys, plus (for the wide contract) every
+    // one-bit-flip variant — joined against EXACT keys only, so a pair
+    // with <= 1 error in some chunk meets through the probe whose flip
+    // is that error bit (flips are symmetric: probing from the lower id
+    // side alone still reaches every such pair)
+    val probes =
+      if (maxHamming < numChunks) chunks
+      else chunks.unionByName(chunks.select(col("id"), col("sig"),
+        col("chunk"),
+        explode(array((0 until bitsPer).map(b =>
+          col("bits").bitwiseXOR(lit(1L << b))): _*)).as("bits")))
+    probes.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.bits") === col("y.bits")
           && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),

@@ -182,6 +182,27 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(brute.nonEmpty)
   }
 
+  test("simhashPairs flip-variant blocking is EXACT within Hamming<=7 on 16-bit chunks") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sigs = d.select(col("doc_id").as("id"),
+      graft.functions.TextAnalysis.simhash(col("text")).as("sig"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 7)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 2*numChunks-1 = 7: one-bit-flip probes must cover every pair some
+    // chunk of which holds <= 1 error — set equality against brute force
+    val got = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 7, numChunks = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute, "flip-variant blocking must lose nothing within Hamming<=7")
+    assert(brute.nonEmpty)
+    // and the widened contract is a strict superset opportunity: it can
+    // only ADD pairs relative to the <=3 tier
+    val narrow = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3, numChunks = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(narrow.subsetOf(got))
+  }
+
   test("cosineNeardupPairs is symmetric-free (id_a < id_b) and thresholded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Dedup.cosineNeardupPairs(emb, "vec_id", "embedding", 0.4).collect()
