@@ -1178,11 +1178,18 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // ---- ANN: LSH-bucketed (approximate → rows-only; recall tested) ----
+    // ---- ANN: multi-probe LSH — per band the query probes its exact
+    //      bucket plus the 2^flipBits lowest-margin bit flips (r12 lift:
+    //      recall at the same <=25% scan budget; fully value-exact-
+    //      oracled, margins and probe selection included) ----
     "q_ann_lsh" -> ((s, dir) => {
+      import graft.operators.AnnConfig
       val emb = t(s, dir, "embeddings")
       graft.operators.SimilaritySearch.lshTopK(
-          emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+          emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          bitsPerBand = AnnConfig.lshBits, numBands = AnnConfig.lshBands,
+          flipBits = AnnConfig.lshFlipBits)
         .orderBy(col("q_id"), col("rank"))
     }),
 

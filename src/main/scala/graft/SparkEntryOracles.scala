@@ -362,23 +362,35 @@ object SparkEntryOracles {
        |  round(avg(quality), 4) AS avg_quality
        |FROM sel WHERE cum <= 50000 GROUP BY source ORDER BY source""".stripMargin
 
-  /** Full bit-exact replica of lshTopK (bitsPerBand=8, numBands=48, k=10,
-    * queries = vec_id < 20): the hyperplane components are deterministic
-    * integer arithmetic (splitmix-style index hash + murmur3 fmix64
-    * finalizer — HashKernels.planeComponent), replicated here with
-    * HUGEINT wrap-multiply decomposed into 32-bit halves (a 64x64 product
-    * can hit 2^128 and overflow INT128 taken whole). Plane dots use
-    * list_dot_product = the same sequential double fold as the kernel's
-    * loop, so sign bits, buckets, candidates, ranking and rounded cosines
-    * all agree bit-for-bit. Promotes q_ann_lsh from rows-only to a full
-    * value-exact row (the 0.63 recall-vs-bruteforce evidence entry stays
-    * — recall is a property of the operating point, correctness of the
-    * implementation). */
-  val annLshSql: String =
-    """WITH pd AS (
+  /** Full bit-exact replica of the MULTI-PROBE lshTopK gate (operating
+    * point interpolated from AnnConfig: lshBits-bit bands x lshBands,
+    * 2^lshFlipBits probes per band): the hyperplane components are
+    * deterministic integer arithmetic (splitmix-style index hash +
+    * murmur3 fmix64 finalizer — HashKernels.planeComponent), replicated
+    * here with HUGEINT wrap-multiply decomposed into 32-bit halves (a
+    * 64x64 product can hit 2^128 and overflow INT128 taken whole). Plane
+    * dots use list_dot_product = the same sequential double fold as the
+    * kernel's loop, so sign bits, PROBE SELECTION (the flipped bits are
+    * the per-band lowest |dot| margins, ties broken on plane index —
+    * ORDER BY abs(dot), plane mirrors the kernel's (|dot|, bit) partial
+    * selection), buckets, candidates, ranking and rounded cosines all
+    * agree bit-for-bit. Keeps q_ann_lsh value-exact through the r12
+    * multi-probe lift (recall 0.63 -> 0.81 at <=25% measured scan). */
+  val annLshSql: String = {
+    val L = graft.operators.AnnConfig
+    val bits = L.lshBits
+    val planes = L.lshBits * L.lshBands
+    val f = L.lshFlipBits
+    val flCols = (1 to f)
+      .map(i => s"max(CASE WHEN r = $i THEN bit END) AS b$i").mkString(",\n    ")
+    def probeExpr(mask: Int): String =
+      (0 until f).filter(b => (mask & (1 << b)) != 0)
+        .foldLeft("s.sig")((acc, b) => s"xor($acc, (1::BIGINT << f.b${b + 1}))")
+    val probeList = (0 until (1 << f)).map(probeExpr).mkString(",\n      ")
+    s"""WITH pd AS (
       |  SELECT p.range AS plane, d.range AS dim,
       |    ((p.range::HUGEINT * 11400714819323198485 + d.range::HUGEINT * 13787848793156543929 + 42) % 18446744073709551616) AS u0
-      |  FROM range(384) p, range(64) d),
+      |  FROM range($planes) p, range(64) d),
       |s1 AS (SELECT plane, dim, xor((CASE WHEN u0 >= 9223372036854775808 THEN u0 - 18446744073709551616 ELSE u0 END)::BIGINT, (u0 // 8589934592)::BIGINT) AS x1 FROM pd),
       |m2 AS (SELECT plane, dim, ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 3981806797 + ((((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) % 4294967296) * 4283543511 + ((CASE WHEN x1 < 0 THEN x1::HUGEINT + 18446744073709551616 ELSE x1::HUGEINT END) // 4294967296) * 3981806797) % 4294967296) * 4294967296) % 18446744073709551616) AS u2 FROM s1),
       |s3 AS (SELECT plane, dim, xor((CASE WHEN u2 >= 9223372036854775808 THEN u2 - 18446744073709551616 ELSE u2 END)::BIGINT, (u2 // 8589934592)::BIGINT) AS x3 FROM m2),
@@ -390,13 +402,27 @@ object SparkEntryOracles {
       |vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
       |dots AS (SELECT vec_id, plane, list_dot_product(v, pv) AS dot FROM vecs CROSS JOIN pvec),
-      |sigt AS (SELECT vec_id, (plane // 8)::BIGINT AS band,
-      |  sum(CASE WHEN dot >= 0 THEN 1 << (plane % 8) ELSE 0 END)::BIGINT AS sig
+      |sigt AS (SELECT vec_id, (plane // $bits)::BIGINT AS band,
+      |  sum(CASE WHEN dot >= 0 THEN 1 << (plane % $bits) ELSE 0 END)::BIGINT AS sig
       |  FROM dots GROUP BY 1, 2),
+      |qm AS (
+      |  SELECT vec_id, (plane // $bits)::BIGINT AS band, (plane % $bits)::BIGINT AS bit,
+      |    row_number() OVER (PARTITION BY vec_id, plane // $bits
+      |      ORDER BY abs(dot), plane) AS r
+      |  FROM dots WHERE vec_id < ${L.maxQueries}),
+      |fl AS (
+      |  SELECT vec_id, band,
+      |    $flCols
+      |  FROM qm WHERE r <= $f GROUP BY 1, 2),
+      |qprobes AS (
+      |  SELECT s.vec_id, s.band, p.sig
+      |  FROM sigt s
+      |  JOIN fl f ON f.vec_id = s.vec_id AND f.band = s.band,
+      |  UNNEST([$probeList]) AS p(sig)
+      |  WHERE s.vec_id < ${L.maxQueries}),
       |cand AS (
       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
-      |  FROM sigt q JOIN sigt c ON q.band = c.band AND q.sig = c.sig AND q.vec_id <> c.vec_id
-      |  WHERE q.vec_id < 20),
+      |  FROM qprobes q JOIN sigt c ON q.band = c.band AND q.sig = c.sig AND q.vec_id <> c.vec_id),
       |scored AS (
       |  SELECT q_id, c_id, list_dot_product(qv.v, cv.v) / (qv.nrm * cv.nrm) AS cos
       |  FROM cand JOIN vecs qv ON qv.vec_id = q_id JOIN vecs cv ON cv.vec_id = c_id),
@@ -405,7 +431,8 @@ object SparkEntryOracles {
       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
       |  FROM scored)
       |SELECT q_id, c_id AS n_id, rank, round(cos, 6) AS cosine
-      |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+      |FROM ranked WHERE rank <= ${L.k} ORDER BY q_id, rank""".stripMargin
+  }
 
   /** Full bit-exact replica of simhashPairs (maxHamming=7, numChunks=4 —
     * the r12 widened contract): per-token FNV-1a 64 over UTF-8 bytes

@@ -77,15 +77,24 @@ object Verify {
           hit.toDouble / nTruth}%.4f$extra}"""
       }
     }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
-    // Explicit tier label for the two partition-pruning alternates: on the
-    // UNIFORM-RANDOM testdata embeddings, recall of any method that prunes
-    // by partition (LSH buckets, IVF lists) is bounded by its scan
-    // fraction — there is no cluster structure to exploit. They are kept
-    // as diagnostic/teaching baselines; the production approximate path is
-    // q_ann_ivfpq (0.90 recall@10 at ~25% scan via compressed full
-    // coverage + exact re-rank).
-    val annTierNote: String =
-      ""","tier":"teaching baseline: partition-pruning recall is scan-fraction-bounded on uniform-random testdata; production path is q_ann_ivfpq""""
+    // q_ann_lsh (r12): the multi-probe lift replaced the old single-probe
+    // teaching tier — per band the query also probes flips of its
+    // lowest-margin bits. Stamp the MEASURED distinct-candidate scan
+    // fraction at the gate's exact AnnConfig operating point alongside
+    // recall, so the evidence shows the (recall, scan) pair the ask
+    // graded, not a nominal estimate.
+    def lshExtra: String = scala.util.Try {
+      val L = graft.operators.AnnConfig
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val n = emb.count()
+      val cands = graft.operators.SimilaritySearch.lshCandidates(
+        emb, emb.filter(col("vec_id") < L.maxQueries), "vec_id", "embedding",
+        L.lshBits, L.lshBands, L.lshFlipBits).select("q_id", "c_id").count()
+      val nq = math.min(L.maxQueries.toLong, n)
+      f""","bits":${L.lshBits},"bands":${L.lshBands},"flip_bits":${
+        L.lshFlipBits},"scan_fraction":${
+        cands.toDouble / math.max(1L, nq * (n - 1))}%.4f,"tier":"multi-probe (margin-guided bucket flips), value-exact-oracled; compressed production path is q_ann_ivfpq""""
+    }.recover { case _ => "" }.get
     // Round-11: the four ANN gates below are now VALUE-EXACT-oracled (the
     // serve path replays from frozen codebooks/centroids in DuckDB);
     // recall here quantifies TRAINING quality, not an unchecked pipeline.
@@ -288,7 +297,7 @@ object Verify {
       }
     }.recover { case e => s"""{"error":"${e.getMessage.take(80)}"}""" }.get
     val body =
-      s"""{"q_ann_lsh": ${annRecall("q_ann_lsh", annTierNote)},
+      s"""{"q_ann_lsh": ${annRecall("q_ann_lsh", lshExtra)},
          |"q_ann_ivf_kmeans": ${annRecall("q_ann_ivf_kmeans", ivfKMeansExtra)},
          |"q_ann_pq": ${annRecall("q_ann_pq", frozenNote)},
          |"q_ann_pq_index": ${annRecall("q_ann_pq_index", frozenNote)},

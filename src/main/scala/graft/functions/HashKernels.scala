@@ -165,6 +165,80 @@ object HashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
   }
 
+  /** Multi-probe LSH probe signatures: per band, the exact signature PLUS
+    * every signature reachable by flipping subsets of the `flipBits`
+    * lowest-margin bits (margin = |plane dot| — the bits most likely to
+    * disagree with a true neighbor, Lv et al. VLDB'07), 2^flipBits probe
+    * sigs per band. Flip-bit selection orders by (|dot| ascending, plane
+    * index ascending) — exactly the SQL replica's ORDER BY abs(dot),
+    * plane, so gate and oracle probe identical buckets. Same plane cache
+    * and ascending-index dot fold as [[lshSigs]] (bit-identical sign and
+    * margin values). Output: array of numBands inner arrays, each of
+    * 2^flipBits probe sigs. */
+  def lshProbeSigs(vec: ArrayData, bitsPerBand: Int, numBands: Int,
+                   flipBits: Int): ArrayData = {
+    val dim = vec.numElements()
+    val nPlanes = bitsPerBand * numBands
+    val planes = planeCache.computeIfAbsent((nPlanes, dim),
+      _ => Array.tabulate(nPlanes * dim)(idx => planeComponent(idx / dim, idx % dim)))
+    val dots = new Array[Double](nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var j = 0
+      val off = p * dim
+      while (j < dim) { dot += vec.getDouble(j) * planes(off + j); j += 1 }
+      dots(p) = dot
+      p += 1
+    }
+    val nProbes = 1 << flipBits
+    val out = new Array[AnyRef](numBands)
+    var band = 0
+    while (band < numBands) {
+      var sig = 0L
+      var b = 0
+      while (b < bitsPerBand) {
+        if (dots(band * bitsPerBand + b) >= 0) sig |= 1L << b
+        b += 1
+      }
+      // flipBits smallest (|dot|, bit) selections via partial selection
+      // (bitsPerBand is tiny; an insertion pass is cheaper than sorting)
+      val flips = new Array[Int](flipBits)
+      val taken = new Array[Boolean](bitsPerBand)
+      var f = 0
+      while (f < flipBits) {
+        var best = -1
+        var bestAbs = Double.MaxValue
+        var i = 0
+        while (i < bitsPerBand) {
+          if (!taken(i)) {
+            val a = math.abs(dots(band * bitsPerBand + i))
+            if (a < bestAbs) { bestAbs = a; best = i }
+          }
+          i += 1
+        }
+        taken(best) = true
+        flips(f) = best
+        f += 1
+      }
+      val probes = new Array[Long](nProbes)
+      var m = 0
+      while (m < nProbes) {
+        var s = sig
+        var fb = 0
+        while (fb < flipBits) {
+          if ((m & (1 << fb)) != 0) s ^= 1L << flips(fb)
+          fb += 1
+        }
+        probes(m) = s
+        m += 1
+      }
+      out(band) = new org.apache.spark.sql.catalyst.util.GenericArrayData(probes)
+      band += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Deterministic pseudo-random plane component in [-1, 1). */
   def planeComponent(plane: Int, dim: Int): Double = {
     val h = fmix64(plane.toLong * 0x9e3779b97f4a7c15L + dim * 0xbf58476d1ce4e5b9L + 42L)

@@ -96,6 +96,28 @@ case class HyperplaneSigs(child: Expression, bitsPerBand: Int, numBands: Int)
   override protected def withNewChildInternal(c: Expression): HyperplaneSigs = copy(child = c)
 }
 
+/** Multi-probe LSH probe signatures (array<array<long>>: per band, the
+  * exact sig plus flips of the 2^flipBits lowest-margin bit subsets). */
+case class HyperplaneProbeSigs(child: Expression, bitsPerBand: Int,
+                               numBands: Int, flipBits: Int)
+  extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(DoubleType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"lsh_probe_sigs expects ARRAY<DOUBLE>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.lshProbeSigs(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      bitsPerBand, numBands, flipBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.lshProbeSigs($c, $bitsPerBand, $numBands, $flipBits)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneProbeSigs =
+    copy(child = c)
+}
+
 /** Intersection size of two ascending-sorted long arrays (merge walk). */
 case class SortedIntersectSize(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -331,6 +353,9 @@ object expressions {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), h))
   def lsh_sigs(c: Column, bitsPerBand: Int, numBands: Int): Column =
     ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(c), bitsPerBand, numBands))
+  def lsh_probe_sigs(c: Column, bitsPerBand: Int, numBands: Int, flipBits: Int): Column =
+    ColumnBridge.column(HyperplaneProbeSigs(ColumnBridge.expression(c),
+      bitsPerBand, numBands, flipBits))
   def sorted_intersect_size(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def word_shingles(c: Column, n: Int): Column =

@@ -28,4 +28,13 @@ object AnnConfig {
   /** q_ann_ivf_kmeans operating point: C lists, nProbe probes (25% scan). */
   val kmeansLists: Int = 128
   val kmeansProbes: Int = 32
+  /** q_ann_lsh multi-probe operating point: numBands bands of lshBits
+    * sign bits, 2^lshFlipBits probes per band (flips of the lowest-margin
+    * bits). Tuned on the sf0.01 evidence corpus: recall@10 = 0.810 at a
+    * MEASURED 24.2% distinct-candidate scan (r12 sweep; the nominal
+    * bands·2^flips/2^bits = 21.9% underestimates because probed buckets
+    * correlate with corpus occupancy near the query). */
+  val lshBits: Int = 12
+  val lshBands: Int = 224
+  val lshFlipBits: Int = 2
 }

@@ -81,37 +81,36 @@ object SimilaritySearch {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** LSH ANN: B band signatures of `bitsPerBand` hyperplane sign bits each;
-    * a corpus vector is a candidate for a query if any band matches.
-    * Output: (q_id, n_id, rank, cosine) — approximate; measure recall
-    * against bruteForceTopK.
+  /** MULTI-PROBE LSH ANN (Lv et al., VLDB'07): the corpus is hashed ONCE
+    * into `numBands` bucket tables of `bitsPerBand` hyperplane sign bits;
+    * each QUERY probes, per band, its exact bucket plus every bucket
+    * reachable by flipping subsets of its `flipBits` lowest-margin bits
+    * (2^flipBits probes/band) — the buckets a near neighbor most likely
+    * fell into when a low-margin sign bit disagreed. A corpus vector is a
+    * candidate if any probe matches. Output: (q_id, n_id, rank, cosine) —
+    * approximate; measure recall against bruteForceTopK.
     *
-    * Default (8, 48) is tuned on the hardest case (near-uniform random
-    * embeddings, the testdata): recall@10 = 0.63 vs 0.24 for the old
-    * (6, 8) at comparable cost. The knobs trade along two axes: expected
-    * candidate fraction ≈ numBands · 2^-bitsPerBand (8,48 → ~19% of the
-    * corpus probed per query), while recall rises with bands and falls
-    * with bits; on clustered real-world embeddings (higher neighbor
-    * cosine) recall is strictly better than this floor. */
+    * Default (12, 224, 2) is tuned on the hardest case (near-uniform
+    * random embeddings, the testdata): recall@10 = 0.810 at a MEASURED
+    * 24.2% distinct-candidate scan (r12 sweep — the lift from the
+    * single-probe (8, 48) point's 0.63 at ~19%; EVIDENCE re-measures
+    * per round). Measured scan runs ABOVE the nominal numBands·
+    * 2^flipBits/2^bitsPerBand = 21.9%: probed buckets correlate with
+    * corpus occupancy near the query. Recall rises with bands and
+    * flips, falls with bits; on clustered real-world embeddings recall
+    * is strictly better than this uniform-data floor.
+    *
+    * Scale: corpus-side cost is UNCHANGED by multi-probe (one sig kernel
+    * pass, numBands 16-byte rows per vector — the index); only the tiny
+    * query side fans out 2^flipBits×. The candidate join stays (band,
+    * sig) equi, so the shuffle is proportional to probes × bucket
+    * occupancy, never corpus × queries. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int,
-              bitsPerBand: Int = 8, numBands: Int = 48): DataFrame = {
-    def banded(df: DataFrame, pfx: String): DataFrame = {
-      val p = prepared(df, idCol, vecCol)
-      // all band signatures in one kernel pass (custom codegen expression);
-      // the composed form generated bands x bits x dim multiply nodes
-      p.select(col("id").as(s"${pfx}_id"), col("v").as(s"${pfx}_v"),
-          col("nrm").as(s"${pfx}_n"),
-          posexplode(graft.functions.expressions.lsh_sigs(col("v"), bitsPerBand, numBands))
-            .as(Seq("band", "sig")))
-    }
-    val cb = banded(corpus, "c")
-    val qb = banded(queries, "q")
-    val cand = qb.join(cb, Seq("band", "sig"))
-      .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("q_v"), col("q_n"),
-        col("c_id"), col("c_v"), col("c_n"))
-      .distinct()
+              bitsPerBand: Int = 12, numBands: Int = 224,
+              flipBits: Int = 2): DataFrame = {
+    val cand = lshCandidates(corpus, queries, idCol, vecCol,
+      bitsPerBand, numBands, flipBits)
     val scored = cand.withColumn("cosine",
       dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
@@ -119,6 +118,35 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id").as("n_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** The distinct (query, corpus) candidate pairs lshTopK scores — public
+    * so the evidence pass can measure the TRUE scan fraction
+    * (|candidates| / (|Q|·(N-1))) at the gate's exact operating point,
+    * probe overlap included. Carries both payloads for the scorer. */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, bitsPerBand: Int = 12,
+                    numBands: Int = 224, flipBits: Int = 2): DataFrame = {
+    // corpus: all band signatures in one kernel pass (codegen expression;
+    // the composed form generated bands x bits x dim multiply nodes)
+    val c = prepared(corpus, idCol, vecCol)
+    val cb = c.select(col("id").as("c_id"), col("v").as("c_v"),
+      col("nrm").as("c_n"),
+      posexplode(graft.functions.expressions.lsh_sigs(col("v"), bitsPerBand, numBands))
+        .as(Seq("band", "sig")))
+    // queries: per band, 2^flipBits probe sigs from one margin-aware pass
+    val q = prepared(queries, idCol, vecCol)
+    val qb = q.select(col("id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_n"),
+        posexplode(graft.functions.expressions.lsh_probe_sigs(
+          col("v"), bitsPerBand, numBands, flipBits)).as(Seq("band", "probes")))
+      .select(col("q_id"), col("q_v"), col("q_n"), col("band"),
+        explode(col("probes")).as("sig"))
+    qb.join(cb, Seq("band", "sig"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("q_v"), col("q_n"),
+        col("c_id"), col("c_v"), col("c_n"))
+      .distinct()
   }
 
   /** IVF-flat ANN. Centroids: a deterministic pseudo-random corpus sample —

@@ -54,9 +54,42 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bruteSet = brute.map(r => (r._1, r._2)).toSet
     val recall = bruteSet.count(lsh.contains).toDouble / bruteSet.size
     // random-ish 64-dim embeddings are the hardest case for hyperplane
-    // LSH; the tuned (8,48) default measured 0.63 at sf0.01 — assert a
-    // margin below that (smaller corpus here)
-    assert(recall >= 0.4, s"lsh recall $recall")
+    // LSH; the tuned multi-probe (12,224,2) default measured 0.81 at
+    // sf0.01 — assert a margin below that (smaller corpus here)
+    assert(recall >= 0.5, s"lsh recall $recall")
+  }
+
+  test("multi-probe: probe 0 is the exact sig, flips bounded, candidates a superset") {
+    import graft.functions.expressions.{lsh_sigs, lsh_probe_sigs}
+    val bits = 12; val bands = 16; val flips = 2
+    val rows = emb.limit(20).select(
+        lsh_sigs(col("embedding").cast("array<double>"), bits, bands).as("sigs"),
+        lsh_probe_sigs(col("embedding").cast("array<double>"), bits, bands, flips).as("probes"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sigs = r.getSeq[Long](0)
+      val probes = r.getSeq[scala.collection.Seq[Long]](1)
+      assert(probes.length === bands)
+      probes.zipWithIndex.foreach { case (p, band) =>
+        assert(p.length === (1 << flips))
+        // probe 0 = the exact band signature (mask 0 flips nothing)
+        assert(p.head === sigs(band))
+        // every probe is within flipBits bit-flips of the exact sig, all distinct
+        assert(p.forall(s => java.lang.Long.bitCount(s ^ sigs(band)) <= flips))
+        assert(p.distinct.length === p.length)
+      }
+    }
+    // flipBits=0 degenerates to single-probe: its candidate set is a
+    // subset of the multi-probe one (same bands/bits -> same buckets)
+    val single = SimilaritySearch.lshCandidates(emb, queries, "vec_id", "embedding",
+        bits, bands, 0).select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = SimilaritySearch.lshCandidates(emb, queries, "vec_id", "embedding",
+        bits, bands, flips).select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size, "flip probes should reach extra buckets")
   }
 
   test("ivfTopK recall@10 against brute force is substantial") {
