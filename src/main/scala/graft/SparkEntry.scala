@@ -1193,6 +1193,31 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- ANN over a PERSISTED LSH index: build → save → load → search,
+    //      the standing-corpus serving shape (corpus hashed once; queries
+    //      pay their own probe kernel + 16-byte band joins + candidate-id
+    //      vector lookups). Signatures are pure functions of the vector,
+    //      so the index-served result EQUALS lshTopK's from-scratch
+    //      result — certified by the SAME multi-probe DuckDB oracle. ----
+    "q_ann_lsh_index" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-lsh-idx-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = t(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.buildLshIndex(
+        emb, "vec_id", "embedding",
+        bitsPerBand = AnnConfig.lshBits, numBands = AnnConfig.lshBands).save(tmp)
+      val loaded = graft.operators.LshIndex.load(s, tmp)
+      graft.operators.SimilaritySearch.searchLshIndex(
+          loaded, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          bitsPerBand = AnnConfig.lshBits, numBands = AnnConfig.lshBands,
+          flipBits = AnnConfig.lshFlipBits)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- ANN: IVF-flat (approximate → rows-only; recall tested) ----
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3510,6 +3535,10 @@ object SparkEntry {
     // bit-exact hyperplane-LSH replica (plane hash via decomposed HUGEINT
     // wrap-multiply; sequential-fold dots) — see SparkEntryOracles.annLshSql
     "q_ann_lsh" -> SparkEntryOracles.annLshSql,
+    // index-served LSH returns exactly what from-scratch lshTopK returns
+    // (signatures are pure functions of the vector; parquet round-trips
+    // doubles exactly) — one oracle certifies both serve paths
+    "q_ann_lsh_index" -> SparkEntryOracles.annLshSql,
 
     // bit-exact FNV-1a + fmix64 replicas (same HUGEINT wrap-multiply
     // technique): simhash signatures and the Count-Min sketch are both

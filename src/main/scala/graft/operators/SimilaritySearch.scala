@@ -38,6 +38,24 @@ object PqIndex {
       spark.read.parquet(s"$dir/codes"))
 }
 
+/** A persisted hyperplane-LSH index: `bands` = (id, band, sig) — the
+  * corpus bucket table, numBands rows per vector; `vectors` = (id, v,
+  * nrm) — the exact-scoring table with precomputed norms. Build with
+  * `SimilaritySearch.buildLshIndex`, extend with `lshBands` (+ the new
+  * rows' vectors), serve with `searchLshIndex`. */
+final case class LshIndex(bands: DataFrame, vectors: DataFrame) {
+  def save(dir: String): Unit = {
+    bands.write.mode("overwrite").parquet(s"$dir/bands")
+    vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+}
+
+object LshIndex {
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): LshIndex =
+    LshIndex(spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/vectors"))
+}
+
 /** A persisted IVF-PQ index (the FAISS-style billion-scale layout):
   * `centroids` = (cent_id, cv) — the inverted-list anchors; `codebooks`
   * as in [[PqIndex]]; `codes` = (id, list_id, code BINARY) — each corpus
@@ -147,6 +165,70 @@ object SimilaritySearch {
       .select(col("q_id"), col("q_v"), col("q_n"),
         col("c_id"), col("c_v"), col("c_n"))
       .distinct()
+  }
+
+  /** Build a PERSISTED hyperplane-LSH index over a standing corpus — hash
+    * the corpus ONCE, serve query batches forever (and hash new batches
+    * incrementally with [[lshBands]]): the standing-corpus serving shape
+    * of [[lshTopK]], matching PqIndex/IvfPqIndex. `bands` is the (id,
+    * band, sig) bucket table — numBands ~16-byte rows per vector, an
+    * append-only parquet any new batch extends; `vectors` is the (id, v,
+    * nrm) scoring table (norms precomputed, the only corpus read a query
+    * pays is the candidate-id equi-join). Signatures are pure functions
+    * of the vector, so an index-served search returns EXACTLY what
+    * lshTopK computes from scratch (spec-pinned), and the same DuckDB
+    * oracle certifies both. */
+  def buildLshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    bitsPerBand: Int = 12, numBands: Int = 224): LshIndex = {
+    val c = prepared(corpus, idCol, vecCol)
+    LshIndex(lshBands(corpus, idCol, vecCol, bitsPerBand, numBands),
+      c.select(col("id"), col("v"), col("nrm")))
+  }
+
+  /** Band rows of a (new) vector batch — build half + the incremental-
+    * ingestion half: append to a standing index's `bands` table (and the
+    * batch's (id, v, nrm) rows to `vectors`); nothing existing is
+    * touched or re-hashed. */
+  def lshBands(df: DataFrame, idCol: String, vecCol: String,
+               bitsPerBand: Int = 12, numBands: Int = 224): DataFrame = {
+    val c = prepared(df, idCol, vecCol)
+    c.select(col("id"),
+      posexplode(graft.functions.expressions.lsh_sigs(col("v"), bitsPerBand, numBands))
+        .as(Seq("band", "sig")))
+  }
+
+  /** Multi-probe search over a persisted LSH index: the query batch
+    * computes its probe signatures (one margin-aware kernel pass), joins
+    * the index's 16-byte band rows for candidates, and pulls ONLY the
+    * candidate vectors by id for exact cosine scoring — the corpus is
+    * never re-hashed and its vectors are touched only at candidate ids
+    * (with Bloom/zone-map sidecars that read is a point lookup). Output
+    * contract identical to [[lshTopK]] at the same operating point —
+    * same candidates, same scores, same (cosine DESC, id) tie-break. */
+  def searchLshIndex(index: LshIndex, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, bitsPerBand: Int = 12,
+                     numBands: Int = 224, flipBits: Int = 2): DataFrame = {
+    val q = prepared(queries, idCol, vecCol)
+    val qb = q.select(col("id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_n"),
+        posexplode(graft.functions.expressions.lsh_probe_sigs(
+          col("v"), bitsPerBand, numBands, flipBits)).as(Seq("band", "probes")))
+      .select(col("q_id"), col("q_v"), col("q_n"), col("band"),
+        explode(col("probes")).as("sig"))
+    val cand = qb.join(index.bands.select(col("id").as("c_id"),
+          col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("q_v"), col("q_n"), col("c_id"))
+      .distinct()
+    val scored = cand.join(index.vectors.select(col("id").as("c_id"),
+        col("v").as("c_v"), col("nrm").as("c_n")), "c_id")
+      .withColumn("cosine",
+        dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("n_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
   }
 
   /** IVF-flat ANN. Centroids: a deterministic pseudo-random corpus sample —

@@ -92,6 +92,26 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(multi.size > single.size, "flip probes should reach extra buckets")
   }
 
+  test("searchLshIndex over buildLshIndex equals lshTopK exactly (save/load round trip)") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-idx").toString
+    SimilaritySearch.buildLshIndex(emb, "vec_id", "embedding",
+      bitsPerBand = 12, numBands = 32).save(dir)
+    val loaded = graft.operators.LshIndex.load(spark, dir)
+    // band table shape: numBands rows per vector, 3 columns
+    assert(loaded.bands.columns.toSeq === Seq("id", "band", "sig"))
+    assert(loaded.bands.count() === emb.count() * 32)
+    val served = SimilaritySearch.searchLshIndex(loaded, queries,
+        "vec_id", "embedding", 10, bitsPerBand = 12, numBands = 32, flipBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val scratch = SimilaritySearch.lshTopK(emb, queries, "vec_id", "embedding", 10,
+        bitsPerBand = 12, numBands = 32, flipBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // signatures are pure functions of the vector and parquet round-trips
+    // doubles exactly -> identical candidates, scores, ranks
+    assert(served === scratch)
+    assert(served.nonEmpty)
+  }
+
   test("ivfTopK recall@10 against brute force is substantial") {
     val ivf = SimilaritySearch.ivfTopK(emb, queries, "vec_id", "embedding", 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
