@@ -62,18 +62,25 @@ object SparkEntry {
     * pass. The token is pure bounded-integer arithmetic both engines
     * compute identically (no FP accumulation-order hazard: the only
     * double op is a per-row IEEE multiply + floor, then integer sums):
-    * per row, pmod(pmod(vec_id, 2^31)·2654435761 + floor(v[0]·4096), 1e9)
-    * — two equal-count corpora collide only if the sum of these per-row
-    * hashes (ids AND leading-coordinate content) agrees. Per-row value
-    * < 1e9, so the Long sum is exact below ~9.2e9 rows — far above any
-    * frozen-gate corpus. DuckDB replica in SparkEntryOracles. */
+    * per row, pmod(pmod(vec_id, 2^31)·2654435761 + floor(v[0]·4096)
+    * + floor(v[-1]·4096), 1e9) — two equal-count corpora collide only if
+    * the sum of these per-row hashes (ids AND first-and-last-coordinate
+    * content) agrees. Sampling BOTH ends closes the r12 window where a
+    * re-generated / tail-perturbed variant of the same corpus shared ids
+    * and leading coordinates: a collision now needs agreement on every
+    * sampled coordinate, at unchanged cost (same single aggregate pass).
+    * Per-row value < 1e9, so the Long sum is exact below ~9.2e9 rows —
+    * far above any frozen-gate corpus. DuckDB replica in
+    * SparkEntryOracles (element_at(v, -1) and list_extract(v, -1) both
+    * index from the tail). */
   private[graft] def corpusSig(emb: DataFrame): (Long, Long) = {
+    val v = col("embedding").cast("array<double>")
     val r = emb.select(
       count(lit(1)),
       sum(pmod(
         pmod(col("vec_id").cast("long"), lit(2147483648L)) * lit(2654435761L)
-          + floor(element_at(col("embedding").cast("array<double>"), 1)
-              * lit(4096.0)).cast("long"),
+          + floor(element_at(v, 1) * lit(4096.0)).cast("long")
+          + floor(element_at(v, -1) * lit(4096.0)).cast("long"),
         lit(1000000000L)))).head()
     (r.getLong(0), r.getLong(1))
   }

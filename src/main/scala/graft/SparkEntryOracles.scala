@@ -731,12 +731,17 @@ object SparkEntryOracles {
   // ---------------------------------------------------------------------
 
   /** DuckDB replica of SparkEntry.corpusSig's content token: the same
-    * bounded-integer per-row hash of (vec_id, leading coordinate), summed
-    * — pmod semantics spelled out since DuckDB's % keeps the dividend's
-    * sign while Spark's pmod is always non-negative. */
+    * bounded-integer per-row hash of (vec_id, first AND last coordinate),
+    * summed — pmod semantics spelled out since DuckDB's % keeps the
+    * dividend's sign while Spark's pmod is always non-negative; that wrap
+    * is applied to the INNER vec_id mod too, so a corpus with negative
+    * vec_ids still derives the identical token on both sides.
+    * list_extract(v, -1) indexes from the tail, matching Spark's
+    * element_at(v, -1). */
   private val corpusTokenSql: String =
-    """(SELECT CAST(SUM((((vec_id % 2147483648) * 2654435761
-      |   + CAST(floor(list_extract(CAST(embedding AS DOUBLE[]), 1) * 4096) AS BIGINT))
+    """(SELECT CAST(SUM((((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761
+      |   + CAST(floor(list_extract(CAST(embedding AS DOUBLE[]), 1) * 4096) AS BIGINT)
+      |   + CAST(floor(list_extract(CAST(embedding AS DOUBLE[]), -1) * 4096) AS BIGINT))
       |   % 1000000000 + 1000000000) % 1000000000) AS BIGINT) FROM embeddings)""".stripMargin
 
   /** Frozen-frame reader: hive n=<count>/h=<token> partition matching the

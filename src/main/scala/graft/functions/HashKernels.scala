@@ -177,6 +177,13 @@ object HashKernels {
     * 2^flipBits probe sigs. */
   def lshProbeSigs(vec: ArrayData, bitsPerBand: Int, numBands: Int,
                    flipBits: Int): ArrayData = {
+    // flipBits > bitsPerBand would exhaust the not-taken set (best = -1 →
+    // AIOOBE at taken(best)); flipBits >= 31 overflows `1 << flipBits`.
+    // The SQL oracle under the same misconfiguration silently emits NULL
+    // probe sigs (dropped candidates) — so fail loud and early here, on
+    // the side that runs first. By-name message: zero cost when valid.
+    require(flipBits >= 0 && flipBits <= bitsPerBand && flipBits < 31,
+      s"flipBits $flipBits must be in [0, min(bitsPerBand=$bitsPerBand, 30)]")
     val dim = vec.numElements()
     val nPlanes = bitsPerBand * numBands
     val planes = planeCache.computeIfAbsent((nPlanes, dim),

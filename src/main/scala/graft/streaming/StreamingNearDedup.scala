@@ -177,8 +177,9 @@ object StreamingNearDedup {
 
   /** The continuous form: drive [[processBatch]] from a Structured
     * Streaming query. Pair outputs land under `pairsDir/batch=<id>`
-    * (read the root to get the growing pair log); the standing index
-    * accumulates under `indexDir`.
+    * (read the root to get the growing pair log — with distinct() if an
+    * interrupted compaction may not have rerun yet, see [[compactPairs]]'
+    * consistency note); the standing index accumulates under `indexDir`.
     *
     * `compactEvery` > 0 bounds the small-file growth of a long-running
     * loop: every `compactEvery`-th batch first collapses all index AND
@@ -215,7 +216,17 @@ object StreamingNearDedup {
     * globally distinct (ids are unique across batches and a pair is
     * emitted exactly once, by the later doc's batch), so the merged
     * partition's distinct() preserves the multiset and the same
-    * duplicate-tolerant add-before-remove protocol applies. */
+    * duplicate-tolerant add-before-remove protocol applies.
+    *
+    * CONSISTENCY NOTE for pair-log readers: between a compaction that
+    * failed/crashed mid-phase-2/3 and its rerun, the visible log can
+    * transiently hold DUPLICATE pair rows (staged copies renamed in
+    * before the absorbed partitions were removed). That is provably
+    * harmless for the set-semantics index, but a consumer counting raw
+    * rows in that window over-counts — read the log with distinct() (or
+    * tolerate duplicates) if a compaction may have aborted; the next
+    * successful compaction collapses them. Same caveat on [[start]]'s
+    * `pairsDir`. */
   def compactPairs(spark: org.apache.spark.sql.SparkSession,
                    pairsDir: String, upToBatch: Long): Unit =
     compactPartitioned(spark, pairsDir, upToBatch)

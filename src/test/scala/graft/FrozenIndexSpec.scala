@@ -39,22 +39,44 @@ class FrozenIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-derive the oracle's pmod arithmetic on the driver: if this
     // drifts from corpusSig, the oracle would select zero rows and every
     // frozen gate would hash-mismatch — pin the equivalence here
-    val ids = Seq(0L, 1L, 7L, 123456789L, 2147483650L)
+    // -5L pins the negative-id path: the SQL replica wraps the INNER
+    // vec_id mod the same way as Spark's pmod (DuckDB % keeps sign)
+    val ids = Seq(0L, 1L, 7L, 123456789L, 2147483650L, -5L)
     val rows = ids.map(i => (i, Array.tabulate(64)(d => -0.7 + d * 0.02 + i * 1e-7)))
     import spark.implicits._
     val df = rows.toDF("vec_id", "embedding")
     val (_, tok) = SparkEntry.corpusSig(df)
     def pmod(x: Long, m: Long): Long = { val r = x % m; if (r < 0) r + m else r }
     val want = rows.map { case (id, v) =>
-      pmod(pmod(id, 2147483648L) * 2654435761L + math.floor(v(0) * 4096).toLong,
+      pmod(pmod(id, 2147483648L) * 2654435761L
+          + math.floor(v(0) * 4096).toLong + math.floor(v(63) * 4096).toLong,
         1000000000L)
     }.sum
     assert(tok === want)
   }
 
+  test("tail-perturbed corpus (same ids, same leading coords) gets a different token") {
+    import spark.implicits._
+    // the r12 window: two corpora agreeing on ids and FIRST coordinates
+    // collided on (n, h); sampling the last coordinate closes it
+    val base = (0L until 50L).map(i =>
+      (i, Array.tabulate(64)(d => (d + 1) * 0.01 + i * 0.001)))
+    val perturbed = base.map { case (i, v) =>
+      (i, v.updated(63, v(63) + 1.0))
+    }
+    val (na, ta) = SparkEntry.corpusSig(base.toDF("vec_id", "embedding"))
+    val (nb, tb) = SparkEntry.corpusSig(perturbed.toDF("vec_id", "embedding"))
+    assert(na === nb)
+    assert(ta !== tb)
+  }
+
   test("freeze partitions coexist per (n, token); reload returns the right frame") {
     import spark.implicits._
     val gate = "spec_frozen_gate"
+    // spec-owned gate dir: clear residue from runs under older token
+    // formulas (same-day leftovers survive the 24h GC)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"${SparkEntry.frozenRoot}/$gate"))
     val a = corpus(0L until 40L, shift = 0.0)
     val b = corpus(0L until 40L, shift = 2.0)
     val (na, ta) = SparkEntry.corpusSig(a)

@@ -78,6 +78,34 @@ class PlanShapePinsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     (p +: p.children.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
 
+  test("simhashPairs blocking join is SortMergeJoin, never BroadcastHashJoin") {
+    // The round-12 scale fix: the (chunk, bits) blocking join is
+    // many-to-many on COARSE 16-bit keys — hundreds of rows per key on
+    // signature-clustered corpora — and BroadcastHashJoin walks those
+    // duplicate chains per probe row (~16x slower per candidate; GenScale
+    // sf3 measured 138 s -> 12.6 s when pinned to sort-merge, and the
+    // unpinned plan flips shape between sf points as the build side
+    // crosses the broadcast threshold, producing non-monotone scale
+    // curves). The fix lives in a single `.hint("merge")`
+    // (Dedup.simhashPairs); this pin makes its removal fail HERE instead
+    // of silently regressing until the next sf3 rehearsal.
+    val d = spark.read.parquet(docs)
+    val pairs = operators.Dedup.simhashPairs(d, "doc_id", "text")
+    val nodes = collectAll(pairs.queryExecution.executedPlan)
+    val bhj = nodes.filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj.isEmpty,
+      s"simhash blocking join broadcast a dup-heavy chunk table (the " +
+        s"merge hint was lost):\n${pairs.queryExecution.executedPlan}")
+    // anti-vacuity: the blocking join must exist and be the sort-merge
+    // form (sf0.001's chunk table is small enough that an unhinted plan
+    // WOULD pick BHJ — so this assertion is what the hint buys)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      s"no SortMergeJoin found — simhashPairs' join shape changed:\n" +
+        s"${pairs.queryExecution.executedPlan}")
+  }
+
   test("NB quality scorer shuffles 8-byte fingerprints, never bigram strings") {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.types.{LongType, StringType}
