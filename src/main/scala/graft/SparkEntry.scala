@@ -1225,6 +1225,38 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- ANN incremental ingest over a persisted LSH index: the
+    //      standing index is built on the corpus MINUS the newest batch
+    //      (even vec_ids), the batch (odd vec_ids) is APPENDED as its own
+    //      partition — only the batch is hashed, nothing standing is
+    //      touched — and the served result is value-exact EQUAL to the
+    //      from-scratch lshTopK over the full corpus, certified by the
+    //      SAME multi-probe DuckDB oracle (band signatures are pure
+    //      per-vector functions, so ingest order cannot change them). ----
+    "q_ann_lsh_index_incremental" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-lsh-inc-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = t(s, dir, "embeddings")
+      val standing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      graft.operators.SimilaritySearch.buildLshIndex(
+        standing, "vec_id", "embedding",
+        bitsPerBand = AnnConfig.lshBits, numBands = AnnConfig.lshBands).save(tmp)
+      graft.operators.LshIndex.append(tmp, batch, "vec_id", "embedding",
+        bitsPerBand = AnnConfig.lshBits, numBands = AnnConfig.lshBands,
+        batchId = 1L)
+      val loaded = graft.operators.LshIndex.load(s, tmp)
+      graft.operators.SimilaritySearch.searchLshIndex(
+          loaded, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          bitsPerBand = AnnConfig.lshBits, numBands = AnnConfig.lshBands,
+          flipBits = AnnConfig.lshFlipBits)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- ANN: IVF-flat (approximate → rows-only; recall tested) ----
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3546,6 +3578,9 @@ object SparkEntry {
     // (signatures are pure functions of the vector; parquet round-trips
     // doubles exactly) — one oracle certifies both serve paths
     "q_ann_lsh_index" -> SparkEntryOracles.annLshSql,
+    // incremental ingest serves EXACTLY the from-scratch result (pure
+    // per-vector signatures), so the same full-corpus replay certifies it
+    "q_ann_lsh_index_incremental" -> SparkEntryOracles.annLshSql,
 
     // bit-exact FNV-1a + fmix64 replicas (same HUGEINT wrap-multiply
     // technique): simhash signatures and the Count-Min sketch are both

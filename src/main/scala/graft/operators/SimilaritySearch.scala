@@ -41,19 +41,59 @@ object PqIndex {
 /** A persisted hyperplane-LSH index: `bands` = (id, band, sig) — the
   * corpus bucket table, numBands rows per vector; `vectors` = (id, v,
   * nrm) — the exact-scoring table with precomputed norms. Build with
-  * `SimilaritySearch.buildLshIndex`, extend with `lshBands` (+ the new
-  * rows' vectors), serve with `searchLshIndex`. */
+  * `SimilaritySearch.buildLshIndex`, serve with `searchLshIndex`.
+  *
+  * On-disk layout is hive-batch-partitioned (`bands/batch=<id>/`,
+  * `vectors/batch=<id>/`; a [[save]] is batch 0) so a STANDING index
+  * grows by [[append]]ing each new corpus batch as its own partition —
+  * signatures are pure per-vector functions, so nothing existing is
+  * re-hashed and an appended index serves exactly what a from-scratch
+  * build over the unioned corpus serves (spec-pinned). Appends are
+  * idempotent per batchId (overwrite of that partition only), matching
+  * the streaming-index exactly-once discipline. Long-lived indexes
+  * [[compact]] on whatever cadence bounds their file count: one
+  * directory per ingest batch eventually makes partition LISTING the
+  * per-query cost — the same small-file arc the streaming near-dup
+  * index hit, solved by the same duplicate-tolerant add-before-remove
+  * machinery ([[PartitionedCompaction]]; band/vector rows are globally
+  * distinct given unique vector ids, and candidate derivation is
+  * distinct-collapsed, so its crash-safety argument transfers). */
 final case class LshIndex(bands: DataFrame, vectors: DataFrame) {
   def save(dir: String): Unit = {
-    bands.write.mode("overwrite").parquet(s"$dir/bands")
-    vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+    bands.write.mode("overwrite").parquet(s"$dir/bands/batch=0")
+    vectors.write.mode("overwrite").parquet(s"$dir/vectors/batch=0")
   }
 }
 
 object LshIndex {
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): LshIndex =
-    LshIndex(spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/vectors"))
+    LshIndex(spark.read.parquet(s"$dir/bands").drop("batch"),
+      spark.read.parquet(s"$dir/vectors").drop("batch"))
+
+  /** Incremental ingest: hash ONLY `batch`'s vectors and land their band
+    * rows + (id, v, nrm) scoring rows as partition `batch=<batchId>` of
+    * the standing index at `dir`. Ids must be unique across batches
+    * (rows, not upserts). Existing partitions are untouched; re-running
+    * the same batchId overwrites only its own partition. */
+  def append(dir: String, batch: DataFrame, idCol: String, vecCol: String,
+             bitsPerBand: Int = 12, numBands: Int = 224,
+             batchId: Long = 1L): Unit = {
+    SimilaritySearch.lshBands(batch, idCol, vecCol, bitsPerBand, numBands)
+      .write.mode("overwrite").parquet(s"$dir/bands/batch=$batchId")
+    SimilaritySearch.preparedVectors(batch, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/vectors/batch=$batchId")
+  }
+
+  /** Collapse every `batch <= upToBatch` partition of both halves into a
+    * single partition each — the file-count bound for a long-lived
+    * appended index. Crash-safe with no manifest: see
+    * [[PartitionedCompaction]]. Compact only batches whose append has
+    * completed. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              upToBatch: Long): Unit = {
+    PartitionedCompaction.compactPartitioned(spark, s"$dir/bands", upToBatch)
+    PartitionedCompaction.compactPartitioned(spark, s"$dir/vectors", upToBatch)
+  }
 }
 
 /** A persisted IVF-PQ index (the FAISS-style billion-scale layout):
@@ -83,6 +123,13 @@ object SimilaritySearch {
   private def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", l2norm(col("v")))
+
+  /** The (id, v, nrm) scoring rows of a vector batch — the `vectors`-half
+    * counterpart of [[lshBands]] for incremental index ingest
+    * ([[LshIndex.append]]): norms precomputed once at ingest so serving
+    * never recomputes them. */
+  def preparedVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    prepared(df, idCol, vecCol)
 
   /** Exact cosine top-k. Output: (q_id, n_id, rank, cosine), self excluded. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,

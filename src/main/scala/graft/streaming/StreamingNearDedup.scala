@@ -120,60 +120,9 @@ object StreamingNearDedup {
   }
 
   private def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
-                                 root: String, upToBatch: Long): Unit = {
-    import org.apache.hadoop.fs.Path
-    val conf = spark.sessionState.newHadoopConf()
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(conf)
-    if (!fs.exists(rootPath)) return
-    def batchOf(name: String): Option[Long] =
-      if (name.startsWith("batch="))
-        scala.util.Try(name.stripPrefix("batch=").toLong).toOption
-      else None
-    val parts = fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
-      .flatMap(st => batchOf(st.getPath.getName).map(b => (b, st.getPath)))
-      .filter(_._1 <= upToBatch)
-    if (parts.size <= 1) return
-    // 1. merged rows aside (dot-dir: invisible to partition discovery)
-    val staging = new Path(rootPath, s".compact-staging-$upToBatch")
-    spark.read.option("basePath", root).parquet(root)
-      .filter(col("batch") <= upToBatch).drop("batch")
-      .distinct()
-      .write.mode("overwrite").parquet(staging.toString)
-    // 2. add staged files to the target partition (atomic per-file renames;
-    // duplicate rows during this window are harmless — see scaladoc)
-    val target = new Path(rootPath, s"batch=$upToBatch")
-    if (!fs.exists(target)) { fs.mkdirs(target): Unit }
-    val oldTargetFiles = fs.listStatus(target).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
-    val tok = java.util.UUID.randomUUID().toString.take(8)
-    // Hadoop FileSystem.rename reports most failures by RETURNING FALSE,
-    // not throwing. The add-before-remove invariant holds only if every
-    // staged file actually became visible — so collect the results and,
-    // if any move failed, ABORT before the delete phase: the absorbed
-    // source partitions stay, the already-moved files are harmless
-    // duplicates the next compaction's distinct() collapses.
-    val allMoved = fs.listStatus(staging).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .forall { st =>
-        fs.rename(st.getPath,
-          new Path(target, s"compact-$tok-${st.getPath.getName}"))
-      }
-    if (!allMoved) {
-      fs.delete(staging, true): Unit // invisible leftovers only
-      throw new java.io.IOException(
-        s"compaction aborted: rename into $target returned false; " +
-          "source partitions left intact (visible rows are duplicated, " +
-          "not lost — rerun compaction)")
-    }
-    // 3. remove absorbed partitions, the superseded target files, staging
-    parts.filter(_._1 < upToBatch).foreach { case (_, p) =>
-      fs.delete(p, true): Unit
-    }
-    oldTargetFiles.foreach(p => fs.delete(p, false): Unit)
-    fs.delete(staging, true): Unit
-  }
+                                 root: String, upToBatch: Long): Unit =
+    graft.operators.PartitionedCompaction.compactPartitioned(spark, root,
+      upToBatch)
 
   /** The continuous form: drive [[processBatch]] from a Structured
     * Streaming query. Pair outputs land under `pairsDir/batch=<id>`

@@ -112,6 +112,60 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served.nonEmpty)
   }
 
+  test("LshIndex.append: incremental ingest then search equals from-scratch lshTopK") {
+    // the incremental-extension contract (the PQ twin below, for bands):
+    // build the standing index WITHOUT the newest batch, append the batch
+    // — only its vectors are hashed — and serving must equal a
+    // from-scratch build over the unioned corpus, exactly
+    val dir = java.nio.file.Files.createTempDirectory("lsh-inc").toString
+    val standing = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    SimilaritySearch.buildLshIndex(standing, "vec_id", "embedding",
+      bitsPerBand = 12, numBands = 32).save(dir)
+    graft.operators.LshIndex.append(dir, batch, "vec_id", "embedding",
+      bitsPerBand = 12, numBands = 32, batchId = 1L)
+    val loaded = graft.operators.LshIndex.load(spark, dir)
+    // both halves carry standing + batch, nothing double-ingested
+    assert(loaded.bands.count() === emb.count() * 32)
+    assert(loaded.vectors.count() === emb.count())
+    val served = SimilaritySearch.searchLshIndex(loaded, queries,
+        "vec_id", "embedding", 10, bitsPerBand = 12, numBands = 32, flipBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val scratch = SimilaritySearch.lshTopK(emb, queries, "vec_id", "embedding", 10,
+        bitsPerBand = 12, numBands = 32, flipBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(served === scratch)
+    assert(served.nonEmpty)
+  }
+
+  test("LshIndex.compact collapses appended partitions; search result unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-compact").toString
+    // three ingest batches: the initial save (batch=0) plus two appends
+    SimilaritySearch.buildLshIndex(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", bitsPerBand = 12, numBands = 32).save(dir)
+    graft.operators.LshIndex.append(dir, emb.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", bitsPerBand = 12, numBands = 32, batchId = 1L)
+    graft.operators.LshIndex.append(dir, emb.filter(col("vec_id") % 3 === 2),
+      "vec_id", "embedding", bitsPerBand = 12, numBands = 32, batchId = 2L)
+    def serve() = SimilaritySearch.searchLshIndex(
+        graft.operators.LshIndex.load(spark, dir), queries,
+        "vec_id", "embedding", 10, bitsPerBand = 12, numBands = 32, flipBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    def batchDirs(half: String) = new java.io.File(s"$dir/$half").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+    val before = serve()
+    assert(batchDirs("bands") === Set("batch=0", "batch=1", "batch=2"))
+    graft.operators.LshIndex.compact(spark, dir, upToBatch = 2L)
+    // file-count bound: one partition per half remains, rows identical
+    assert(batchDirs("bands") === Set("batch=2"))
+    assert(batchDirs("vectors") === Set("batch=2"))
+    val loaded = graft.operators.LshIndex.load(spark, dir)
+    assert(loaded.bands.count() === emb.count() * 32)
+    assert(loaded.vectors.count() === emb.count())
+    assert(serve() === before)
+    assert(before.nonEmpty)
+  }
+
   test("ivfTopK recall@10 against brute force is substantial") {
     val ivf = SimilaritySearch.ivfTopK(emb, queries, "vec_id", "embedding", 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
