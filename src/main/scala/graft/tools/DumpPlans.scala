@@ -42,7 +42,11 @@ object DumpPlans extends App {
     "q_hybrid_retrieval_pq" -> "PQ-served hybrid: the semantic leg probes the IVF-PQ index (broadcast centroids, ADC kernel), fused by RRF",
     "q_ann_ivfpq" -> "frozen-index IVF-PQ serve: fused assign+encode kernel, probe-bounded ADC, exact re-rank",
     "q_ann_ivf_kmeans" -> "IVF-flat over k-means centroids: fused row-local corpus assignment (no N*C window), probe window on the small query side",
-    "q_dedup_stream" -> "single-pass micro-batch ingest: one doc-index pass, unified band join over the standing parquet index")
+    "q_dedup_stream" -> "single-pass micro-batch ingest: one doc-index pass, unified band join over the standing parquet index",
+    "q_dedup_simhash" -> "flip-variant pigeonhole blocking; the dup-heavy coarse-key join is pinned SortMergeJoin (hint + PlanShapePinsSpec), never BHJ",
+    "q_bpe_merges_256" -> "realistic-vocab BPE: one bounded net-delta job per merge round, driver heap argmax (plan shown = final merge table)",
+    "q_ann_lsh_index" -> "persisted-LSH serve: query-side multi-probe kernel, 16-byte band equi-join, candidate-id-only vector lookup",
+    "q_ann_lsh_index_incremental" -> "appended LSH index (standing batch=0 + ingested batch=1 partitions) serving identically to from-scratch")
   val sb = new StringBuilder
   sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
   sb.append("GENERATED artifact — regenerate with `sbt \"runMain graft.tools.DumpPlans\"`.\n")
