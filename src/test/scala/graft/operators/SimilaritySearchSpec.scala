@@ -138,6 +138,33 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served.nonEmpty)
   }
 
+  test("LshIndex.append is idempotent per batchId (replayed ingest cannot double-count)") {
+    // the exactly-once discipline the streaming index uses: a re-delivered
+    // batch OVERWRITES its own partition, so a crash-replay of the same
+    // batchId leaves the index byte-identical, never duplicated
+    val dir = java.nio.file.Files.createTempDirectory("lsh-replay").toString
+    val standing = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    SimilaritySearch.buildLshIndex(standing, "vec_id", "embedding",
+      bitsPerBand = 12, numBands = 32).save(dir)
+    graft.operators.LshIndex.append(dir, batch, "vec_id", "embedding",
+      bitsPerBand = 12, numBands = 32, batchId = 1L)
+    val once = SimilaritySearch.searchLshIndex(
+        graft.operators.LshIndex.load(spark, dir), queries,
+        "vec_id", "embedding", 10, bitsPerBand = 12, numBands = 32, flipBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // replay the same batch
+    graft.operators.LshIndex.append(dir, batch, "vec_id", "embedding",
+      bitsPerBand = 12, numBands = 32, batchId = 1L)
+    val replayed = graft.operators.LshIndex.load(spark, dir)
+    assert(replayed.bands.count() === emb.count() * 32)
+    assert(replayed.vectors.count() === emb.count())
+    val twice = SimilaritySearch.searchLshIndex(replayed, queries,
+        "vec_id", "embedding", 10, bitsPerBand = 12, numBands = 32, flipBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(twice === once)
+  }
+
   test("LshIndex.compact collapses appended partitions; search result unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("lsh-compact").toString
     // three ingest batches: the initial save (batch=0) plus two appends
