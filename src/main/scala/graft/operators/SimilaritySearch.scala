@@ -66,6 +66,11 @@ final case class LshIndex(bands: DataFrame, vectors: DataFrame) {
 }
 
 object LshIndex {
+  /** Loads both layouts: batch-partitioned (current) and the legacy flat
+    * parquet a pre-r13 save produced (the drop("batch") is a no-op
+    * there). A legacy index serves fine but must be re-[[LshIndex.save]]d
+    * before [[append]]ing — mixing flat files and batch=N dirs under one
+    * root fails Spark's partition discovery loudly, by design. */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): LshIndex =
     LshIndex(spark.read.parquet(s"$dir/bands").drop("batch"),
       spark.read.parquet(s"$dir/vectors").drop("batch"))
