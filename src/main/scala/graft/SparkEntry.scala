@@ -1257,6 +1257,38 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- ANN tombstone-delete over a persisted LSH index: the opt-out /
+    //      takedown path a long-lived training-data index needs. Build on
+    //      the FULL corpus, tombstone the odd vec_ids >= maxQueries
+    //      (nothing rewritten — the id list is its own deletes/batch=1
+    //      partition; load() anti-joins it out of both halves), serve —
+    //      and the result is value-exact EQUAL to a from-scratch build
+    //      over the SURVIVING corpus, certified by the same multi-probe
+    //      replay with the deletion predicate applied to its one corpus
+    //      CTE (annLshSqlOver). ----
+    "q_ann_lsh_index_delete" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-lsh-del-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = t(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.buildLshIndex(
+        emb, "vec_id", "embedding",
+        bitsPerBand = AnnConfig.lshBits, numBands = AnnConfig.lshBands).save(tmp)
+      graft.operators.LshIndex.delete(tmp,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1
+          && col("vec_id") >= AnnConfig.maxQueries),
+        "vec_id", batchId = 1L)
+      val loaded = graft.operators.LshIndex.load(s, tmp)
+      graft.operators.SimilaritySearch.searchLshIndex(
+          loaded, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          bitsPerBand = AnnConfig.lshBits, numBands = AnnConfig.lshBands,
+          flipBits = AnnConfig.lshFlipBits)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- ANN: IVF-flat (approximate → rows-only; recall tested) ----
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3581,6 +3613,10 @@ object SparkEntry {
     // incremental ingest serves EXACTLY the from-scratch result (pure
     // per-vector signatures), so the same full-corpus replay certifies it
     "q_ann_lsh_index_incremental" -> SparkEntryOracles.annLshSql,
+    // tombstone delete == from-scratch over the surviving corpus: the
+    // same replay with the deletion predicate on its one corpus CTE
+    "q_ann_lsh_index_delete" -> SparkEntryOracles.annLshSqlOver(
+      s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
 
     // bit-exact FNV-1a + fmix64 replicas (same HUGEINT wrap-multiply
     // technique): simhash signatures and the Count-Min sketch are both

@@ -376,7 +376,20 @@ object SparkEntryOracles {
     * selection), buckets, candidates, ranking and rounded cosines all
     * agree bit-for-bit. Keeps q_ann_lsh value-exact through the r12
     * multi-probe lift (recall 0.63 -> 0.81 at <=25% measured scan). */
-  val annLshSql: String = {
+  /** Multi-probe LSH replay over the full corpus — shared verbatim by
+    * q_ann_lsh, q_ann_lsh_index, and q_ann_lsh_index_incremental (an
+    * index-served / incrementally-ingested search EQUALS the from-scratch
+    * result, so the same replay certifies all three). */
+  val annLshSql: String = annLshSqlOver("")
+
+  /** The same replay with a corpus predicate: `corpusWhere` (a boolean
+    * SQL expression over embeddings columns, empty = all rows) filters
+    * the ONE CTE every downstream step — signatures, buckets, probes,
+    * scoring, ranking — derives from, which is exactly what deleting
+    * vectors from a standing index does to the serve path. Used by the
+    * tombstone-delete gate. */
+  def annLshSqlOver(corpusWhere: String): String = {
+    val corpusPred = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
     val L = graft.operators.AnnConfig
     val bits = L.lshBits
     val planes = L.lshBits * L.lshBands
@@ -400,7 +413,7 @@ object SparkEntryOracles {
       |  ((CASE WHEN x5 < 0 THEN x5::HUGEINT + 18446744073709551616 ELSE x5::HUGEINT END) // 2048)::DOUBLE / 9007199254740992.0 * 2.0 - 1.0 AS c FROM s5),
       |pvec AS (SELECT plane, list(c ORDER BY dim) AS pv FROM comp GROUP BY plane),
       |vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings$corpusPred),
       |dots AS (SELECT vec_id, plane, list_dot_product(v, pv) AS dot FROM vecs CROSS JOIN pvec),
       |sigt AS (SELECT vec_id, (plane // $bits)::BIGINT AS band,
       |  sum(CASE WHEN dot >= 0 THEN 1 << (plane % $bits) ELSE 0 END)::BIGINT AS sig

@@ -70,10 +70,42 @@ object LshIndex {
     * parquet a pre-r13 save produced (the drop("batch") is a no-op
     * there). A legacy index serves fine but must be re-[[LshIndex.save]]d
     * before [[append]]ing — mixing flat files and batch=N dirs under one
-    * root fails Spark's partition discovery loudly, by design. */
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String): LshIndex =
-    LshIndex(spark.read.parquet(s"$dir/bands").drop("batch"),
-      spark.read.parquet(s"$dir/vectors").drop("batch"))
+    * root fails Spark's partition discovery loudly, by design.
+    *
+    * If the index carries tombstones ([[delete]]), both halves come back
+    * with the deleted ids anti-joined out, so every serve path is
+    * oblivious to deletion — a searched result EQUALS a from-scratch
+    * build over the surviving corpus (pure per-vector signatures;
+    * spec-pinned and gated). The anti-join keys on the 8-byte id — a
+    * small tombstone set broadcasts, a huge one is a plain equi-join;
+    * neither touches vectors or re-hashes anything. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): LshIndex = {
+    val bands = spark.read.parquet(s"$dir/bands").drop("batch")
+    val vectors = spark.read.parquet(s"$dir/vectors").drop("batch")
+    val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(delPath)) {
+      val del = spark.read.parquet(s"$dir/deletes").drop("batch")
+        .select(col("id")).distinct()
+      LshIndex(bands.join(del, Seq("id"), "left_anti"),
+        vectors.join(del, Seq("id"), "left_anti"))
+    } else LshIndex(bands, vectors)
+  }
+
+  /** Tombstone-delete vector ids from a standing index — the opt-out /
+    * takedown path a long-lived training-data index needs: nothing is
+    * rewritten at delete time (the id list lands as its own
+    * `deletes/batch=<batchId>` partition, idempotent per batchId like
+    * [[append]]); [[load]] masks tombstoned ids out of both halves.
+    * Physical purge, when the tombstone set warrants reclaiming bytes,
+    * is one line at the caller's cadence: `LshIndex.load(spark,
+    * dir).save(freshDir)` rewrites the surviving rows and starts a
+    * clean tombstone-free index. Deleting an id not in the index is a
+    * harmless no-op (anti-join semantics). */
+  def delete(dir: String, ids: org.apache.spark.sql.DataFrame,
+             idCol: String, batchId: Long = 1L): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/deletes/batch=$batchId")
 
   /** Incremental ingest: hash ONLY `batch`'s vectors and land their band
     * rows + (id, v, nrm) scoring rows as partition `batch=<batchId>` of
@@ -98,6 +130,8 @@ object LshIndex {
               upToBatch: Long): Unit = {
     PartitionedCompaction.compactPartitioned(spark, s"$dir/bands", upToBatch)
     PartitionedCompaction.compactPartitioned(spark, s"$dir/vectors", upToBatch)
+    // tombstones are id rows under the same layout; a no-op if absent
+    PartitionedCompaction.compactPartitioned(spark, s"$dir/deletes", upToBatch)
   }
 }
 

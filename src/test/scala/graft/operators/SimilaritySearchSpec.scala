@@ -165,6 +165,43 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(twice === once)
   }
 
+  test("LshIndex.delete: tombstoned search equals from-scratch on the surviving corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-del").toString
+    SimilaritySearch.buildLshIndex(emb, "vec_id", "embedding",
+      bitsPerBand = 12, numBands = 32).save(dir)
+    // tombstone odd ids >= 10 (keeps the query set intact), plus an id
+    // that was never ingested (must be a harmless no-op)
+    val doomed = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") >= 10)
+      .select(col("vec_id"))
+      .unionByName(spark.range(999999L, 1000000L).toDF("vec_id"))
+    graft.operators.LshIndex.delete(dir, doomed, "vec_id", batchId = 1L)
+    val loaded = graft.operators.LshIndex.load(spark, dir)
+    val nDoomed = doomed.count() - 1 // the phantom id removed nothing
+    assert(loaded.vectors.count() === emb.count() - nDoomed)
+    assert(loaded.bands.count() === (emb.count() - nDoomed) * 32)
+    val served = SimilaritySearch.searchLshIndex(loaded, queries,
+        "vec_id", "embedding", 10, bitsPerBand = 12, numBands = 32, flipBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val survivors = emb.filter(!(col("vec_id") % 2 === 1 && col("vec_id") >= 10))
+    val scratch = SimilaritySearch.lshTopK(survivors, queries, "vec_id", "embedding", 10,
+        bitsPerBand = 12, numBands = 32, flipBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(served === scratch)
+    assert(served.nonEmpty)
+    // no tombstoned id can appear as a neighbor
+    assert(!served.exists(r => r._2 % 2 == 1 && r._2 >= 10))
+    // physical purge = load -> save to a fresh root: surviving rows only,
+    // no deletes dir, identical serve
+    val purged = java.nio.file.Files.createTempDirectory("lsh-purged").toString
+    loaded.save(purged)
+    assert(!new java.io.File(s"$purged/deletes").exists())
+    val fromPurged = SimilaritySearch.searchLshIndex(
+        graft.operators.LshIndex.load(spark, purged), queries,
+        "vec_id", "embedding", 10, bitsPerBand = 12, numBands = 32, flipBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(fromPurged === served)
+  }
+
   test("LshIndex.compact collapses appended partitions; search result unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("lsh-compact").toString
     // three ingest batches: the initial save (batch=0) plus two appends
