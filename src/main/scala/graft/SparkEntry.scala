@@ -1618,6 +1618,40 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- PQ tombstone delete: the opt-out/takedown path for the
+    //      compressed standing index (FAISS remove_ids semantics — drop
+    //      the per-vector codes, keep the trained quantizer). Build on
+    //      the full corpus, tombstone the odd vec_ids >= maxQueries
+    //      (PqIndex.load anti-joins them out of the codes table), serve
+    //      — value-exact against the same frozen-codebook ADC replay
+    //      with the deletion predicate on its one corpus CTE. ----
+    "q_ann_pq_index_delete" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-pq-del-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      import graft.operators.AnnConfig
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      graft.operators.SimilaritySearch.buildPqIndex(
+        emb, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize).save(tmp)
+      graft.operators.PqIndex.delete(tmp,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1
+          && col("vec_id") >= AnnConfig.maxQueries),
+        "vec_id", batchId = 1L)
+      val loaded = graft.operators.PqIndex.load(s, tmp)
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.PqIndex(
+        freeze(loaded.codebooks, "q_ann_pq_index_delete", "codebooks", n, tok),
+        loaded.codes)
+      graft.operators.SimilaritySearch.searchPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- heavy hitters: tokens >= 3.35% of all occurrences, EXACT counts
     //      via the two-phase Misra-Gries prefilter (sketch bounds what gets
     //      re-counted; the answer itself is exact) ----
@@ -3697,6 +3731,11 @@ object SparkEntry {
     // re-rank — from the frozen frames (SparkEntryOracles.annPqSql etc.).
     "q_ann_pq" -> SparkEntryOracles.annPqSql("q_ann_pq"),
     "q_ann_pq_index" -> SparkEntryOracles.annPqSql("q_ann_pq_index"),
+    // tombstone delete == ADC serve over the surviving corpus with the
+    // SAME frozen codebooks (deletion never retrains the quantizer)
+    "q_ann_pq_index_delete" -> SparkEntryOracles.annPqSqlOver(
+      "q_ann_pq_index_delete",
+      s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
     "q_ann_ivfpq" -> SparkEntryOracles.annIvfPqSql,
     "q_ann_ivf_kmeans" -> SparkEntryOracles.annIvfKMeansSql,
 

@@ -828,7 +828,9 @@ object SparkEntryOracles {
   /** Corpus + query prep and PQ encode (per-(id, subspace) nearest
     * codeword by expanded squared L2, ties -> lowest codeword — the
     * encodeOne replica) against the gate's frozen codebooks. */
-  private def pqPreludeSql(gate: String, subLen: Int, maxQ: Int): String =
+  private def pqPreludeSql(gate: String, subLen: Int, maxQ: Int,
+                           corpusWhere: String = ""): String = {
+    val corpusPred = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
     s"""WITH cb AS (
        |  SELECT CAST(subspace AS INT) AS j, CAST(codeword AS INT) AS w,
        |    vec::DOUBLE[] AS cw,
@@ -837,7 +839,7 @@ object SparkEntryOracles {
        |v AS (
        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |  FROM embeddings),
+       |  FROM embeddings$corpusPred),
        |q AS (SELECT id AS q_id, v AS qv, nrm AS qn FROM v WHERE id < $maxQ),
        |enc AS (
        |  SELECT id, j, cw, cn2 FROM (
@@ -846,6 +848,7 @@ object SparkEntryOracles {
        |        ${sqL2Terms("v.v", s"cb.j*$subLen", "cb.cw", subLen)}, cb.w) AS rn
        |    FROM v CROSS JOIN cb)
        |  WHERE rn = 1)""".stripMargin
+  }
 
   // The oracle constants are string-interpolated from the SAME AnnConfig
   // object the gates run with (m, subLen, k, r = k·rerankFactor, query
@@ -854,8 +857,16 @@ object SparkEntryOracles {
 
   /** q_ann_pq / q_ann_pq_index replica: full ADC scan (every query scores
     * every code), then the shared top-R + exact re-rank tail. */
-  def annPqSql(gate: String): String =
-    s"""${pqPreludeSql(gate, subLen = A.subLen, maxQ = A.maxQueries)},
+  def annPqSql(gate: String): String = annPqSqlOver(gate, "")
+
+  /** The same ADC replay with a corpus predicate on the one `v` CTE every
+    * downstream step (encode, pair generation, re-rank) derives from —
+    * exactly what tombstone-deleting ids from a PqIndex does to the
+    * serve path. The frozen codebooks stay those of the FULL corpus the
+    * gate trained on (deletion does not retrain the quantizer). */
+  def annPqSqlOver(gate: String, corpusWhere: String): String =
+    s"""${pqPreludeSql(gate, subLen = A.subLen, maxQ = A.maxQueries,
+           corpusWhere = corpusWhere)},
        |pairsrc AS (SELECT q.q_id, v.id FROM q CROSS JOIN v),
        |${adcRankedCtes(m = A.numSubspaces, subLen = A.subLen, k = A.k, r = A.rerankR)}
        |$pqFinalSelect""".stripMargin

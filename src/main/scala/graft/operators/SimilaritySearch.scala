@@ -33,9 +33,36 @@ final case class PqIndex(codebooks: DataFrame, codes: DataFrame) {
 }
 
 object PqIndex {
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex =
-    PqIndex(spark.read.parquet(s"$dir/codebooks"),
-      spark.read.parquet(s"$dir/codes"))
+  /** If the index carries tombstones ([[delete]]), the codes table comes
+    * back with deleted ids anti-joined out — candidates can then never
+    * include a deleted vector, so the serve path (ADC scan + exact
+    * re-rank against candidate ids only) is deletion-oblivious and a
+    * masked search equals one over an index whose codes were never
+    * written for those ids (spec-pinned and gated). Codebooks are
+    * training artifacts, not per-vector state — deletion leaves them
+    * untouched by design (FAISS semantics: remove ids, keep the
+    * quantizer). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+    val codes = spark.read.parquet(s"$dir/codes")
+    val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val masked =
+      if (fs.exists(delPath)) {
+        val del = spark.read.parquet(s"$dir/deletes").drop("batch")
+          .select(col("id")).distinct()
+        codes.join(del, Seq("id"), "left_anti")
+      } else codes
+    PqIndex(spark.read.parquet(s"$dir/codebooks"), masked)
+  }
+
+  /** Tombstone-delete vector ids — same layout and idempotency contract
+    * as [[LshIndex.delete]] (id rows under `deletes/batch=<batchId>`,
+    * overwrite per batch, phantom ids a no-op); physical purge =
+    * `PqIndex.load(spark, dir).save(freshDir)`. */
+  def delete(dir: String, ids: DataFrame, idCol: String,
+             batchId: Long = 1L): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/deletes/batch=$batchId")
 }
 
 /** A persisted hyperplane-LSH index: `bands` = (id, band, sig) — the

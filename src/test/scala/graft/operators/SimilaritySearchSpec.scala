@@ -327,6 +327,35 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(codeLens === Seq(8), s"code lengths $codeLens")
   }
 
+  test("PqIndex.delete: tombstoned serve equals an index whose codes were never written for those ids") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-del").toString
+    SimilaritySearch.buildPqIndex(emb, "vec_id", "embedding").save(dir)
+    // tombstone odd ids >= 10 plus a phantom id (harmless no-op)
+    val doomed = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") >= 10)
+      .select(col("vec_id"))
+      .unionByName(spark.range(999999L, 1000000L).toDF("vec_id"))
+    graft.operators.PqIndex.delete(dir, doomed, "vec_id", batchId = 1L)
+    val masked = graft.operators.PqIndex.load(spark, dir)
+    val nDoomed = doomed.count() - 1
+    assert(masked.codes.count() === emb.count() - nDoomed)
+    // reference: same codebooks, codes filtered before serving (as if the
+    // deleted ids were never ingested); deletion must not retrain the
+    // quantizer, so the codebooks frames must be row-identical too
+    val full = graft.operators.PqIndex.load(spark,
+      { val d2 = java.nio.file.Files.createTempDirectory("pq-del-ref").toString
+        SimilaritySearch.buildPqIndex(emb, "vec_id", "embedding").save(d2); d2 })
+    assert(masked.codebooks.collect().toSet === full.codebooks.collect().toSet)
+    val ref = graft.operators.PqIndex(full.codebooks,
+      full.codes.filter(!(col("id") % 2 === 1 && col("id") >= 10)))
+    def serve(ix: graft.operators.PqIndex) =
+      SimilaritySearch.searchPqIndex(ix, emb, queries, "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val got = serve(masked)
+    assert(got === serve(ref))
+    assert(got.nonEmpty)
+    assert(!got.exists(r => r._2 % 2 == 1 && r._2 >= 10))
+  }
+
   test("encodePq encodes a new batch identically to the index build (incremental ingest)") {
     val idx = SimilaritySearch.buildPqIndex(emb, "vec_id", "embedding")
     val batch = emb.filter(col("vec_id") % 7 === 0)
