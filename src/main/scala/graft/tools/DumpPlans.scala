@@ -47,7 +47,8 @@ object DumpPlans extends App {
     "q_bpe_merges_256" -> "realistic-vocab BPE: one bounded net-delta job per merge round, driver heap argmax (plan shown = final merge table)",
     "q_ann_lsh_index" -> "persisted-LSH serve: query-side multi-probe kernel, 16-byte band equi-join, candidate-id-only vector lookup",
     "q_ann_lsh_index_incremental" -> "appended LSH index (standing batch=0 + ingested batch=1 partitions) serving identically to from-scratch",
-    "q_ann_lsh_index_delete" -> "tombstoned LSH index: deletes anti-joined out of both halves at load; serve equals from-scratch on the surviving corpus")
+    "q_ann_lsh_index_delete" -> "tombstoned LSH index: deletes anti-joined out of both halves at load; serve equals from-scratch on the surviving corpus",
+    "q_ann_pq_index_delete" -> "tombstoned PQ index (FAISS remove_ids): codes masked at load, quantizer untouched; ADC serve over survivors only")
   val sb = new StringBuilder
   sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
   sb.append("GENERATED artifact — regenerate with `sbt \"runMain graft.tools.DumpPlans\"`.\n")
