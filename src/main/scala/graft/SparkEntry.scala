@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,25 +62,31 @@ object SparkEntry {
     * pass. The token is pure bounded-integer arithmetic both engines
     * compute identically (no FP accumulation-order hazard: the only
     * double op is a per-row IEEE multiply + floor, then integer sums):
-    * per row, pmod(pmod(vec_id, 2^31)·2654435761 + floor(v[0]·4096)
-    * + floor(v[-1]·4096), 1e9) — two equal-count corpora collide only if
-    * the sum of these per-row hashes (ids AND first-and-last-coordinate
-    * content) agrees. Sampling BOTH ends closes the r12 window where a
-    * re-generated / tail-perturbed variant of the same corpus shared ids
-    * and leading coordinates: a collision now needs agreement on every
-    * sampled coordinate, at unchanged cost (same single aggregate pass).
-    * Per-row value < 1e9, so the Long sum is exact below ~9.2e9 rows —
-    * far above any frozen-gate corpus. DuckDB replica in
-    * SparkEntryOracles (element_at(v, -1) and list_extract(v, -1) both
-    * index from the tail). */
+    * per row, pmod(pmod(vec_id, 2^31)·2654435761 + pmod(floor(v[0]·4096),
+    * 1e9) + pmod(floor(v[-1]·4096), 1e9), 1e9) — two equal-count corpora
+    * collide only if the sum of these per-row hashes (ids AND
+    * first-and-last-coordinate content) agrees. Sampling BOTH ends closes
+    * the r12 window where a re-generated / tail-perturbed variant of the
+    * same corpus shared ids and leading coordinates: a collision now needs
+    * agreement on every sampled coordinate, at unchanged cost (same single
+    * aggregate pass). Each floor term is pmod-clamped to [0, 1e9) BEFORE
+    * the sum, so the inner Long expression is bounded by 5.7e18 + 2e9
+    * regardless of coordinate magnitude — unclamped, coordinates above
+    * ~4e14 overflowed the headroom left by the id term, and Spark wraps
+    * silently where DuckDB BIGINT arithmetic raises, diverging gate and
+    * oracle instead of failing both (r13 ADVICE). Per-row value < 1e9, so
+    * the Long sum is exact below ~9.2e9 rows — far above any frozen-gate
+    * corpus. DuckDB replica in SparkEntryOracles (element_at(v, -1) and
+    * list_extract(v, -1) both index from the tail). */
   private[graft] def corpusSig(emb: DataFrame): (Long, Long) = {
     val v = col("embedding").cast("array<double>")
+    def term(e: Column): Column =
+      pmod(floor(e * lit(4096.0)).cast("long"), lit(1000000000L))
     val r = emb.select(
       count(lit(1)),
       sum(pmod(
         pmod(col("vec_id").cast("long"), lit(2147483648L)) * lit(2654435761L)
-          + floor(element_at(v, 1) * lit(4096.0)).cast("long")
-          + floor(element_at(v, -1) * lit(4096.0)).cast("long"),
+          + term(element_at(v, 1)) + term(element_at(v, -1)),
         lit(1000000000L)))).head()
     (r.getLong(0), r.getLong(1))
   }
@@ -1649,6 +1655,174 @@ object SparkEntry {
           idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
           "vec_id", "embedding", k = AnnConfig.k,
           rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- PQ incremental ingest: the standing compressed index is built
+    //      (and its quantizer trained) on the corpus MINUS the newest
+    //      batch (even vec_ids); the batch (odd vec_ids) is APPENDED as
+    //      its own codes/batch=1 partition — encoded against the FROZEN
+    //      codebooks, nothing standing re-encoded — and the served result
+    //      is value-exact EQUAL to a from-scratch encode of the full
+    //      corpus under those codebooks, certified by the same ADC replay
+    //      (codes are pure per-vector functions of the quantizer, so
+    //      ingest order cannot change them). ----
+    "q_ann_pq_index_incremental" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-pq-inc-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val standing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      graft.operators.SimilaritySearch.buildPqIndex(
+        standing, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize).save(tmp)
+      graft.operators.PqIndex.append(s, tmp, batch, "vec_id", "embedding",
+        batchId = 1L)
+      val loaded = graft.operators.PqIndex.load(s, tmp)
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.PqIndex(
+        freeze(loaded.codebooks, "q_ann_pq_index_incremental", "codebooks",
+          n, tok),
+        loaded.codes)
+      graft.operators.SimilaritySearch.searchPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- IVF-PQ persisted serve: build → save → load → search — the
+    //      PRODUCTION standing-index lifecycle for the billion-vector
+    //      layout (14.6 B/vec measured at sf10). Split gate: the LOADED
+    //      centroids + codebooks are frozen for the oracle, and since
+    //      assignment, encode, probing, ADC, and re-rank are all
+    //      deterministic given the frozen pair (parquet round-trips
+    //      doubles exactly), the persisted serve is value-exact under
+    //      the same from-scratch replay as q_ann_ivfpq. ----
+    "q_ann_ivfpq_index" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfpq-idx-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      graft.operators.SimilaritySearch.buildIvfPqIndex(
+        emb, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize).save(tmp)
+      val loaded = graft.operators.IvfPqIndex.load(s, tmp)
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfpq_index", "centroids", n, tok),
+        freeze(loaded.codebooks, "q_ann_ivfpq_index", "codebooks", n, tok),
+        loaded.codes)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- IVF-PQ incremental ingest: standing index built (quantizers
+    //      trained) on even vec_ids, the odd batch appended as its own
+    //      codes/batch=1 partition via the SAME fused assign+encode
+    //      kernel against the frozen centroids + codebooks — value-exact
+    //      under the full-corpus replay (assignment and code are pure
+    //      per-vector functions of the frozen quantizer pair). ----
+    "q_ann_ivfpq_index_incremental" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfpq-inc-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val standing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      graft.operators.SimilaritySearch.buildIvfPqIndex(
+        standing, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize).save(tmp)
+      graft.operators.IvfPqIndex.append(s, tmp, batch, "vec_id", "embedding",
+        batchId = 1L)
+      val loaded = graft.operators.IvfPqIndex.load(s, tmp)
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfpq_index_incremental",
+          "centroids", n, tok),
+        freeze(loaded.codebooks, "q_ann_ivfpq_index_incremental",
+          "codebooks", n, tok),
+        loaded.codes)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- IVF-PQ tombstone delete: the takedown path for the production
+    //      index shape (FAISS remove_ids — codes masked at load, neither
+    //      quantizer retrained). Build on the full corpus, tombstone the
+    //      odd vec_ids >= maxQueries, serve — value-exact against the
+    //      same frozen-quantizer replay with the deletion predicate on
+    //      its one corpus CTE (annIvfPqSqlOver). ----
+    "q_ann_ivfpq_index_delete" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfpq-del-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      graft.operators.SimilaritySearch.buildIvfPqIndex(
+        emb, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize).save(tmp)
+      graft.operators.IvfPqIndex.delete(tmp,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1
+          && col("vec_id") >= AnnConfig.maxQueries),
+        "vec_id", batchId = 1L)
+      val loaded = graft.operators.IvfPqIndex.load(s, tmp)
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfpq_index_delete", "centroids",
+          n, tok),
+        freeze(loaded.codebooks, "q_ann_ivfpq_index_delete", "codebooks",
+          n, tok),
+        loaded.codes)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- bands-only LSH serving: persist ONLY the band rows (159 B/vec
+    //      vs 558 self-contained — SCALE.md storage table) and rebind the
+    //      vectors half to the corpus parquet at load; the scoring rows
+    //      are derived by the same cast-at-read + norm the ingest
+    //      applies, so the serve is value-exact under the SAME
+    //      from-scratch multi-probe replay as every other LSH gate. ----
+    "q_ann_lsh_index_bandsonly" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-lsh-bo-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = t(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.buildLshIndex(
+          emb, "vec_id", "embedding",
+          bitsPerBand = AnnConfig.lshBits, numBands = AnnConfig.lshBands)
+        .saveBandsOnly(tmp)
+      val loaded = graft.operators.LshIndex.loadBandsOnly(
+        s, tmp, emb, "vec_id", "embedding")
+      graft.operators.SimilaritySearch.searchLshIndex(
+          loaded, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          bitsPerBand = AnnConfig.lshBits, numBands = AnnConfig.lshBands,
+          flipBits = AnnConfig.lshFlipBits)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -3651,6 +3825,10 @@ object SparkEntry {
     // same replay with the deletion predicate on its one corpus CTE
     "q_ann_lsh_index_delete" -> SparkEntryOracles.annLshSqlOver(
       s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
+    // bands-only serving rebinds the vectors half to the corpus parquet
+    // with the same cast-at-read prep the ingest applies — identical
+    // candidates, scores, ranks, so the same from-scratch replay holds
+    "q_ann_lsh_index_bandsonly" -> SparkEntryOracles.annLshSql,
 
     // bit-exact FNV-1a + fmix64 replicas (same HUGEINT wrap-multiply
     // technique): simhash signatures and the Count-Min sketch are both
@@ -3736,7 +3914,25 @@ object SparkEntry {
     "q_ann_pq_index_delete" -> SparkEntryOracles.annPqSqlOver(
       "q_ann_pq_index_delete",
       s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
+    // incremental ingest == from-scratch encode of the full corpus under
+    // the frozen quantizer (codes are pure per-vector functions of it),
+    // so the standard full-corpus ADC replay certifies the appended index
+    "q_ann_pq_index_incremental" ->
+      SparkEntryOracles.annPqSql("q_ann_pq_index_incremental"),
     "q_ann_ivfpq" -> SparkEntryOracles.annIvfPqSql,
+    // persisted / appended IVF-PQ serve exactly what the from-scratch
+    // replay derives from the frozen centroid+codebook pair (assignment
+    // and code are pure per-vector functions of it; parquet round-trips
+    // doubles exactly)
+    "q_ann_ivfpq_index" ->
+      SparkEntryOracles.annIvfPqSqlOver("q_ann_ivfpq_index", ""),
+    "q_ann_ivfpq_index_incremental" ->
+      SparkEntryOracles.annIvfPqSqlOver("q_ann_ivfpq_index_incremental", ""),
+    // tombstone delete == the same replay over the surviving corpus (the
+    // deletion predicate on its one corpus CTE); quantizers stay frozen
+    "q_ann_ivfpq_index_delete" -> SparkEntryOracles.annIvfPqSqlOver(
+      "q_ann_ivfpq_index_delete",
+      s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
     "q_ann_ivf_kmeans" -> SparkEntryOracles.annIvfKMeansSql,
 
     "q_pack_sequences" ->

@@ -748,14 +748,22 @@ object SparkEntryOracles {
     * summed — pmod semantics spelled out since DuckDB's % keeps the
     * dividend's sign while Spark's pmod is always non-negative; that wrap
     * is applied to the INNER vec_id mod too, so a corpus with negative
-    * vec_ids still derives the identical token on both sides.
+    * vec_ids still derives the identical token on both sides. Each floor
+    * term is pmod-clamped to [0, 1e9) BEFORE the sum (matching corpusSig),
+    * so the BIGINT expression is bounded at any coordinate magnitude —
+    * unclamped, pathological embeddings overflowed here (raise) while
+    * Spark wrapped silently, diverging the two sides (r13 ADVICE).
     * list_extract(v, -1) indexes from the tail, matching Spark's
     * element_at(v, -1). */
-  private val corpusTokenSql: String =
-    """(SELECT CAST(SUM((((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761
-      |   + CAST(floor(list_extract(CAST(embedding AS DOUBLE[]), 1) * 4096) AS BIGINT)
-      |   + CAST(floor(list_extract(CAST(embedding AS DOUBLE[]), -1) * 4096) AS BIGINT))
-      |   % 1000000000 + 1000000000) % 1000000000) AS BIGINT) FROM embeddings)""".stripMargin
+  private val corpusTokenSql: String = {
+    def term(ix: Int): String =
+      s"""((CAST(floor(list_extract(CAST(embedding AS DOUBLE[]), $ix) * 4096) AS BIGINT)
+         |   % 1000000000 + 1000000000) % 1000000000)""".stripMargin
+    s"""(SELECT CAST(SUM((((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761
+       |   + ${term(1)}
+       |   + ${term(-1)})
+       |   % 1000000000 + 1000000000) % 1000000000) AS BIGINT) FROM embeddings)""".stripMargin
+  }
 
   /** Frozen-frame reader: hive n=<count>/h=<token> partition matching the
     * corpus by BOTH row count and content token — a frame frozen from a
@@ -899,9 +907,23 @@ object SparkEntryOracles {
 
   /** q_ann_ivfpq replica: frozen centroids bound WHICH codes each query
     * scores, then the shared ADC tail over the probed pairs. */
-  val annIvfPqSql: String =
-    s"""${pqPreludeSql("q_ann_ivfpq", subLen = A.subLen, maxQ = A.maxQueries)},
-       |${ivfPairsrcCtes("q_ann_ivfpq")},
+  val annIvfPqSql: String = annIvfPqSqlOver("q_ann_ivfpq", "")
+
+  /** The same IVF-PQ replay against `gate`'s own frozen frames, with an
+    * optional corpus predicate on the one `v` CTE every downstream step
+    * (encode, list assignment, probe pairing, re-rank) derives from —
+    * exactly what tombstone-deleting ids from an IvfPqIndex does to the
+    * serve path. The frozen centroids AND codebooks stay those of the
+    * FULL corpus the gate trained on (deletion retrains neither
+    * quantizer — FAISS remove_ids). Also certifies the persisted-serve
+    * and incremental-ingest gates with corpusWhere = "": assignment and
+    * code are pure per-vector functions of the frozen quantizer pair, so
+    * a loaded or appended index serves exactly what this from-scratch
+    * replay derives. */
+  def annIvfPqSqlOver(gate: String, corpusWhere: String): String =
+    s"""${pqPreludeSql(gate, subLen = A.subLen, maxQ = A.maxQueries,
+           corpusWhere = corpusWhere)},
+       |${ivfPairsrcCtes(gate)},
        |${adcRankedCtes(m = A.numSubspaces, subLen = A.subLen, k = A.k, r = A.rerankR)}
        |$pqFinalSelect""".stripMargin
 

@@ -21,14 +21,25 @@ import Dedup.{dot, l2norm}
   *    touches nProbe/C of the corpus.
   */
 /** A persisted product-quantization index: `codebooks` = (subspace,
-  * codeword, vec) — m·ks small rows; `codes` = (id, code BINARY) — m bytes
-  * per corpus vector. Build with `SimilaritySearch.buildPqIndex`, extend
-  * with `encodePq`, serve with `searchPqIndex`. */
+  * codeword, vec) — m·ks small rows, a TRAINING artifact written once;
+  * `codes` = (id, code BINARY) — m bytes per corpus vector. Build with
+  * `SimilaritySearch.buildPqIndex`, grow with [[PqIndex.append]], take
+  * down ids with [[PqIndex.delete]], bound file count with
+  * [[PqIndex.compact]], serve with `searchPqIndex`.
+  *
+  * On-disk, `codes` is hive-batch-partitioned (`codes/batch=<id>/`; a
+  * [[save]] is batch 0) — the same standing-index layout as
+  * [[LshIndex]]: codes are pure functions of the frozen quantizer, so an
+  * ingested batch lands as its own partition without touching (or
+  * re-encoding) anything standing, and an appended index serves exactly
+  * what a from-scratch encode over the unioned corpus serves
+  * (spec-pinned and gated). `codebooks` stays a flat dir: it is never
+  * appended to — FAISS semantics, the quantizer is frozen at build. */
 final case class PqIndex(codebooks: DataFrame, codes: DataFrame) {
-  /** Persist both halves as parquet under `dir`. */
+  /** Persist both halves as parquet under `dir` (codes as `batch=0`). */
   def save(dir: String): Unit = {
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
-    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    codes.write.mode("overwrite").parquet(s"$dir/codes/batch=0")
   }
 }
 
@@ -41,9 +52,17 @@ object PqIndex {
     * written for those ids (spec-pinned and gated). Codebooks are
     * training artifacts, not per-vector state — deletion leaves them
     * untouched by design (FAISS semantics: remove ids, keep the
-    * quantizer). */
+    * quantizer). Like [[LshIndex.load]], the mask is ingest-order-blind:
+    * an id [[append]]ed again after a delete stays masked until a
+    * physical purge (see [[delete]]).
+    *
+    * Loads both codes layouts: batch-partitioned (current) and the
+    * legacy flat parquet a pre-r14 save produced (drop("batch") is a
+    * no-op there). A legacy index serves fine but must be re-[[PqIndex.save]]d
+    * before [[append]]ing — mixing flat files and batch=N dirs under one
+    * root fails Spark's partition discovery loudly, by design. */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes = spark.read.parquet(s"$dir/codes").drop("batch")
     val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes")
     val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
     val masked =
@@ -55,14 +74,52 @@ object PqIndex {
     PqIndex(spark.read.parquet(s"$dir/codebooks"), masked)
   }
 
-  /** Tombstone-delete vector ids — same layout and idempotency contract
-    * as [[LshIndex.delete]] (id rows under `deletes/batch=<batchId>`,
-    * overwrite per batch, phantom ids a no-op); physical purge =
-    * `PqIndex.load(spark, dir).save(freshDir)`. */
+  /** Incremental ingest: encode ONLY `batch`'s vectors against the
+    * standing index's frozen codebooks (read from `dir/codebooks` — no
+    * retraining, nothing standing re-encoded) and land their (id, code)
+    * rows as partition `codes/batch=<batchId>`. Ids must be unique
+    * across batches (rows, not upserts). Existing partitions are
+    * untouched; re-running the same batchId overwrites only its own
+    * partition — idempotent per batchId, the exactly-once replay
+    * discipline [[LshIndex.append]] and the streaming index share.
+    * Because codes are pure per-vector functions of the frozen
+    * quantizer, the appended index serves EXACTLY what a from-scratch
+    * encode over the unioned corpus serves (spec-pinned and gated). */
+  def append(spark: org.apache.spark.sql.SparkSession, dir: String,
+             batch: DataFrame, idCol: String, vecCol: String,
+             batchId: Long = 1L): Unit =
+    SimilaritySearch.encodePq(spark.read.parquet(s"$dir/codebooks"),
+        batch, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/codes/batch=$batchId")
+
+  /** Tombstone-delete vector ids — same ADD-ONLY contract as
+    * [[LshIndex.delete]]: id rows APPENDED under `deletes/batch=<batchId>`
+    * (never overwritten, so batchId reuse — or a delete issued after a
+    * [[compact]] — can never resurrect earlier takedowns; duplicates
+    * collapse under load's distinct()); phantom ids a harmless no-op;
+    * re-appended ids stay masked until a physical purge =
+    * `PqIndex.load(spark, dir).save(freshDir)` (one line, rewrites
+    * surviving codes, starts a clean tombstone-free index — run it at
+    * whatever cadence bounds the tombstone fraction; [[compact]] bounds
+    * FILE COUNT but by design never drops a tombstone). */
   def delete(dir: String, ids: DataFrame, idCol: String,
              batchId: Long = 1L): Unit =
     ids.select(col(idCol).cast("long").as("id")).distinct()
-      .write.mode("overwrite").parquet(s"$dir/deletes/batch=$batchId")
+      .write.mode("append").parquet(s"$dir/deletes/batch=$batchId")
+
+  /** Collapse every `batch <= upToBatch` partition of codes AND
+    * tombstones into a single partition each — the file-count bound for
+    * a long-lived appended index, crash-safe with no manifest
+    * ([[PartitionedCompaction]]: code rows are globally distinct given
+    * unique vector ids, tombstones are consumed as a set). Compact only
+    * batches whose append has completed. Tombstoned ids SURVIVE
+    * compaction (the deletes dir is merged, not applied) — reclaiming
+    * their bytes is the physical purge documented on [[delete]]. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              upToBatch: Long): Unit = {
+    PartitionedCompaction.compactPartitioned(spark, s"$dir/codes", upToBatch)
+    PartitionedCompaction.compactPartitioned(spark, s"$dir/deletes", upToBatch)
+  }
 }
 
 /** A persisted hyperplane-LSH index: `bands` = (id, band, sig) — the
@@ -90,6 +147,19 @@ final case class LshIndex(bands: DataFrame, vectors: DataFrame) {
     bands.write.mode("overwrite").parquet(s"$dir/bands/batch=0")
     vectors.write.mode("overwrite").parquet(s"$dir/vectors/batch=0")
   }
+
+  /** BANDS-ONLY persistence — the storage-economics option for
+    * deployments that keep their corpus parquet anyway: the vectors half
+    * is a double-cast copy of the corpus (its 1.5×-raw bytes are the
+    * real cost of a self-contained index — SCALE.md storage table), so
+    * skipping it cuts the standing bill from 558 to 159 B/vec and the
+    * index holds ONLY what the corpus can't reproduce: the hashed band
+    * rows. Serve by rebinding the vectors half to the corpus at load
+    * ([[LshIndex.loadBandsOnly]]) — the scoring rows are derived by the
+    * SAME cast-at-read + norm the ingest applies, so the serve is
+    * value-identical to the self-contained index's (spec-pinned). */
+  def saveBandsOnly(dir: String): Unit =
+    bands.write.mode("overwrite").parquet(s"$dir/bands/batch=0")
 }
 
 object LshIndex {
@@ -105,7 +175,9 @@ object LshIndex {
     * build over the surviving corpus (pure per-vector signatures;
     * spec-pinned and gated). The anti-join keys on the 8-byte id — a
     * small tombstone set broadcasts, a huge one is a plain equi-join;
-    * neither touches vectors or re-hashes anything. */
+    * neither touches vectors or re-hashes anything. The mask is
+    * ingest-order-blind: a deleted id stays masked even if re-appended
+    * later (see [[delete]] for the purge-then-reingest un-delete path). */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): LshIndex = {
     val bands = spark.read.parquet(s"$dir/bands").drop("batch")
     val vectors = spark.read.parquet(s"$dir/vectors").drop("batch")
@@ -121,18 +193,60 @@ object LshIndex {
 
   /** Tombstone-delete vector ids from a standing index — the opt-out /
     * takedown path a long-lived training-data index needs: nothing is
-    * rewritten at delete time (the id list lands as its own
-    * `deletes/batch=<batchId>` partition, idempotent per batchId like
-    * [[append]]); [[load]] masks tombstoned ids out of both halves.
-    * Physical purge, when the tombstone set warrants reclaiming bytes,
-    * is one line at the caller's cadence: `LshIndex.load(spark,
-    * dir).save(freshDir)` rewrites the surviving rows and starts a
-    * clean tombstone-free index. Deleting an id not in the index is a
-    * harmless no-op (anti-join semantics). */
+    * rewritten at delete time (the id rows land under
+    * `deletes/batch=<batchId>`); [[load]] masks tombstoned ids out of
+    * both halves. Tombstones are ADD-ONLY: every call APPENDS its id
+    * rows — never overwrites — so two deletes sharing a batchId (the
+    * default included) accumulate instead of the second silently
+    * resurrecting the first's taken-down ids (r13 ADVICE), and a delete
+    * issued after a [[compact]] (which merges tombstones into
+    * `batch=<upToBatch>`) can never clobber the compacted set. The
+    * monotonicity makes replays safe too: duplicates from a retried or
+    * crash-rerun delete collapse under load's distinct(), and a partial
+    * crash-write only ever UNDER-masks until the rerun lands — at no
+    * point does a previously-tombstoned id come back.
+    *
+    * Re-add semantics (differs from FAISS, by design): the mask keys on
+    * the 8-byte id alone, so an id [[append]]ed again AFTER a delete
+    * stays masked — tombstones outlive ingest order. Un-deleting needs a
+    * physical purge first: `LshIndex.load(spark, dir).save(freshDir)`
+    * rewrites the surviving rows into a clean tombstone-free index (the
+    * same one-liner that reclaims bytes when the tombstone fraction
+    * warrants it), after which the id can be re-ingested. Deleting an id
+    * not in the index is a harmless no-op (anti-join semantics). */
   def delete(dir: String, ids: org.apache.spark.sql.DataFrame,
              idCol: String, batchId: Long = 1L): Unit =
     ids.select(col(idCol).cast("long").as("id")).distinct()
-      .write.mode("overwrite").parquet(s"$dir/deletes/batch=$batchId")
+      .write.mode("append").parquet(s"$dir/deletes/batch=$batchId")
+
+  /** Load a BANDS-ONLY index ([[LshIndex.saveBandsOnly]]) by rebinding
+    * its vectors half to the caller's corpus frame: scoring rows are
+    * derived cast-at-read (`array<double>` + precomputed norm — the SAME
+    * prep the ingest applies, and parquet float→double widening is
+    * exact), so serving is value-identical to a self-contained index
+    * over the same corpus (spec-pinned). Tombstones, if present, mask
+    * BOTH halves — the corpus frame may still contain deleted ids, but
+    * they can neither become candidates (bands masked) nor scoring rows
+    * (vectors masked), matching [[load]]'s from-scratch-on-survivors
+    * contract. The corpus must contain every ingested id (candidate
+    * scoring is an inner equi-join on id — a missing vector silently
+    * drops its candidates, which is why the self-contained [[save]] is
+    * the default and this is the opt-in for corpora that are already
+    * durable parquet). */
+  def loadBandsOnly(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    corpus: DataFrame, idCol: String,
+                    vecCol: String): LshIndex = {
+    val bands = spark.read.parquet(s"$dir/bands").drop("batch")
+    val vectors = SimilaritySearch.preparedVectors(corpus, idCol, vecCol)
+    val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(delPath)) {
+      val del = spark.read.parquet(s"$dir/deletes").drop("batch")
+        .select(col("id")).distinct()
+      LshIndex(bands.join(del, Seq("id"), "left_anti"),
+        vectors.join(del, Seq("id"), "left_anti"))
+    } else LshIndex(bands, vectors)
+  }
 
   /** Incremental ingest: hash ONLY `batch`'s vectors and land their band
     * rows + (id, v, nrm) scoring rows as partition `batch=<batchId>` of
@@ -167,21 +281,88 @@ object LshIndex {
   * as in [[PqIndex]]; `codes` = (id, list_id, code BINARY) — each corpus
   * vector's list assignment plus its m-byte PQ code. Queries probe only
   * nProbe lists, so the ADC scan touches ~nProbe/C of the codes instead
-  * of all of them. */
+  * of all of them.
+  *
+  * The PRODUCTION standing-index shape (14.6 B/vec measured at sf10 —
+  * SCALE.md storage table), with the full lifecycle the other index
+  * families carry: `codes` is hive-batch-partitioned on disk
+  * (`codes/batch=<id>/`; a [[save]] is batch 0) so the index grows by
+  * [[IvfPqIndex.append]] — list assignment and code are both pure
+  * per-vector functions of the frozen quantizer pair (centroids +
+  * codebooks), so nothing standing is touched and an appended index
+  * serves exactly what a from-scratch encode over the unioned corpus
+  * serves. Take down ids with [[IvfPqIndex.delete]] (tombstones masked
+  * at [[IvfPqIndex.load]], quantizers untouched — FAISS remove_ids),
+  * bound file count with [[IvfPqIndex.compact]]. `centroids` and
+  * `codebooks` stay flat dirs: training artifacts, written once. */
 final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
                             codes: DataFrame) {
   def save(dir: String): Unit = {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
-    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    codes.write.mode("overwrite").parquet(s"$dir/codes/batch=0")
   }
 }
 
 object IvfPqIndex {
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex =
+  /** Tombstones ([[delete]]) are anti-joined out of the codes table, so
+    * probes can never surface a deleted vector and a masked serve equals
+    * one over an index whose codes were never written for those ids
+    * (spec-pinned and gated; the 8-byte-id mask mechanics are
+    * [[PqIndex.load]]'s). Centroids and codebooks come back untouched —
+    * deletion never retrains either quantizer. Loads both codes layouts
+    * (batch-partitioned + the legacy flat pre-r14 save; re-save before
+    * appending to a legacy index). Ingest-order-blind mask: a deleted id
+    * stays masked even if re-appended, until a physical purge
+    * (`IvfPqIndex.load(spark, dir).save(freshDir)`). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex = {
+    val codes = spark.read.parquet(s"$dir/codes").drop("batch")
+    val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val masked =
+      if (fs.exists(delPath)) {
+        val del = spark.read.parquet(s"$dir/deletes").drop("batch")
+          .select(col("id")).distinct()
+        codes.join(del, Seq("id"), "left_anti")
+      } else codes
     IvfPqIndex(spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/codebooks"),
-      spark.read.parquet(s"$dir/codes"))
+      spark.read.parquet(s"$dir/codebooks"), masked)
+  }
+
+  /** Incremental ingest: assign+encode ONLY `batch`'s vectors against the
+    * standing index's frozen centroids and codebooks (one fused narrow
+    * pass — the same kernel the build runs, so incremental codes can
+    * never disagree with built codes) and land the (id, list_id, code)
+    * rows as partition `codes/batch=<batchId>`. Idempotent per batchId
+    * (overwrite of that partition only); ids unique across batches. */
+  def append(spark: org.apache.spark.sql.SparkSession, dir: String,
+             batch: DataFrame, idCol: String, vecCol: String,
+             batchId: Long = 1L): Unit =
+    SimilaritySearch.encodeIvfPq(spark.read.parquet(s"$dir/centroids"),
+        spark.read.parquet(s"$dir/codebooks"), batch, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/codes/batch=$batchId")
+
+  /** Tombstone-delete vector ids — the same ADD-ONLY contract as
+    * [[PqIndex.delete]] / [[LshIndex.delete]]: id rows APPENDED under
+    * `deletes/batch=<batchId>` (batchId reuse or a post-[[compact]]
+    * delete can never resurrect earlier takedowns), phantom ids a no-op,
+    * re-appended ids masked until the physical purge (load → save to a
+    * fresh root). Nothing is rewritten at delete time; the quantizers
+    * stay frozen (FAISS remove_ids semantics). */
+  def delete(dir: String, ids: DataFrame, idCol: String,
+             batchId: Long = 1L): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(s"$dir/deletes/batch=$batchId")
+
+  /** Collapse every `batch <= upToBatch` partition of codes AND
+    * tombstones into one partition each ([[PartitionedCompaction]] —
+    * crash-safe, manifest-free; tombstoned ids survive compaction, see
+    * [[PqIndex.compact]]). Compact only batches whose append completed. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              upToBatch: Long): Unit = {
+    PartitionedCompaction.compactPartitioned(spark, s"$dir/codes", upToBatch)
+    PartitionedCompaction.compactPartitioned(spark, s"$dir/deletes", upToBatch)
+  }
 }
 
 object SimilaritySearch {
@@ -659,22 +840,58 @@ object SimilaritySearch {
     // per-id window pushed N·C rows through a sort (715M at sf10 with
     // auto-C) and then JOINED two corpus-sized frames — this is the FAISS
     // add() loop instead: broadcast centroids, row-local argmax, no
-    // corpus shuffle at all.
+    // corpus shuffle at all. (Kernel shared with encodeIvfPq so
+    // incremental ingest can never drift from the build.)
+    val centArr = centModel.clusterCenters.zipWithIndex
+      .map { case (vec, i) => (i.toLong, vec.toArray) }
+    val codes = ivfAssignEncode(c, centArr, cbs, starts)
+    IvfPqIndex(centsDf, cbDf, codes)
+  }
+
+  /** Assign+encode a NEW batch of vectors against a standing IVF-PQ
+    * index's frozen centroids and codebooks — the incremental-ingestion
+    * half ([[IvfPqIndex.append]]): both the list assignment and the code
+    * are pure per-vector functions of the frozen quantizer pair, so the
+    * result rows are identical to what a from-scratch build with these
+    * quantizers would emit for the same vectors (same fused kernel —
+    * spec-pinned). Output: (id, list_id, code). */
+  def encodeIvfPq(centroids: DataFrame, codebooks: DataFrame, df: DataFrame,
+                  idCol: String, vecCol: String): DataFrame = {
+    val (cbs, starts) = pqCodebooksFromDf(codebooks)
+    val centArr = centroids
+      .select(col("cent_id").cast("long"), col("cv").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(centArr.nonEmpty, "empty centroids frame")
+    ivfAssignEncode(prepared(df, idCol, vecCol), centArr, cbs, starts)
+  }
+
+  /** THE fused assign+encode kernel (build + incremental ingest): argmax
+    * cosine over the broadcast centroids — strict > on an ascending scan,
+    * so ties keep the LOWEST cent_id and an all-NaN row (zero-norm
+    * vector) keeps the first list, matching the SQL oracle's (csim DESC,
+    * cent_id) window — plus encodeOne's per-subspace nearest codeword,
+    * one narrow pass, no corpus shuffle. `cents` must be sorted by
+    * cent_id (the build's array index == cent_id layout). */
+  private def ivfAssignEncode(c: DataFrame, cents: Array[(Long, Array[Double])],
+                              cbs: Array[Array[Array[Double]]],
+                              starts: Array[Int]): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
     val bcCb = spark.sparkContext.broadcast(cbs)
-    val bcCents = spark.sparkContext.broadcast(
-      centModel.clusterCenters.map(_.toArray))
-    val codes = c.select(col("id").cast("long"), col("v"), col("nrm"))
+    val bcCents = spark.sparkContext.broadcast(cents)
+    c.select(col("id").cast("long"), col("v"), col("nrm"))
       .as[(Long, Seq[Double], Double)]
       .mapPartitions { it =>
         val cbsv = bcCb.value
-        val cents = bcCents.value
-        val cnrms = cents.map { cv =>
+        val cs = bcCents.value
+        val cnrms = cs.map { case (_, cv) =>
           var s = 0.0; var i = 0
           while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
           math.sqrt(s)
         }
         def csim(v: Array[Double], nrm: Double, ci: Int): Double = {
-          val cv = cents(ci)
+          val cv = cs(ci)._2
           val n = math.min(v.length, cv.length)
           var s = 0.0; var i = 0
           while (i < n) { s += v(i) * cv(i); i += 1 }
@@ -685,15 +902,14 @@ object SimilaritySearch {
           var best = 0
           var bestSim = csim(v, nrm, 0)
           var ci = 1
-          while (ci < cents.length) {
+          while (ci < cs.length) {
             val s = csim(v, nrm, ci)
             if (s > bestSim) { bestSim = s; best = ci }
             ci += 1
           }
-          (id, best.toLong, encodeOne(v, cbsv, starts))
+          (id, cs(best)._1, encodeOne(v, cbsv, starts))
         }
       }.toDF("id", "list_id", "code")
-    IvfPqIndex(centsDf, cbDf, codes)
   }
 
   /** AUTO-C: clamp(⌈8·√N⌉, 16, 16384) inverted lists — see

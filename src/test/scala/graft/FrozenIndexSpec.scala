@@ -47,9 +47,34 @@ class FrozenIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = rows.toDF("vec_id", "embedding")
     val (_, tok) = SparkEntry.corpusSig(df)
     def pmod(x: Long, m: Long): Long = { val r = x % m; if (r < 0) r + m else r }
+    // each floor term pmod-clamped BEFORE the sum (the r13 overflow fix:
+    // bounded inner expression at any coordinate magnitude)
     val want = rows.map { case (id, v) =>
       pmod(pmod(id, 2147483648L) * 2654435761L
-          + math.floor(v(0) * 4096).toLong + math.floor(v(63) * 4096).toLong,
+          + pmod(math.floor(v(0) * 4096).toLong, 1000000000L)
+          + pmod(math.floor(v(63) * 4096).toLong, 1000000000L),
+        1000000000L)
+    }.sum
+    assert(tok === want)
+  }
+
+  test("pathological coordinate magnitudes stay bounded (no silent Long wrap)") {
+    import spark.implicits._
+    // pre-clamp, |floor(v·4096)| up to ~4e18 pushed the inner sum past
+    // Long.MaxValue once added to the ~5.7e18 id term: Spark wrapped
+    // silently while the DuckDB replica raised. The clamp bounds each
+    // floor term to [0, 1e9); pin Spark == the local replica on huge,
+    // tiny-negative, and mixed coordinates.
+    val rows = Seq(
+      (3L, Array.tabulate(64)(d => if (d == 0) 9.9e14 else 0.01 * d)),
+      (4L, Array.tabulate(64)(d => if (d == 63) -8.7e14 else 0.02 * d)),
+      (5L, Array.tabulate(64)(d => 1.0e13 + d)))
+    val (_, tok) = SparkEntry.corpusSig(rows.toDF("vec_id", "embedding"))
+    def pmod(x: Long, m: Long): Long = { val r = x % m; if (r < 0) r + m else r }
+    val want = rows.map { case (id, v) =>
+      pmod(pmod(id, 2147483648L) * 2654435761L
+          + pmod(math.floor(v(0) * 4096).toLong, 1000000000L)
+          + pmod(math.floor(v(63) * 4096).toLong, 1000000000L),
         1000000000L)
     }.sum
     assert(tok === want)

@@ -356,6 +356,223 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(r => r._2 % 2 == 1 && r._2 >= 10))
   }
 
+  test("tombstones are ADD-ONLY: batchId reuse accumulates, never resurrects (LSH + PQ)") {
+    // the r13 ADVICE scenario: two takedown calls sharing the DEFAULT
+    // batchId — under the old overwrite semantics the second silently
+    // clobbered the first, resurrecting opted-out vectors
+    val dir = java.nio.file.Files.createTempDirectory("lsh-del2").toString
+    SimilaritySearch.buildLshIndex(emb, "vec_id", "embedding",
+      bitsPerBand = 12, numBands = 32).save(dir)
+    import spark.implicits._
+    graft.operators.LshIndex.delete(dir, Seq(11L).toDF("vec_id"), "vec_id")
+    graft.operators.LshIndex.delete(dir, Seq(13L).toDF("vec_id"), "vec_id")
+    val ids = graft.operators.LshIndex.load(spark, dir)
+      .vectors.select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(11L) && !ids.contains(13L),
+      "an earlier tombstone batch was clobbered by a later one")
+    // same contract on the PQ side
+    val pdir = java.nio.file.Files.createTempDirectory("pq-del2").toString
+    SimilaritySearch.buildPqIndex(emb, "vec_id", "embedding").save(pdir)
+    graft.operators.PqIndex.delete(pdir, Seq(11L).toDF("vec_id"), "vec_id")
+    graft.operators.PqIndex.delete(pdir, Seq(13L).toDF("vec_id"), "vec_id")
+    val pids = graft.operators.PqIndex.load(spark, pdir)
+      .codes.select("id").collect().map(_.getLong(0)).toSet
+    assert(!pids.contains(11L) && !pids.contains(13L))
+    // and a post-compact delete into the merged partition id cannot
+    // clobber the compacted tombstone set (append, not overwrite)
+    graft.operators.LshIndex.delete(dir, Seq(15L).toDF("vec_id"), "vec_id",
+      batchId = 2L)
+    graft.operators.LshIndex.compact(spark, dir, upToBatch = 2L)
+    graft.operators.LshIndex.delete(dir, Seq(17L).toDF("vec_id"), "vec_id",
+      batchId = 2L)
+    val after = graft.operators.LshIndex.load(spark, dir)
+      .vectors.select("id").collect().map(_.getLong(0)).toSet
+    assert(Seq(11L, 13L, 15L, 17L).forall(!after.contains(_)),
+      s"post-compact delete resurrected a compacted tombstone")
+  }
+
+  test("re-appended ids stay masked after delete (ingest-order-blind mask, documented)") {
+    // NOT FAISS semantics, by design: add-after-remove stays deleted
+    // until a physical purge — pin the documented behavior
+    val dir = java.nio.file.Files.createTempDirectory("lsh-readd").toString
+    val standing = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    SimilaritySearch.buildLshIndex(emb, "vec_id", "embedding",
+      bitsPerBand = 12, numBands = 32).save(dir)
+    import spark.implicits._
+    graft.operators.LshIndex.delete(dir, Seq(11L).toDF("vec_id"), "vec_id")
+    // re-ingest the deleted id as a new batch — the mask must hold
+    graft.operators.LshIndex.append(dir, emb.filter(col("vec_id") === 11L),
+      "vec_id", "embedding", bitsPerBand = 12, numBands = 32, batchId = 7L)
+    val loaded = graft.operators.LshIndex.load(spark, dir)
+    assert(loaded.vectors.filter(col("id") === 11L).count() === 0L)
+    // physical purge then re-append makes it searchable again
+    val purged = java.nio.file.Files.createTempDirectory("lsh-readd2").toString
+    loaded.save(purged)
+    graft.operators.LshIndex.append(purged, emb.filter(col("vec_id") === 11L),
+      "vec_id", "embedding", bitsPerBand = 12, numBands = 32, batchId = 1L)
+    assert(graft.operators.LshIndex.load(spark, purged)
+      .vectors.filter(col("id") === 11L).count() === 1L)
+    assert(standing.count() + batch.count() === emb.count()) // sanity
+  }
+
+  test("PqIndex.append: incremental ingest equals from-scratch encode under the frozen quantizer") {
+    // codes are pure per-vector functions of the frozen codebooks, so an
+    // appended batch's serve == an index whose codes were all encoded
+    // from scratch with the same codebooks (the LSH append twin)
+    val dir = java.nio.file.Files.createTempDirectory("pq-inc").toString
+    val standing = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    SimilaritySearch.buildPqIndex(standing, "vec_id", "embedding").save(dir)
+    graft.operators.PqIndex.append(spark, dir, batch, "vec_id", "embedding",
+      batchId = 1L)
+    val loaded = graft.operators.PqIndex.load(spark, dir)
+    assert(loaded.codes.count() === emb.count())
+    val served = SimilaritySearch.searchPqIndex(loaded, emb, queries,
+        "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val scratch = graft.operators.PqIndex(loaded.codebooks,
+      SimilaritySearch.encodePq(loaded.codebooks, emb, "vec_id", "embedding"))
+    val want = SimilaritySearch.searchPqIndex(scratch, emb, queries,
+        "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(served === want)
+    assert(served.nonEmpty)
+    // replay idempotency: re-appending the same batchId overwrites only
+    // its own partition — counts and serve unchanged
+    graft.operators.PqIndex.append(spark, dir, batch, "vec_id", "embedding",
+      batchId = 1L)
+    val replayed = graft.operators.PqIndex.load(spark, dir)
+    assert(replayed.codes.count() === emb.count())
+    val twice = SimilaritySearch.searchPqIndex(replayed, emb, queries,
+        "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(twice === served)
+  }
+
+  test("PqIndex.compact collapses appended code partitions; serve unchanged; tombstones survive") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-compact").toString
+    SimilaritySearch.buildPqIndex(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding").save(dir)
+    graft.operators.PqIndex.append(spark, dir,
+      emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", batchId = 1L)
+    graft.operators.PqIndex.append(spark, dir,
+      emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", batchId = 2L)
+    import spark.implicits._
+    graft.operators.PqIndex.delete(dir, Seq(11L).toDF("vec_id"), "vec_id",
+      batchId = 1L)
+    def serve() = SimilaritySearch.searchPqIndex(
+        graft.operators.PqIndex.load(spark, dir), emb, queries,
+        "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    def batchDirs(half: String) = new java.io.File(s"$dir/$half").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+    val before = serve()
+    assert(batchDirs("codes") === Set("batch=0", "batch=1", "batch=2"))
+    graft.operators.PqIndex.compact(spark, dir, upToBatch = 2L)
+    assert(batchDirs("codes") === Set("batch=2"))
+    val loaded = graft.operators.PqIndex.load(spark, dir)
+    assert(loaded.codes.count() === emb.count() - 1) // tombstone held
+    assert(loaded.codes.filter(col("id") === 11L).count() === 0L)
+    assert(serve() === before)
+    assert(before.nonEmpty)
+  }
+
+  test("IvfPqIndex.delete: tombstoned serve equals an index whose codes were never written for those ids") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-del").toString
+    SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding").save(dir)
+    // tombstone odd ids >= 10 plus a phantom id (harmless no-op)
+    val doomed = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") >= 10)
+      .select(col("vec_id"))
+      .unionByName(spark.range(999999L, 1000000L).toDF("vec_id"))
+    graft.operators.IvfPqIndex.delete(dir, doomed, "vec_id", batchId = 1L)
+    val masked = graft.operators.IvfPqIndex.load(spark, dir)
+    val nDoomed = doomed.count() - 1
+    assert(masked.codes.count() === emb.count() - nDoomed)
+    // reference: the same persisted quantizers (deletion touches neither
+    // — the raw centroids/codebooks dirs are read back as-is), codes
+    // filtered before serving as if the deleted ids were never ingested
+    val ref = graft.operators.IvfPqIndex(masked.centroids, masked.codebooks,
+      spark.read.parquet(s"$dir/codes").drop("batch")
+        .filter(!(col("id") % 2 === 1 && col("id") >= 10)))
+    def serve(ix: graft.operators.IvfPqIndex) =
+      SimilaritySearch.searchIvfPqIndex(ix, emb, queries, "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val got = serve(masked)
+    assert(got === serve(ref))
+    assert(got.nonEmpty)
+    assert(!got.exists(r => r._2 % 2 == 1 && r._2 >= 10))
+    // physical purge: load -> save fresh root -> no deletes dir,
+    // identical serve
+    val purged = java.nio.file.Files.createTempDirectory("ivfpq-purged").toString
+    masked.save(purged)
+    assert(!new java.io.File(s"$purged/deletes").exists())
+    assert(serve(graft.operators.IvfPqIndex.load(spark, purged)) === got)
+  }
+
+  test("IvfPqIndex.append: incremental assign+encode equals the build kernel; idempotent per batchId") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-inc").toString
+    val standing = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    SimilaritySearch.buildIvfPqIndex(standing, "vec_id", "embedding").save(dir)
+    graft.operators.IvfPqIndex.append(spark, dir, batch, "vec_id", "embedding",
+      batchId = 1L)
+    val loaded = graft.operators.IvfPqIndex.load(spark, dir)
+    assert(loaded.codes.count() === emb.count())
+    // appended rows == what encodeIvfPq derives for the batch from the
+    // persisted quantizers (assignment AND code, byte-for-byte)
+    val gotBatch = loaded.codes.filter(col("id") % 2 === 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    val want = SimilaritySearch.encodeIvfPq(loaded.centroids, loaded.codebooks,
+        batch, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    assert(gotBatch === want)
+    assert(gotBatch.nonEmpty)
+    val served = SimilaritySearch.searchIvfPqIndex(loaded, emb, queries,
+        "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // replay: same batchId overwrites its own partition only
+    graft.operators.IvfPqIndex.append(spark, dir, batch, "vec_id", "embedding",
+      batchId = 1L)
+    val replayed = graft.operators.IvfPqIndex.load(spark, dir)
+    assert(replayed.codes.count() === emb.count())
+    assert(SimilaritySearch.searchIvfPqIndex(replayed, emb, queries,
+        "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet === served)
+  }
+
+  test("LshIndex.loadBandsOnly: corpus-rebound vectors serve identically (incl. tombstones)") {
+    // the storage-economics option: persist ONLY bands (159 B/vec vs 558
+    // self-contained); the vectors half derives from the corpus parquet
+    // with the same cast-at-read prep the ingest applies
+    val dir = java.nio.file.Files.createTempDirectory("lsh-bands-only").toString
+    val idx = SimilaritySearch.buildLshIndex(emb, "vec_id", "embedding",
+      bitsPerBand = 12, numBands = 32)
+    idx.saveBandsOnly(dir)
+    assert(!new java.io.File(s"$dir/vectors").exists())
+    def serve(ix: graft.operators.LshIndex) =
+      SimilaritySearch.searchLshIndex(ix, queries, "vec_id", "embedding", 10,
+          bitsPerBand = 12, numBands = 32, flipBits = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val rebound = graft.operators.LshIndex.loadBandsOnly(
+      spark, dir, emb, "vec_id", "embedding")
+    val got = serve(rebound)
+    assert(got === serve(idx))
+    assert(got.nonEmpty)
+    // tombstones mask both halves on the bands-only path too
+    import spark.implicits._
+    graft.operators.LshIndex.delete(dir, Seq(11L).toDF("vec_id"), "vec_id")
+    val masked = graft.operators.LshIndex.loadBandsOnly(
+      spark, dir, emb, "vec_id", "embedding")
+    assert(masked.vectors.filter(col("id") === 11L).count() === 0L)
+    assert(masked.bands.filter(col("id") === 11L).count() === 0L)
+    val survivors = emb.filter(col("vec_id") =!= 11L)
+    val scratch = SimilaritySearch.lshTopK(survivors, queries, "vec_id",
+        "embedding", 10, bitsPerBand = 12, numBands = 32, flipBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(serve(masked) === scratch)
+  }
+
   test("encodePq encodes a new batch identically to the index build (incremental ingest)") {
     val idx = SimilaritySearch.buildPqIndex(emb, "vec_id", "embedding")
     val batch = emb.filter(col("vec_id") % 7 === 0)
