@@ -48,7 +48,11 @@ object DumpPlans extends App {
     "q_ann_lsh_index" -> "persisted-LSH serve: query-side multi-probe kernel, 16-byte band equi-join, candidate-id-only vector lookup",
     "q_ann_lsh_index_incremental" -> "appended LSH index (standing batch=0 + ingested batch=1 partitions) serving identically to from-scratch",
     "q_ann_lsh_index_delete" -> "tombstoned LSH index: deletes anti-joined out of both halves at load; serve equals from-scratch on the surviving corpus",
-    "q_ann_pq_index_delete" -> "tombstoned PQ index (FAISS remove_ids): codes masked at load, quantizer untouched; ADC serve over survivors only")
+    "q_ann_pq_index_delete" -> "tombstoned PQ index (FAISS remove_ids): codes masked at load, quantizer untouched; ADC serve over survivors only",
+    "q_ann_ivfpq_index" -> "persisted IVF-PQ serve (the production shape): loaded frozen quantizers, probe-bounded ADC over batch-partitioned codes, exact re-rank",
+    "q_ann_ivfpq_index_delete" -> "tombstoned IVF-PQ index: codes anti-joined against the delete set at load; probes can never surface a deleted vector",
+    "q_ann_pq_index_incremental" -> "appended PQ index (standing batch=0 + ingested batch=1 code partitions) serving identically to a from-scratch encode",
+    "q_ann_lsh_index_bandsonly" -> "bands-only LSH serve: vectors half rebound to the corpus parquet at load (159 vs 558 B/vec), same candidates and scores")
   val sb = new StringBuilder
   sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
   sb.append("GENERATED artifact — regenerate with `sbt \"runMain graft.tools.DumpPlans\"`.\n")
