@@ -1695,6 +1695,89 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- ANN over a PERSISTED SCALAR-QUANTIZED (SQ8) index: one linear
+    //      byte quantizer per dimension (FAISS ScalarQuantizer QT_8bit
+    //      layout) — dim bytes/vector, the recall-vs-compression middle
+    //      ground between PQ (m bytes) and raw. The codebook frame is PQ
+    //      with dim one-element subspaces, so build→save→load→serve
+    //      reuses the whole PqIndex lifecycle; training is a
+    //      deterministic per-dim min/max aggregate, so the oracle
+    //      re-derives the QUANTIZER ITSELF from scratch — the only
+    //      quantized family with NO frozen frame in its gate. ----
+    "q_ann_sq8_index" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-sq8-idx-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      import graft.operators.AnnConfig
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      graft.operators.SimilaritySearch.buildSqIndex(
+        emb, "vec_id", "embedding",
+        codebookSize = AnnConfig.sqLevels).save(tmp)
+      val loaded = graft.operators.PqIndex.load(s, tmp)
+      graft.operators.SimilaritySearch.searchPqIndex(
+          loaded, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- SQ8 tombstone delete: FAISS remove_ids semantics on the scalar
+    //      index — codes masked at load, the min/max quantizer untouched;
+    //      value-exact under the same from-scratch replay with the
+    //      deletion predicate on its serving corpus CTE (quantizer stats
+    //      stay those of the full build corpus). ----
+    "q_ann_sq8_index_delete" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-sq8-del-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      import graft.operators.AnnConfig
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      graft.operators.SimilaritySearch.buildSqIndex(
+        emb, "vec_id", "embedding",
+        codebookSize = AnnConfig.sqLevels).save(tmp)
+      graft.operators.PqIndex.delete(tmp,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1
+          && col("vec_id") >= AnnConfig.maxQueries),
+        "vec_id", batchId = 1L)
+      val loaded = graft.operators.PqIndex.load(s, tmp)
+      graft.operators.SimilaritySearch.searchPqIndex(
+          loaded, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- SQ8 incremental ingest: the standing index (and its min/max
+    //      ranges) built on the evens; the odd batch APPENDED as its own
+    //      codes/batch=1 partition, encoded against the FROZEN ranges
+    //      (out-of-range values clamp via argmin — FAISS semantics).
+    //      Served result == from-scratch encode of the full corpus under
+    //      those ranges; the oracle re-derives the ranges from the
+    //      STANDING (even-id) corpus and replays serve over everything.
+    "q_ann_sq8_index_incremental" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-sq8-inc-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val standing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      graft.operators.SimilaritySearch.buildSqIndex(
+        standing, "vec_id", "embedding",
+        codebookSize = AnnConfig.sqLevels).save(tmp)
+      graft.operators.PqIndex.append(s, tmp, batch, "vec_id", "embedding",
+        batchId = 1L)
+      val loaded = graft.operators.PqIndex.load(s, tmp)
+      graft.operators.SimilaritySearch.searchPqIndex(
+          loaded, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- IVF-PQ persisted serve: build → save → load → search — the
     //      PRODUCTION standing-index lifecycle for the billion-vector
     //      layout (14.6 B/vec measured at sf10). Split gate: the LOADED
@@ -3919,6 +4002,15 @@ object SparkEntry {
     // so the standard full-corpus ADC replay certifies the appended index
     "q_ann_pq_index_incremental" ->
       SparkEntryOracles.annPqSql("q_ann_pq_index_incremental"),
+    // SQ8 gates: NO frozen frame — the per-dim min/max quantizer is
+    // re-derived from scratch (statsWhere scopes the build corpus),
+    // codes replayed by argmin, ADC + re-rank shared with the PQ replay
+    "q_ann_sq8_index" -> SparkEntryOracles.annSqSqlOver(""),
+    "q_ann_sq8_index_delete" -> SparkEntryOracles.annSqSqlOver(
+      s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
+    // ranges trained on the standing evens, serve over the full corpus
+    "q_ann_sq8_index_incremental" -> SparkEntryOracles.annSqSqlOver(
+      "", statsWhere = "vec_id % 2 = 0"),
     "q_ann_ivfpq" -> SparkEntryOracles.annIvfPqSql,
     // persisted / appended IVF-PQ serve exactly what the from-scratch
     // replay derives from the frozen centroid+codebook pair (assignment

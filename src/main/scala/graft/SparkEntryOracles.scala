@@ -879,6 +879,64 @@ object SparkEntryOracles {
        |${adcRankedCtes(m = A.numSubspaces, subLen = A.subLen, k = A.k, r = A.rerankR)}
        |$pqFinalSelect""".stripMargin
 
+  /** Corpus + query prep and SQ8 encode for the scalar-quantized gates —
+    * the one quantized family with NO frozen frame: the per-dimension
+    * min/max quantizer is re-derived FROM SCRATCH here (stats always
+    * over the FULL corpus — deletion never retrains, so the delete
+    * variant's predicate applies only to the serving CTE `v`), codewords
+    * expanded as `min_j + w·(max_j−min_j)/(levels−1)` — the exact
+    * double-arithmetic sequence sqCodebooksDf computes — then the same
+    * argmin encode replica as PQ with subLen = 1 (ties → lowest
+    * codeword, matching encodeOne). `statsWhere` scopes the corpus the
+    * QUANTIZER trained on (the incremental gate builds its ranges on the
+    * standing batch only); `corpusWhere` scopes the corpus SERVED (the
+    * delete gate masks tombstoned ids). */
+  private def sqPreludeSql(maxQ: Int, levels: Int,
+                           corpusWhere: String = "",
+                           statsWhere: String = ""): String = {
+    val corpusPred = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
+    val statsPred = if (statsWhere.isEmpty) "" else s" WHERE $statsWhere"
+    s"""WITH stats AS (
+       |  SELECT j, min(x) AS mn, max(x) AS mx FROM (
+       |    SELECT generate_subscripts(ev, 1) - 1 AS j, unnest(ev) AS x
+       |    FROM (SELECT embedding::DOUBLE[] AS ev FROM embeddings$statsPred))
+       |  GROUP BY j),
+       |cb AS (
+       |  SELECT j, w, cw, list_dot_product(cw, cw) AS cn2 FROM (
+       |    SELECT s.j, ws.w,
+       |      [s.mn + ws.w * ((s.mx - s.mn) / ${levels - 1}.0)] AS cw
+       |    FROM stats s CROSS JOIN
+       |      (SELECT unnest(generate_series(0, ${levels - 1})) AS w) ws)),
+       |v AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings$corpusPred),
+       |q AS (SELECT id AS q_id, v AS qv, nrm AS qn FROM v WHERE id < $maxQ),
+       |enc AS (
+       |  SELECT id, j, cw, cn2 FROM (
+       |    SELECT v.id, cb.j, cb.w, cb.cw, cb.cn2,
+       |      row_number() OVER (PARTITION BY v.id, cb.j ORDER BY
+       |        ${sqL2Terms("v.v", "cb.j*1", "cb.cw", 1)}, cb.w) AS rn
+       |    FROM v CROSS JOIN cb)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** q_ann_sq8_index replica: the quantizer re-derived from scratch, a
+    * full ADC scan over the scalar codes (m = dim one-element
+    * subspaces), then the shared top-R + exact re-rank tail. One replay
+    * certifies the persisted serve AND the incremental-ingest gate
+    * (codes are pure per-vector functions of the frozen min/max);
+    * corpusWhere masks the serving corpus for the tombstone-delete
+    * variant while the quantizer stats stay those of the build corpus;
+    * statsWhere scopes the build corpus for the incremental gate (ranges
+    * trained on the standing batch only, serve over everything). */
+  def annSqSqlOver(corpusWhere: String, statsWhere: String = ""): String =
+    s"""${sqPreludeSql(maxQ = A.maxQueries, levels = A.sqLevels, corpusWhere,
+           statsWhere)},
+       |pairsrc AS (SELECT q.q_id, v.id FROM q CROSS JOIN v),
+       |${adcRankedCtes(m = A.sqDim, subLen = 1, k = A.k, r = A.rerankR)}
+       |$pqFinalSelect""".stripMargin
+
   /** IVF probe CTE chain ending in `pairsrc` (q_id, id): corpus list
     * assignment (argmax cosine, ties -> lowest cent_id: the fused-kernel
     * replica) against the gate's frozen centroids, auto-nProbe =

@@ -25,6 +25,11 @@ object AnnConfig {
   val maxQueries: Int = 20
   /** Hybrid-retrieval gates use queries id < hybridQueries. */
   val hybridQueries: Int = 4
+  /** SQ8 operating point: one linear byte quantizer per dimension over
+    * the full embedding dim (= numSubspaces·subLen one-element
+    * subspaces) with sqLevels codewords each. */
+  def sqDim: Int = numSubspaces * subLen
+  val sqLevels: Int = 256
   /** q_ann_ivf_kmeans operating point: C lists, nProbe probes (25% scan). */
   val kmeansLists: Int = 128
   val kmeansProbes: Int = 32

@@ -785,6 +785,61 @@ object SimilaritySearch {
     pqRerank(cand, c, q, k, k * rerankFactor)
   }
 
+  /** Scalar-quantization (SQ8) codebooks: ONE linear byte quantizer per
+    * DIMENSION — codeword w of dimension j decodes to
+    * `min_j + w·(max_j−min_j)/(levels−1)`, the FAISS ScalarQuantizer
+    * QT_8bit layout. Returned as the SAME (subspace, codeword, vec)
+    * frame PQ uses, with dim ONE-element subspaces — so the entire
+    * PqIndex lifecycle (save/load/append/delete/compact) and the ADC
+    * serve path (`searchPqIndex`) apply UNCHANGED; only the training
+    * differs, and it is a deterministic per-dimension min/max aggregate
+    * (map-side-combined to dim rows before the shuffle — corpus-size
+    * independent), not k-means. That determinism makes SQ8 the one
+    * quantized family whose DuckDB oracle re-derives the QUANTIZER
+    * ITSELF from scratch — no frozen frame anywhere in its gate.
+    * Storage: dim bytes/vector (64 B at dim 64 ≈ 0.24× a float32
+    * corpus) — the recall-vs-compression middle ground between PQ
+    * (m bytes) and raw; per-dim resolution of 256 levels keeps
+    * quantization error (and thus ADC ranking error) far below PQ's.
+    * The stats collect is `dim` rows — bounded by the embedding
+    * dimension, same class as the centroid collects. */
+  def sqCodebooksDf(corpus: DataFrame, idCol: String, vecCol: String,
+                    codebookSize: Int = 256): DataFrame = {
+    require(codebookSize >= 2 && codebookSize <= 256,
+      s"codebookSize must be in [2, 256] (codes are byte-encoded), got $codebookSize")
+    val c = prepared(corpus, idCol, vecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val stats = c.select(posexplode(col("v"))).toDF("j", "x")
+      .groupBy(col("j")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(stats.nonEmpty, "empty corpus")
+    // Degenerate dimensions (min == max) are fine: step = 0, every
+    // codeword decodes to the constant, argmin ties -> codeword 0.
+    stats.toSeq.flatMap { case (j, mn, mx) =>
+      val step = (mx - mn) / (codebookSize - 1).toDouble
+      (0 until codebookSize).map(w => (j, w, Seq(mn + w.toDouble * step)))
+    }.toDF("subspace", "codeword", "vec")
+  }
+
+  /** Build a persisted SQ8 index over a standing corpus — per-dimension
+    * min/max scanned once, every vector byte-encoded once, serve forever
+    * with `searchPqIndex`. Returns a [[PqIndex]] (SQ8 IS PQ with dim
+    * one-element linear codebooks), so incremental ingest
+    * ([[PqIndex.append]] — codes are pure functions of the frozen
+    * min/max, appended batches land as their own partition), tombstone
+    * deletes ([[PqIndex.delete]]) and compaction all come from the one
+    * shared lifecycle. Like FAISS, the quantizer freezes at build:
+    * appended batches are encoded against the BUILD corpus's ranges
+    * (out-of-range values clamp to the nearest codeword — argmin encode
+    * does that naturally). */
+  def buildSqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   codebookSize: Int = 256): PqIndex = {
+    val cb = sqCodebooksDf(corpus, idCol, vecCol, codebookSize)
+    PqIndex(cb, encodePq(cb, corpus, idCol, vecCol))
+  }
+
   /** Build a persisted IVF-PQ index: k-means centroids partition the
     * corpus into inverted lists AND per-subspace PQ codebooks compress
     * each vector to m bytes — the layout that serves billion-vector

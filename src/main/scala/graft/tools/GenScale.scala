@@ -27,12 +27,16 @@ import org.apache.spark.sql.functions._
   *    per replica so ANN neighborhoods stay locally meaningful without 10
   *    exact-tie copies of every vector.
   *
-  * Usage: runMain graft.tools.GenScale <srcSfDir> <outDir> <factor>
+  * Usage: runMain graft.tools.GenScale <srcSfDir> <outDir> <factor> [table...]
+  * — trailing table names restrict output to just those tables (an
+  * index-storage or ANN-exponent run only needs `embeddings`; skipping
+  * the 100× lineitem replica saves most of the wall-clock and disk).
   */
 object GenScale extends App {
   val Array(srcDir, outDir, factorStr) = args.take(3)
   val factor = factorStr.toInt
   require(factor >= 2 && factor <= 100, s"factor $factor")
+  private val only: Set[String] = args.drop(3).toSet
   private val Off = 1000000000L // > any source key space
 
   val spark = SparkSession.builder()
@@ -53,10 +57,12 @@ object GenScale extends App {
 
   private def off(c: String) = (col(c) + col("__r") * lit(Off)).as(c)
 
-  private def write(df: DataFrame, name: String): Unit = {
-    df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-    println(s"genscale wrote $name")
-  }
+  private def write(df: DataFrame, name: String): Unit =
+    if (only.nonEmpty && !only.contains(name)) ()
+    else {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"genscale wrote $name")
+    }
 
   // dimension constants: unchanged
   write(src("region"), "region")

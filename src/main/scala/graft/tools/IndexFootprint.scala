@@ -37,6 +37,8 @@ object IndexFootprint {
     SimilaritySearch.buildPqIndex(emb, "vec_id", "embedding").save(s"$tmp/pq")
     // IVF-PQ at auto-C
     SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding").save(s"$tmp/ivfpq")
+    // SQ8 (dim one-element linear subspaces, 256 levels)
+    SimilaritySearch.buildSqIndex(emb, "vec_id", "embedding").save(s"$tmp/sq8")
 
     def row(shape: String, parts: Seq[(String, Long)]): Unit = {
       val total = parts.map(_._2).sum
@@ -51,6 +53,9 @@ object IndexFootprint {
     row(s"pq(m=${AnnConfig.numSubspaces})", Seq(
       "codebooks" -> bytes(s"$tmp/pq/codebooks"),
       "codes" -> bytes(s"$tmp/pq/codes")))
+    row(s"sq8(levels=${AnnConfig.sqLevels})", Seq(
+      "codebooks" -> bytes(s"$tmp/sq8/codebooks"),
+      "codes" -> bytes(s"$tmp/sq8/codes")))
     row("ivfpq(auto-C)", Seq(
       "centroids" -> bytes(s"$tmp/ivfpq/centroids"),
       "codebooks" -> bytes(s"$tmp/ivfpq/codebooks"),
