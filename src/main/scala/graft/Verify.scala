@@ -302,6 +302,8 @@ object Verify {
          |"q_ann_pq": ${annRecall("q_ann_pq", frozenNote)},
          |"q_ann_pq_index": ${annRecall("q_ann_pq_index", frozenNote)},
          |"q_ann_ivfpq": ${annRecall("q_ann_ivfpq", ivfpqExtra + frozenNote)},
+         |"q_ann_sq8_index": ${annRecall("q_ann_sq8_index",
+             ""","oracle":"gate is value-exact with NO frozen frame (quantizer re-derived from scratch in DuckDB); recall measures SQ8 quantizer fidelity vs exact cosine"""")},
          |"q_hybrid_retrieval_pq": $hybridPqOverlap,
          |"q_dedup_simhash": $simhashRecall,
          |"q_bpe_merges": $bpeExactness,
