@@ -1778,6 +1778,90 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- STREAMING index ingest (LSH): the standing index is built on
+    //      the evens; the odds arrive as a STREAM (file source,
+    //      maxFilesPerTrigger=1 over a 2-file staging dir → 2 real
+    //      micro-batches) and land via LshIndex.ingestStream — each
+    //      micro-batch appended as its own partition keyed by the
+    //      streaming batchId, so Structured Streaming's same-id replay
+    //      of an uncommitted batch makes ingest exactly-once. Signatures
+    //      are pure per-vector functions, so the streamed index serves
+    //      EXACTLY what from-scratch lshTopK serves — the same
+    //      full-corpus multi-probe replay certifies it. Fresh-slate per
+    //      invocation (checkpoint + staging deleted first): rewritten
+    //      source files would otherwise look new to an old checkpoint
+    //      and double-ingest. ----
+    "q_ann_lsh_index_stream" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-lsh-stream-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      registerCleanupOnExit(tmp)
+      val emb = t(s, dir, "embeddings")
+      val standing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .repartition(2).write.parquet(s"$tmp/src")
+      graft.operators.SimilaritySearch.buildLshIndex(
+        standing, "vec_id", "embedding",
+        bitsPerBand = AnnConfig.lshBits,
+        numBands = AnnConfig.lshBands).save(s"$tmp/index")
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src")
+      graft.operators.LshIndex.ingestStream(s"$tmp/index", stream,
+        "vec_id", "embedding", checkpoint = s"$tmp/ckpt",
+        bitsPerBand = AnnConfig.lshBits, numBands = AnnConfig.lshBands)
+        .awaitTermination()
+      graft.operators.SimilaritySearch.searchLshIndex(
+          graft.operators.LshIndex.load(s, s"$tmp/index"),
+          emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          bitsPerBand = AnnConfig.lshBits, numBands = AnnConfig.lshBands,
+          flipBits = AnnConfig.lshFlipBits)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- STREAMING index ingest (PQ): the compressed-index twin — the
+    //      quantizer trains on the standing evens, the odd stream's
+    //      micro-batches encode against the FROZEN codebooks and land as
+    //      their own codes partitions (exactly-once via the same
+    //      idempotent-batchId contract). Codes are pure per-vector
+    //      functions of the quantizer, so the streamed index serves what
+    //      a from-scratch encode serves — the frozen-codebook ADC replay
+    //      certifies it value-exact. ----
+    "q_ann_pq_index_stream" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-pq-stream-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val standing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .repartition(2).write.parquet(s"$tmp/src")
+      graft.operators.SimilaritySearch.buildPqIndex(
+        standing, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize).save(s"$tmp/index")
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src")
+      graft.operators.PqIndex.ingestStream(s"$tmp/index", stream,
+        "vec_id", "embedding", checkpoint = s"$tmp/ckpt")
+        .awaitTermination()
+      val loaded = graft.operators.PqIndex.load(s, s"$tmp/index")
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.PqIndex(
+        freeze(loaded.codebooks, "q_ann_pq_index_stream", "codebooks",
+          n, tok),
+        loaded.codes)
+      graft.operators.SimilaritySearch.searchPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- IVF-PQ persisted serve: build → save → load → search — the
     //      PRODUCTION standing-index lifecycle for the billion-vector
     //      layout (14.6 B/vec measured at sf10). Split gate: the LOADED
@@ -3912,6 +3996,10 @@ object SparkEntry {
     // with the same cast-at-read prep the ingest applies — identical
     // candidates, scores, ranks, so the same from-scratch replay holds
     "q_ann_lsh_index_bandsonly" -> SparkEntryOracles.annLshSql,
+    // streaming ingest lands each micro-batch via the same pure
+    // per-vector signature kernel — the streamed index serves exactly
+    // the from-scratch result, so the same full-corpus replay certifies it
+    "q_ann_lsh_index_stream" -> SparkEntryOracles.annLshSql,
 
     // bit-exact FNV-1a + fmix64 replicas (same HUGEINT wrap-multiply
     // technique): simhash signatures and the Count-Min sketch are both
@@ -4002,6 +4090,10 @@ object SparkEntry {
     // so the standard full-corpus ADC replay certifies the appended index
     "q_ann_pq_index_incremental" ->
       SparkEntryOracles.annPqSql("q_ann_pq_index_incremental"),
+    // streamed micro-batches encode against the frozen codebooks — same
+    // pure-function argument as the incremental gate, same ADC replay
+    "q_ann_pq_index_stream" ->
+      SparkEntryOracles.annPqSql("q_ann_pq_index_stream"),
     // SQ8 gates: NO frozen frame — the per-dim min/max quantizer is
     // re-derived from scratch (statsWhere scopes the build corpus),
     // codes replayed by argmin, ADC + re-rank shared with the PQ replay

@@ -120,6 +120,32 @@ object PqIndex {
     PartitionedCompaction.compactPartitioned(spark, s"$dir/codes", upToBatch)
     PartitionedCompaction.compactPartitioned(spark, s"$dir/deletes", upToBatch)
   }
+
+  /** STREAMING ingest into the standing compressed index: every
+    * micro-batch of `vectors` is encoded against the frozen codebooks
+    * and landed as its own codes partition via [[append]], keyed by
+    * `baseBatch + streaming batchId`. Because append is idempotent per
+    * batchId and Structured Streaming REPLAYS an uncommitted micro-batch
+    * under the SAME batchId after a crash, the re-run overwrites the
+    * identical partition — exactly-once index ingest with no manifest
+    * beyond the stream's own checkpoint. `baseBatch` must clear every
+    * batch id already present (a [[PqIndex.save]] is batch 0; the
+    * default 1 suits a freshly built index). The default
+    * Trigger.AvailableNow drains the source and stops — pass a
+    * processing-time trigger for continuous ingest. */
+  def ingestStream(dir: String, vectors: DataFrame, idCol: String,
+                   vecCol: String, checkpoint: String,
+                   baseBatch: Long = 1L,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        append(batch.sparkSession, dir, batch, idCol, vecCol, baseBatch + id)
+      }
+      .trigger(trigger)
+      .start()
 }
 
 /** A persisted hyperplane-LSH index: `bands` = (id, band, sig) — the
@@ -274,6 +300,35 @@ object LshIndex {
     // tombstones are id rows under the same layout; a no-op if absent
     PartitionedCompaction.compactPartitioned(spark, s"$dir/deletes", upToBatch)
   }
+
+  /** STREAMING ingest into the standing LSH index: every micro-batch of
+    * `vectors` is hashed and landed as its own (bands, vectors)
+    * partition pair via [[append]], keyed by `baseBatch + streaming
+    * batchId`. Append is idempotent per batchId and Structured Streaming
+    * replays an uncommitted micro-batch under the SAME id, so a crash
+    * between the append and the checkpoint commit re-lands the identical
+    * partitions on restart — exactly-once index ingest, no manifest
+    * beyond the stream's checkpoint ([[PqIndex.ingestStream]] is the
+    * compressed-index twin; the contract is shared). `baseBatch` must
+    * clear every batch id already present (a [[save]] is batch 0).
+    * Trigger.AvailableNow (default) drains and stops; pass a
+    * processing-time trigger for continuous ingest, and [[compact]] on
+    * whatever cadence bounds the partition count it accumulates. */
+  def ingestStream(dir: String, vectors: DataFrame, idCol: String,
+                   vecCol: String, checkpoint: String,
+                   bitsPerBand: Int = 12, numBands: Int = 224,
+                   baseBatch: Long = 1L,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        append(dir, batch, idCol, vecCol, bitsPerBand, numBands,
+          baseBatch + id)
+      }
+      .trigger(trigger)
+      .start()
 }
 
 /** A persisted IVF-PQ index (the FAISS-style billion-scale layout):
@@ -363,6 +418,25 @@ object IvfPqIndex {
     PartitionedCompaction.compactPartitioned(spark, s"$dir/codes", upToBatch)
     PartitionedCompaction.compactPartitioned(spark, s"$dir/deletes", upToBatch)
   }
+
+  /** STREAMING ingest into the standing IVF-PQ index — the
+    * [[LshIndex.ingestStream]] contract verbatim (idempotent [[append]]
+    * per `baseBatch + streaming batchId` + checkpoint replay =
+    * exactly-once): each micro-batch runs the fused assign+encode kernel
+    * against the frozen quantizer pair, nothing standing is touched. */
+  def ingestStream(dir: String, vectors: DataFrame, idCol: String,
+                   vecCol: String, checkpoint: String,
+                   baseBatch: Long = 1L,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        append(batch.sparkSession, dir, batch, idCol, vecCol, baseBatch + id)
+      }
+      .trigger(trigger)
+      .start()
 }
 
 object SimilaritySearch {
