@@ -1778,6 +1778,67 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- IVF-SQ8 persisted serve: the fourth cell of the {flat, IVF} ×
+    //      {PQ, SQ8} matrix (FAISS IndexIVFScalarQuantizer) — coarse
+    //      k-means lists bound WHICH codes a query scores, per-dim
+    //      linear byte codes bound the BYTES per code. Split gate: only
+    //      the k-means half (centroids) freezes for the oracle; the
+    //      scalar quantizer is re-derived from scratch in the replay. ----
+    "q_ann_ivfsq_index" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfsq-idx-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      graft.operators.SimilaritySearch.buildIvfSqIndex(
+        emb, "vec_id", "embedding",
+        codebookSize = AnnConfig.sqLevels).save(tmp)
+      val loaded = graft.operators.IvfPqIndex.load(s, tmp)
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfsq_index", "centroids", n, tok),
+        loaded.codebooks,
+        loaded.codes)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- IVF-SQ8 tombstone delete: FAISS remove_ids on the fourth
+    //      family — codes masked at load, neither quantizer retrained;
+    //      value-exact under the same replay with the deletion predicate
+    //      on its serving corpus CTE. ----
+    "q_ann_ivfsq_index_delete" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfsq-del-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      graft.operators.SimilaritySearch.buildIvfSqIndex(
+        emb, "vec_id", "embedding",
+        codebookSize = AnnConfig.sqLevels).save(tmp)
+      graft.operators.IvfPqIndex.delete(tmp,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1
+          && col("vec_id") >= AnnConfig.maxQueries),
+        "vec_id", batchId = 1L)
+      val loaded = graft.operators.IvfPqIndex.load(s, tmp)
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfsq_index_delete", "centroids",
+          n, tok),
+        loaded.codebooks,
+        loaded.codes)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- STREAMING index ingest (LSH): the standing index is built on
     //      the evens; the odds arrive as a STREAM (file source,
     //      maxFilesPerTrigger=1 over a 2-file staging dir → 2 real
@@ -4116,6 +4177,13 @@ object SparkEntry {
     // deletion predicate on its one corpus CTE); quantizers stay frozen
     "q_ann_ivfpq_index_delete" -> SparkEntryOracles.annIvfPqSqlOver(
       "q_ann_ivfpq_index_delete",
+      s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
+    // IVF-SQ8: frozen k-means centroids bound the probes; the scalar
+    // quantizer itself is re-derived from scratch in the replay
+    "q_ann_ivfsq_index" ->
+      SparkEntryOracles.annIvfSqSqlOver("q_ann_ivfsq_index", ""),
+    "q_ann_ivfsq_index_delete" -> SparkEntryOracles.annIvfSqSqlOver(
+      "q_ann_ivfsq_index_delete",
       s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
     "q_ann_ivf_kmeans" -> SparkEntryOracles.annIvfKMeansSql,
 

@@ -937,6 +937,21 @@ object SparkEntryOracles {
        |${adcRankedCtes(m = A.sqDim, subLen = 1, k = A.k, r = A.rerankR)}
        |$pqFinalSelect""".stripMargin
 
+  /** q_ann_ivfsq_index replica — the {IVF, SQ8} matrix cell: the FROZEN
+    * coarse centroids bound WHICH codes each query scores
+    * (ivfPairsrcCtes — the same frozen-centroid probe replica IVF-PQ
+    * uses), while the scalar quantizer is re-derived FROM SCRATCH
+    * (sqPreludeSql: per-dim min/max over the full corpus + linear
+    * codeword expansion + argmin encode), then the shared ADC +
+    * exact-re-rank tail at m = dim. Only the k-means half needs a frozen
+    * frame. corpusWhere masks the serving corpus (the delete variant);
+    * the quantizer stats stay those of the full build corpus. */
+  def annIvfSqSqlOver(gate: String, corpusWhere: String): String =
+    s"""${sqPreludeSql(maxQ = A.maxQueries, levels = A.sqLevels, corpusWhere)},
+       |${ivfPairsrcCtes(gate)},
+       |${adcRankedCtes(m = A.sqDim, subLen = 1, k = A.k, r = A.rerankR)}
+       |$pqFinalSelect""".stripMargin
+
   /** IVF probe CTE chain ending in `pairsrc` (q_id, id): corpus list
     * assignment (argmax cosine, ties -> lowest cent_id: the fused-kernel
     * replica) against the gate's frozen centroids, auto-nProbe =

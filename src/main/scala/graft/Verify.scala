@@ -304,6 +304,8 @@ object Verify {
          |"q_ann_ivfpq": ${annRecall("q_ann_ivfpq", ivfpqExtra + frozenNote)},
          |"q_ann_sq8_index": ${annRecall("q_ann_sq8_index",
              ""","oracle":"gate is value-exact with NO frozen frame (quantizer re-derived from scratch in DuckDB); recall measures SQ8 quantizer fidelity vs exact cosine"""")},
+         |"q_ann_ivfsq_index": ${annRecall("q_ann_ivfsq_index",
+             ""","oracle":"gate is value-exact (frozen k-means half only; SQ quantizer re-derived from scratch); recall measures the coarse quantizer — SQ codes add essentially no ranking error"""")},
          |"q_hybrid_retrieval_pq": $hybridPqOverlap,
          |"q_dedup_simhash": $simhashRecall,
          |"q_bpe_merges": $bpeExactness,

@@ -977,6 +977,49 @@ object SimilaritySearch {
     IvfPqIndex(centsDf, cbDf, codes)
   }
 
+  /** Build an IVF-SQ8 index: coarse k-means inverted lists bound WHICH
+    * codes a query scores, per-dimension linear byte codes bound the
+    * BYTES per code — FAISS IndexIVFScalarQuantizer, the fourth cell of
+    * the {flat, IVF} × {PQ, SQ8} matrix. Returned as an [[IvfPqIndex]]
+    * (SQ8 codebooks ARE the PQ frame with dim one-element subspaces), so
+    * save/load/append/delete/compact/ingestStream and `searchIvfPqIndex`
+    * all apply unchanged, and the codes flow through the same fused
+    * assign+encode kernel as IVF-PQ (incremental ingest can never drift
+    * from the build). The coarse quantizer trains on the deterministic
+    * hash-sample (k-means — frozen for the oracle, exactly IVF-PQ's
+    * split); the scalar quantizer is the per-dim min/max aggregate over
+    * the FULL corpus — deterministic, so the oracle re-derives that half
+    * from scratch. Storage: dim bytes/vector + the √N-share centroid
+    * table (~0.27× raw at dim 64) with probe-bounded serving — the shape
+    * for corpora that can afford SQ8's near-lossless ranking but not a
+    * full corpus scan per query. */
+  def buildIvfSqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      numCentroids: Int = 0, codebookSize: Int = 256,
+                      maxTrainVectors: Int = 262144): IvfPqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = prepared(corpus, idCol, vecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lists =
+      if (numCentroids > 0) numCentroids else autoNumCentroids(memoizedCount(c))
+    val trainDf = hashSample(c, maxTrainVectors).select(col("v")).cache()
+    val centModel =
+      try new KMeans()
+        .setK(math.min(lists.toLong, math.max(1L, trainDf.count())).toInt)
+        .setSeed(7L).setMaxIter(10).setInitMode("random")
+        .fit(trainDf.select(array_to_vector(col("v")).as("features")))
+      finally trainDf.unpersist()
+    val cbDf = sqCodebooksDf(corpus, idCol, vecCol, codebookSize)
+    val (cbs, starts) = pqCodebooksFromDf(cbDf)
+    val centsDf = centModel.clusterCenters.zipWithIndex.toSeq
+      .map { case (vec, i) => (i.toLong, vec.toArray.toSeq) }
+      .toDF("cent_id", "cv")
+    val centArr = centModel.clusterCenters.zipWithIndex
+      .map { case (vec, i) => (i.toLong, vec.toArray) }
+    IvfPqIndex(centsDf, cbDf, ivfAssignEncode(c, centArr, cbs, starts))
+  }
+
   /** Assign+encode a NEW batch of vectors against a standing IVF-PQ
     * index's frozen centroids and codebooks — the incremental-ingestion
     * half ([[IvfPqIndex.append]]): both the list assignment and the code

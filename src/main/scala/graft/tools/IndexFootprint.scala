@@ -39,6 +39,8 @@ object IndexFootprint {
     SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding").save(s"$tmp/ivfpq")
     // SQ8 (dim one-element linear subspaces, 256 levels)
     SimilaritySearch.buildSqIndex(emb, "vec_id", "embedding").save(s"$tmp/sq8")
+    // IVF-SQ8 at auto-C
+    SimilaritySearch.buildIvfSqIndex(emb, "vec_id", "embedding").save(s"$tmp/ivfsq")
 
     def row(shape: String, parts: Seq[(String, Long)]): Unit = {
       val total = parts.map(_._2).sum
@@ -60,6 +62,10 @@ object IndexFootprint {
       "centroids" -> bytes(s"$tmp/ivfpq/centroids"),
       "codebooks" -> bytes(s"$tmp/ivfpq/codebooks"),
       "codes" -> bytes(s"$tmp/ivfpq/codes")))
+    row("ivfsq(auto-C, 256 levels)", Seq(
+      "centroids" -> bytes(s"$tmp/ivfsq/centroids"),
+      "codebooks" -> bytes(s"$tmp/ivfsq/codebooks"),
+      "codes" -> bytes(s"$tmp/ivfsq/codes")))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     spark.stop()
   }

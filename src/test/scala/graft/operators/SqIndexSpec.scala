@@ -166,6 +166,51 @@ class SqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(never.codes.count() === survivors.count())
   }
 
+  test("IVF-SQ8: scalar codebooks through the IVF lifecycle — the fourth matrix cell") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq-idx").toString
+    val built = SimilaritySearch.buildIvfSqIndex(emb, "vec_id", "embedding",
+      numCentroids = 8)
+    built.save(dir)
+    val loaded = IvfPqIndex.load(spark, dir)
+    // the codebooks half IS the flat SQ8 quantizer — same min/max frame
+    def cbMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("subspace").cast("int"), col("codeword").cast("int"),
+          col("vec").cast("array<double>"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)),
+          r.getSeq[Double](2).head)).toMap
+    assert(cbMap(loaded.codebooks) ===
+      cbMap(SimilaritySearch.sqCodebooksDf(emb, "vec_id", "embedding")))
+    // built codes == a from-scratch assign+encode under the loaded
+    // quantizer pair (same fused kernel — parquet round-trips exactly)
+    val scratch = SimilaritySearch.encodeIvfPq(loaded.centroids,
+        loaded.codebooks, emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    val got = loaded.codes
+      .select(col("id").cast("long"), col("list_id").cast("long"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(got === scratch)
+    // save/load round trip serves identically, probe-bounded
+    def serve(ix: IvfPqIndex) =
+      SimilaritySearch.searchIvfPqIndex(ix, emb, queries,
+          "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).toSet
+    val a = serve(built); val b = serve(loaded)
+    assert(a === b)
+    assert(a.nonEmpty)
+    // probing bounds recall (nProbe = C/4 lists of 8); SQ8 codes are
+    // near-lossless, so within the probed lists ranking is essentially
+    // exact — assert the same floor the IVF teaching tier carries
+    val brute = SimilaritySearch.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = a.map(r => (r._1, r._2))
+    val recall = brute.count(gotPairs.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"ivf-sq8 recall $recall")
+  }
+
   test("degenerate dimension (min == max): codebook constant, encode 0, serve NaN-free") {
     import spark.implicits._
     val rows = (0L until 40L).map { i =>
