@@ -211,6 +211,29 @@ class SqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"ivf-sq8 recall $recall")
   }
 
+  test("IVF-SQ8 incremental ingest rides the shared IvfPqIndex append: batch == from-scratch") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq-inc").toString
+    val standing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    SimilaritySearch.buildIvfSqIndex(standing, "vec_id", "embedding",
+      numCentroids = 8).save(dir)
+    IvfPqIndex.append(spark, dir, batch, "vec_id", "embedding", batchId = 1L)
+    val appended = IvfPqIndex.load(spark, dir)
+    assert(appended.codes.count() === emb.count())
+    // appended codes == a from-scratch fused assign+encode of the FULL
+    // corpus under the standing quantizer pair (kmeans half + the
+    // evens-trained SQ ranges — both frozen at build)
+    val scratch = SimilaritySearch.encodeIvfPq(appended.centroids,
+        appended.codebooks, emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    val got = appended.codes
+      .select(col("id").cast("long"), col("list_id").cast("long"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(got === scratch)
+  }
+
   test("degenerate dimension (min == max): codebook constant, encode 0, serve NaN-free") {
     import spark.implicits._
     val rows = (0L until 40L).map { i =>
