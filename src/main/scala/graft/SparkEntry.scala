@@ -1839,6 +1839,42 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- IVF-SQ8 incremental ingest: the standing index (both
+    //      quantizer halves — coarse k-means AND the per-dim min/max
+    //      ranges) trains on the evens; the odd batch is APPENDED via
+    //      the shared IvfPqIndex.append (the same fused assign+encode
+    //      kernel as the build, against the FROZEN pair). Serve ==
+    //      from-scratch encode of the full corpus under the standing
+    //      quantizers: the centroid half is frozen from the gate, the
+    //      scalar half re-derived from the STANDING corpus in SQL. ----
+    "q_ann_ivfsq_index_incremental" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfsq-inc-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val standing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      graft.operators.SimilaritySearch.buildIvfSqIndex(
+        standing, "vec_id", "embedding",
+        codebookSize = AnnConfig.sqLevels).save(tmp)
+      graft.operators.IvfPqIndex.append(s, tmp, batch, "vec_id", "embedding",
+        batchId = 1L)
+      val loaded = graft.operators.IvfPqIndex.load(s, tmp)
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfsq_index_incremental",
+          "centroids", n, tok),
+        loaded.codebooks,
+        loaded.codes)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- STREAMING index ingest (LSH): the standing index is built on
     //      the evens; the odds arrive as a STREAM (file source,
     //      maxFilesPerTrigger=1 over a 2-file staging dir → 2 real
@@ -4185,6 +4221,12 @@ object SparkEntry {
     "q_ann_ivfsq_index_delete" -> SparkEntryOracles.annIvfSqSqlOver(
       "q_ann_ivfsq_index_delete",
       s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
+    // incremental: ranges trained on the standing evens (statsWhere),
+    // centroids frozen from the gate's standing-trained k-means, serve
+    // over the full corpus — codes are pure per-vector functions of the
+    // frozen pair, so from-scratch replay == appended index
+    "q_ann_ivfsq_index_incremental" -> SparkEntryOracles.annIvfSqSqlOver(
+      "q_ann_ivfsq_index_incremental", "", statsWhere = "vec_id % 2 = 0"),
     "q_ann_ivf_kmeans" -> SparkEntryOracles.annIvfKMeansSql,
 
     "q_pack_sequences" ->

@@ -945,9 +945,14 @@ object SparkEntryOracles {
     * codeword expansion + argmin encode), then the shared ADC +
     * exact-re-rank tail at m = dim. Only the k-means half needs a frozen
     * frame. corpusWhere masks the serving corpus (the delete variant);
-    * the quantizer stats stay those of the full build corpus. */
-  def annIvfSqSqlOver(gate: String, corpusWhere: String): String =
-    s"""${sqPreludeSql(maxQ = A.maxQueries, levels = A.sqLevels, corpusWhere)},
+    * statsWhere scopes the corpus the SCALAR quantizer trained on (the
+    * incremental gate builds its ranges on the standing batch only —
+    * the centroid half is frozen from the gate, so it carries its own
+    * training scope implicitly). */
+  def annIvfSqSqlOver(gate: String, corpusWhere: String,
+                      statsWhere: String = ""): String =
+    s"""${sqPreludeSql(maxQ = A.maxQueries, levels = A.sqLevels, corpusWhere,
+           statsWhere)},
        |${ivfPairsrcCtes(gate)},
        |${adcRankedCtes(m = A.sqDim, subLen = 1, k = A.k, r = A.rerankR)}
        |$pqFinalSelect""".stripMargin
