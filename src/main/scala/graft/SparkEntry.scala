@@ -1696,8 +1696,9 @@ object SparkEntry {
     }),
 
     // ---- ANN over a PERSISTED SCALAR-QUANTIZED (SQ8) index: one linear
-    //      byte quantizer per dimension (FAISS ScalarQuantizer QT_8bit
-    //      layout) — dim bytes/vector, the recall-vs-compression middle
+    //      byte quantizer per dimension (FAISS-style; endpoints at the
+    //      exact range bounds, not QT_8bit's half-step-offset grid —
+    //      see sqCodebooksDf) — dim bytes/vector, the recall-vs-compression middle
     //      ground between PQ (m bytes) and raw. The codebook frame is PQ
     //      with dim one-element subspaces, so build→save→load→serve
     //      reuses the whole PqIndex lifecycle; training is a

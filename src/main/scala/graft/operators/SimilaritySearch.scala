@@ -132,13 +132,17 @@ object PqIndex {
     * batch id already present (a [[PqIndex.save]] is batch 0; the
     * default 1 suits a freshly built index). The default
     * Trigger.AvailableNow drains the source and stops — pass a
-    * processing-time trigger for continuous ingest. */
+    * processing-time trigger for continuous ingest. A FRESH checkpoint
+    * whose baseBatch collides with already-landed partitions fails fast
+    * at start ([[IngestGuard]]) instead of silently overwriting them. */
   def ingestStream(dir: String, vectors: DataFrame, idCol: String,
                    vecCol: String, checkpoint: String,
                    baseBatch: Long = 1L,
                    trigger: org.apache.spark.sql.streaming.Trigger =
                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    IngestGuard.requireFreshBase(vectors.sparkSession,
+      Seq(s"$dir/codes"), checkpoint, baseBatch)
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -146,6 +150,48 @@ object PqIndex {
       }
       .trigger(trigger)
       .start()
+  }
+}
+
+/** Fail-fast guard for the ingestStream exactly-once contract (shared by
+  * all index families). `append` is idempotent per batchId — which is only
+  * safe while the batchId sequence never collides with partitions an
+  * EARLIER stream (or save/append) already landed. A RETAINED checkpoint
+  * is always safe: committed micro-batches are never re-run, and an
+  * uncommitted replay overwrites the identical partition it half-wrote.
+  * But a FRESH checkpoint restarts streaming batchIds at 0, so a stale
+  * `baseBatch` would make the per-batch mode("overwrite") silently clobber
+  * standing `batch=N` data — a silent data-loss path (r14 ADVICE). This
+  * detects exactly that startup shape and refuses to start: no committed
+  * offsets at `checkpoint` AND an existing partition id >= `baseBatch`
+  * under any of the index's partitioned subdirs. */
+private[operators] object IngestGuard {
+  def requireFreshBase(spark: org.apache.spark.sql.SparkSession,
+                       subdirs: Seq[String], checkpoint: String,
+                       baseBatch: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val off = new org.apache.hadoop.fs.Path(s"$checkpoint/offsets")
+    val offFs = off.getFileSystem(conf)
+    // an established stream (>= 1 offset file) replays safely by contract
+    if (offFs.exists(off) && offFs.listStatus(off).nonEmpty) return
+    subdirs.foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(sub)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) {
+        val present = fs.listStatus(p).toSeq
+          .map(_.getPath.getName)
+          .filter(_.startsWith("batch="))
+          .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+        val clash = present.filter(_ >= baseBatch)
+        if (clash.nonEmpty) throw new IllegalStateException(
+          s"ingestStream with a FRESH checkpoint ($checkpoint) would overwrite " +
+            s"existing partition(s) batch=${clash.min}..${clash.max} under $sub: " +
+            s"streaming batchIds restart at 0, so baseBatch=$baseBatch collides " +
+            s"with already-ingested data. Pass baseBatch > ${present.max} " +
+            "(or reuse the original checkpoint to resume the stream).")
+      }
+    }
+  }
 }
 
 /** A persisted hyperplane-LSH index: `bands` = (id, band, sig) — the
@@ -313,14 +359,18 @@ object LshIndex {
     * clear every batch id already present (a [[save]] is batch 0).
     * Trigger.AvailableNow (default) drains and stops; pass a
     * processing-time trigger for continuous ingest, and [[compact]] on
-    * whatever cadence bounds the partition count it accumulates. */
+    * whatever cadence bounds the partition count it accumulates. A FRESH
+    * checkpoint whose baseBatch collides with already-landed partitions
+    * fails fast at start ([[IngestGuard]]). */
   def ingestStream(dir: String, vectors: DataFrame, idCol: String,
                    vecCol: String, checkpoint: String,
                    bitsPerBand: Int = 12, numBands: Int = 224,
                    baseBatch: Long = 1L,
                    trigger: org.apache.spark.sql.streaming.Trigger =
                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    IngestGuard.requireFreshBase(vectors.sparkSession,
+      Seq(s"$dir/bands", s"$dir/vectors"), checkpoint, baseBatch)
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -329,6 +379,7 @@ object LshIndex {
       }
       .trigger(trigger)
       .start()
+  }
 }
 
 /** A persisted IVF-PQ index (the FAISS-style billion-scale layout):
@@ -423,13 +474,17 @@ object IvfPqIndex {
     * [[LshIndex.ingestStream]] contract verbatim (idempotent [[append]]
     * per `baseBatch + streaming batchId` + checkpoint replay =
     * exactly-once): each micro-batch runs the fused assign+encode kernel
-    * against the frozen quantizer pair, nothing standing is touched. */
+    * against the frozen quantizer pair, nothing standing is touched. A
+    * FRESH checkpoint whose baseBatch collides with already-landed
+    * partitions fails fast at start ([[IngestGuard]]). */
   def ingestStream(dir: String, vectors: DataFrame, idCol: String,
                    vecCol: String, checkpoint: String,
                    baseBatch: Long = 1L,
                    trigger: org.apache.spark.sql.streaming.Trigger =
                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    IngestGuard.requireFreshBase(vectors.sparkSession,
+      Seq(s"$dir/codes"), checkpoint, baseBatch)
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -437,6 +492,7 @@ object IvfPqIndex {
       }
       .trigger(trigger)
       .start()
+  }
 }
 
 object SimilaritySearch {
@@ -861,8 +917,12 @@ object SimilaritySearch {
 
   /** Scalar-quantization (SQ8) codebooks: ONE linear byte quantizer per
     * DIMENSION — codeword w of dimension j decodes to
-    * `min_j + w·(max_j−min_j)/(levels−1)`, the FAISS ScalarQuantizer
-    * QT_8bit layout. Returned as the SAME (subspace, codeword, vec)
+    * `min_j + w·(max_j−min_j)/(levels−1)`, a FAISS-STYLE per-dimension
+    * uniform scalar quantizer. (Not bit-compatible with FAISS QT_8bit,
+    * which decodes w to vmin + (w+0.5)/256·vdiff — a half-step-offset
+    * midrise grid; this one is midtread with codewords AT the exact range
+    * endpoints, so min/max reconstruct losslessly. Same storage, same
+    * asymptotics, no code-level interop.) Returned as the SAME (subspace, codeword, vec)
     * frame PQ uses, with dim ONE-element subspaces — so the entire
     * PqIndex lifecycle (save/load/append/delete/compact) and the ADC
     * serve path (`searchPqIndex`) apply UNCHANGED; only the training

@@ -91,6 +91,43 @@ class StreamingIndexIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(serve(streamed) === serve(scratch))
   }
 
+  test("ingestStream guard: a FRESH checkpoint colliding with landed batches fails fast") {
+    val root = java.nio.file.Files.createTempDirectory("pq-guard").toString
+    SimilaritySearch.buildPqIndex(standing, "vec_id", "embedding").save(s"$root/index")
+    // first stream completes: batches land as batch=1..3
+    PqIndex.ingestStream(s"$root/index", stageAndStream(root),
+      "vec_id", "embedding", checkpoint = s"$root/ckpt").awaitTermination()
+    val landed = batchDirs(s"$root/index/codes")
+    assert(landed === Set("batch=0", "batch=1", "batch=2", "batch=3"))
+    // a SECOND stream with a FRESH checkpoint and the default baseBatch=1
+    // is the silent-data-loss shape (streaming batchIds restart at 0 ->
+    // overwrite of batch=1..): the guard refuses before anything starts
+    val ex = intercept[IllegalStateException] {
+      PqIndex.ingestStream(s"$root/index", stageAndStream(root),
+        "vec_id", "embedding", checkpoint = s"$root/ckpt2")
+    }
+    assert(ex.getMessage.contains("baseBatch"))
+    assert(batchDirs(s"$root/index/codes") === landed)
+    // same fresh checkpoint with a CLEARING baseBatch starts fine and
+    // lands its batches above the standing ones
+    PqIndex.ingestStream(s"$root/index", stageAndStream(root),
+      "vec_id", "embedding", checkpoint = s"$root/ckpt2", baseBatch = 4L)
+      .awaitTermination()
+    assert(batchDirs(s"$root/index/codes") ===
+      Set("batch=0", "batch=1", "batch=2", "batch=3",
+        "batch=4", "batch=5", "batch=6"))
+    // LSH family shares the guard (bands + vectors halves)
+    SimilaritySearch.buildLshIndex(standing, "vec_id", "embedding",
+      bitsPerBand = 12, numBands = 32).save(s"$root/lsh")
+    LshIndex.append(s"$root/lsh", odds, "vec_id", "embedding",
+      bitsPerBand = 12, numBands = 32, batchId = 2L)
+    intercept[IllegalStateException] {
+      LshIndex.ingestStream(s"$root/lsh", stageAndStream(root),
+        "vec_id", "embedding", checkpoint = s"$root/lsh-ckpt",
+        bitsPerBand = 12, numBands = 32, baseBatch = 2L)
+    }
+  }
+
   test("IVF-PQ ingestStream: streamed micro-batches run the fused assign+encode kernel") {
     val root = java.nio.file.Files.createTempDirectory("ivfpq-stream").toString
     SimilaritySearch.buildIvfPqIndex(standing, "vec_id", "embedding",
