@@ -1960,6 +1960,48 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- STREAMING index ingest (IVF-SQ8): completes the {family} ×
+    //      {stream} matrix — both quantizer halves (coarse k-means +
+    //      per-dim min/max ranges) train on the standing evens; the odd
+    //      stream's micro-batches run the shared fused assign+encode
+    //      kernel against the FROZEN pair via IvfPqIndex.ingestStream
+    //      (idempotent per-batchId append + checkpoint replay =
+    //      exactly-once). Value-exact under the same replay as the
+    //      incremental gate: centroid half frozen from the gate, scalar
+    //      half re-derived from the STANDING corpus in SQL. ----
+    "q_ann_ivfsq_index_stream" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfsq-stream-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val standing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .repartition(2).write.parquet(s"$tmp/src")
+      graft.operators.SimilaritySearch.buildIvfSqIndex(
+        standing, "vec_id", "embedding",
+        codebookSize = AnnConfig.sqLevels).save(s"$tmp/index")
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src")
+      graft.operators.IvfPqIndex.ingestStream(s"$tmp/index", stream,
+        "vec_id", "embedding", checkpoint = s"$tmp/ckpt")
+        .awaitTermination()
+      val loaded = graft.operators.IvfPqIndex.load(s, s"$tmp/index")
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfsq_index_stream", "centroids",
+          n, tok),
+        loaded.codebooks,
+        loaded.codes)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- IVF-PQ persisted serve: build → save → load → search — the
     //      PRODUCTION standing-index lifecycle for the billion-vector
     //      layout (14.6 B/vec measured at sf10). Split gate: the LOADED
@@ -4228,6 +4270,11 @@ object SparkEntry {
     // frozen pair, so from-scratch replay == appended index
     "q_ann_ivfsq_index_incremental" -> SparkEntryOracles.annIvfSqSqlOver(
       "q_ann_ivfsq_index_incremental", "", statsWhere = "vec_id % 2 = 0"),
+    // streamed ingest is the incremental append run from micro-batches:
+    // the SAME standing-trained replay certifies it (quantizers train on
+    // the evens, streamed codes are pure per-vector functions of them)
+    "q_ann_ivfsq_index_stream" -> SparkEntryOracles.annIvfSqSqlOver(
+      "q_ann_ivfsq_index_stream", "", statsWhere = "vec_id % 2 = 0"),
     "q_ann_ivf_kmeans" -> SparkEntryOracles.annIvfKMeansSql,
 
     "q_pack_sequences" ->
