@@ -1658,6 +1658,45 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- PQ PHYSICAL PURGE: the byte-reclaim step deletion defers —
+    //      tombstone the odd tail, then PURGE (load → save to a fresh
+    //      root): the surviving codes are rewritten physically, the
+    //      deletes dir is gone, the quantizer copies untouched, and the
+    //      purged index serves EXACTLY what the masked index serves —
+    //      certified by the same frozen-codebook replay with the
+    //      deletion predicate on its corpus CTE. (Footprint delta —
+    //      bytes actually reclaimed — is measured at scale in SCALE.md;
+    //      spec additionally pins purged == masked serve and the
+    //      absence of any tombstone state in the fresh root.) ----
+    "q_ann_pq_index_purge" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-pq-purge-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      registerCleanupOnExit(tmp)
+      import graft.operators.AnnConfig
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      graft.operators.SimilaritySearch.buildPqIndex(
+        emb, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize).save(s"$tmp/orig")
+      graft.operators.PqIndex.delete(s"$tmp/orig",
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1
+          && col("vec_id") >= AnnConfig.maxQueries),
+        "vec_id", batchId = 1L)
+      graft.operators.PqIndex.purge(s, s"$tmp/orig", s"$tmp/purged")
+      val loaded = graft.operators.PqIndex.load(s, s"$tmp/purged")
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.PqIndex(
+        freeze(loaded.codebooks, "q_ann_pq_index_purge", "codebooks", n, tok),
+        loaded.codes)
+      graft.operators.SimilaritySearch.searchPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- PQ incremental ingest: the standing compressed index is built
     //      (and its quantizer trained) on the corpus MINUS the newest
     //      batch (even vec_ids); the batch (odd vec_ids) is APPENDED as
@@ -4224,6 +4263,12 @@ object SparkEntry {
     // SAME frozen codebooks (deletion never retrains the quantizer)
     "q_ann_pq_index_delete" -> SparkEntryOracles.annPqSqlOver(
       "q_ann_pq_index_delete",
+      s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
+    // physical purge rewrites the masked index into a tombstone-free
+    // root: the purged serve must equal the masked serve, so the SAME
+    // deletion-predicate replay certifies it
+    "q_ann_pq_index_purge" -> SparkEntryOracles.annPqSqlOver(
+      "q_ann_pq_index_purge",
       s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
     // incremental ingest == from-scratch encode of the full corpus under
     // the frozen quantizer (codes are pure per-vector functions of it),

@@ -97,11 +97,11 @@ object PqIndex {
     * (never overwritten, so batchId reuse — or a delete issued after a
     * [[compact]] — can never resurrect earlier takedowns; duplicates
     * collapse under load's distinct()); phantom ids a harmless no-op;
-    * re-appended ids stay masked until a physical purge =
-    * `PqIndex.load(spark, dir).save(freshDir)` (one line, rewrites
-    * surviving codes, starts a clean tombstone-free index — run it at
-    * whatever cadence bounds the tombstone fraction; [[compact]] bounds
-    * FILE COUNT but by design never drops a tombstone). */
+    * re-appended ids stay masked until a physical purge ([[purge]] —
+    * load → save to a fresh root: rewrites surviving codes, starts a
+    * clean tombstone-free index; run it at whatever cadence bounds the
+    * tombstone fraction. [[compact]] bounds FILE COUNT but by design
+    * never drops a tombstone). */
   def delete(dir: String, ids: DataFrame, idCol: String,
              batchId: Long = 1L): Unit =
     ids.select(col(idCol).cast("long").as("id")).distinct()
@@ -114,12 +114,26 @@ object PqIndex {
     * unique vector ids, tombstones are consumed as a set). Compact only
     * batches whose append has completed. Tombstoned ids SURVIVE
     * compaction (the deletes dir is merged, not applied) — reclaiming
-    * their bytes is the physical purge documented on [[delete]]. */
+    * their bytes is the physical purge ([[purge]]). */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               upToBatch: Long): Unit = {
     PartitionedCompaction.compactPartitioned(spark, s"$dir/codes", upToBatch)
     PartitionedCompaction.compactPartitioned(spark, s"$dir/deletes", upToBatch)
   }
+
+  /** PHYSICAL PURGE: rewrite the surviving (tombstone-masked) index into
+    * a clean tombstone-free index at `freshDir` — the byte-reclaim step
+    * [[delete]] defers ([[compact]] bounds FILE COUNT but never drops a
+    * tombstone; deleted codes stay on disk until this runs). The masked
+    * [[load]] IS the surviving index, so purge is exactly load → save:
+    * deleted ids' codes are gone physically, the quantizer is copied
+    * untouched, and a serve from `freshDir` equals the masked serve from
+    * `dir` (gated value-exact + spec-pinned). Run it at whatever cadence
+    * bounds the tombstone fraction; after a purge a deleted id CAN be
+    * re-[[append]]ed (the tombstone no longer exists to mask it). */
+  def purge(spark: org.apache.spark.sql.SparkSession, dir: String,
+            freshDir: String): Unit =
+    load(spark, dir).save(freshDir)
 
   /** STREAMING ingest into the standing compressed index: every
     * micro-batch of `vectors` is encoded against the frozen codebooks
@@ -347,6 +361,14 @@ object LshIndex {
     PartitionedCompaction.compactPartitioned(spark, s"$dir/deletes", upToBatch)
   }
 
+  /** PHYSICAL PURGE: rewrite the surviving (tombstone-masked) index into
+    * a clean tombstone-free index at `freshDir` — [[PqIndex.purge]]'s
+    * contract for the LSH family (both halves rewritten at their
+    * surviving rows, deletes dir gone, serve equality spec-pinned). */
+  def purge(spark: org.apache.spark.sql.SparkSession, dir: String,
+            freshDir: String): Unit =
+    load(spark, dir).save(freshDir)
+
   /** STREAMING ingest into the standing LSH index: every micro-batch of
     * `vectors` is hashed and landed as its own (bands, vectors)
     * partition pair via [[append]], keyed by `baseBatch + streaming
@@ -469,6 +491,14 @@ object IvfPqIndex {
     PartitionedCompaction.compactPartitioned(spark, s"$dir/codes", upToBatch)
     PartitionedCompaction.compactPartitioned(spark, s"$dir/deletes", upToBatch)
   }
+
+  /** PHYSICAL PURGE: rewrite the surviving (tombstone-masked) index into
+    * a clean tombstone-free index at `freshDir` — [[PqIndex.purge]]'s
+    * contract for the IVF family (codes rewritten at their surviving
+    * rows, both quantizers copied untouched, deletes dir gone). */
+  def purge(spark: org.apache.spark.sql.SparkSession, dir: String,
+            freshDir: String): Unit =
+    load(spark, dir).save(freshDir)
 
   /** STREAMING ingest into the standing IVF-PQ index — the
     * [[LshIndex.ingestStream]] contract verbatim (idempotent [[append]]

@@ -356,6 +356,60 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(r => r._2 % 2 == 1 && r._2 >= 10))
   }
 
+  test("purge: rewrites survivors only, reclaims bytes, serve unchanged (all three families)") {
+    def du(path: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else f.length()
+      walk(new java.io.File(path))
+    }
+    def serve(ix: PqIndex) =
+      SimilaritySearch.searchPqIndex(ix, emb, queries, "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("pq-purge").toString
+    SimilaritySearch.buildPqIndex(emb, "vec_id", "embedding").save(dir)
+    graft.operators.PqIndex.delete(dir,
+      emb.filter(col("vec_id") % 2 === 1 && col("vec_id") >= 10),
+      "vec_id", batchId = 1L)
+    val masked = graft.operators.PqIndex.load(spark, dir)
+    val maskedServe = serve(masked)
+    val maskedCount = masked.codes.count()
+    val fresh = java.nio.file.Files.createTempDirectory("pq-purge2").toString + "/idx"
+    graft.operators.PqIndex.purge(spark, dir, fresh)
+    // no tombstone state survives; codes physically reduced to survivors
+    assert(!new java.io.File(s"$fresh/deletes").exists())
+    val purged = graft.operators.PqIndex.load(spark, fresh)
+    assert(purged.codes.count() === maskedCount)
+    assert(serve(purged) === maskedServe)
+    // the point of purge: the fresh root is SMALLER than the tombstoned
+    // one (deleted codes' bytes reclaimed, deletes dir gone)
+    assert(du(s"$fresh/codes") < du(s"$dir/codes"),
+      s"purged codes ${du(s"$fresh/codes")} !< original ${du(s"$dir/codes")}")
+    // quantizer copied untouched
+    assert(purged.codebooks.collect().toSet === masked.codebooks.collect().toSet)
+    // IVF + LSH purge methods share the contract (smoke: deletes gone,
+    // serve-visible ids match the masked load)
+    val idir = java.nio.file.Files.createTempDirectory("ivf-purge").toString
+    SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding",
+      numCentroids = 8).save(idir)
+    import spark.implicits._
+    graft.operators.IvfPqIndex.delete(idir, Seq(11L, 13L).toDF("vec_id"), "vec_id")
+    val ifresh = java.nio.file.Files.createTempDirectory("ivf-purge2").toString + "/idx"
+    graft.operators.IvfPqIndex.purge(spark, idir, ifresh)
+    assert(!new java.io.File(s"$ifresh/deletes").exists())
+    assert(graft.operators.IvfPqIndex.load(spark, ifresh)
+      .codes.filter(col("id").isin(11L, 13L)).count() === 0L)
+    val ldir = java.nio.file.Files.createTempDirectory("lsh-purge").toString
+    SimilaritySearch.buildLshIndex(emb, "vec_id", "embedding",
+      bitsPerBand = 12, numBands = 32).save(ldir)
+    graft.operators.LshIndex.delete(ldir, Seq(11L).toDF("vec_id"), "vec_id")
+    val lfresh = java.nio.file.Files.createTempDirectory("lsh-purge2").toString + "/idx"
+    graft.operators.LshIndex.purge(spark, ldir, lfresh)
+    assert(!new java.io.File(s"$lfresh/deletes").exists())
+    assert(graft.operators.LshIndex.load(spark, lfresh)
+      .vectors.filter(col("id") === 11L).count() === 0L)
+  }
+
   test("tombstones are ADD-ONLY: batchId reuse accumulates, never resurrects (LSH + PQ)") {
     // the r13 ADVICE scenario: two takedown calls sharing the DEFAULT
     // batchId — under the old overwrite semantics the second silently
