@@ -2145,6 +2145,45 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- IVF-PQ with RESIDUAL encoding (FAISS IndexIVFPQ's default):
+    //      codes quantize v − assigned centroid instead of v — the
+    //      coarse quantizer already explains centroid-scale structure,
+    //      so the same m bytes resolve the fine detail (higher recall,
+    //      identical scan fraction and storage; measured in
+    //      EVIDENCE/SCALE). Serve pays per-probed-list ADC cross terms,
+    //      built lazily per partition. Build → save (meta sidecar
+    //      persists the encoding) → load → serve; value-exact under the
+    //      residual replay (encode CTE subtracts the frozen assigned
+    //      centroid; ADC adds the per-list <q,c> and |c+d|² terms in
+    //      kernel fold order). ----
+    "q_ann_ivfpq_residual_index" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfpq-res-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      graft.operators.SimilaritySearch.buildIvfPqIndex(
+        emb, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize,
+        byResidual = true).save(tmp)
+      val loaded = graft.operators.IvfPqIndex.load(s, tmp)
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfpq_residual_index", "centroids",
+          n, tok),
+        freeze(loaded.codebooks, "q_ann_ivfpq_residual_index", "codebooks",
+          n, tok),
+        loaded.codes,
+        byResidual = loaded.byResidual)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- bands-only LSH serving: persist ONLY the band rows (159 B/vec
     //      vs 558 self-contained — SCALE.md storage table) and rebind the
     //      vectors half to the corpus parquet at load; the scoring rows
@@ -4299,6 +4338,11 @@ object SparkEntry {
       SparkEntryOracles.annIvfPqSqlOver("q_ann_ivfpq_index_incremental", ""),
     // tombstone delete == the same replay over the surviving corpus (the
     // deletion predicate on its one corpus CTE); quantizers stay frozen
+    // by-residual encoding: the extended replay subtracts the frozen
+    // assigned centroid in the encode CTE and adds the per-list ADC
+    // cross terms — still value-exact, only the k-means pair freezes
+    "q_ann_ivfpq_residual_index" -> SparkEntryOracles.annIvfPqResidualSqlOver(
+      "q_ann_ivfpq_residual_index", ""),
     "q_ann_ivfpq_index_delete" -> SparkEntryOracles.annIvfPqSqlOver(
       "q_ann_ivfpq_index_delete",
       s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),

@@ -1005,6 +1005,109 @@ object SparkEntryOracles {
        |${adcRankedCtes(m = A.numSubspaces, subLen = A.subLen, k = A.k, r = A.rerankR)}
        |$pqFinalSelect""".stripMargin
 
+  /** Expanded per-subspace squared-L2 distance of the RESIDUAL
+    * (v − assigned centroid) to a codeword — replicates the fused
+    * kernel's residual encode exactly: rv is computed first (one
+    * elementwise subtract), then `d += diff*diff` over the subvector, so
+    * each coordinate is the left-associative `(v[i] − cv[i]) − cw[i]`
+    * that SQL's `a - b - c` parses to. */
+  private def residL2Terms(subLen: Int): String =
+    (1 to subLen).map { i =>
+      s"(v.v[cb.j*$subLen+$i]-x.cv[cb.j*$subLen+$i]-cb.cw[$i])" +
+        s"*(v.v[cb.j*$subLen+$i]-x.cv[cb.j*$subLen+$i]-cb.cw[$i])"
+    }.mkString(" + ")
+
+  /** q_ann_ivfpq_residual_index replica — FAISS IndexIVFPQ's DEFAULT
+    * by-residual encoding against the gate's frozen quantizer pair. The
+    * reconstruction is v̂ = c_list + decode(code), so the ADC terms gain
+    * per-list pieces the raw replay doesn't have:
+    *   adot = <q, c_list> + Σ_j <q_sub, cw_j>
+    *   n2   = |c_list|²  + Σ_j (2·<c_list[sub j], cw_j> + |cw_j|²)
+    * Every fold mirrors the executor kernel's ascending-j
+    * left-associative order (pivotSum), the encode CTE subtracts the
+    * frozen assigned centroid's coordinates before the nearest-codeword
+    * argmin ([[residL2Terms]]), and the exact re-rank tail is shared —
+    * so the replay is value-exact, not approximate-vs-approximate. */
+  def annIvfPqResidualSqlOver(gate: String, corpusWhere: String): String = {
+    val corpusPred = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
+    val m = A.numSubspaces
+    val subLen = A.subLen
+    s"""WITH cb AS (
+       |  SELECT CAST(subspace AS INT) AS j, CAST(codeword AS INT) AS w,
+       |    vec::DOUBLE[] AS cw,
+       |    list_dot_product(vec::DOUBLE[], vec::DOUBLE[]) AS cn2
+       |  FROM ${frozenScan(gate, "codebooks")}),
+       |v AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings$corpusPred),
+       |q AS (SELECT id AS q_id, v AS qv, nrm AS qn FROM v WHERE id < ${A.maxQueries}),
+       |cents AS (
+       |  SELECT CAST(cent_id AS BIGINT) AS cent_id, cv::DOUBLE[] AS cv,
+       |    sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[])) AS cn
+       |  FROM ${frozenScan(gate, "centroids")}),
+       |assign AS (
+       |  SELECT id, cent_id AS list_id FROM (
+       |    SELECT v.id, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY
+       |        list_dot_product(v.v, c.cv) / (v.nrm * c.cn) DESC, c.cent_id) AS rn
+       |    FROM v CROSS JOIN cents c) WHERE rn = 1),
+       |avx AS (
+       |  SELECT a.id, a.list_id, c.cv,
+       |    list_dot_product(c.cv, c.cv) AS cl2
+       |  FROM assign a JOIN cents c ON c.cent_id = a.list_id),
+       |enc AS (
+       |  SELECT id, j, cw, cn2, cv FROM (
+       |    SELECT v.id, cb.j, cb.w, cb.cw, cb.cn2, x.cv,
+       |      row_number() OVER (PARTITION BY v.id, cb.j ORDER BY
+       |        ${residL2Terms(subLen)}, cb.w) AS rn
+       |    FROM v JOIN avx x ON x.id = v.id CROSS JOIN cb)
+       |  WHERE rn = 1),
+       |np AS (SELECT greatest(1, CAST(count(*) AS BIGINT) // 4) AS eff FROM cents),
+       |probes AS (
+       |  SELECT q_id, cent_id AS list_id FROM (
+       |    SELECT q.q_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC, c.cent_id) AS rn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE rn <= (SELECT eff FROM np)),
+       |pairsrc AS (
+       |  SELECT p.q_id, a.id FROM probes p JOIN assign a ON a.list_id = p.list_id),
+       |pqt AS (
+       |  SELECT p.q_id, p.id, e.j,
+       |    list_dot_product(q.qv[e.j*$subLen+1 : e.j*$subLen+$subLen], e.cw) AS t,
+       |    2*list_dot_product(e.cv[e.j*$subLen+1 : e.j*$subLen+$subLen], e.cw) + e.cn2 AS u
+       |  FROM pairsrc p
+       |  JOIN enc e ON e.id = p.id
+       |  JOIN q ON q.q_id = p.q_id),
+       |ssum AS (
+       |  SELECT q_id, id,
+       |    ${pivotSum("t", m)} AS adot0,
+       |    ${pivotSum("u", m)} AS n20
+       |  FROM pqt GROUP BY q_id, id),
+       |approx AS (
+       |  SELECT s.q_id, s.id AS n_id,
+       |    (list_dot_product(q.qv, x.cv) + s.adot0)
+       |      / (q.qn * sqrt(x.cl2 + s.n20)) AS ap
+       |  FROM ssum s JOIN q ON q.q_id = s.q_id JOIN avx x ON x.id = s.id
+       |  WHERE s.id <> s.q_id AND sqrt(x.cl2 + s.n20) > 0),
+       |cand AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ap DESC, n_id) AS r0
+       |    FROM approx) WHERE r0 <= ${A.rerankR}),
+       |rer AS (
+       |  SELECT c.q_id, c.n_id,
+       |    list_dot_product(q.qv, v.v) / (q.qn * v.nrm) AS cos
+       |  FROM cand c JOIN q ON q.q_id = c.q_id JOIN v ON v.id = c.n_id),
+       |pqranked AS (
+       |  SELECT q_id, n_id, cos, rank FROM (
+       |    SELECT q_id, n_id, cos,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |    FROM rer) WHERE rank <= ${A.k})
+       |$pqFinalSelect""".stripMargin
+  }
+
   /** q_hybrid_retrieval_pq replica: the q_bm25 pipeline at k=10 (queries
     * doc_id < 4) fused with the IVF-PQ serve pipeline at k=10 (vec_id <
     * 4, this gate's own frozen centroids + codebooks) by the same

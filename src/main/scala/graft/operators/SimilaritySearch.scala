@@ -422,13 +422,29 @@ object LshIndex {
   * serves. Take down ids with [[IvfPqIndex.delete]] (tombstones masked
   * at [[IvfPqIndex.load]], quantizers untouched — FAISS remove_ids),
   * bound file count with [[IvfPqIndex.compact]]. `centroids` and
-  * `codebooks` stay flat dirs: training artifacts, written once. */
+  * `codebooks` stay flat dirs: training artifacts, written once.
+  *
+  * `byResidual` = the FAISS IndexIVFPQ DEFAULT encoding: codes quantize
+  * the RESIDUAL (v − assigned centroid) instead of v itself. Residuals
+  * are much smaller vectors than the raw corpus (the coarse quantizer
+  * has already explained the centroid-scale structure), so the same m
+  * bytes spend their resolution on the fine detail — measurably higher
+  * recall at the identical scan fraction and storage. The flag is part
+  * of the persisted index ([[save]] writes a `meta` sidecar;
+  * [[IvfPqIndex.load]] restores it) because codes from the two encodings
+  * are not interchangeable: serve and append must agree with build. */
 final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
-                            codes: DataFrame) {
+                            codes: DataFrame, byResidual: Boolean = false) {
   def save(dir: String): Unit = {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
     codes.write.mode("overwrite").parquet(s"$dir/codes/batch=0")
+    if (byResidual) {
+      val spark = centroids.sparkSession
+      import spark.implicits._
+      Seq(true).toDF("by_residual")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
   }
 }
 
@@ -445,8 +461,9 @@ object IvfPqIndex {
     * (`IvfPqIndex.load(spark, dir).save(freshDir)`). */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex = {
     val codes = spark.read.parquet(s"$dir/codes").drop("batch")
+    val conf = spark.sessionState.newHadoopConf()
     val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes")
-    val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = delPath.getFileSystem(conf)
     val masked =
       if (fs.exists(delPath)) {
         val del = spark.read.parquet(s"$dir/deletes").drop("batch")
@@ -454,7 +471,19 @@ object IvfPqIndex {
         codes.join(del, Seq("id"), "left_anti")
       } else codes
     IvfPqIndex(spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/codebooks"), masked)
+      spark.read.parquet(s"$dir/codebooks"), masked,
+      byResidual = readByResidual(spark, dir))
+  }
+
+  /** The persisted encoding flag: a `meta` sidecar exists only for
+    * residual-encoded indexes (absence = raw-vector codes — every
+    * pre-r15 index, back-compatible by construction). */
+  private def readByResidual(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Boolean = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(metaPath) && spark.read.parquet(s"$dir/meta")
+      .select(col("by_residual")).head().getBoolean(0)
   }
 
   /** Incremental ingest: assign+encode ONLY `batch`'s vectors against the
@@ -462,12 +491,15 @@ object IvfPqIndex {
     * pass — the same kernel the build runs, so incremental codes can
     * never disagree with built codes) and land the (id, list_id, code)
     * rows as partition `codes/batch=<batchId>`. Idempotent per batchId
-    * (overwrite of that partition only); ids unique across batches. */
+    * (overwrite of that partition only); ids unique across batches. The
+    * persisted `meta` flag decides the encoding, so an append to a
+    * residual index produces residual codes automatically. */
   def append(spark: org.apache.spark.sql.SparkSession, dir: String,
              batch: DataFrame, idCol: String, vecCol: String,
              batchId: Long = 1L): Unit =
     SimilaritySearch.encodeIvfPq(spark.read.parquet(s"$dir/centroids"),
-        spark.read.parquet(s"$dir/codebooks"), batch, idCol, vecCol)
+        spark.read.parquet(s"$dir/codebooks"), batch, idCol, vecCol,
+        byResidual = readByResidual(spark, dir))
       .write.mode("overwrite").parquet(s"$dir/codes/batch=$batchId")
 
   /** Tombstone-delete vector ids — the same ADD-ONLY contract as
@@ -1020,11 +1052,22 @@ object SimilaritySearch {
     * recall@10), so prefer raising numCentroids over nProbe. The 16384
     * auto cap reflects this Lloyd-iteration trainer's O(C·sample·dim)
     * cost; beyond ~1e8 vectors pass numCentroids explicitly (production
-    * systems train the coarse quantizer hierarchically at C≈√N≈30k+). */
+    * systems train the coarse quantizer hierarchically at C≈√N≈30k+).
+    *
+    * `byResidual = true` is the FAISS IndexIVFPQ default encoding: the PQ
+    * codebooks train on (and the codes quantize) the RESIDUAL v − c_list
+    * instead of v — the coarse quantizer has already explained the
+    * centroid-scale structure, so the m bytes spend their 256 levels per
+    * subspace on the fine detail around each centroid. Measurably higher
+    * recall at the identical scan fraction and bytes (gated + evidence);
+    * serve pays the residual ADC terms per probed list
+    * (lazily-built per-list LUTs — FAISS's use_precomputed_table=0 mode,
+    * so nothing C-sized is materialized up front). */
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       numCentroids: Int = 0, numSubspaces: Int = 8,
                       codebookSize: Int = 256,
-                      maxTrainVectors: Int = 262144): IvfPqIndex = {
+                      maxTrainVectors: Int = 262144,
+                      byResidual: Boolean = false): IvfPqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = prepared(corpus, idCol, vecCol)
@@ -1040,11 +1083,21 @@ object SimilaritySearch {
     val (cbs, centModel) =
       try {
         val nTrain = trainDf.count()
-        val cbs = trainPqCodebooksOn(trainDf, nTrain, dim, numSubspaces, codebookSize)
         val cents = new KMeans()
           .setK(math.min(lists.toLong, math.max(1L, nTrain)).toInt)
           .setSeed(7L).setMaxIter(10).setInitMode("random")
           .fit(trainDf.select(array_to_vector(col("v")).as("features")))
+        // residual mode trains the codebooks on the sample's residuals
+        // against the just-trained centroids (FAISS order: coarse first,
+        // then PQ on residuals); raw mode trains them on the sample as-is
+        val cbTrain =
+          if (byResidual)
+            residualsOf(trainDf, cents.clusterCenters.zipWithIndex
+              .map { case (vec, i) => (i.toLong, vec.toArray) }).cache()
+          else trainDf
+        val cbs =
+          try trainPqCodebooksOn(cbTrain, nTrain, dim, numSubspaces, codebookSize)
+          finally if (byResidual) cbTrain.unpersist()
         (cbs, cents)
       } finally trainDf.unpersist()
     val starts = pqStarts(dim, numSubspaces)
@@ -1063,8 +1116,55 @@ object SimilaritySearch {
     // incremental ingest can never drift from the build.)
     val centArr = centModel.clusterCenters.zipWithIndex
       .map { case (vec, i) => (i.toLong, vec.toArray) }
-    val codes = ivfAssignEncode(c, centArr, cbs, starts)
-    IvfPqIndex(centsDf, cbDf, codes)
+    val codes = ivfAssignEncode(c, centArr, cbs, starts, byResidual)
+    IvfPqIndex(centsDf, cbDf, codes, byResidual)
+  }
+
+  /** TRAINING-side residuals: each sample vector minus its nearest
+    * centroid (same argmax-cosine semantics as the fused encode kernel).
+    * Training detail only — the codebooks it produces are frozen
+    * artifacts, so this needs no SQL replica; the encode/serve kernels
+    * are where bit-exactness is pinned. */
+  private def residualsOf(train: DataFrame,
+                          cents: Array[(Long, Array[Double])]): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val bcCents = spark.sparkContext.broadcast(cents)
+    train.select(col("v")).as[Seq[Double]].mapPartitions { it =>
+      val cs = bcCents.value
+      val cnrms = cs.map { case (_, cv) =>
+        var s = 0.0; var i = 0
+        while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+        math.sqrt(s)
+      }
+      it.map { vSeq =>
+        val v = vSeq.toArray
+        var nv = 0.0
+        var i = 0
+        while (i < v.length) { nv += v(i) * v(i); i += 1 }
+        val nrm = math.sqrt(nv)
+        def csim(ci: Int): Double = {
+          val cv = cs(ci)._2
+          val n = math.min(v.length, cv.length)
+          var s = 0.0; var j = 0
+          while (j < n) { s += v(j) * cv(j); j += 1 }
+          s / (nrm * cnrms(ci))
+        }
+        var best = 0
+        var bestSim = csim(0)
+        var ci = 1
+        while (ci < cs.length) {
+          val s = csim(ci)
+          if (s > bestSim) { bestSim = s; best = ci }
+          ci += 1
+        }
+        val cv = cs(best)._2
+        val rv = new Array[Double](v.length)
+        i = 0
+        while (i < v.length) { rv(i) = v(i) - cv(i); i += 1 }
+        rv.toSeq
+      }
+    }.toDF("v")
   }
 
   /** Build an IVF-SQ8 index: coarse k-means inverted lists bound WHICH
@@ -1118,14 +1218,16 @@ object SimilaritySearch {
     * quantizers would emit for the same vectors (same fused kernel —
     * spec-pinned). Output: (id, list_id, code). */
   def encodeIvfPq(centroids: DataFrame, codebooks: DataFrame, df: DataFrame,
-                  idCol: String, vecCol: String): DataFrame = {
+                  idCol: String, vecCol: String,
+                  byResidual: Boolean = false): DataFrame = {
     val (cbs, starts) = pqCodebooksFromDf(codebooks)
     val centArr = centroids
       .select(col("cent_id").cast("long"), col("cv").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(centArr.nonEmpty, "empty centroids frame")
-    ivfAssignEncode(prepared(df, idCol, vecCol), centArr, cbs, starts)
+    ivfAssignEncode(prepared(df, idCol, vecCol), centArr, cbs, starts,
+      byResidual)
   }
 
   /** THE fused assign+encode kernel (build + incremental ingest): argmax
@@ -1134,10 +1236,14 @@ object SimilaritySearch {
     * vector) keeps the first list, matching the SQL oracle's (csim DESC,
     * cent_id) window — plus encodeOne's per-subspace nearest codeword,
     * one narrow pass, no corpus shuffle. `cents` must be sorted by
-    * cent_id (the build's array index == cent_id layout). */
+    * cent_id (the build's array index == cent_id layout). With
+    * `byResidual` the code quantizes (v − assigned centroid) — computed
+    * elementwise BEFORE encodeOne, so the per-coordinate double is
+    * exactly the SQL replica's left-associative `v[i] − cv[i] − cw[i]`. */
   private def ivfAssignEncode(c: DataFrame, cents: Array[(Long, Array[Double])],
                               cbs: Array[Array[Array[Double]]],
-                              starts: Array[Int]): DataFrame = {
+                              starts: Array[Int],
+                              byResidual: Boolean = false): DataFrame = {
     val spark = c.sparkSession
     import spark.implicits._
     val bcCb = spark.sparkContext.broadcast(cbs)
@@ -1169,7 +1275,15 @@ object SimilaritySearch {
             if (s > bestSim) { bestSim = s; best = ci }
             ci += 1
           }
-          (id, cs(best)._1, encodeOne(v, cbsv, starts))
+          val enc =
+            if (byResidual) {
+              val cv = cs(best)._2
+              val rv = new Array[Double](v.length)
+              var i = 0
+              while (i < v.length) { rv(i) = v(i) - cv(i); i += 1 }
+              encodeOne(rv, cbsv, starts)
+            } else encodeOne(v, cbsv, starts)
+          (id, cs(best)._1, enc)
         }
       }.toDF("id", "list_id", "code")
   }
@@ -1216,12 +1330,30 @@ object SimilaritySearch {
       .filter(col("crank") <= effNProbe)
       .select(col("cent_id").as("list_id"), col("id").cast("long").as("q_id"))
     val r = k * rerankFactor
-    val pairs = index.codes
-      .select(col("list_id"), col("id").cast("long").as("n_id"), col("code"))
-      .join(probes, "list_id")
-      .select(col("q_id"), col("n_id"), col("code"))
-      .as[(Long, Long, Array[Byte])]
-    val cand = pqCandidatesPaired(pairs, cbs, starts, qRows, r)
+    val cand =
+      if (!index.byResidual) {
+        val pairs = index.codes
+          .select(col("list_id"), col("id").cast("long").as("n_id"), col("code"))
+          .join(probes, "list_id")
+          .select(col("q_id"), col("n_id"), col("code"))
+          .as[(Long, Long, Array[Byte])]
+        pqCandidatesPaired(pairs, cbs, starts, qRows, r)
+      } else {
+        // residual codes reconstruct to c_list + decode(code): the ADC
+        // terms need the list, so the pairs carry it through
+        val pairs = index.codes
+          .select(col("list_id").cast("long"), col("id").cast("long").as("n_id"),
+            col("code"))
+          .join(probes.select(col("list_id").cast("long").as("list_id"),
+            col("q_id")), "list_id")
+          .select(col("q_id"), col("list_id"), col("n_id"), col("code"))
+          .as[(Long, Long, Long, Array[Byte])]
+        val centArr = index.centroids
+          .select(col("cent_id").cast("long"), col("cv").cast("array<double>"))
+          .collect().map(rr => (rr.getLong(0), rr.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        pqCandidatesPairedResidual(pairs, cbs, starts, qRows, r, centArr)
+      }
     pqRerank(cand, c, q, k, r)
   }
 
@@ -1310,9 +1442,20 @@ object SimilaritySearch {
       // slice() is 1-based
       val tr = trainDf.select(array_to_vector(
         slice(col("v"), starts(j) + 1, len)).as("features"))
-      new KMeans().setK(ks).setSeed(42L + j).setMaxIter(10)
+      val centers = new KMeans().setK(ks).setSeed(42L + j).setMaxIter(10)
         .setInitMode("random")
         .fit(tr).clusterCenters.map(_.toArray)
+      // MLlib drops clusters that empty out during Lloyd iterations, so
+      // a concentrated training distribution (residuals around 0 — the
+      // byResidual path measurably hits this) can return FEWER than k
+      // centers. The persisted frame and the flat ADC LUTs require a
+      // dense uniform 0..ks-1 layout, so pad with duplicates of center
+      // 0 — value-neutral by construction: encodeOne's strict-< argmin
+      // keeps the LOWEST index on ties (the SQL replica's (dist, w)
+      // order does the same), so a duplicate at a higher codeword is
+      // never emitted in any code and its LUT slots are never read.
+      if (centers.length >= ks) centers
+      else centers ++ Array.fill(ks - centers.length)(centers(0).clone())
     }}), Duration.Inf).toArray
     finally pool.shutdown()
   }
@@ -1467,6 +1610,110 @@ object SimilaritySearch {
           }
           val denom = qs(qi)._3 * math.sqrt(n2)
           if (denom > 0) PqAdc.offer(heaps(qi), r, s / denom, id)
+        }
+      }
+      PqAdc.drain(heaps, qs)
+    }.toDF("q_id", "n_id", "approx")
+  }
+
+  /** Residual-ADC scoring of probed (q_id, list_id, n_id, code) rows —
+    * the byResidual serve path. The reconstruction is v̂ = c_list +
+    * decode(code), so per (query, code):
+    *   <q, v̂>  = <q, c_list> + Σ_j lut_q(j, w_j)            (adot)
+    *   |v̂|²    = |c_list|²  + Σ_j (2·<c_list[sub j], cw> + |cw|²)  (n2)
+    * The query LUTs are list-independent (subspaces are disjoint
+    * coordinate blocks); the per-list cross terms are built LAZILY per
+    * partition per list actually probed there (FAISS's
+    * use_precomputed_table=0 mode — nothing C-sized materializes, each
+    * list pays one m·ks·subLen pass amortized over all its codes in the
+    * partition). Fold orders mirror the SQL replica exactly: ascending-j
+    * left-associative sums, then `qc + Σ` and `cl2 + Σ` — candidate
+    * selection near the top-R boundary depends on these doubles
+    * bit-for-bit. Shares PqAdc's LUT build and heap tie-break with the
+    * raw paths so no path can rank differently. */
+  private def pqCandidatesPairedResidual(
+      pairs: org.apache.spark.sql.Dataset[(Long, Long, Long, Array[Byte])],
+      cbs: Array[Array[Array[Double]]], starts: Array[Int],
+      qRows: Array[(Long, Array[Double], Double)], r: Int,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val bcCb = spark.sparkContext.broadcast(cbs)
+    val bcCn2 = spark.sparkContext.broadcast(PqAdc.norm2(cbs))
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    pairs.mapPartitions { it =>
+      val cbsv = bcCb.value
+      val cn2v = bcCn2.value
+      val qs = bcQ.value
+      val cs = bcCents.value
+      val mm = cbsv.length
+      val kks = cbsv(0).length
+      val qIdx = qs.iterator.zipWithIndex.map { case (qr, i) => (qr._1, i) }.toMap
+      val cIdx = cs.iterator.zipWithIndex.map { case ((cid, _), i) => (cid, i) }.toMap
+      val luts = PqAdc.dotLuts(cbsv, starts, qs)
+      // |c_list|^2, ascending fold == list_dot_product(cv, cv)
+      val cl2 = cs.map { case (_, cv) =>
+        var s = 0.0; var i = 0
+        while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+        s
+      }
+      // lazy per-list <q, c_list> rows (one per query)
+      val qc = new Array[Array[Double]](cs.length)
+      def qcFor(li: Int): Array[Double] = {
+        if (qc(li) == null) {
+          val cv = cs(li)._2
+          qc(li) = qs.map { case (_, qv, _) =>
+            val n = math.min(qv.length, cv.length)
+            var s = 0.0; var i = 0
+            while (i < n) { s += qv(i) * cv(i); i += 1 }
+            s
+          }
+        }
+        qc(li)
+      }
+      // lazy per-list cross LUT: u(j·ks+w) = 2·<c_list[sub j], cw> + |cw|²
+      val ulut = new Array[Array[Double]](cs.length)
+      def ulutFor(li: Int): Array[Double] = {
+        if (ulut(li) == null) {
+          val cv = cs(li)._2
+          val u = new Array[Double](mm * kks)
+          var j = 0
+          while (j < mm) {
+            val off = starts(j)
+            var w = 0
+            while (w < kks) {
+              val cw = cbsv(j)(w)
+              var s = 0.0; var i = 0
+              while (i < cw.length) { s += cv(off + i) * cw(i); i += 1 }
+              u(j * kks + w) = 2.0 * s + cn2v(j)(w)
+              w += 1
+            }
+            j += 1
+          }
+          ulut(li) = u
+        }
+        ulut(li)
+      }
+      val heaps = PqAdc.newHeaps(qs.length)
+      it.foreach { case (qid, listId, id, code) =>
+        val qi = qIdx(qid)
+        if (qs(qi)._1 != id) {
+          val li = cIdx(listId)
+          val u = ulutFor(li)
+          val lut = luts(qi)
+          var s = 0.0
+          var t = 0.0
+          var j = 0
+          while (j < mm) {
+            val w = code(j) & 0xff
+            s += lut(j * kks + w)
+            t += u(j * kks + w)
+            j += 1
+          }
+          val adot = qcFor(li)(qi) + s
+          val n2rt = math.sqrt(cl2(li) + t)
+          if (n2rt > 0) PqAdc.offer(heaps(qi), r, adot / (qs(qi)._3 * n2rt), id)
         }
       }
       PqAdc.drain(heaps, qs)

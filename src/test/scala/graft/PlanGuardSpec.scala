@@ -37,6 +37,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_ann_ivfpq_index",                   // same probe-side broadcast centroid table, served from parquet
     "q_ann_ivfpq_index_incremental",       // same (standing + appended code partitions)
     "q_ann_ivfpq_index_delete",            // same (tombstone-masked codes)
+    "q_ann_ivfpq_residual_index",          // same (by-residual codes; probe side unchanged)
     "q_ann_ivfsq_index",                   // same probe-side broadcast centroid table (IVF-SQ8)
     "q_ann_ivfsq_index_delete",            // same (tombstone-masked codes)
     "q_ann_ivfsq_index_incremental",       // same (standing + appended code partitions)

@@ -356,6 +356,73 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(r => r._2 % 2 == 1 && r._2 >= 10))
   }
 
+  test("byResidual IVF-PQ: flag persists through save/load; serve round-trips; append == build kernel") {
+    def serve(ix: IvfPqIndex) =
+      SimilaritySearch.searchIvfPqIndex(ix, emb, queries, "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val built = SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding",
+      numCentroids = 8, byResidual = true)
+    assert(built.byResidual)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-res").toString
+    built.save(dir)
+    assert(new java.io.File(s"$dir/meta").exists(), "meta sidecar not written")
+    val loaded = IvfPqIndex.load(spark, dir)
+    assert(loaded.byResidual, "byResidual flag lost through save/load")
+    assert(serve(loaded) === serve(built))
+    // residual codes differ from raw codes built on the same corpus with
+    // the same coarse quantizer shape — the flag is load-bearing
+    val raw = SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding",
+      numCentroids = 8)
+    assert(!raw.byResidual)
+    val rawCodes = raw.codes.select(col("id"), col("code")).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    val resCodes = built.codes.select(col("id"), col("code")).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(rawCodes !== resCodes)
+    // append reads the persisted flag: an appended batch's codes equal a
+    // from-scratch residual encode under the frozen quantizer pair
+    val standingDir = java.nio.file.Files.createTempDirectory("ivfpq-res2").toString
+    val standing = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    SimilaritySearch.buildIvfPqIndex(standing, "vec_id", "embedding",
+      numCentroids = 8, byResidual = true).save(standingDir)
+    IvfPqIndex.append(spark, standingDir, batch, "vec_id", "embedding",
+      batchId = 1L)
+    val appended = IvfPqIndex.load(spark, standingDir)
+    val scratch = SimilaritySearch.encodeIvfPq(appended.centroids,
+        appended.codebooks, emb, "vec_id", "embedding", byResidual = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    val got = appended.codes
+      .select(col("id").cast("long"), col("list_id").cast("long"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(got === scratch)
+  }
+
+  test("byResidual IVF-PQ: recall@10 matches or beats raw encoding at the same operating point") {
+    val truth = brute.map(t => (t._1, t._2)).toSet
+    def recall(byResidual: Boolean): Double = {
+      val ix = SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding",
+        numCentroids = 8, byResidual = byResidual)
+      val got = SimilaritySearch.searchIvfPqIndex(ix, emb, queries,
+          "vec_id", "embedding", 10)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val rRaw = recall(byResidual = false)
+    val rRes = recall(byResidual = true)
+    // deterministic given the fixed seeds + testdata; this C=8 teaching
+    // point is deliberately coarse (nProbe=2 of 8 lists), so absolute
+    // recall is low — the claim is the ORDERING. Measured lift at the
+    // gate's auto operating point: 0.90 -> 0.91 at sf0.01, 0.79 -> 0.86
+    // at sf0.1, 0.945 -> 0.995 at sf1 (20k vectors).
+    assert(rRes >= rRaw,
+      f"residual recall $rRes%.3f < raw $rRaw%.3f at the same scan fraction")
+    assert(rRes >= 0.4, f"residual recall floor: $rRes%.3f")
+  }
+
   test("purge: rewrites survivors only, reclaims bytes, serve unchanged (all three families)") {
     def du(path: String): Long = {
       def walk(f: java.io.File): Long =
