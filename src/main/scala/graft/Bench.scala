@@ -115,10 +115,92 @@ object Bench {
       queries.map { case (name, fn) => name -> timeOnce(fn, spark, sfDir) }.toMap
     }
     val loadAfter = loadavg1
-    val med = queries.map { case (name, _) => name -> median(rounds.map(_(name))) }
+    val medRaw = queries.map { case (name, _) => name -> median(rounds.map(_(name))) }
     val mins = queries.map { case (name, _) =>
       val ok = rounds.map(_(name)).filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+
+    // HEAT-PROOFING (round-15, after the r14 q_pagerank incident: a
+    // loadavg-6.57 driver box committed a 17.35 s reading — 2.3× the
+    // gate's 7.0–10.7 s cross-round band — as the round's only number).
+    // Cross-round bands come from the committed BENCH_r{N}.json history
+    // at the SAME sf (band = median of a gate's historical medians, ≥3
+    // rounds required); when the box reads HOT (loadavg before/after
+    // > 2.0, or a sentinel gate > 1.5× its own band) every gate whose
+    // median exceeds 1.5× its band is RE-RUN after a bounded cool-down
+    // wait, and the re-run median replaces the poisoned one — with the
+    // original reading, the re-run value, and the loadavg at re-run time
+    // all emitted under "heat.reruns" so the artifact is self-explaining
+    // either way. A genuinely regressed gate re-reads high and stays
+    // high; only contention can melt away.
+    // The committed driver artifacts are wrapper objects whose "tail"
+    // field holds an ESCAPED, possibly-truncated fragment of the metric
+    // line, so this extracts ("q…": <float>) pairs with a tolerant regex
+    // over the raw file text instead of parsing JSON. A file can carry
+    // the same gate several times (full-precision median, 2-decimal
+    // median, per-round min); taking the per-file MAX picks the median —
+    // min ≤ median and the two median encodings agree to the cent.
+    def historicalBands(sfNum: String): Map[String, Double] = try {
+      val qv = ("\\\\?\"(q[A-Za-z0-9_]+)\\\\?\":([0-9]+\\.[0-9]+)").r
+      val sfPat = ("\"sf\"\\s*:\\s*" +
+        java.util.regex.Pattern.quote(sfNum) + "[,}\\s]").r
+      val hist = scala.collection.mutable.Map.empty[String, List[Double]]
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_(r|local_r)\\d+\\.json")).sortBy(_.getName)
+      for (f <- files) scala.util.Try {
+        val src = scala.io.Source.fromFile(f)
+        val txt = try src.mkString finally src.close()
+        if (sfPat.findFirstIn(txt).isDefined) {
+          val best = scala.collection.mutable.Map.empty[String, Double]
+          for (m <- qv.findAllMatchIn(txt)) {
+            val v = m.group(2).toDouble
+            if (best.getOrElse(m.group(1), -1.0) < v) best(m.group(1)) = v
+          }
+          for ((n, v) <- best) hist(n) = v :: hist.getOrElse(n, Nil)
+        }
+      }
+      hist.collect { case (name, xs) if xs.size >= 3 =>
+        val s = xs.sorted
+        name -> (if (s.size % 2 == 1) s(s.size / 2)
+                 else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
+
+    val sentinelNames = Seq("q1_pricing_summary", "q_filter_project",
+      "q_scalar_funcs")
+    val sfNumForBands = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir).map(_.group(1))
+    val bands = sfNumForBands.map(historicalBands).getOrElse(Map.empty)
+    val medMap0 = medRaw.toMap
+    val sentinelsHot = sentinelNames.exists(n =>
+      (medMap0.get(n), bands.get(n)) match {
+        case (Some(v), Some(b)) => v > 1.5 * b
+        case _ => false
+      })
+    // loadavg_after is self-inflated (the bench's own local[32] bursts
+    // keep the 1-min average high at the end of any healthy run), so the
+    // hot signals are pre-run co-tenant load and the in-run sentinels.
+    val boxHot = loadBefore > 2.0 || sentinelsHot
+    val outliers = medRaw.filter { case (n, v) =>
+      v > 0 && bands.get(n).exists(b => v > 1.5 * b) }
+    val fnMap = queries.toMap
+    val reruns: Seq[(String, (Double, Double, Double))] =
+      if (!boxHot || outliers.isEmpty) Seq.empty
+      else {
+        // bounded cool-down: give co-tenant load up to 5 min to drain
+        var waited = 0
+        while (loadavg1 > 1.5 && waited < 300) { Thread.sleep(15000); waited += 15 }
+        outliers.map { case (name, orig) =>
+          val xs = (1 to 2).map(_ => timeOnce(fnMap(name), spark, sfDir))
+          name -> ((orig, median(xs), loadavg1))
+        }
+      }
+    val rerunMap = reruns.toMap
+    val med = medRaw.map { case (name, v) =>
+      rerunMap.get(name) match {
+        case Some((_, rr, _)) if rr >= 0 => name -> rr
+        case _ => name -> v
+      }
     }
 
     def jsonMap(m: Seq[(String, Double)]): String =
@@ -152,15 +234,18 @@ object Bench {
     // full-precision form grew past that window and never parsed.
     val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-    // sentinel gates: cheap, structurally stable since round 1 — their
-    // medians move with box heat, not with engine changes
-    val sentinelNames = Seq("q1_pricing_summary", "q_filter_project",
-      "q_scalar_funcs")
+    // sentinel gates (defined above): cheap, structurally stable since
+    // round 1 — their medians move with box heat, not with engine changes
     val medMap = med.toMap
     val sentinels = sentinelNames.flatMap(n => medMap.get(n).map(n -> _))
+    val rerunsJson = reruns.map { case (n, (orig, rr, la)) =>
+      "\"" + n + "\":{\"orig\":" + f"$orig%.2f" + ",\"rerun\":" + f"$rr%.2f" +
+        ",\"loadavg\":" + f"$la%.2f" + "}"
+    }.mkString("{", ",", "}")
     val heatJson =
       s""""heat":{"loadavg_before":${f"$loadBefore%.2f"},""" +
       s""""loadavg_after":${f"$loadAfter%.2f"},""" +
+      s""""hot":$boxHot,"reruns":$rerunsJson,""" +
       s""""sentinels":${jsonMap2(sentinels)}}"""
     val metricLine =
       s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$reps,""" +
