@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the documented C=16384 auto-cap of the IVF coarse trainer
+  * (SimilaritySearch.buildIvfPqIndex's Lloyd-iteration k-means) at the
+  * corpus size where auto-C actually reaches it: 8·√N = 16384 at
+  * N ≈ 4.19M vectors. Feed it a GenScale-replicated embeddings dir
+  * (e.g. 21× the sf10 replica = 4.2M vectors) and it records the three
+  * costs the SCALE.md cap row states — coarse-fit wall-clock at k=16384
+  * over the 262144-vector training sample, the fused assign+encode pass
+  * over the full corpus, and the served recall@10 vs brute force at the
+  * auto operating point (nProbe = C/4 = 4096, 25% scan).
+  *
+  * Usage: runMain graft.tools.TrainerCap <embDir> [byResidual]
+  */
+object TrainerCap {
+  def main(args: Array[String]): Unit = {
+    val embDir = args.headOption.getOrElse("/tmp/graft_sf210")
+    val byResidual = args.lift(1).forall(_.toBoolean)
+    val spark = SparkSession.builder()
+      .appName("graft-trainer-cap").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val S = graft.operators.SimilaritySearch
+    val emb = spark.read.parquet(s"$embDir/embeddings.parquet")
+    val n = emb.count()
+    val autoC = S.autoNumCentroids(n)
+    println(s"trainer-cap corpus n=$n auto_C=$autoC by_residual=$byResidual")
+
+    // coarse fit ALONE first (the public trainer-only path, same sample
+    // bound and k) so the cap row can state the k-means share separately
+    // from the full build
+    val tf0 = System.nanoTime()
+    val cents = S.ivfKMeansCentroidsDf(emb, "vec_id", "embedding",
+      numCentroids = autoC)
+    val nLists = cents.count()
+    val tf1 = System.nanoTime()
+    println(f"trainer-cap coarse_fit_sec=${(tf1 - tf0) / 1e9}%.1f lists=$nLists")
+
+    val t0 = System.nanoTime()
+    val idx = S.buildIvfPqIndex(emb, "vec_id", "embedding",
+      byResidual = byResidual)
+    // force both training artifacts AND the full encode
+    val nCodes = idx.codes.count()
+    val t1 = System.nanoTime()
+    println(f"trainer-cap build_total_sec=${(t1 - t0) / 1e9}%.1f codes=$nCodes lists=${idx.centroids.count()}")
+
+    val queries = emb.filter(col("vec_id") < 20)
+    val t2 = System.nanoTime()
+    val truth = S.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("q_id", "n_id").cache()
+    val nTruth = truth.count()
+    val t3 = System.nanoTime()
+    val got = S.searchIvfPqIndex(idx, emb, queries, "vec_id", "embedding", 10)
+      .select("q_id", "n_id")
+    val hit = truth.join(got, Seq("q_id", "n_id"), "left_semi").count()
+    val t4 = System.nanoTime()
+    println(f"""{"metric":"trainer_cap","n":$n,"auto_c":$autoC,"by_residual":$byResidual,"coarse_fit_sec":${(tf1 - tf0) / 1e9}%.1f,"build_sec":${(t1 - t0) / 1e9}%.1f,"brute_sec":${(t3 - t2) / 1e9}%.1f,"serve_sec":${(t4 - t3) / 1e9}%.1f,"recall_at_10":${hit.toDouble / nTruth}%.4f}""")
+    spark.stop()
+  }
+}
