@@ -55,7 +55,10 @@ object DumpPlans extends App {
     "q_ann_lsh_index_bandsonly" -> "bands-only LSH serve: vectors half rebound to the corpus parquet at load (159 vs 558 B/vec), same candidates and scores",
     "q_ann_sq8_index" -> "persisted SQ8 serve (per-dim linear byte quantizer as a PqIndex with dim one-element subspaces): ADC scan over dim-byte codes, exact re-rank; the one quantized gate whose oracle re-derives the quantizer from scratch",
     "q_ann_lsh_index_stream" -> "stream-ingested LSH index: micro-batches landed as their own partitions via the idempotent append (exactly-once under checkpoint replay); serve identical to from-scratch",
-    "q_ann_ivfsq_index" -> "persisted IVF-SQ8 serve (the fourth {flat,IVF}x{PQ,SQ8} cell): frozen k-means probes bound WHICH codes are scored, per-dim byte codes bound the bytes; probe-bounded ADC + exact re-rank")
+    "q_ann_ivfsq_index" -> "persisted IVF-SQ8 serve (the fourth {flat,IVF}x{PQ,SQ8} cell): frozen k-means probes bound WHICH codes are scored, per-dim byte codes bound the bytes; probe-bounded ADC + exact re-rank",
+    "q_ann_ivfsq_index_stream" -> "stream-ingested IVF-SQ8 index (completes the family x stream matrix): micro-batches through the shared fused assign+encode kernel, exactly-once per-batchId landing; serve == from-scratch",
+    "q_ann_pq_index_purge" -> "physically purged PQ index: tombstoned bytes reclaimed by load->save to a fresh root; serve equals the masked serve (no deletes dir, no anti-join in the purged plan)",
+    "q_ann_ivfpq_residual_index" -> "by-residual IVF-PQ (FAISS IndexIVFPQ default): codes quantize v - assigned centroid; probe-paired residual ADC with lazily-built per-list cross terms, exact re-rank")
   val sb = new StringBuilder
   sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
   sb.append("GENERATED artifact — regenerate with `sbt \"runMain graft.tools.DumpPlans\"`.\n")
