@@ -2184,6 +2184,46 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- IVF-PQ over HIERARCHICALLY-trained coarse lists: the two-level
+    //      trainer (level-1 k-means branches + per-branch driver-local
+    //      Lloyd over the bounded sample) that replaces flat Lloyd past
+    //      the measured C=16384 cap (SCALE.md: 770 s flat at the cap;
+    //      two-level is ~2·sqrt(C)/C of that cost). Built by-residual —
+    //      the deploy configuration. Serving and the oracle replay
+    //      depend only on the FROZEN centroid frame, never on which
+    //      trainer produced it, so the gate is value-exact under the
+    //      unchanged residual replay. ----
+    "q_ann_ivfpq_hier_index" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfpq-hier-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val cents = graft.operators.SimilaritySearch.hierarchicalCentroidsDf(
+        emb, "vec_id", "embedding")
+      graft.operators.SimilaritySearch.buildIvfPqIndex(
+        emb, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize,
+        byResidual = true,
+        centroids = Some(cents)).save(tmp)
+      val loaded = graft.operators.IvfPqIndex.load(s, tmp)
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfpq_hier_index", "centroids",
+          n, tok),
+        freeze(loaded.codebooks, "q_ann_ivfpq_hier_index", "codebooks",
+          n, tok),
+        loaded.codes,
+        byResidual = loaded.byResidual)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- bands-only LSH serving: persist ONLY the band rows (159 B/vec
     //      vs 558 self-contained — SCALE.md storage table) and rebind the
     //      vectors half to the corpus parquet at load; the scoring rows
@@ -4343,6 +4383,10 @@ object SparkEntry {
     // cross terms — still value-exact, only the k-means pair freezes
     "q_ann_ivfpq_residual_index" -> SparkEntryOracles.annIvfPqResidualSqlOver(
       "q_ann_ivfpq_residual_index", ""),
+    // hierarchical coarse training: the replay depends only on the
+    // FROZEN centroid frame, so the residual oracle applies verbatim
+    "q_ann_ivfpq_hier_index" -> SparkEntryOracles.annIvfPqResidualSqlOver(
+      "q_ann_ivfpq_hier_index", ""),
     "q_ann_ivfpq_index_delete" -> SparkEntryOracles.annIvfPqSqlOver(
       "q_ann_ivfpq_index_delete",
       s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),

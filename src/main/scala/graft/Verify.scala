@@ -304,6 +304,8 @@ object Verify {
          |"q_ann_ivfpq": ${annRecall("q_ann_ivfpq", ivfpqExtra + frozenNote)},
          |"q_ann_ivfpq_residual_index": ${annRecall("q_ann_ivfpq_residual_index",
              ivfpqExtra + ""","encoding":"by_residual (FAISS IndexIVFPQ default)","raw_vs_residual_measured":"sf0.01 0.90->0.91, sf0.1 0.79->0.86, sf1 0.945->0.995, sf10 0.395->0.815 at identical auto operating points"""" + frozenNote)},
+         |"q_ann_ivfpq_hier_index": ${annRecall("q_ann_ivfpq_hier_index",
+             ivfpqExtra + ""","trainer":"two-level hierarchical (hierarchicalCentroidsDf)","cap_measured":"C=16384 on 4.2M vectors: coarse fit 16.8 s vs 770.3 s flat (46x); recall 0.665 vs 0.685"""" + frozenNote)},
          |"q_ann_sq8_index": ${annRecall("q_ann_sq8_index",
              ""","oracle":"gate is value-exact with NO frozen frame (quantizer re-derived from scratch in DuckDB); recall measures SQ8 quantizer fidelity vs exact cosine"""")},
          |"q_ann_ivfsq_index": ${annRecall("q_ann_ivfsq_index",

@@ -847,6 +847,160 @@ object SimilaritySearch {
       .toDF("cent_id", "cv")
   }
 
+  /** TWO-LEVEL hierarchical coarse trainer — the production path the
+    * measured C=16384 cap row (SCALE.md) says becomes mandatory beyond
+    * ~1e7 vectors: flat Lloyd is O(iters·C·sample·dim) — 770 s measured
+    * at the cap — while two-level is O(iters·(branch + C/branch)·sample·
+    * dim); at branch ≈ √C that is ~2√C/C of the flat cost (128× fewer
+    * distance evaluations at C=16384).
+    *
+    * Level 1: MLlib k-means (k = branch, fixed seed) over the bounded
+    * deterministic hash-sample — distributed, cheap. Level 2: the sample
+    * is split by its level-1 assignment and each branch trains its own
+    * sub-quantizer (k_i ∝ branch size, Σk_i = C) with a seeded
+    * driver-local Lloyd, concurrently across a thread pool; the union of
+    * sub-centers is the C-list coarse codebook. The TRAINING SAMPLE
+    * (≤ maxTrainVectors — ~134 MB at dim 64) is collected to the driver
+    * for level 2: a bounded training artifact, the same class as FAISS's
+    * in-memory train set — the CORPUS is never collected. Deterministic
+    * end to end (hash-sample, fixed seeds, seeded shuffles).
+    *
+    * Returns the same (cent_id, cv) frame as [[ivfKMeansCentroidsDf]]:
+    * feed it to [[buildIvfPqIndex]]/[[buildIvfSqIndex]] via their
+    * `centroids` parameter. Serving and the value-exact oracle replay
+    * depend only on the FROZEN frame, never on which trainer produced
+    * it, so hierarchical indexes gate under the unchanged replays. */
+  def hierarchicalCentroidsDf(corpus: DataFrame, idCol: String,
+                              vecCol: String, numCentroids: Int = 0,
+                              branch: Int = 0,
+                              maxTrainVectors: Int = 262144): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = prepared(corpus, idCol, vecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lists =
+      if (numCentroids > 0) numCentroids else autoNumCentroids(memoizedCount(c))
+    val b0 = if (branch > 0) branch else math.ceil(math.sqrt(lists.toDouble)).toInt
+    val trainDf = hashSample(c, maxTrainVectors).select(col("v")).cache()
+    val (l1, pts) =
+      try {
+        val nTrain = trainDf.count()
+        val eb = math.min(b0.toLong, math.max(1L, nTrain)).toInt
+        val l1 = new KMeans().setK(eb).setSeed(7L).setMaxIter(10)
+          .setInitMode("random")
+          .fit(trainDf.select(array_to_vector(col("v")).as("features")))
+          .clusterCenters.map(_.toArray)
+        // bounded collect: the training sample only (≤ maxTrainVectors)
+        val pts = trainDf.as[Seq[Double]].collect().map(_.toArray)
+        (l1, pts)
+      } finally trainDf.unpersist()
+    // level-1 assignment of the sample (driver-local, squared L2 — the
+    // k-means training metric; serve-time assignment stays the engine's
+    // cosine argmax over the FROZEN final centers, which is what the
+    // oracle replays)
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < cs.length) {
+        val cv = cs(ci)
+        var d = 0.0; var i = 0
+        while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      best
+    }
+    val byBranch = Array.fill(l1.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    pts.foreach(p => byBranch(nearest(p, l1)) += p)
+    // k_i proportional to branch size (>=1 for non-empty), topped up /
+    // trimmed deterministically so Σ k_i == lists exactly
+    val sizes = byBranch.map(_.length)
+    val total = math.max(1, sizes.sum)
+    val ks = sizes.map(s =>
+      if (s == 0) 0 else math.max(1, math.round(lists.toDouble * s / total).toInt))
+    var drift = ks.sum - lists
+    var j = 0
+    while (drift != 0 && j < ks.length * 2) {
+      val i = j % ks.length
+      if (drift > 0 && ks(i) > 1) { ks(i) -= 1; drift -= 1 }
+      else if (drift < 0 && sizes(i) > 0) { ks(i) += 1; drift += 1 }
+      j += 1
+    }
+    // per-branch seeded Lloyd, concurrent (driver-local; each branch is
+    // ~sample/branch points with k_i ~ C/branch centers)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(byBranch.length, Runtime.getRuntime.availableProcessors()))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val subCenters =
+      try Await.result(Future.sequence(byBranch.indices.map { bi => Future {
+        localLloyd(byBranch(bi).toArray, ks(bi), iters = 10, seed = 42L + bi)
+      }}), Duration.Inf)
+      finally pool.shutdown()
+    val all = subCenters.flatten
+    require(all.nonEmpty, "hierarchical trainer produced no centers (empty sample?)")
+    all.zipWithIndex.map { case (cv, i) => (i.toLong, cv.toSeq) }
+      .toDF("cent_id", "cv")
+  }
+
+  /** Seeded driver-local Lloyd over one branch's sample points: k-means
+    * with deterministic shuffled-index init, squared-L2 assignment, mean
+    * update; a cluster that empties keeps its previous center (no drops —
+    * unlike MLlib, so Σ k_i == C survives training). */
+  private def localLloyd(points: Array[Array[Double]], k: Int, iters: Int,
+                         seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    if (n == 0 || k <= 0) return Array.empty
+    val kk = math.min(k, n)
+    val rnd = new scala.util.Random(seed)
+    val centers = rnd.shuffle(points.indices.toVector).take(kk)
+      .map(i => points(i).clone()).toArray
+    val dim = points(0).length
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < kk) {
+          val cv = centers(ci)
+          var d = 0.0; var z = 0
+          while (z < dim) { val t = p(z) - cv(z); d += t * t; z += 1 }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val cnts = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val s = sums(assign(i)); val p = points(i)
+        var z = 0
+        while (z < dim) { s(z) += p(z); z += 1 }
+        cnts(assign(i)) += 1
+        i += 1
+      }
+      var ci = 0
+      while (ci < kk) {
+        if (cnts(ci) > 0) {
+          val s = sums(ci)
+          var z = 0
+          while (z < dim) { centers(ci)(z) = s(z) / cnts(ci); z += 1 }
+        }
+        ci += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
   /** Product-quantization ANN (IVF-ADC's compression half): each vector is
     * split into `numSubspaces` subvectors, each subvector replaced by the
     * id of its nearest codeword from a per-subspace k-means codebook — the
@@ -1051,8 +1205,9 @@ object SimilaritySearch {
     * C=16→0.55, 32→0.67, 64→0.72, 96→0.81, 128→0.855, 179(auto)→0.915
     * recall@10), so prefer raising numCentroids over nProbe. The 16384
     * auto cap reflects this Lloyd-iteration trainer's O(C·sample·dim)
-    * cost; beyond ~1e8 vectors pass numCentroids explicitly (production
-    * systems train the coarse quantizer hierarchically at C≈√N≈30k+).
+    * cost (770 s measured AT the cap — SCALE.md); past it, train the
+    * coarse codebook with [[hierarchicalCentroidsDf]] (two-level,
+    * ~2·√C/C of the flat cost) and pass the frame via `centroids`.
     *
     * `byResidual = true` is the FAISS IndexIVFPQ default encoding: the PQ
     * codebooks train on (and the codes quantize) the RESIDUAL v − c_list
@@ -1067,7 +1222,8 @@ object SimilaritySearch {
                       numCentroids: Int = 0, numSubspaces: Int = 8,
                       codebookSize: Int = 256,
                       maxTrainVectors: Int = 262144,
-                      byResidual: Boolean = false): IvfPqIndex = {
+                      byResidual: Boolean = false,
+                      centroids: Option[DataFrame] = None): IvfPqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = prepared(corpus, idCol, vecCol)
@@ -1078,32 +1234,45 @@ object SimilaritySearch {
     val lists =
       if (numCentroids > 0) numCentroids else autoNumCentroids(memoizedCount(c))
     // ONE cached hash-sample feeds both trainings (codebooks + centroids):
-    // no second corpus scan, no second sample derivation
+    // no second corpus scan, no second sample derivation. A caller-provided
+    // centroids frame (e.g. [[hierarchicalCentroidsDf]], or a frozen frame
+    // from an earlier build) skips the coarse fit entirely — the sample
+    // then feeds only the codebook training.
     val trainDf = hashSample(c, maxTrainVectors).select(col("v")).cache()
-    val (cbs, centModel) =
+    val (cbs, centArr) =
       try {
         val nTrain = trainDf.count()
-        val cents = new KMeans()
-          .setK(math.min(lists.toLong, math.max(1L, nTrain)).toInt)
-          .setSeed(7L).setMaxIter(10).setInitMode("random")
-          .fit(trainDf.select(array_to_vector(col("v")).as("features")))
+        val centArr = centroids match {
+          case Some(df) =>
+            val arr = df
+              .select(col("cent_id").cast("long"), col("cv").cast("array<double>"))
+              .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+              .sortBy(_._1)
+            require(arr.nonEmpty, "empty centroids frame")
+            arr
+          case None =>
+            new KMeans()
+              .setK(math.min(lists.toLong, math.max(1L, nTrain)).toInt)
+              .setSeed(7L).setMaxIter(10).setInitMode("random")
+              .fit(trainDf.select(array_to_vector(col("v")).as("features")))
+              .clusterCenters.zipWithIndex
+              .map { case (vec, i) => (i.toLong, vec.toArray) }
+        }
         // residual mode trains the codebooks on the sample's residuals
-        // against the just-trained centroids (FAISS order: coarse first,
-        // then PQ on residuals); raw mode trains them on the sample as-is
+        // against the coarse centers (FAISS order: coarse first, then PQ
+        // on residuals); raw mode trains them on the sample as-is
         val cbTrain =
-          if (byResidual)
-            residualsOf(trainDf, cents.clusterCenters.zipWithIndex
-              .map { case (vec, i) => (i.toLong, vec.toArray) }).cache()
+          if (byResidual) residualsOf(trainDf, centArr).cache()
           else trainDf
         val cbs =
           try trainPqCodebooksOn(cbTrain, nTrain, dim, numSubspaces, codebookSize)
           finally if (byResidual) cbTrain.unpersist()
-        (cbs, cents)
+        (cbs, centArr)
       } finally trainDf.unpersist()
     val starts = pqStarts(dim, numSubspaces)
     val cbDf = cbsToDf(spark, cbs)
-    val centsDf = centModel.clusterCenters.zipWithIndex.toSeq
-      .map { case (vec, i) => (i.toLong, vec.toArray.toSeq) }
+    val centsDf = centArr.toSeq
+      .map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cent_id", "cv")
     // FUSED list assignment + PQ encode: one narrow pass over the corpus
     // computes the nearest-centroid list (argmax cosine, ties -> lowest
@@ -1114,8 +1283,6 @@ object SimilaritySearch {
     // add() loop instead: broadcast centroids, row-local argmax, no
     // corpus shuffle at all. (Kernel shared with encodeIvfPq so
     // incremental ingest can never drift from the build.)
-    val centArr = centModel.clusterCenters.zipWithIndex
-      .map { case (vec, i) => (i.toLong, vec.toArray) }
     val codes = ivfAssignEncode(c, centArr, cbs, starts, byResidual)
     IvfPqIndex(centsDf, cbDf, codes, byResidual)
   }
@@ -1185,7 +1352,8 @@ object SimilaritySearch {
     * full corpus scan per query. */
   def buildIvfSqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       numCentroids: Int = 0, codebookSize: Int = 256,
-                      maxTrainVectors: Int = 262144): IvfPqIndex = {
+                      maxTrainVectors: Int = 262144,
+                      centroids: Option[DataFrame] = None): IvfPqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = prepared(corpus, idCol, vecCol)
@@ -1193,20 +1361,30 @@ object SimilaritySearch {
     import spark.implicits._
     val lists =
       if (numCentroids > 0) numCentroids else autoNumCentroids(memoizedCount(c))
-    val trainDf = hashSample(c, maxTrainVectors).select(col("v")).cache()
-    val centModel =
-      try new KMeans()
-        .setK(math.min(lists.toLong, math.max(1L, trainDf.count())).toInt)
-        .setSeed(7L).setMaxIter(10).setInitMode("random")
-        .fit(trainDf.select(array_to_vector(col("v")).as("features")))
-      finally trainDf.unpersist()
+    val centArr = centroids match {
+      case Some(df) =>
+        val arr = df
+          .select(col("cent_id").cast("long"), col("cv").cast("array<double>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        require(arr.nonEmpty, "empty centroids frame")
+        arr
+      case None =>
+        val trainDf = hashSample(c, maxTrainVectors).select(col("v")).cache()
+        val centModel =
+          try new KMeans()
+            .setK(math.min(lists.toLong, math.max(1L, trainDf.count())).toInt)
+            .setSeed(7L).setMaxIter(10).setInitMode("random")
+            .fit(trainDf.select(array_to_vector(col("v")).as("features")))
+          finally trainDf.unpersist()
+        centModel.clusterCenters.zipWithIndex
+          .map { case (vec, i) => (i.toLong, vec.toArray) }
+    }
     val cbDf = sqCodebooksDf(corpus, idCol, vecCol, codebookSize)
     val (cbs, starts) = pqCodebooksFromDf(cbDf)
-    val centsDf = centModel.clusterCenters.zipWithIndex.toSeq
-      .map { case (vec, i) => (i.toLong, vec.toArray.toSeq) }
+    val centsDf = centArr.toSeq
+      .map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cent_id", "cv")
-    val centArr = centModel.clusterCenters.zipWithIndex
-      .map { case (vec, i) => (i.toLong, vec.toArray) }
     IvfPqIndex(centsDf, cbDf, ivfAssignEncode(c, centArr, cbs, starts))
   }
 

@@ -13,12 +13,20 @@ import org.apache.spark.sql.functions._
   * over the full corpus, and the served recall@10 vs brute force at the
   * auto operating point (nProbe = C/4 = 4096, 25% scan).
   *
-  * Usage: runMain graft.tools.TrainerCap <embDir> [byResidual]
+  * With mode `hier` the coarse codebook comes from the two-level
+  * hierarchical trainer instead (level-1 k-means branches + per-branch
+  * driver-local Lloyd over the bounded sample) — the production path the
+  * cap row says to switch to; the build then consumes the frame via the
+  * `centroids` parameter, so the measured pair (flat vs hier) differs
+  * ONLY in training.
+  *
+  * Usage: runMain graft.tools.TrainerCap <embDir> [byResidual] [flat|hier]
   */
 object TrainerCap {
   def main(args: Array[String]): Unit = {
     val embDir = args.headOption.getOrElse("/tmp/graft_sf210")
     val byResidual = args.lift(1).forall(_.toBoolean)
+    val hier = args.lift(2).contains("hier")
     val spark = SparkSession.builder()
       .appName("graft-trainer-cap").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,15 +43,19 @@ object TrainerCap {
     // bound and k) so the cap row can state the k-means share separately
     // from the full build
     val tf0 = System.nanoTime()
-    val cents = S.ivfKMeansCentroidsDf(emb, "vec_id", "embedding",
-      numCentroids = autoC)
+    val cents =
+      if (hier) S.hierarchicalCentroidsDf(emb, "vec_id", "embedding",
+        numCentroids = autoC)
+      else S.ivfKMeansCentroidsDf(emb, "vec_id", "embedding",
+        numCentroids = autoC)
     val nLists = cents.count()
     val tf1 = System.nanoTime()
-    println(f"trainer-cap coarse_fit_sec=${(tf1 - tf0) / 1e9}%.1f lists=$nLists")
+    println(f"trainer-cap coarse_fit_sec=${(tf1 - tf0) / 1e9}%.1f lists=$nLists hier=$hier")
 
     val t0 = System.nanoTime()
     val idx = S.buildIvfPqIndex(emb, "vec_id", "embedding",
-      byResidual = byResidual)
+      byResidual = byResidual,
+      centroids = if (hier) Some(cents) else None)
     // force both training artifacts AND the full encode
     val nCodes = idx.codes.count()
     val t1 = System.nanoTime()
@@ -59,7 +71,7 @@ object TrainerCap {
       .select("q_id", "n_id")
     val hit = truth.join(got, Seq("q_id", "n_id"), "left_semi").count()
     val t4 = System.nanoTime()
-    println(f"""{"metric":"trainer_cap","n":$n,"auto_c":$autoC,"by_residual":$byResidual,"coarse_fit_sec":${(tf1 - tf0) / 1e9}%.1f,"build_sec":${(t1 - t0) / 1e9}%.1f,"brute_sec":${(t3 - t2) / 1e9}%.1f,"serve_sec":${(t4 - t3) / 1e9}%.1f,"recall_at_10":${hit.toDouble / nTruth}%.4f}""")
+    println(f"""{"metric":"trainer_cap","n":$n,"auto_c":$autoC,"by_residual":$byResidual,"hier":$hier,"coarse_fit_sec":${(tf1 - tf0) / 1e9}%.1f,"build_sec":${(t1 - t0) / 1e9}%.1f,"brute_sec":${(t3 - t2) / 1e9}%.1f,"serve_sec":${(t4 - t3) / 1e9}%.1f,"recall_at_10":${hit.toDouble / nTruth}%.4f}""")
     spark.stop()
   }
 }

@@ -423,6 +423,38 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rRes >= 0.4, f"residual recall floor: $rRes%.3f")
   }
 
+  test("hierarchicalCentroidsDf: exactly C dense centers, deterministic; provided frame used verbatim by the build") {
+    val cents = SimilaritySearch.hierarchicalCentroidsDf(
+      emb, "vec_id", "embedding", numCentroids = 32, branch = 6)
+    val rows = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    // Σ k_i == C exactly (the proportional split + deterministic top-up)
+    assert(rows.length === 32, s"got ${rows.length} centers")
+    assert(rows.map(_._1).toSeq === (0L until 32L), "cent_ids must be dense 0..C-1")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    assert(rows.forall(_._2.length == dim))
+    // deterministic end to end (hash-sample, fixed seeds, seeded shuffles)
+    val again = SimilaritySearch.hierarchicalCentroidsDf(
+        emb, "vec_id", "embedding", numCentroids = 32, branch = 6)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(again.toSeq === rows.toSeq)
+    // the build uses a provided frame VERBATIM (no retraining, no reorder)
+    val ix = SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding",
+      byResidual = true, centroids = Some(cents))
+    val used = ix.centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(used.toSeq === rows.toSeq)
+    // and the hierarchical index actually serves: recall floor vs brute
+    val truth = brute.map(t => (t._1, t._2)).toSet
+    val got = SimilaritySearch.searchIvfPqIndex(ix, emb, queries,
+        "vec_id", "embedding", 10)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.5, f"hierarchical-index recall $recall%.3f")
+  }
+
   test("purge: rewrites survivors only, reclaims bytes, serve unchanged (all three families)") {
     def du(path: String): Long = {
       def walk(f: java.io.File): Long =
