@@ -143,15 +143,25 @@ object Bench {
     // min ≤ median and the two median encodings agree to the cent.
     def historicalBands(sfNum: String): Map[String, Double] = try {
       val qv = ("\\\\?\"(q[A-Za-z0-9_]+)\\\\?\":([0-9]+\\.[0-9]+)").r
-      val sfPat = ("\"sf\"\\s*:\\s*" +
-        java.util.regex.Pattern.quote(sfNum) + "[,}\\s]").r
+      // every sf value the file carries (escaped or not) — a file is
+      // harvested only if ALL its sf fields equal the target sf, so a
+      // future artifact holding several sf sections can never pool
+      // cross-sf timings into one band (r15 ADVICE; the per-line scoping
+      // alternative doesn't survive the escaped-and-truncated "tail"
+      // fragments the committed driver wrappers carry).
+      val sfAll = ("\\\\?\"sf\\\\?\"\\s*:\\s*\\\\?\"?([0-9.]+)").r
       val hist = scala.collection.mutable.Map.empty[String, List[Double]]
+      // BENCH_sf<k>.json artifacts join the history too (they were
+      // invisible to the old filename filter, leaving sf1 runs bandless
+      // and heat-proofing silently inert there — r15 ADVICE)
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_(r|local_r)\\d+\\.json")).sortBy(_.getName)
+        .filter(_.getName.matches("BENCH_((r|local_r)\\d+|sf[0-9.]+)\\.json"))
+        .sortBy(_.getName)
       for (f <- files) scala.util.Try {
         val src = scala.io.Source.fromFile(f)
         val txt = try src.mkString finally src.close()
-        if (sfPat.findFirstIn(txt).isDefined) {
+        val sfs = sfAll.findAllMatchIn(txt).map(_.group(1)).toSet
+        if (sfs == Set(sfNum)) {
           val best = scala.collection.mutable.Map.empty[String, Double]
           for (m <- qv.findAllMatchIn(txt)) {
             val v = m.group(2).toDouble
@@ -171,6 +181,10 @@ object Bench {
       "q_scalar_funcs")
     val sfNumForBands = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir).map(_.group(1))
     val bands = sfNumForBands.map(historicalBands).getOrElse(Map.empty)
+    if (bands.isEmpty)
+      // disclosed, not silent: without bands the outlier rerun machinery
+      // below has nothing to compare against (first run at a new sf)
+      println(s"bench-note no historical bands for sf=${sfNumForBands.getOrElse(sfDir)}; heat-proofing inert this run")
     val medMap0 = medRaw.toMap
     val sentinelsHot = sentinelNames.exists(n =>
       (medMap0.get(n), bands.get(n)) match {
@@ -184,21 +198,44 @@ object Bench {
     val outliers = medRaw.filter { case (n, v) =>
       v > 0 && bands.get(n).exists(b => v > 1.5 * b) }
     val fnMap = queries.toMap
-    val reruns: Seq[(String, (Double, Double, Double))] =
+    // RETRY UNTIL CLEAN (r15 ask 6 — BENCH_r15's single rerun fired on a
+    // still-hot box and re-read 24.29 s vs 10.30 idle): each outlier is
+    // re-run up to `maxAttempts` times, each attempt preceded by its own
+    // bounded cool-down wait, stopping early the moment a reading lands
+    // back inside its band. Every attempt (value + the loadavg it ran
+    // under) is disclosed; the final value is the MIN across attempts —
+    // contention can only inflate a reading, so the coolest attempt is
+    // the closest to truth, and a genuine regression stays high in all
+    // of them. If the cap exhausts without an in-band reading, the
+    // artifact says so explicitly (in_band=false) instead of presenting
+    // a hot number as settled.
+    final case class Rerun(orig: Double, attempts: Seq[(Double, Double)],
+                           fin: Double, inBand: Boolean)
+    val maxAttempts = 3
+    val reruns: Seq[(String, Rerun)] =
       if (!boxHot || outliers.isEmpty) Seq.empty
-      else {
-        // bounded cool-down: give co-tenant load up to 5 min to drain
-        var waited = 0
-        while (loadavg1 > 1.5 && waited < 300) { Thread.sleep(15000); waited += 15 }
-        outliers.map { case (name, orig) =>
-          val xs = (1 to 2).map(_ => timeOnce(fnMap(name), spark, sfDir))
-          name -> ((orig, median(xs), loadavg1))
+      else outliers.map { case (name, orig) =>
+        val band = bands(name)
+        val attempts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+        var done = false
+        while (!done && attempts.size < maxAttempts) {
+          // bounded cool-down: give co-tenant load up to 5 min to drain
+          var waited = 0
+          while (loadavg1 > 1.5 && waited < 300) { Thread.sleep(15000); waited += 15 }
+          val la = loadavg1
+          val v = median((1 to 2).map(_ => timeOnce(fnMap(name), spark, sfDir)))
+          attempts += ((v, la))
+          if (v >= 0 && v <= 1.5 * band) done = true
         }
+        val ok = attempts.map(_._1).filter(_ >= 0)
+        val fin = if (ok.isEmpty) -1.0 else ok.min
+        name -> Rerun(orig, attempts.toSeq, fin,
+          fin >= 0 && fin <= 1.5 * band)
       }
     val rerunMap = reruns.toMap
     val med = medRaw.map { case (name, v) =>
       rerunMap.get(name) match {
-        case Some((_, rr, _)) if rr >= 0 => name -> rr
+        case Some(r) if r.fin >= 0 => name -> r.fin
         case _ => name -> v
       }
     }
@@ -238,9 +275,12 @@ object Bench {
     // round 1 — their medians move with box heat, not with engine changes
     val medMap = med.toMap
     val sentinels = sentinelNames.flatMap(n => medMap.get(n).map(n -> _))
-    val rerunsJson = reruns.map { case (n, (orig, rr, la)) =>
-      "\"" + n + "\":{\"orig\":" + f"$orig%.2f" + ",\"rerun\":" + f"$rr%.2f" +
-        ",\"loadavg\":" + f"$la%.2f" + "}"
+    val rerunsJson = reruns.map { case (n, r) =>
+      val att = r.attempts.map { case (v, la) =>
+        "{\"val\":" + f"$v%.2f" + ",\"loadavg\":" + f"$la%.2f" + "}"
+      }.mkString("[", ",", "]")
+      "\"" + n + "\":{\"orig\":" + f"${r.orig}%.2f" + ",\"attempts\":" + att +
+        ",\"final\":" + f"${r.fin}%.2f" + ",\"in_band\":" + r.inBand + "}"
     }.mkString("{", ",", "}")
     val heatJson =
       s""""heat":{"loadavg_before":${f"$loadBefore%.2f"},""" +

@@ -2224,6 +2224,141 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- STREAMING index ingest (IVF-PQ, BY-RESIDUAL — the deploy
+    //      config): the standing index builds residual-encoded on the
+    //      evens (meta sidecar persists the flag); the odd stream's
+    //      micro-batches land via IvfPqIndex.ingestStream, whose append
+    //      READS the persisted flag — so every streamed code quantizes
+    //      v − assigned centroid against the frozen pair automatically.
+    //      This is exactly where a raw-vs-residual mixup would silently
+    //      serve garbage (r15 verdict ask 1); value-exact under the
+    //      residual replay (codes are pure per-vector functions of the
+    //      frozen quantizer pair + the persisted encoding flag). ----
+    "q_ann_ivfpq_index_stream" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfpq-stream-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val standing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .repartition(2).write.parquet(s"$tmp/src")
+      graft.operators.SimilaritySearch.buildIvfPqIndex(
+        standing, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize,
+        byResidual = true).save(s"$tmp/index")
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src")
+      graft.operators.IvfPqIndex.ingestStream(s"$tmp/index", stream,
+        "vec_id", "embedding", checkpoint = s"$tmp/ckpt")
+        .awaitTermination()
+      val loaded = graft.operators.IvfPqIndex.load(s, s"$tmp/index")
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfpq_index_stream", "centroids",
+          n, tok),
+        freeze(loaded.codebooks, "q_ann_ivfpq_index_stream", "codebooks",
+          n, tok),
+        loaded.codes,
+        byResidual = loaded.byResidual)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- RESIDUAL lifecycle (incremental append + tombstone delete in
+    //      one gate): the residual index builds on the evens, the odd
+    //      batch lands via IvfPqIndex.append — which reads the persisted
+    //      by_residual flag, so the appended codes quantize residuals
+    //      against the FROZEN pair — then the odd tail is tombstoned and
+    //      the masked index served. Folds the remaining two raw-only
+    //      lifecycle rows into residual coverage (r15 verdict ask 1);
+    //      value-exact under the residual replay with the deletion
+    //      predicate on its one corpus CTE. ----
+    "q_ann_ivfpq_residual_lifecycle" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfpq-reslife-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val standing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      graft.operators.SimilaritySearch.buildIvfPqIndex(
+        standing, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize,
+        byResidual = true).save(tmp)
+      graft.operators.IvfPqIndex.append(s, tmp, batch, "vec_id", "embedding",
+        batchId = 1L)
+      graft.operators.IvfPqIndex.delete(tmp,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1
+          && col("vec_id") >= AnnConfig.maxQueries),
+        "vec_id", batchId = 1L)
+      val loaded = graft.operators.IvfPqIndex.load(s, tmp)
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfpq_residual_lifecycle",
+          "centroids", n, tok),
+        freeze(loaded.codebooks, "q_ann_ivfpq_residual_lifecycle",
+          "codebooks", n, tok),
+        loaded.codes,
+        byResidual = loaded.byResidual)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- IVF-PQ PHYSICAL PURGE (the production family, residual
+    //      config — r15 verdict ask 5): build residual on the full
+    //      corpus, tombstone the odd tail, purge (load → save to a
+    //      fresh root — surviving codes rewritten, quantizers AND the
+    //      meta encoding flag copied, deletes dir gone). The purged
+    //      serve must equal the masked serve, so the same
+    //      deletion-predicate residual replay certifies it; the byte
+    //      reclaim itself is measured at scale in SCALE.md
+    //      (IndexFootprint before/after). ----
+    "q_ann_ivfpq_index_purge" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfpq-purge-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      graft.operators.SimilaritySearch.buildIvfPqIndex(
+        emb, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize,
+        byResidual = true).save(s"$tmp/orig")
+      graft.operators.IvfPqIndex.delete(s"$tmp/orig",
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1
+          && col("vec_id") >= AnnConfig.maxQueries),
+        "vec_id", batchId = 1L)
+      graft.operators.IvfPqIndex.purge(s, s"$tmp/orig", s"$tmp/purged")
+      val loaded = graft.operators.IvfPqIndex.load(s, s"$tmp/purged")
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfpq_index_purge", "centroids",
+          n, tok),
+        freeze(loaded.codebooks, "q_ann_ivfpq_index_purge", "codebooks",
+          n, tok),
+        loaded.codes,
+        byResidual = loaded.byResidual)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- bands-only LSH serving: persist ONLY the band rows (159 B/vec
     //      vs 558 self-contained — SCALE.md storage table) and rebind the
     //      vectors half to the corpus parquet at load; the scoring rows
@@ -4387,6 +4522,26 @@ object SparkEntry {
     // FROZEN centroid frame, so the residual oracle applies verbatim
     "q_ann_ivfpq_hier_index" -> SparkEntryOracles.annIvfPqResidualSqlOver(
       "q_ann_ivfpq_hier_index", ""),
+    // residual STREAMING ingest: streamed micro-batches encode residuals
+    // against the frozen pair (the persisted by_residual flag decides),
+    // so the full-corpus residual replay certifies the streamed index —
+    // the same pure-function argument as every stream gate
+    "q_ann_ivfpq_index_stream" -> SparkEntryOracles.annIvfPqResidualSqlOver(
+      "q_ann_ivfpq_index_stream", ""),
+    // residual incremental append + tombstone delete in one lifecycle:
+    // the residual replay over the surviving corpus (deletion predicate
+    // on its one corpus CTE); appended codes are pure per-vector
+    // functions of the frozen pair + flag, so ingest order is invisible
+    "q_ann_ivfpq_residual_lifecycle" ->
+      SparkEntryOracles.annIvfPqResidualSqlOver(
+        "q_ann_ivfpq_residual_lifecycle",
+        s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
+    // physical purge rewrites the masked residual index into a fresh
+    // tombstone-free root; purged serve == masked serve, so the SAME
+    // deletion-predicate residual replay certifies it
+    "q_ann_ivfpq_index_purge" -> SparkEntryOracles.annIvfPqResidualSqlOver(
+      "q_ann_ivfpq_index_purge",
+      s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
     "q_ann_ivfpq_index_delete" -> SparkEntryOracles.annIvfPqSqlOver(
       "q_ann_ivfpq_index_delete",
       s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),

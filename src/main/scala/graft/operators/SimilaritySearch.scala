@@ -435,16 +435,24 @@ object LshIndex {
   * are not interchangeable: serve and append must agree with build. */
 final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
                             codes: DataFrame, byResidual: Boolean = false) {
+  /** The `meta` sidecar is written UNCONDITIONALLY (by_residual=false
+    * included) and BEFORE the codes: a raw save into a root that
+    * previously held a residual index must overwrite the stale flag
+    * (else load/append would silently decode raw codes as residuals —
+    * r15 ADVICE), and a crash between codes and meta must leave the OLD
+    * codes unreadable-as-wrong-mode rather than a residual index that
+    * loads as raw. Meta-then-codes means a crash mid-save leaves
+    * mismatched halves only in the window where the codes write itself
+    * is already torn (non-atomic parquet overwrite) — the sidecar can
+    * never be the lone stale survivor of a COMPLETED save. */
   def save(dir: String): Unit = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq(byResidual).toDF("by_residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     codes.write.mode("overwrite").parquet(s"$dir/codes/batch=0")
-    if (byResidual) {
-      val spark = centroids.sparkSession
-      import spark.implicits._
-      Seq(true).toDF("by_residual")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    }
   }
 }
 
@@ -475,15 +483,30 @@ object IvfPqIndex {
       byResidual = readByResidual(spark, dir))
   }
 
-  /** The persisted encoding flag: a `meta` sidecar exists only for
-    * residual-encoded indexes (absence = raw-vector codes — every
-    * pre-r15 index, back-compatible by construction). */
+  /** The persisted encoding flag. Since r16 every save writes the `meta`
+    * sidecar (by_residual=false included); absence = raw-vector codes —
+    * a pre-r16 raw index, back-compatible by construction. An EXISTING
+    * but unreadable/rowless meta dir (crash-torn write, leftover
+    * _temporary) is surfaced as a clear index-corruption error instead
+    * of an opaque NoSuchElementException (r15 ADVICE): guessing an
+    * encoding here would silently serve garbage rankings. */
   private def readByResidual(spark: org.apache.spark.sql.SparkSession,
                              dir: String): Boolean = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(metaPath) && spark.read.parquet(s"$dir/meta")
-      .select(col("by_residual")).head().getBoolean(0)
+    if (!fs.exists(metaPath)) false
+    else try {
+      val rows = spark.read.parquet(s"$dir/meta")
+        .select(col("by_residual")).head(1)
+      require(rows.nonEmpty, "meta parquet has no rows")
+      rows(0).getBoolean(0)
+    } catch {
+      case e: Exception => throw new IllegalStateException(
+        s"IvfPqIndex at $dir has a corrupt `meta` sidecar (cannot read " +
+          s"by_residual: ${e.getMessage}). The encoding flag decides how " +
+          "codes are decoded, so refusing to guess — restore meta or " +
+          "rebuild the index.", e)
+    }
   }
 
   /** Incremental ingest: assign+encode ONLY `batch`'s vectors against the
@@ -873,77 +896,233 @@ object SimilaritySearch {
   def hierarchicalCentroidsDf(corpus: DataFrame, idCol: String,
                               vecCol: String, numCentroids: Int = 0,
                               branch: Int = 0,
-                              maxTrainVectors: Int = 262144): DataFrame = {
+                              maxTrainVectors: Int = 262144,
+                              refineIters: Int = 1,
+                              maxTrainBytes: Long = 1L << 30): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = prepared(corpus, idCol, vecCol)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val lists =
+    val lists0 =
       if (numCentroids > 0) numCentroids else autoNumCentroids(memoizedCount(c))
-    val b0 = if (branch > 0) branch else math.ceil(math.sqrt(lists.toDouble)).toInt
-    val trainDf = hashSample(c, maxTrainVectors).select(col("v")).cache()
-    val (l1, pts) =
-      try {
-        val nTrain = trainDf.count()
-        val eb = math.min(b0.toLong, math.max(1L, nTrain)).toInt
-        val l1 = new KMeans().setK(eb).setSeed(7L).setMaxIter(10)
-          .setInitMode("random")
-          .fit(trainDf.select(array_to_vector(col("v")).as("features")))
-          .clusterCenters.map(_.toArray)
-        // bounded collect: the training sample only (≤ maxTrainVectors)
-        val pts = trainDf.as[Seq[Double]].collect().map(_.toArray)
-        (l1, pts)
-      } finally trainDf.unpersist()
-    // level-1 assignment of the sample (driver-local, squared L2 — the
-    // k-means training metric; serve-time assignment stays the engine's
-    // cosine argmax over the FROZEN final centers, which is what the
-    // oracle replays)
-    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
-      var best = 0; var bestD = Double.MaxValue
-      var ci = 0
-      while (ci < cs.length) {
-        val cv = cs(ci)
-        var d = 0.0; var i = 0
-        while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = ci }
-        ci += 1
+    // BYTE-BUDGET the driver collect (r15 ask 7): the level-2 split needs
+    // the sample on the driver, and maxTrainVectors × dim × 8 is ~1.6 GB
+    // at dim 768 — auto-shrink the sample so the collect stays under
+    // maxTrainBytes (the corpus itself is never collected).
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    require(dim > 0, "hierarchical trainer needs non-empty vectors")
+    val effMaxTrain = {
+      val byBudget = maxTrainBytes / (dim.toLong * 8L)
+      require(byBudget >= 1L,
+        s"maxTrainBytes=$maxTrainBytes cannot hold even one dim-$dim vector")
+      if (byBudget < maxTrainVectors) {
+        log.info(s"hierarchicalCentroidsDf: shrinking training sample " +
+          s"$maxTrainVectors -> $byBudget vectors to fit the " +
+          s"$maxTrainBytes-byte driver budget at dim $dim")
+        byBudget.toInt
+      } else maxTrainVectors
+    }
+    val trainDf = hashSample(c, effMaxTrain).select(col("v")).cache()
+    try {
+      val nTrain = trainDf.count()
+      // a C beyond the sample size is untrainable — clamp like the flat
+      // trainer's setK(min(lists, nTrain)), then hit the clamp EXACTLY
+      val lists = math.min(lists0.toLong, math.max(1L, nTrain)).toInt
+      val b0 =
+        if (branch > 0) branch else math.ceil(math.sqrt(lists.toDouble)).toInt
+      require(b0 <= lists,
+        s"branch=$b0 > numCentroids=$lists: level 1 cannot have more " +
+          "branches than total lists")
+      val eb = math.min(b0.toLong, math.max(1L, nTrain)).toInt
+      val l1 = new KMeans().setK(eb).setSeed(7L).setMaxIter(10)
+        .setInitMode("random")
+        .fit(trainDf.select(array_to_vector(col("v")).as("features")))
+        .clusterCenters.map(_.toArray)
+      // bounded collect: the training sample only (≤ effMaxTrain)
+      val pts = trainDf.as[Seq[Double]].collect().map(_.toArray)
+      // level-1 assignment of the sample (driver-local, squared L2 — the
+      // k-means training metric; serve-time assignment stays the engine's
+      // cosine argmax over the FROZEN final centers, which is what the
+      // oracle replays)
+      def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < cs.length) {
+          val cv = cs(ci)
+          var d = 0.0; var i = 0
+          while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        best
       }
-      best
+      val byBranch = Array.fill(l1.length)(
+        scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+      pts.foreach(p => byBranch(nearest(p, l1)) += p)
+      // k_i proportional to branch size (>=1 for non-empty), topped up /
+      // trimmed deterministically so Σ k_i == lists EXACTLY. Increments
+      // are capped at sizes(i) — localLloyd caps centers at the branch's
+      // point count, so a k_i above it would silently under-produce (r15
+      // ADVICE); decrements stop at 1. Both bounds are jointly feasible:
+      // #nonempty ≤ b0 ≤ lists ≤ nTrain = Σ sizes, so the sweep always
+      // converges — and a logic regression fails the loud contract check
+      // below instead of building a differently-sized index.
+      val sizes = byBranch.map(_.length)
+      val total = math.max(1, sizes.sum)
+      val ks = sizes.map(s =>
+        if (s == 0) 0 else math.max(1, math.round(lists.toDouble * s / total).toInt))
+      var drift = ks.sum - lists
+      var progressed = true
+      while (drift != 0 && progressed) {
+        progressed = false
+        var i = 0
+        while (i < ks.length && drift != 0) {
+          if (drift > 0 && ks(i) > 1) { ks(i) -= 1; drift -= 1; progressed = true }
+          else if (drift < 0 && ks(i) < sizes(i)) { ks(i) += 1; drift += 1; progressed = true }
+          i += 1
+        }
+      }
+      require(ks.sum == lists,
+        s"hierarchical trainer k-allocation failed: Σk=${ks.sum} != C=$lists " +
+          s"(branches=${ks.length}, sample=$nTrain)")
+      // per-branch seeded Lloyd, concurrent (driver-local; each branch is
+      // ~sample/branch points with k_i ~ C/branch centers)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(byBranch.length, Runtime.getRuntime.availableProcessors()))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val subCenters =
+        try Await.result(Future.sequence(byBranch.indices.map { bi => Future {
+          localLloyd(byBranch(bi).toArray, ks(bi), iters = 10, seed = 42L + bi)
+        }}), Duration.Inf)
+        finally pool.shutdown()
+      val coarse = subCenters.flatten.toArray
+      require(coarse.length == lists,
+        s"hierarchical trainer produced ${coarse.length} centers, expected " +
+          s"$lists — a branch under-trained its k_i")
+      // DISTRIBUTED Lloyd refinement over the UNION of level-2 centers
+      // (r15 ask 3): the per-branch fits never saw points whose true
+      // nearest center lives in a NEIGHBORING branch, which is where the
+      // two-level recall gap vs flat Lloyd comes from. Each pass assigns
+      // the (distributed, still-cached) sample to its nearest final
+      // center — pruned to the refineProbe nearest level-1 branches'
+      // sub-center ranges, so the scan is O(probe·C/branch) per point,
+      // not O(C) — and recomputes means executor-side (partial sums per
+      // partition; the shuffle carries ≤ partitions·C partial rows).
+      // Emptied centers keep their previous value (no drops). No driver
+      // N·C work anywhere.
+      val branchOf = subCenters.iterator.zipWithIndex
+        .flatMap { case (scs, bi) => scs.map(_ => bi) }.toArray
+      val refined = (1 to math.max(0, refineIters)).foldLeft(coarse) {
+        (cur, _) => refineCentersOnce(trainDf, l1, cur, branchOf)
+      }
+      refined.iterator.zipWithIndex.map { case (cv, i) => (i.toLong, cv.toSeq) }
+        .toSeq.toDF("cent_id", "cv")
+    } finally trainDf.unpersist()
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** One distributed refinement pass: branch-pruned nearest-center
+    * assignment (squared L2, ties → lowest center index; candidates =
+    * the sub-centers of the `probe` nearest level-1 branches — probe 8
+    * covers the adjacent-branch escapes that cause the hier-vs-flat
+    * gap while keeping the scan ~probe/branch of full argmin) + mean
+    * update from per-partition partial sums. Emptied centers survive
+    * unchanged, so the center COUNT is invariant (the exact-C
+    * contract). Executor-side throughout; the driver only merges the
+    * ≤ C aggregated rows. */
+  private def refineCentersOnce(train: DataFrame, l1: Array[Array[Double]],
+                                centers: Array[Array[Double]],
+                                branchOf: Array[Int]): Array[Array[Double]] = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val nb = l1.length
+    val probe = math.min(nb, 8)
+    // sub-center ids grouped by branch for the pruned scan
+    val byBranchIdx: Array[Array[Int]] = {
+      val bufs = Array.fill(nb)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      var i = 0
+      while (i < branchOf.length) { bufs(branchOf(i)) += i; i += 1 }
+      bufs.map(_.toArray)
     }
-    val byBranch = Array.fill(l1.length)(
-      scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
-    pts.foreach(p => byBranch(nearest(p, l1)) += p)
-    // k_i proportional to branch size (>=1 for non-empty), topped up /
-    // trimmed deterministically so Σ k_i == lists exactly
-    val sizes = byBranch.map(_.length)
-    val total = math.max(1, sizes.sum)
-    val ks = sizes.map(s =>
-      if (s == 0) 0 else math.max(1, math.round(lists.toDouble * s / total).toInt))
-    var drift = ks.sum - lists
-    var j = 0
-    while (drift != 0 && j < ks.length * 2) {
-      val i = j % ks.length
-      if (drift > 0 && ks(i) > 1) { ks(i) -= 1; drift -= 1 }
-      else if (drift < 0 && sizes(i) > 0) { ks(i) += 1; drift += 1 }
-      j += 1
+    val bcL1 = spark.sparkContext.broadcast(l1)
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val bcIdx = spark.sparkContext.broadcast(byBranchIdx)
+    val partials = train.select(col("v")).as[Seq[Double]]
+      .mapPartitions { it =>
+        val l1v = bcL1.value
+        val cs = bcCenters.value
+        val idx = bcIdx.value
+        val dim = if (cs.nonEmpty) cs(0).length else 0
+        def d2(v: Array[Double], c: Array[Double]): Double = {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - c(i); d += t * t; i += 1 }
+          d
+        }
+        val sums = new java.util.HashMap[Integer, (Array[Double], Long)]()
+        it.foreach { vSeq =>
+          val v = vSeq.toArray
+          // top-`probe` branches by L2 (small nb: simple selection)
+          val bd = Array.tabulate(l1v.length)(bi => (d2(v, l1v(bi)), bi))
+          java.util.Arrays.sort(bd, Ordering.by[(Double, Int), (Double, Int)](identity))
+          var best = -1; var bestD = Double.MaxValue
+          var p = 0
+          while (p < probe) {
+            val cands = idx(bd(p)._2)
+            var z = 0
+            while (z < cands.length) {
+              val ci = cands(z)
+              val d = d2(v, cs(ci))
+              if (d < bestD || (d == bestD && ci < best)) { bestD = d; best = ci }
+              z += 1
+            }
+            p += 1
+          }
+          val key = Integer.valueOf(best)
+          val e = sums.get(key)
+          if (e == null) {
+            val s = new Array[Double](dim)
+            var i = 0
+            while (i < dim) { s(i) = v(i); i += 1 }
+            sums.put(key, (s, 1L))
+          } else {
+            var i = 0
+            while (i < dim) { e._1(i) += v(i); i += 1 }
+            sums.put(key, (e._1, e._2 + 1L))
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        sums.entrySet().iterator().asScala
+          .map(e => (e.getKey.intValue(), pid, e.getValue._1.toSeq,
+            e.getValue._2))
+      }
+      .groupByKey(_._1)
+      // merge partials in PARTITION-ID order (≤ one partial per partition
+      // per center): double sums are order-sensitive, and shuffle arrival
+      // order is not deterministic — the sort keeps the trained frame
+      // bit-stable across reruns ("deterministic end to end")
+      .mapGroups { (ci, it) =>
+        val parts = it.toArray.sortBy(_._2)
+        val dim = parts(0)._3.length
+        val s = new Array[Double](dim)
+        var n = 0L
+        parts.foreach { p =>
+          val pv = p._3
+          var i = 0
+          while (i < dim) { s(i) += pv(i); i += 1 }
+          n += p._4
+        }
+        (ci, s.toSeq, n)
+      }.collect()
+    val next = centers.map(_.clone())
+    partials.foreach { case (ci, s, n) =>
+      if (n > 0) next(ci) = s.iterator.map(_ / n).toArray
     }
-    // per-branch seeded Lloyd, concurrent (driver-local; each branch is
-    // ~sample/branch points with k_i ~ C/branch centers)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(byBranch.length, Runtime.getRuntime.availableProcessors()))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val subCenters =
-      try Await.result(Future.sequence(byBranch.indices.map { bi => Future {
-        localLloyd(byBranch(bi).toArray, ks(bi), iters = 10, seed = 42L + bi)
-      }}), Duration.Inf)
-      finally pool.shutdown()
-    val all = subCenters.flatten
-    require(all.nonEmpty, "hierarchical trainer produced no centers (empty sample?)")
-    all.zipWithIndex.map { case (cv, i) => (i.toLong, cv.toSeq) }
-      .toDF("cent_id", "cv")
+    next
   }
 
   /** Seeded driver-local Lloyd over one branch's sample points: k-means

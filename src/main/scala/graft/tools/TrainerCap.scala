@@ -20,13 +20,30 @@ import org.apache.spark.sql.functions._
   * `centroids` parameter, so the measured pair (flat vs hier) differs
   * ONLY in training.
   *
-  * Usage: runMain graft.tools.TrainerCap <embDir> [byResidual] [flat|hier]
+  * Mode `hier0` is the two-level trainer WITHOUT the distributed
+  * refinement pass (refineIters = 0) — the r15 shape, kept so the
+  * refine lever's recall/cost delta stays measurable.
+  *
+  * Usage: runMain graft.tools.TrainerCap <embDir> [byResidual] [flat|hier|hier0]
+  * byResidual defaults to FALSE when omitted (raw encoding — state
+  * `true` explicitly to measure the residual deploy config); any token
+  * other than true/false is rejected up front.
   */
 object TrainerCap {
   def main(args: Array[String]): Unit = {
     val embDir = args.headOption.getOrElse("/tmp/graft_sf210")
-    val byResidual = args.lift(1).forall(_.toBoolean)
-    val hier = args.lift(2).contains("hier")
+    val byResidual = args.lift(1) match {
+      case None => false
+      case Some("true") => true
+      case Some("false") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"byResidual must be true or false, got '$other' " +
+          "(usage: TrainerCap <embDir> [byResidual] [flat|hier|hier0])")
+    }
+    val mode = args.lift(2).getOrElse("flat")
+    require(Set("flat", "hier", "hier0").contains(mode),
+      s"mode must be flat|hier|hier0, got '$mode'")
+    val hier = mode != "flat"
     val spark = SparkSession.builder()
       .appName("graft-trainer-cap").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -45,12 +62,13 @@ object TrainerCap {
     val tf0 = System.nanoTime()
     val cents =
       if (hier) S.hierarchicalCentroidsDf(emb, "vec_id", "embedding",
-        numCentroids = autoC)
+        numCentroids = autoC,
+        refineIters = if (mode == "hier0") 0 else 1)
       else S.ivfKMeansCentroidsDf(emb, "vec_id", "embedding",
         numCentroids = autoC)
     val nLists = cents.count()
     val tf1 = System.nanoTime()
-    println(f"trainer-cap coarse_fit_sec=${(tf1 - tf0) / 1e9}%.1f lists=$nLists hier=$hier")
+    println(f"trainer-cap coarse_fit_sec=${(tf1 - tf0) / 1e9}%.1f lists=$nLists mode=$mode")
 
     val t0 = System.nanoTime()
     val idx = S.buildIvfPqIndex(emb, "vec_id", "embedding",
@@ -71,7 +89,7 @@ object TrainerCap {
       .select("q_id", "n_id")
     val hit = truth.join(got, Seq("q_id", "n_id"), "left_semi").count()
     val t4 = System.nanoTime()
-    println(f"""{"metric":"trainer_cap","n":$n,"auto_c":$autoC,"by_residual":$byResidual,"hier":$hier,"coarse_fit_sec":${(tf1 - tf0) / 1e9}%.1f,"build_sec":${(t1 - t0) / 1e9}%.1f,"brute_sec":${(t3 - t2) / 1e9}%.1f,"serve_sec":${(t4 - t3) / 1e9}%.1f,"recall_at_10":${hit.toDouble / nTruth}%.4f}""")
+    println(f"""{"metric":"trainer_cap","n":$n,"auto_c":$autoC,"by_residual":$byResidual,"mode":"$mode","coarse_fit_sec":${(tf1 - tf0) / 1e9}%.1f,"build_sec":${(t1 - t0) / 1e9}%.1f,"brute_sec":${(t3 - t2) / 1e9}%.1f,"serve_sec":${(t4 - t3) / 1e9}%.1f,"recall_at_10":${hit.toDouble / nTruth}%.4f}""")
     spark.stop()
   }
 }
