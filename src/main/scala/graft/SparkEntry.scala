@@ -2224,6 +2224,55 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- OPQ-rotated IVF-PQ (FAISS IndexPreTransform: OPQMatrix →
+    //      IndexIVFPQ by_residual): an orthogonal rotation trained by
+    //      alternating PQ-fit / Procrustes (opqRotationDf) is FROZEN
+    //      like the centroids, the corpus is rotated against the frozen
+    //      frame, and the standard residual build/serve runs entirely
+    //      in rotated space — orthogonality preserves cosines, so the
+    //      rankings are rankings of the original vectors. The one
+    //      remaining recall lever at fixed bytes (r16 ask 2); its
+    //      measured effect scales with corpus anisotropy (SCALE.md OPQ
+    //      row). Value-exact: the replay rotates each vector via
+    //      list_dot_product against the frozen rotation rows (the exact
+    //      matVec fold), then the unchanged residual-ADC chain. ----
+    "q_ann_ivfpq_opq_index" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfpq-opq-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val (n, tok) = corpusSig(emb)
+      val rot = graft.operators.SimilaritySearch.opqRotationDf(
+        emb, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize)
+      // rotate against the FROZEN frame (parquet round-trips doubles
+      // exactly), so gate and replay compute identical rotated vectors
+      val rotated = graft.operators.SimilaritySearch.rotateVectors(
+        emb, freeze(rot, "q_ann_ivfpq_opq_index", "rotation", n, tok),
+        "vec_id", "embedding")
+      graft.operators.SimilaritySearch.buildIvfPqIndex(
+        rotated, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize,
+        byResidual = true).save(tmp)
+      val loaded = graft.operators.IvfPqIndex.load(s, tmp)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfpq_opq_index", "centroids",
+          n, tok),
+        freeze(loaded.codebooks, "q_ann_ivfpq_opq_index", "codebooks",
+          n, tok),
+        loaded.codes,
+        byResidual = loaded.byResidual)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, rotated, rotated.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- STREAMING index ingest (IVF-PQ, BY-RESIDUAL — the deploy
     //      config): the standing index builds residual-encoded on the
     //      evens (meta sidecar persists the flag); the odd stream's
@@ -4522,6 +4571,11 @@ object SparkEntry {
     // FROZEN centroid frame, so the residual oracle applies verbatim
     "q_ann_ivfpq_hier_index" -> SparkEntryOracles.annIvfPqResidualSqlOver(
       "q_ann_ivfpq_hier_index", ""),
+    // OPQ pre-transform: the same residual replay run entirely in
+    // rotated space — the corpus CTE rotates each vector against the
+    // gate's frozen rotation frame (list_dot_product == matVec fold)
+    "q_ann_ivfpq_opq_index" -> SparkEntryOracles.annIvfPqOpqSqlOver(
+      "q_ann_ivfpq_opq_index", ""),
     // residual STREAMING ingest: streamed micro-batches encode residuals
     // against the frozen pair (the persisted by_residual flag decides),
     // so the full-corpus residual replay certifies the streamed index —

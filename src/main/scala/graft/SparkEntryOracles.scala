@@ -1030,6 +1030,46 @@ object SparkEntryOracles {
     * so the replay is value-exact, not approximate-vs-approximate. */
   def annIvfPqResidualSqlOver(gate: String, corpusWhere: String): String = {
     val corpusPred = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
+    residualReplayCore(gate,
+      s"""v AS (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings$corpusPred)""".stripMargin)
+  }
+
+  /** q_ann_ivfpq_opq_index replica — the FAISS IndexPreTransform
+    * composition OPQMatrix → IndexIVFPQ(by_residual): the entire
+    * residual replay runs in ROTATED space, so the only change is the
+    * corpus CTE — each vector is rotated against the gate's FROZEN
+    * rotation frame (out[i] = list_dot_product(rvec_i, v), the exact
+    * ascending fold the Scala matVec kernel computes) before the
+    * standard encode/assign/probe/ADC/re-rank chain. R is orthogonal,
+    * so rotated cosines ARE the original cosines in real arithmetic;
+    * value-exactness holds because BOTH sides compute the identical
+    * rotated doubles from the identical frozen frame. */
+  def annIvfPqOpqSqlOver(gate: String, corpusWhere: String): String = {
+    val corpusPred = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
+    residualReplayCore(gate,
+      s"""rot AS (
+         |  SELECT CAST(i AS INT) AS i, rvec::DOUBLE[] AS rv
+         |  FROM ${frozenScan(gate, "rotation")}),
+         |vraw AS (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v0
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings$corpusPred)),
+         |vrot AS (
+         |  SELECT vr.id, list(list_dot_product(r.rv, vr.v0) ORDER BY r.i) AS v
+         |  FROM vraw vr CROSS JOIN rot r GROUP BY vr.id),
+         |v AS (
+         |  SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vrot)""".stripMargin)
+  }
+
+  /** The shared residual-ADC replay tail: everything downstream of the
+    * corpus CTE (`v` = (id, v, nrm)) — frozen quantizer pair, residual
+    * encode, probe selection, per-list ADC cross terms in kernel fold
+    * order, exact re-rank. The corpus prelude is pluggable so the raw
+    * (annIvfPqResidualSqlOver) and rotated (annIvfPqOpqSqlOver) replays
+    * can never drift in their shared arithmetic. */
+  private def residualReplayCore(gate: String, vPrelude: String): String = {
     val m = A.numSubspaces
     val subLen = A.subLen
     s"""WITH cb AS (
@@ -1037,10 +1077,7 @@ object SparkEntryOracles {
        |    vec::DOUBLE[] AS cw,
        |    list_dot_product(vec::DOUBLE[], vec::DOUBLE[]) AS cn2
        |  FROM ${frozenScan(gate, "codebooks")}),
-       |v AS (
-       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |  FROM embeddings$corpusPred),
+       |$vPrelude,
        |q AS (SELECT id AS q_id, v AS qv, nrm AS qn FROM v WHERE id < ${A.maxQueries}),
        |cents AS (
        |  SELECT CAST(cent_id AS BIGINT) AS cent_id, cv::DOUBLE[] AS cv,

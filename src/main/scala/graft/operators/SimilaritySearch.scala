@@ -1125,6 +1125,149 @@ object SimilaritySearch {
     next
   }
 
+  /** OPQ rotation trainer (Ge et al., CVPR'13 — FAISS OPQMatrix): an
+    * ORTHOGONAL d×d matrix R minimizing the product-quantization error
+    * of the ROTATED vectors, trained by the standard alternating
+    * optimization — (1) fit per-subspace codebooks on R·X (seeded
+    * driver-local Lloyd, concurrent across subspaces), (2) given the
+    * reconstructions X̂ solve the orthogonal Procrustes problem
+    * min_R ||R·X − X̂||_F via one d×d SVD (R = V·Uᵀ for Σxx̂ᵀ = UΣVᵀ) —
+    * init R = I, fixed iteration counts, so the frame is deterministic.
+    * Rotation redistributes variance/correlation ACROSS the m subspaces
+    * so each spends its 256 levels on comparable energy; the win scales
+    * with the corpus's anisotropy (on an isotropic corpus R ≈ a rotation
+    * of equals — measured parity, SCALE.md OPQ row). Because R is
+    * orthogonal it preserves dot products and norms exactly in real
+    * arithmetic, so cosine rankings in rotated space ARE the original
+    * rankings; serving works entirely in rotated space against a frame
+    * frozen like the centroids ([[rotateVectors]] + the standard
+    * build/serve on the rotated corpus — FAISS IndexPreTransform).
+    *
+    * Returns (i, rvec): row i of R, dim rows — persist/freeze it once;
+    * every downstream step is deterministic arithmetic replayable from
+    * the frozen frame (the oracle's encode CTE rotates via
+    * list_dot_product against these rows). Training collects ONLY the
+    * bounded hash-sample (≤ maxTrainVectors, byte-budgeted like the
+    * hierarchical trainer; FAISS OPQMatrix caps its train set the same
+    * way — the corpus is never collected). */
+  def opqRotationDf(corpus: DataFrame, idCol: String, vecCol: String,
+                    numSubspaces: Int = 8, codebookSize: Int = 256,
+                    opqIters: Int = 10, maxTrainVectors: Int = 65536,
+                    maxTrainBytes: Long = 1L << 30): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    require(dim >= numSubspaces, s"dim $dim < numSubspaces $numSubspaces")
+    val byBudget = maxTrainBytes / (dim.toLong * 8L)
+    require(byBudget >= 1L,
+      s"maxTrainBytes=$maxTrainBytes cannot hold even one dim-$dim vector")
+    val effMax = math.min(maxTrainVectors.toLong, byBudget).toInt
+    val x = hashSample(c, effMax).select(col("v"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    require(x.nonEmpty, "opqRotationDf: empty training sample")
+    val starts = pqStarts(dim, numSubspaces)
+    val ks = math.min(codebookSize, x.length)
+    var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(numSubspaces, Runtime.getRuntime.availableProcessors()))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      var it = 0
+      while (it < opqIters) {
+        val xr = x.map(v => matVec(r, v))
+        // per-subspace Lloyd on the rotated sample (FAISS niter_pq = 4)
+        val cbs = Await.result(
+          Future.sequence((0 until numSubspaces).toSeq.map { j => Future {
+            val len = starts(j + 1) - starts(j)
+            val sub = xr.map(v => java.util.Arrays.copyOfRange(v, starts(j), starts(j) + len))
+            val cents = localLloyd(sub, ks, iters = 4, seed = 42L + j)
+            // localLloyd caps at n; pad like trainPqCodebooksOn so the
+            // dense-codebook invariant holds (dupes never win argmin ties)
+            if (cents.length >= ks) cents
+            else cents ++ Array.fill(ks - cents.length)(cents(0).clone())
+          }}), Duration.Inf).toArray
+        // reconstructions of the rotated sample under the new codebooks
+        val xhat = xr.map { v =>
+          val code = encodeOne(v, cbs, starts)
+          val out = new Array[Double](dim)
+          var j = 0
+          while (j < numSubspaces) {
+            val cw = cbs(j)(code(j) & 0xff)
+            System.arraycopy(cw, 0, out, starts(j), cw.length)
+            j += 1
+          }
+          out
+        }
+        // Procrustes: maximize tr(R · M) with M = Σ_n x_n · x̂_nᵀ
+        val m = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+        var n = 0
+        while (n < x.length) {
+          val xv = x(n); val hv = xhat(n)
+          var i = 0
+          while (i < dim) {
+            var j = 0
+            while (j < dim) { m(i, j) += xv(i) * hv(j); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        val svd = breeze.linalg.svd(m)
+        val rNew = svd.Vt.t * svd.U.t
+        r = Array.tabulate(dim, dim)((i, j) => rNew(i, j))
+        it += 1
+      }
+    } finally pool.shutdown()
+    r.iterator.zipWithIndex.map { case (row, i) => (i.toLong, row.toSeq) }
+      .toSeq.toDF("i", "rvec")
+  }
+
+  /** Apply a frozen OPQ rotation to a vector batch: out[i] = Σ_j
+    * R[i][j]·v[j], ascending-j left-associative per coordinate — the
+    * exact double sequence the oracle's `list_dot_product(rvec, v)`
+    * computes, so a frame rotated here and a frame rotated in the
+    * replay are bit-identical. Output: (idCol, vecCol) with the vector
+    * replaced by its rotation (array<double>); feed it to any
+    * build/serve path — FAISS IndexPreTransform composition. */
+  def rotateVectors(df: DataFrame, rotation: DataFrame, idCol: String,
+                    vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = rotation
+      .select(col("i").cast("int"), col("rvec").cast("array<double>"))
+      .collect().map(rr => (rr.getInt(0), rr.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "empty rotation frame")
+    require(rows.iterator.map(_._1).toSeq == rows.indices,
+      "rotation frame rows must be dense 0..dim-1")
+    val r = rows.map(_._2)
+    val bcR = spark.sparkContext.broadcast(r)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val rv = bcR.value
+        it.map { case (id, vSeq) => (id, matVec(rv, vSeq.toArray).toSeq) }
+      }.toDF(idCol, vecCol)
+  }
+
+  /** R·v with ascending-j left-associative per-coordinate folds (the SQL
+    * list_dot_product replica order). */
+  private def matVec(r: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](r.length)
+    var i = 0
+    while (i < r.length) {
+      val row = r(i)
+      val n = math.min(row.length, v.length)
+      var s = 0.0; var j = 0
+      while (j < n) { s += row(j) * v(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+
   /** Seeded driver-local Lloyd over one branch's sample points: k-means
     * with deterministic shuffled-index init, squared-L2 assignment, mean
     * update; a cluster that empties keeps its previous center (no drops —

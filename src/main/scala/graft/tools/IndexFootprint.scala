@@ -7,10 +7,17 @@ import org.apache.spark.sql.functions._
   * at its gate operating point (AnnConfig) — the storage bill SCALE.md's
   * index-economics table states next to the recall/scan numbers. Writes
   * real indexes to a temp dir and sums the parquet bytes; nothing is
-  * estimated. Usage: runMain graft.tools.IndexFootprint <sfDir>. */
+  * estimated. Usage: runMain graft.tools.IndexFootprint <sfDir> [purge].
+  *
+  * Mode `purge` instead measures the IVF-PQ (residual — the production
+  * family) PHYSICAL-PURGE byte delta: build on the full corpus,
+  * tombstone ~30% of ids, then purge to a fresh root — reporting the
+  * tombstoned root's bytes (codes + deletes), the purged root's bytes,
+  * and the reclaim fraction, the SCALE.md footprint-delta row. */
 object IndexFootprint {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    if (args.lift(1).contains("purge")) { purgeDelta(sfDir); return }
     val spark = SparkSession.builder()
       .appName("graft-index-footprint").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -66,6 +73,37 @@ object IndexFootprint {
       "centroids" -> bytes(s"$tmp/ivfsq/centroids"),
       "codebooks" -> bytes(s"$tmp/ivfsq/codebooks"),
       "codes" -> bytes(s"$tmp/ivfsq/codes")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    spark.stop()
+  }
+
+  private def purgeDelta(sfDir: String): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-purge-footprint").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.SimilaritySearch
+    def dirBytes(p: java.io.File): Long =
+      if (p.isFile) p.length()
+      else Option(p.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+    def bytes(path: String): Long = dirBytes(new java.io.File(path))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-purge-fp").toString
+    SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding",
+      byResidual = true).save(s"$tmp/orig")
+    // ~30% tombstoned (vec_id % 10 < 3) — the documented cadence point
+    graft.operators.IvfPqIndex.delete(s"$tmp/orig",
+      emb.filter(pmod(col("vec_id"), lit(10)) < 3), "vec_id")
+    val beforeCodes = bytes(s"$tmp/orig/codes")
+    val beforeDeletes = bytes(s"$tmp/orig/deletes")
+    val before = bytes(s"$tmp/orig")
+    graft.operators.IvfPqIndex.purge(spark, s"$tmp/orig", s"$tmp/purged")
+    val after = bytes(s"$tmp/purged")
+    val afterCodes = bytes(s"$tmp/purged/codes")
+    println(f"""{"metric":"ivfpq_purge_footprint","n":$n,"tombstone_frac":0.3,"before_bytes":$before,"before_codes":$beforeCodes,"before_deletes":$beforeDeletes,"after_bytes":$after,"after_codes":$afterCodes,"reclaim_frac":${1.0 - after.toDouble / before}%.3f}""")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     spark.stop()
   }

@@ -504,6 +504,89 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 >= r0 - 0.05, f"refined recall $r1%.3f << unrefined $r0%.3f")
   }
 
+  test("opqRotationDf: orthogonal, deterministic; rotateVectors preserves cosines and matches local matvec") {
+    val rot = SimilaritySearch.opqRotationDf(emb, "vec_id", "embedding",
+      opqIters = 4)
+    val r = rot.collect().map(x => (x.getLong(0), x.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val dim = r.length
+    assert(r.forall(_.length == dim), "R must be square")
+    // R·Rᵀ == I (orthogonality — the property that makes rotated cosines
+    // the original cosines)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val d = r(i).zip(r(j)).map(t => t._1 * t._2).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"RRᵀ[$i][$j] = $d")
+    }
+    // deterministic end to end
+    val again = SimilaritySearch.opqRotationDf(emb, "vec_id", "embedding",
+        opqIters = 4)
+      .collect().map(x => (x.getLong(0), x.getSeq[Double](1).toSeq)).sortBy(_._1)
+    assert(again.toSeq === rot.collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq)
+    // rotateVectors == local matvec; cosines preserved to float tolerance
+    val rotated = SimilaritySearch.rotateVectors(emb, rot, "vec_id", "embedding")
+    val rawV = emb.select("vec_id", "embedding").collect()
+      .map(x => x.getLong(0) -> x.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val rotV = rotated.collect()
+      .map(x => x.getLong(0) -> x.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(t => t._1 * t._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (id <- Seq(0L, 1L, 7L)) {
+      val local = r.map(row => row.zip(rawV(id)).map(t => t._1 * t._2).sum)
+      assert(local.zip(rotV(id)).forall(t => math.abs(t._1 - t._2) < 1e-12),
+        s"rotateVectors != local matvec for $id")
+    }
+    assert(math.abs(cos(rotV(0L), rotV(1L)) - cos(rawV(0L), rawV(1L))) < 1e-9,
+      "rotation must preserve cosines")
+  }
+
+  test("OPQ closes the PQ quantization gap on an ANISOTROPIC corpus (its design regime)") {
+    // energy decays exp(-j/8) across dims, so the FIRST subspace holds
+    // almost all variance and plain PQ wastes 7 codebooks — the exact
+    // imbalance OPQ's rotation redistributes (Ge et al. §1). The engine's
+    // testdata embeddings are isotropic by construction (measured: per-dim
+    // std 0.118–0.135, |corr| ≤ 0.18), so THIS corpus is where the lever
+    // shows; on testdata the SCALE.md OPQ row documents measured parity.
+    // The comparison isolates QUANTIZATION quality: flat PQ (no coarse
+    // probe misses to hide behind) at a small rerankFactor (a large one
+    // recovers ADC error and masks the codebook difference), on a corpus
+    // big enough that 256 codewords per subspace actually have to
+    // compress (5000 points; at 400 points quantization error vanishes
+    // for both and the comparison reads a tie). Measured at this seed:
+    // plain 0.48 vs OPQ 0.65.
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val aniso = (0 until 5000).map { id =>
+      (id.toLong, (0 until dim).map(j =>
+        rnd.nextGaussian() * math.exp(-j / 8.0)).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qs = aniso.filter(col("vec_id") < 10)
+    val truth = SimilaritySearch.bruteForceTopK(aniso, qs, "vec_id", "embedding", 10)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(corpus: org.apache.spark.sql.DataFrame): Double = {
+      val ix = SimilaritySearch.buildPqIndex(corpus, "vec_id", "embedding")
+      val got = SimilaritySearch.searchPqIndex(ix, corpus,
+          corpus.filter(col("vec_id") < 10), "vec_id", "embedding", 10,
+          rerankFactor = 2)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // rotation preserves cosines, so rotated-space truth == raw truth
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val rPq = recallOf(aniso)
+    val rot = SimilaritySearch.opqRotationDf(aniso, "vec_id", "embedding")
+    val rOpq = recallOf(SimilaritySearch.rotateVectors(
+      aniso, rot, "vec_id", "embedding"))
+    assert(rOpq >= rPq + 0.05,
+      f"OPQ recall $rOpq%.3f must clearly beat plain PQ $rPq%.3f on an anisotropic corpus")
+  }
+
   test("byResidual IVF-PQ: recall@10 matches or beats raw encoding at the same operating point") {
     val truth = brute.map(t => (t._1, t._2)).toSet
     def recall(byResidual: Boolean): Double = {
