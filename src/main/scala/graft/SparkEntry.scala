@@ -2273,6 +2273,57 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- OPQ FIRST-CLASS lifecycle (r16): the rotation is persisted IN
+    //      the index root, so build(opq=true) → save → STREAM-ingest →
+    //      load → serve runs with the rotation applied AUTOMATICALLY at
+    //      every boundary — streamed batches rotate before encoding
+    //      (IvfPqIndex.append reads the rotation dir), and serve takes
+    //      RAW corpus/queries and rotates internally. This closes the
+    //      forget-to-rotate-the-batch hazard, the same silent-corruption
+    //      class as the raw-vs-residual meta mixup. Value-exact under
+    //      the same rotated-space replay as q_ann_ivfpq_opq_index
+    //      (streamed codes are pure per-vector functions of the frozen
+    //      rotation + quantizer pair). ----
+    "q_ann_ivfpq_opq_lifecycle" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfpq-opqlife-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val standing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .repartition(2).write.parquet(s"$tmp/src")
+      graft.operators.SimilaritySearch.buildIvfPqIndex(
+        standing, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize,
+        byResidual = true, opq = true).save(s"$tmp/index")
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src")
+      graft.operators.IvfPqIndex.ingestStream(s"$tmp/index", stream,
+        "vec_id", "embedding", checkpoint = s"$tmp/ckpt")
+        .awaitTermination()
+      val loaded = graft.operators.IvfPqIndex.load(s, s"$tmp/index")
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfpq_opq_lifecycle", "centroids",
+          n, tok),
+        freeze(loaded.codebooks, "q_ann_ivfpq_opq_lifecycle", "codebooks",
+          n, tok),
+        loaded.codes,
+        byResidual = loaded.byResidual,
+        rotation = loaded.rotation.map(r =>
+          freeze(r, "q_ann_ivfpq_opq_lifecycle", "rotation", n, tok)))
+      // RAW corpus and queries — the index rotates internally
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- STREAMING index ingest (IVF-PQ, BY-RESIDUAL — the deploy
     //      config): the standing index builds residual-encoded on the
     //      evens (meta sidecar persists the flag); the odd stream's
@@ -4576,6 +4627,12 @@ object SparkEntry {
     // gate's frozen rotation frame (list_dot_product == matVec fold)
     "q_ann_ivfpq_opq_index" -> SparkEntryOracles.annIvfPqOpqSqlOver(
       "q_ann_ivfpq_opq_index", ""),
+    // OPQ first-class lifecycle: rotation persisted in the root, applied
+    // automatically to streamed batches and raw queries — streamed codes
+    // are pure per-vector functions of the frozen rotation + quantizer
+    // pair, so the same rotated-space replay certifies the whole chain
+    "q_ann_ivfpq_opq_lifecycle" -> SparkEntryOracles.annIvfPqOpqSqlOver(
+      "q_ann_ivfpq_opq_lifecycle", ""),
     // residual STREAMING ingest: streamed micro-batches encode residuals
     // against the frozen pair (the persisted by_residual flag decides),
     // so the full-corpus residual replay certifies the streamed index —

@@ -432,9 +432,22 @@ object LshIndex {
   * recall at the identical scan fraction and storage. The flag is part
   * of the persisted index ([[save]] writes a `meta` sidecar;
   * [[IvfPqIndex.load]] restores it) because codes from the two encodings
-  * are not interchangeable: serve and append must agree with build. */
+  * are not interchangeable: serve and append must agree with build.
+  *
+  * `rotation` = an optional OPQ pre-rotation (r16 — FAISS
+  * IndexPreTransform made FIRST-CLASS): when present, the index's codes
+  * live in ROTATED space and the rotation frame is persisted in the
+  * root (`rotation/` dir, written like the quantizers) so
+  * [[IvfPqIndex.append]], [[IvfPqIndex.ingestStream]] and
+  * `searchIvfPqIndex` rotate incoming batches/queries AUTOMATICALLY.
+  * Without this, every caller had to remember to pre-rotate each
+  * appended batch — forget once and raw-space codes land silently
+  * among rotated ones, the same silent-corruption class as the
+  * raw-vs-residual meta mixup. Orthogonality preserves cosines, so a
+  * rotated index's rankings are rankings of the original vectors. */
 final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
-                            codes: DataFrame, byResidual: Boolean = false) {
+                            codes: DataFrame, byResidual: Boolean = false,
+                            rotation: Option[DataFrame] = None) {
   /** The `meta` sidecar is written UNCONDITIONALLY (by_residual=false
     * included) and BEFORE the codes: a raw save into a root that
     * previously held a residual index must overwrite the stale flag
@@ -450,6 +463,17 @@ final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
     import spark.implicits._
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    // the rotation is part of the quantizer state: written before the
+    // codes for the same stale-sidecar reasons as `meta`; an un-rotated
+    // save REMOVES a stale rotation dir so a later append can never
+    // rotate batches against a frame the codes were not encoded with
+    rotation match {
+      case Some(r) => r.write.mode("overwrite").parquet(s"$dir/rotation")
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true): Unit
+    }
     Seq(byResidual).toDF("by_residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     codes.write.mode("overwrite").parquet(s"$dir/codes/batch=0")
@@ -480,7 +504,17 @@ object IvfPqIndex {
       } else codes
     IvfPqIndex(spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebooks"), masked,
-      byResidual = readByResidual(spark, dir))
+      byResidual = readByResidual(spark, dir),
+      rotation = readRotation(spark, dir))
+  }
+
+  /** The persisted OPQ rotation, when the index was built with one —
+    * absence = an un-rotated index (every pre-r16 root). */
+  private def readRotation(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(s"$dir/rotation")) else None
   }
 
   /** The persisted encoding flag. Since r16 every save writes the `meta`
@@ -516,14 +550,22 @@ object IvfPqIndex {
     * rows as partition `codes/batch=<batchId>`. Idempotent per batchId
     * (overwrite of that partition only); ids unique across batches. The
     * persisted `meta` flag decides the encoding, so an append to a
-    * residual index produces residual codes automatically. */
+    * residual index produces residual codes automatically — and a
+    * persisted `rotation` frame rotates the batch automatically before
+    * encoding (r16): the caller can never land raw-space codes in a
+    * rotated index. */
   def append(spark: org.apache.spark.sql.SparkSession, dir: String,
              batch: DataFrame, idCol: String, vecCol: String,
-             batchId: Long = 1L): Unit =
+             batchId: Long = 1L): Unit = {
+    val in = readRotation(spark, dir) match {
+      case Some(rot) => SimilaritySearch.rotateVectors(batch, rot, idCol, vecCol)
+      case None => batch
+    }
     SimilaritySearch.encodeIvfPq(spark.read.parquet(s"$dir/centroids"),
-        spark.read.parquet(s"$dir/codebooks"), batch, idCol, vecCol,
+        spark.read.parquet(s"$dir/codebooks"), in, idCol, vecCol,
         byResidual = readByResidual(spark, dir))
       .write.mode("overwrite").parquet(s"$dir/codes/batch=$batchId")
+  }
 
   /** Tombstone-delete vector ids — the same ADD-ONLY contract as
     * [[PqIndex.delete]] / [[LshIndex.delete]]: id rows APPENDED under
@@ -1545,9 +1587,24 @@ object SimilaritySearch {
                       codebookSize: Int = 256,
                       maxTrainVectors: Int = 262144,
                       byResidual: Boolean = false,
-                      centroids: Option[DataFrame] = None): IvfPqIndex = {
+                      centroids: Option[DataFrame] = None,
+                      opq: Boolean = false): IvfPqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    if (opq) {
+      // FAISS IndexPreTransform composition, first-class: train the
+      // rotation on the raw corpus, build EVERYTHING (coarse quantizer,
+      // codebooks, codes) in rotated space, and carry the frame in the
+      // index so save/load/append/ingestStream/serve rotate
+      // automatically. A caller-provided `centroids` frame must already
+      // be in rotated space (it came from a prior rotated build).
+      val rot = opqRotationDf(corpus, idCol, vecCol, numSubspaces,
+        codebookSize)
+      val rotated = rotateVectors(corpus, rot, idCol, vecCol)
+      return buildIvfPqIndex(rotated, idCol, vecCol, numCentroids,
+        numSubspaces, codebookSize, maxTrainVectors, byResidual, centroids)
+        .copy(rotation = Some(rot))
+    }
     val c = prepared(corpus, idCol, vecCol)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1810,9 +1867,18 @@ object SimilaritySearch {
                        rerankFactor: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a rotated index serves RAW corpus/query frames: both sides rotate
+    // here against the index's persisted frame (r16 — callers can no
+    // longer probe rotated codes with un-rotated queries by mistake);
+    // orthogonality makes the rotated-space cosines the original ones
+    val (corpusEff, queriesEff) = index.rotation match {
+      case Some(rot) => (rotateVectors(corpus, rot, idCol, vecCol),
+        rotateVectors(queries, rot, idCol, vecCol))
+      case None => (corpus, queries)
+    }
     val (cbs, starts) = pqCodebooksFromDf(index.codebooks)
-    val c = prepared(corpus, idCol, vecCol)
-    val q = prepared(queries, idCol, vecCol)
+    val c = prepared(corpusEff, idCol, vecCol)
+    val q = prepared(queriesEff, idCol, vecCol)
     val qRows = collectQueries(q)
     require(qRows.nonEmpty, "searchIvfPqIndex needs a non-empty query set")
     val cn = index.centroids

@@ -61,6 +61,7 @@ object DumpPlans extends App {
     "q_ann_ivfpq_residual_index" -> "by-residual IVF-PQ (FAISS IndexIVFPQ default): codes quantize v - assigned centroid; probe-paired residual ADC with lazily-built per-list cross terms, exact re-rank",
     "q_ann_ivfpq_hier_index" -> "IVF-PQ over hierarchically-trained coarse lists (two-level trainer, ~2*sqrt(C)/C of flat Lloyd's cost): same serve plan — the frozen centroid frame is trainer-agnostic",
     "q_ann_ivfpq_opq_index" -> "OPQ pre-rotation (FAISS IndexPreTransform): one broadcast matVec pass rotates the corpus, then the unchanged residual IVF-PQ serve plan in rotated space",
+    "q_ann_ivfpq_opq_lifecycle" -> "first-class rotation: persisted in the index root, streamed batches and raw queries rotate automatically; same rotated-space serve plan",
     "q_ann_ivfpq_index_stream" -> "streaming ingest into a residual IVF-PQ index: micro-batches encode against the frozen pair under the persisted flag; serve plan unchanged over the unioned batch partitions")
   val sb = new StringBuilder
   sb.append("# PLANS — formatted physical plans of flagship queries\n\n")

@@ -42,6 +42,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_ann_ivfpq_residual_lifecycle",      // same (appended + tombstone-masked residual codes)
     "q_ann_ivfpq_index_purge",             // same (purged residual codes, fresh root)
     "q_ann_ivfpq_opq_index",               // same (rotated corpus; probe side unchanged)
+    "q_ann_ivfpq_opq_lifecycle",           // same (auto-rotated streamed codes)
     "q_ann_ivfpq_hier_index",              // same (hierarchically-trained centroid table)
     "q_ann_ivfsq_index",                   // same probe-side broadcast centroid table (IVF-SQ8)
     "q_ann_ivfsq_index_delete",            // same (tombstone-masked codes)

@@ -543,6 +543,48 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rotation must preserve cosines")
   }
 
+  test("rotation is first-class index state: persists, auto-rotates appends, serves raw queries; stale frames removed") {
+    def serve(ix: IvfPqIndex, corpus: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.searchIvfPqIndex(ix, corpus, corpus.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val standing = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val built = SimilaritySearch.buildIvfPqIndex(standing, "vec_id", "embedding",
+      numCentroids = 8, byResidual = true, opq = true)
+    assert(built.rotation.isDefined, "opq=true must carry the rotation")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-rot").toString
+    built.save(dir)
+    val loaded = IvfPqIndex.load(spark, dir)
+    assert(loaded.rotation.isDefined, "rotation lost through save/load")
+    // the loaded index serves RAW frames identically to the in-memory one
+    assert(serve(loaded, emb) === serve(built, emb))
+    // append AUTO-ROTATES: appended codes equal a from-scratch encode of
+    // the explicitly-rotated batch under the frozen pair
+    IvfPqIndex.append(spark, dir, batch, "vec_id", "embedding", batchId = 1L)
+    val after = IvfPqIndex.load(spark, dir)
+    val rotBatch = SimilaritySearch.rotateVectors(batch,
+      loaded.rotation.get, "vec_id", "embedding")
+    val scratch = SimilaritySearch.encodeIvfPq(loaded.centroids,
+        loaded.codebooks, rotBatch, "vec_id", "embedding", byResidual = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    val appended = spark.read.parquet(s"$dir/codes/batch=1")
+      .select(col("id").cast("long"), col("list_id").cast("long"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(appended === scratch, "append did not auto-rotate the batch")
+    // the appended index serves raw queries over the full corpus
+    assert(serve(after, emb).nonEmpty)
+    // an UN-rotated save into the same root removes the stale frame —
+    // otherwise a later append would rotate batches against a frame the
+    // standing codes were never encoded with
+    SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding",
+      numCentroids = 8).save(dir)
+    assert(IvfPqIndex.load(spark, dir).rotation.isEmpty,
+      "stale rotation dir survived an un-rotated overwrite-save")
+  }
+
   test("OPQ closes the PQ quantization gap on an ANISOTROPIC corpus (its design regime)") {
     // energy decays exp(-j/8) across dims, so the FIRST subspace holds
     // almost all variance and plain PQ wastes 7 codebooks — the exact
