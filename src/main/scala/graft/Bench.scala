@@ -151,11 +151,15 @@ object Bench {
       // fragments the committed driver wrappers carry).
       val sfAll = ("\\\\?\"sf\\\\?\"\\s*:\\s*\\\\?\"?([0-9.]+)").r
       val hist = scala.collection.mutable.Map.empty[String, List[Double]]
-      // BENCH_sf<k>.json artifacts join the history too (they were
-      // invisible to the old filename filter, leaving sf1 runs bandless
-      // and heat-proofing silently inert there — r15 ADVICE)
+      // Non-sf0.1 runs join the history via PER-ROUND snapshots
+      // (BENCH_sf<k>_r<N>.json, tracked since r16) — the bare
+      // BENCH_sf<k>.json is overwritten each refresh so it could never
+      // reach the 3-round band minimum, and counting it ALONGSIDE its
+      // own snapshot would double-vote the latest run (r15 ADVICE asked
+      // for sf1 history; this is the shape that actually accumulates
+      // one vote per round).
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_((r|local_r)\\d+|sf[0-9.]+)\\.json"))
+        .filter(_.getName.matches("BENCH_((r|local_r)\\d+|sf[0-9.]+_r\\d+)\\.json"))
         .sortBy(_.getName)
       for (f <- files) scala.util.Try {
         val src = scala.io.Source.fromFile(f)
