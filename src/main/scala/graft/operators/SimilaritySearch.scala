@@ -1271,8 +1271,10 @@ object SimilaritySearch {
     * exact double sequence the oracle's `list_dot_product(rvec, v)`
     * computes, so a frame rotated here and a frame rotated in the
     * replay are bit-identical. Output: (idCol, vecCol) with the vector
-    * replaced by its rotation (array<double>); feed it to any
-    * build/serve path — FAISS IndexPreTransform composition. */
+    * replaced by its rotation (array<double>) and the id cast to long —
+    * the ANN family's id convention (every serve path here collects and
+    * compares ids as 8-byte longs); feed it to any build/serve path —
+    * FAISS IndexPreTransform composition. */
   def rotateVectors(df: DataFrame, rotation: DataFrame, idCol: String,
                     vecCol: String): DataFrame = {
     val spark = df.sparkSession
