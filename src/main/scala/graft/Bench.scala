@@ -164,8 +164,18 @@ object Bench {
       for (f <- files) scala.util.Try {
         val src = scala.io.Source.fromFile(f)
         val txt = try src.mkString finally src.close()
-        val sfs = sfAll.findAllMatchIn(txt).map(_.group(1)).toSet
-        if (sfs == Set(sfNum)) {
+        // compare PARSED numeric values, not raw strings: "1" vs "1.0"
+        // vs 1 are the same sf, and a string-set compare would silently
+        // drop the file from band history (r16 ADVICE). Unparsable sf
+        // tokens poison the set with NaN (NaN != anything), so a mangled
+        // file is skipped — and disclosed below, not silently.
+        def num(x: String): Double =
+          scala.util.Try(x.toDouble).getOrElse(Double.NaN)
+        val sfs = sfAll.findAllMatchIn(txt).map(m => num(m.group(1))).toSet
+        if (sfs.nonEmpty && sfs != Set(num(sfNum)))
+          println(s"bench-note band harvest skipped ${f.getName}: its sf " +
+            s"fields ${sfs.mkString(",")} do not all match target $sfNum")
+        if (sfs == Set(num(sfNum))) {
           val best = scala.collection.mutable.Map.empty[String, Double]
           for (m <- qv.findAllMatchIn(txt)) {
             val v = m.group(2).toDouble

@@ -1295,6 +1295,40 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- LSH PHYSICAL PURGE: tombstone the odd tail, then purge (load
+    //      → save to a fresh root): both halves rewritten at their
+    //      surviving rows, the deletes dir gone, and the purged index
+    //      serves EXACTLY what the masked index serves — certified by
+    //      the same from-scratch multi-probe replay with the deletion
+    //      predicate on its corpus CTE (signatures are pure per-vector
+    //      functions, so a physical rewrite cannot change them). Closes
+    //      the family × purge gate matrix for LSH (r16 ask 1). ----
+    "q_ann_lsh_index_purge" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-lsh-purge-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      registerCleanupOnExit(tmp)
+      val emb = t(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.buildLshIndex(
+        emb, "vec_id", "embedding",
+        bitsPerBand = AnnConfig.lshBits,
+        numBands = AnnConfig.lshBands).save(s"$tmp/orig")
+      graft.operators.LshIndex.delete(s"$tmp/orig",
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1
+          && col("vec_id") >= AnnConfig.maxQueries),
+        "vec_id", batchId = 1L)
+      graft.operators.LshIndex.purge(s, s"$tmp/orig", s"$tmp/purged")
+      graft.operators.SimilaritySearch.searchLshIndex(
+          graft.operators.LshIndex.load(s, s"$tmp/purged"),
+          emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          bitsPerBand = AnnConfig.lshBits, numBands = AnnConfig.lshBands,
+          flipBits = AnnConfig.lshFlipBits)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- ANN: IVF-flat (approximate → rows-only; recall tested) ----
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1818,6 +1852,74 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- STREAMING index ingest (flat SQ8): completes the family ×
+    //      stream matrix (r16 ask 1) — the per-dim min/max ranges train
+    //      on the standing evens; the odd stream's micro-batches encode
+    //      against the FROZEN ranges via the shared PqIndex.ingestStream
+    //      (SQ8's codebook frame IS a PqIndex with dim one-element
+    //      subspaces, so the whole streaming lifecycle is inherited).
+    //      Value-exact under the same replay as the incremental gate:
+    //      ranges re-derived from the STANDING corpus in SQL — the
+    //      strongest oracle of the five families, NO frozen frame. ----
+    "q_ann_sq8_index_stream" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-sq8-stream-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val standing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .repartition(2).write.parquet(s"$tmp/src")
+      graft.operators.SimilaritySearch.buildSqIndex(
+        standing, "vec_id", "embedding",
+        codebookSize = AnnConfig.sqLevels).save(s"$tmp/index")
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src")
+      graft.operators.PqIndex.ingestStream(s"$tmp/index", stream,
+        "vec_id", "embedding", checkpoint = s"$tmp/ckpt")
+        .awaitTermination()
+      val loaded = graft.operators.PqIndex.load(s, s"$tmp/index")
+      graft.operators.SimilaritySearch.searchPqIndex(
+          loaded, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- SQ8 PHYSICAL PURGE: tombstone the odd tail, purge (load →
+    //      save to a fresh root), serve — surviving codes rewritten, the
+    //      deletes dir gone, the min/max quantizer copied untouched, and
+    //      the purged serve EXACTLY equals the masked serve, certified
+    //      by the same from-scratch replay (quantizer re-derived in SQL
+    //      from the FULL build corpus; deletion predicate only on the
+    //      serving-corpus CTE). Closes the family × purge matrix for
+    //      flat SQ8 (r16 ask 1). ----
+    "q_ann_sq8_index_purge" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-sq8-purge-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      graft.operators.SimilaritySearch.buildSqIndex(
+        emb, "vec_id", "embedding",
+        codebookSize = AnnConfig.sqLevels).save(s"$tmp/orig")
+      graft.operators.PqIndex.delete(s"$tmp/orig",
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1
+          && col("vec_id") >= AnnConfig.maxQueries),
+        "vec_id", batchId = 1L)
+      graft.operators.PqIndex.purge(s, s"$tmp/orig", s"$tmp/purged")
+      val loaded = graft.operators.PqIndex.load(s, s"$tmp/purged")
+      graft.operators.SimilaritySearch.searchPqIndex(
+          loaded, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- IVF-SQ8 persisted serve: the fourth cell of the {flat, IVF} ×
     //      {PQ, SQ8} matrix (FAISS IndexIVFScalarQuantizer) — coarse
     //      k-means lists bound WHICH codes a query scores, per-dim
@@ -1906,6 +2008,44 @@ object SparkEntry {
       val idx = graft.operators.IvfPqIndex(
         freeze(loaded.centroids, "q_ann_ivfsq_index_incremental",
           "centroids", n, tok),
+        loaded.codebooks,
+        loaded.codes)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- IVF-SQ8 PHYSICAL PURGE: tombstone the odd tail, purge via the
+    //      shared IvfPqIndex machinery (load → save to a fresh root),
+    //      serve — surviving codes rewritten, deletes gone, NEITHER
+    //      quantizer half retrained. Purged == masked serve under the
+    //      split replay: centroids frozen from the gate, the scalar half
+    //      re-derived from scratch in SQL; the deletion predicate sits
+    //      only on the serving-corpus CTE. Closes the family × purge
+    //      matrix for IVF-SQ8 (r16 ask 1). ----
+    "q_ann_ivfsq_index_purge" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfsq-purge-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      graft.operators.SimilaritySearch.buildIvfSqIndex(
+        emb, "vec_id", "embedding",
+        codebookSize = AnnConfig.sqLevels).save(s"$tmp/orig")
+      graft.operators.IvfPqIndex.delete(s"$tmp/orig",
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1
+          && col("vec_id") >= AnnConfig.maxQueries),
+        "vec_id", batchId = 1L)
+      graft.operators.IvfPqIndex.purge(s, s"$tmp/orig", s"$tmp/purged")
+      val loaded = graft.operators.IvfPqIndex.load(s, s"$tmp/purged")
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfsq_index_purge", "centroids",
+          n, tok),
         loaded.codebooks,
         loaded.codes)
       graft.operators.SimilaritySearch.searchIvfPqIndex(
@@ -4493,6 +4633,12 @@ object SparkEntry {
     // per-vector signature kernel — the streamed index serves exactly
     // the from-scratch result, so the same full-corpus replay certifies it
     "q_ann_lsh_index_stream" -> SparkEntryOracles.annLshSql,
+    // physical purge rewrites the masked survivors — serve equality with
+    // the masked index means the SAME deletion-predicate replay certifies
+    // it (signatures are pure per-vector functions; a rewrite can't
+    // change them)
+    "q_ann_lsh_index_purge" -> SparkEntryOracles.annLshSqlOver(
+      s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
 
     // bit-exact FNV-1a + fmix64 replicas (same HUGEINT wrap-multiply
     // technique): simhash signatures and the Count-Min sketch are both
@@ -4602,6 +4748,15 @@ object SparkEntry {
     // ranges trained on the standing evens, serve over the full corpus
     "q_ann_sq8_index_incremental" -> SparkEntryOracles.annSqSqlOver(
       "", statsWhere = "vec_id % 2 = 0"),
+    // streamed ingest is the incremental append run from micro-batches:
+    // the SAME standing-trained replay certifies it (ranges train on the
+    // evens, streamed codes are pure per-vector functions of them)
+    "q_ann_sq8_index_stream" -> SparkEntryOracles.annSqSqlOver(
+      "", statsWhere = "vec_id % 2 = 0"),
+    // purge == masked serve, so the delete replay certifies it (ranges
+    // from the FULL build corpus; deletion predicate on the serving CTE)
+    "q_ann_sq8_index_purge" -> SparkEntryOracles.annSqSqlOver(
+      s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
     "q_ann_ivfpq" -> SparkEntryOracles.annIvfPqSql,
     // persisted / appended IVF-PQ serve exactly what the from-scratch
     // replay derives from the frozen centroid+codebook pair (assignment
@@ -4674,6 +4829,11 @@ object SparkEntry {
     // the evens, streamed codes are pure per-vector functions of them)
     "q_ann_ivfsq_index_stream" -> SparkEntryOracles.annIvfSqSqlOver(
       "q_ann_ivfsq_index_stream", "", statsWhere = "vec_id % 2 = 0"),
+    // purge == masked serve under the split replay (centroids frozen,
+    // scalar half from scratch; deletion predicate on the serving CTE)
+    "q_ann_ivfsq_index_purge" -> SparkEntryOracles.annIvfSqSqlOver(
+      "q_ann_ivfsq_index_purge",
+      s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
     "q_ann_ivf_kmeans" -> SparkEntryOracles.annIvfKMeansSql,
 
     "q_pack_sequences" ->

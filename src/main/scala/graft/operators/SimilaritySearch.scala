@@ -35,10 +35,34 @@ import Dedup.{dot, l2norm}
   * what a from-scratch encode over the unioned corpus serves
   * (spec-pinned and gated). `codebooks` stays a flat dir: it is never
   * appended to — FAISS semantics, the quantizer is frozen at build. */
+/** Root hygiene shared by the index families' `save` methods. */
+private[operators] object IndexRoot {
+  /** Remove the named subdirs of `dir` if present. Used to sweep stale
+    * per-batch partitions (`codes/`, `bands/`, `vectors/`) and the
+    * `deletes/` tombstone dir before a fresh save claims the root. */
+  def clearStale(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 subdirs: String*): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    subdirs.foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+    }
+  }
+}
+
 final case class PqIndex(codebooks: DataFrame, codes: DataFrame) {
-  /** Persist both halves as parquet under `dir` (codes as `batch=0`). */
+  /** Persist both halves as parquet under `dir` (codes as `batch=0`).
+    * A save claims the WHOLE root: stale `codes/batch>0` partitions and
+    * the `deletes/` dir from a previous index at the same path are
+    * removed first — overwrite mode only rewrites `batch=0`, so without
+    * the sweep a re-save over an appended root would silently union
+    * codes from a different quantizer and mask fresh ids with old
+    * tombstones (r16 ADVICE). Do not save into a root this index's own
+    * DataFrames were loaded from — rewrite-in-place reads after delete. */
   def save(dir: String): Unit = {
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    IndexRoot.clearStale(codebooks.sparkSession, dir, "codes", "deletes")
     codes.write.mode("overwrite").parquet(s"$dir/codes/batch=0")
   }
 }
@@ -229,7 +253,11 @@ private[operators] object IngestGuard {
   * distinct given unique vector ids, and candidate derivation is
   * distinct-collapsed, so its crash-safety argument transfers). */
 final case class LshIndex(bands: DataFrame, vectors: DataFrame) {
+  /** Persist both halves under `dir` (batch=0). Sweeps stale
+    * `batch>0` partitions and `deletes/` first — see [[PqIndex.save]]. */
   def save(dir: String): Unit = {
+    IndexRoot.clearStale(bands.sparkSession, dir,
+      "bands", "vectors", "deletes")
     bands.write.mode("overwrite").parquet(s"$dir/bands/batch=0")
     vectors.write.mode("overwrite").parquet(s"$dir/vectors/batch=0")
   }
@@ -244,8 +272,10 @@ final case class LshIndex(bands: DataFrame, vectors: DataFrame) {
     * ([[LshIndex.loadBandsOnly]]) — the scoring rows are derived by the
     * SAME cast-at-read + norm the ingest applies, so the serve is
     * value-identical to the self-contained index's (spec-pinned). */
-  def saveBandsOnly(dir: String): Unit =
+  def saveBandsOnly(dir: String): Unit = {
+    IndexRoot.clearStale(bands.sparkSession, dir, "bands", "deletes")
     bands.write.mode("overwrite").parquet(s"$dir/bands/batch=0")
+  }
 }
 
 object LshIndex {
@@ -476,6 +506,13 @@ final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
     }
     Seq(byResidual).toDF("by_residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // a save claims the whole root: stale codes/batch>0 and deletes/
+    // from a previous index at this path would otherwise survive (only
+    // batch=0 is overwritten) and a later load would union codes from a
+    // different quantizer/rotation frame and mask fresh ids with old
+    // tombstones (r16 ADVICE). Swept after meta so the meta-then-codes
+    // crash reasoning above still holds.
+    IndexRoot.clearStale(spark, dir, "codes", "deletes")
     codes.write.mode("overwrite").parquet(s"$dir/codes/batch=0")
   }
 }
@@ -1123,6 +1160,13 @@ object SimilaritySearch {
             }
             p += 1
           }
+          // NaN distances compare false everywhere, leaving best = -1 —
+          // fail loudly on the bad input instead of crashing later with
+          // an opaque index-out-of-bounds on center key -1 (r16 ADVICE)
+          require(best >= 0,
+            "refineCentersOnce: no nearest center found for a training " +
+              "vector — the vector (or a center) contains non-finite " +
+              "values; clean the input embeddings")
           val key = Integer.valueOf(best)
           val e = sums.get(key)
           if (e == null) {
@@ -1292,7 +1336,18 @@ object SimilaritySearch {
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val rv = bcR.value
-        it.map { case (id, vSeq) => (id, matVec(rv, vSeq.toArray).toSeq) }
+        it.map { case (id, vSeq) =>
+          val v = vSeq.toArray
+          // loud on dimension drift: a wrong-dim batch appended into a
+          // rotated index would otherwise land silently-truncated
+          // garbage codes (r16 ADVICE) — the same failure class
+          // requirePqDims guards on the un-rotated paths
+          require(v.length == rv.length,
+            s"rotateVectors: vector id=$id has dim ${v.length} but the " +
+              s"rotation frame is ${rv.length}x${rv.length} — refusing " +
+              "to truncate")
+          (id, matVec(rv, v).toSeq)
+        }
       }.toDF(idCol, vecCol)
   }
 

@@ -48,6 +48,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_ann_ivfsq_index_delete",            // same (tombstone-masked codes)
     "q_ann_ivfsq_index_incremental",       // same (standing + appended code partitions)
     "q_ann_ivfsq_index_stream",            // same (streamed code partitions)
+    "q_ann_ivfsq_index_purge",             // same (purged codes, fresh root)
     "q_dedup_semantic",                    // broadcast centroid table (8 rows)
     "q_diversity_sample",                  // broadcast centroid table (16 rows)
     "q15_top_supplier", "q22_global_sales", // broadcast scalar-aggregate row

@@ -578,11 +578,28 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(serve(after, emb).nonEmpty)
     // an UN-rotated save into the same root removes the stale frame —
     // otherwise a later append would rotate batches against a frame the
-    // standing codes were never encoded with
-    SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding",
-      numCentroids = 8).save(dir)
-    assert(IvfPqIndex.load(spark, dir).rotation.isEmpty,
+    // standing codes were never encoded with. Tombstone one id first so
+    // the root also carries a deletes/ dir the re-save must sweep.
+    IvfPqIndex.delete(dir, emb.filter(col("vec_id") === 11),
+      "vec_id", batchId = 2L)
+    val rebuilt = SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding",
+      numCentroids = 8)
+    rebuilt.save(dir)
+    val reloaded = IvfPqIndex.load(spark, dir)
+    assert(reloaded.rotation.isEmpty,
       "stale rotation dir survived an un-rotated overwrite-save")
+    // the re-save claims the WHOLE root: the appended codes/batch=1 from
+    // the OLD (rotated) index and its deletes/ tombstones must be gone —
+    // a load that unioned them would mix codes across quantizer frames
+    // and mask fresh ids with stale tombstones (r16 ADVICE)
+    assert(!new java.io.File(s"$dir/codes/batch=1").exists(),
+      "stale codes/batch=1 survived an overwrite-save")
+    assert(!new java.io.File(s"$dir/deletes").exists(),
+      "stale deletes/ survived an overwrite-save")
+    // and the re-saved root SERVES: exactly what the in-memory rebuilt
+    // index serves, old tombstones masking nothing
+    assert(serve(reloaded, emb) === serve(rebuilt, emb),
+      "re-saved root serves differently from the index that was saved")
   }
 
   test("OPQ closes the PQ quantization gap on an ANISOTROPIC corpus (its design regime)") {
@@ -1115,5 +1132,50 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.nonEmpty && exact.size === served.size)
     val overlap = (exact & served).size.toDouble / exact.size
     assert(overlap >= 0.9, s"fused overlap $overlap < 0.9")
+  }
+
+  test("rotateVectors fails loudly on a dimension mismatch (no silent truncation)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rot = SimilaritySearch.opqRotationDf(emb, "vec_id", "embedding",
+      opqIters = 1)
+    val dim = rot.count().toInt
+    // a batch one dimension short — the silent-truncation input a
+    // wrong-dim append/ingestStream into a rotated index would carry
+    val short = Seq((999L, Seq.fill(dim - 1)(0.5))).toDF("vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      SimilaritySearch.rotateVectors(short, rot, "vec_id", "embedding").collect()
+    }
+    assert(e.getMessage.contains("refusing") ||
+      Option(e.getCause).exists(_.getMessage.contains("refusing")),
+      s"wrong error: ${e.getMessage}")
+  }
+
+  test("hierarchical trainer fails loudly on non-finite embeddings (no center-key -1 crash)") {
+    // Two guards stack: MLlib's level-1 KMeans rejects NaN/Infinity
+    // vectors at fit ("Vector values MUST NOT be NaN"), and
+    // refineCentersOnce's own require(best >= 0) covers the refine pass
+    // directly (a NaN distance compares false against every center,
+    // which used to surface as an opaque ArrayIndexOutOfBounds on
+    // center key -1 — r16 ADVICE). Either way the failure must be a
+    // CLEAR input-data error, never an index crash.
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(3)
+    val pts = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian()))) :+
+      (200L, Seq.fill(8)(Double.NaN))
+    val bad = pts.toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimilaritySearch.hierarchicalCentroidsDf(bad, "vec_id", "embedding",
+        numCentroids = 16, branch = 4, refineIters = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val all = msgs(e).mkString(" | ")
+    assert(all.contains("non-finite") || all.contains("MUST NOT be NaN"),
+      s"wrong error: $all")
+    assert(!all.contains("ArrayIndexOutOfBounds"),
+      s"opaque index crash instead of a clear input error: $all")
   }
 }
