@@ -2139,6 +2139,55 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- OPQ for the FLAT PQ index (r17, closing the matrix: IVF-PQ
+    //      has carried OPQ since r16 — FAISS composes OPQMatrix with
+    //      IndexPQ too). Full first-class lifecycle in one gate: the
+    //      quantizer trains in ROTATED space on the standing evens
+    //      (buildPqIndex(opq=true) persists the frame in the root), the
+    //      odd stream's micro-batches are AUTO-ROTATED by PqIndex.append
+    //      before encoding against the frozen codebooks, and serve takes
+    //      RAW corpus/queries (searchPqIndex rotates internally).
+    //      Value-exact under the rotated-space flat ADC replay
+    //      (annPqOpqSql): codes are pure per-vector functions of the
+    //      frozen rotation + codebook pair, so streamed == from-scratch.
+    //      Flat PQ + OPQ is the small-corpus shape where coarse lists
+    //      don't pay their probe overhead (SCALE.md). ----
+    "q_ann_pq_opq_index" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-pq-opq-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val standing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .repartition(2).write.parquet(s"$tmp/src")
+      graft.operators.SimilaritySearch.buildPqIndex(
+        standing, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize,
+        opq = true).save(s"$tmp/index")
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src")
+      graft.operators.PqIndex.ingestStream(s"$tmp/index", stream,
+        "vec_id", "embedding", checkpoint = s"$tmp/ckpt")
+        .awaitTermination()
+      val loaded = graft.operators.PqIndex.load(s, s"$tmp/index")
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.PqIndex(
+        freeze(loaded.codebooks, "q_ann_pq_opq_index", "codebooks", n, tok),
+        loaded.codes,
+        rotation = loaded.rotation.map(r =>
+          freeze(r, "q_ann_pq_opq_index", "rotation", n, tok)))
+      // RAW corpus and queries — the index rotates internally
+      graft.operators.SimilaritySearch.searchPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- STREAMING index ingest (IVF-SQ8): completes the {family} ×
     //      {stream} matrix — both quantizer halves (coarse k-means +
     //      per-dim min/max ranges) train on the standing evens; the odd
@@ -4739,6 +4788,11 @@ object SparkEntry {
     // pure-function argument as the incremental gate, same ADC replay
     "q_ann_pq_index_stream" ->
       SparkEntryOracles.annPqSql("q_ann_pq_index_stream"),
+    // flat-PQ OPQ lifecycle: the rotated-space flat ADC replay — codes
+    // (standing AND streamed) are pure per-vector functions of the
+    // frozen rotation + codebook pair
+    "q_ann_pq_opq_index" ->
+      SparkEntryOracles.annPqOpqSql("q_ann_pq_opq_index"),
     // SQ8 gates: NO frozen frame — the per-dim min/max quantizer is
     // re-derived from scratch (statsWhere scopes the build corpus),
     // codes replayed by argmin, ADC + re-rank shared with the PQ replay

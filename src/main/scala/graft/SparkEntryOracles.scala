@@ -839,15 +839,25 @@ object SparkEntryOracles {
   private def pqPreludeSql(gate: String, subLen: Int, maxQ: Int,
                            corpusWhere: String = ""): String = {
     val corpusPred = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
+    pqPreludeSqlWithV(gate, subLen, maxQ,
+      s"""v AS (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings$corpusPred)""".stripMargin)
+  }
+
+  /** The flat-PQ prelude with a PLUGGABLE corpus CTE (`v` = (id, v,
+    * nrm)) — so the raw and rotated (OPQ) replays share every byte of
+    * the codebook-scan + encode arithmetic and can never drift
+    * (residualReplayCore's pattern, applied to the flat family). */
+  private def pqPreludeSqlWithV(gate: String, subLen: Int, maxQ: Int,
+                                vPrelude: String): String = {
     s"""WITH cb AS (
        |  SELECT CAST(subspace AS INT) AS j, CAST(codeword AS INT) AS w,
        |    vec::DOUBLE[] AS cw,
        |    list_dot_product(vec::DOUBLE[], vec::DOUBLE[]) AS cn2
        |  FROM ${frozenScan(gate, "codebooks")}),
-       |v AS (
-       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |  FROM embeddings$corpusPred),
+       |$vPrelude,
        |q AS (SELECT id AS q_id, v AS qv, nrm AS qn FROM v WHERE id < $maxQ),
        |enc AS (
        |  SELECT id, j, cw, cn2 FROM (
@@ -875,6 +885,31 @@ object SparkEntryOracles {
   def annPqSqlOver(gate: String, corpusWhere: String): String =
     s"""${pqPreludeSql(gate, subLen = A.subLen, maxQ = A.maxQueries,
            corpusWhere = corpusWhere)},
+       |pairsrc AS (SELECT q.q_id, v.id FROM q CROSS JOIN v),
+       |${adcRankedCtes(m = A.numSubspaces, subLen = A.subLen, k = A.k, r = A.rerankR)}
+       |$pqFinalSelect""".stripMargin
+
+  /** q_ann_pq_opq_index replica — FAISS OPQMatrix → IndexPQ: the flat
+    * ADC replay run entirely in ROTATED space. Only the corpus CTE
+    * changes — each vector rotated against the gate's FROZEN rotation
+    * frame (list_dot_product(rv, v) ORDER BY i: the exact ascending
+    * left-associative fold the Scala matVec kernel computes) before the
+    * shared encode/ADC/re-rank chain. Orthogonality makes rotated
+    * cosines the original ones; value-exactness holds because both
+    * sides compute identical rotated doubles from the identical frozen
+    * frame (annIvfPqOpqSqlOver's argument, flat family). */
+  def annPqOpqSql(gate: String): String =
+    s"""${pqPreludeSqlWithV(gate, subLen = A.subLen, maxQ = A.maxQueries,
+           vPrelude = s"""rot AS (
+         |  SELECT CAST(i AS INT) AS i, rvec::DOUBLE[] AS rv
+         |  FROM ${frozenScan(gate, "rotation")}),
+         |vraw AS (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v0 FROM embeddings),
+         |vrot AS (
+         |  SELECT vr.id, list(list_dot_product(r.rv, vr.v0) ORDER BY r.i) AS v
+         |  FROM vraw vr CROSS JOIN rot r GROUP BY vr.id),
+         |v AS (
+         |  SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vrot)""".stripMargin)},
        |pairsrc AS (SELECT q.q_id, v.id FROM q CROSS JOIN v),
        |${adcRankedCtes(m = A.numSubspaces, subLen = A.subLen, k = A.k, r = A.rerankR)}
        |$pqFinalSelect""".stripMargin

@@ -49,10 +49,33 @@ private[operators] object IndexRoot {
       if (fs.exists(p)) fs.delete(p, true): Unit
     }
   }
+
+  /** Persist an optional OPQ rotation frame as index state: written
+    * when present, and a STALE frame from a previous rotated index at
+    * the same root REMOVED when absent — a later append must never
+    * rotate batches against a frame the codes were not encoded with. */
+  def writeRotation(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    rotation: Option[DataFrame]): Unit = rotation match {
+    case Some(r) => r.write.mode("overwrite").parquet(s"$dir/rotation")
+    case None => clearStale(spark, dir, "rotation")
+  }
+
+  /** The persisted OPQ rotation, when the index was built with one —
+    * absence = an un-rotated index. */
+  def readRotation(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(s"$dir/rotation")) else None
+  }
 }
 
-final case class PqIndex(codebooks: DataFrame, codes: DataFrame) {
-  /** Persist both halves as parquet under `dir` (codes as `batch=0`).
+final case class PqIndex(codebooks: DataFrame, codes: DataFrame,
+                         rotation: Option[DataFrame] = None) {
+  /** Persist both halves as parquet under `dir` (codes as `batch=0`),
+    * plus the OPQ `rotation/` frame when the index carries one (an
+    * un-rotated save REMOVES a stale frame — [[IvfPqIndex.save]]'s
+    * contract, shared).
     * A save claims the WHOLE root: stale `codes/batch>0` partitions and
     * the `deletes/` dir from a previous index at the same path are
     * removed first — overwrite mode only rewrites `batch=0`, so without
@@ -61,8 +84,10 @@ final case class PqIndex(codebooks: DataFrame, codes: DataFrame) {
     * tombstones (r16 ADVICE). Do not save into a root this index's own
     * DataFrames were loaded from — rewrite-in-place reads after delete. */
   def save(dir: String): Unit = {
+    val spark = codebooks.sparkSession
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
-    IndexRoot.clearStale(codebooks.sparkSession, dir, "codes", "deletes")
+    IndexRoot.writeRotation(spark, dir, rotation)
+    IndexRoot.clearStale(spark, dir, "codes", "deletes")
     codes.write.mode("overwrite").parquet(s"$dir/codes/batch=0")
   }
 }
@@ -95,7 +120,8 @@ object PqIndex {
           .select(col("id")).distinct()
         codes.join(del, Seq("id"), "left_anti")
       } else codes
-    PqIndex(spark.read.parquet(s"$dir/codebooks"), masked)
+    PqIndex(spark.read.parquet(s"$dir/codebooks"), masked,
+      rotation = IndexRoot.readRotation(spark, dir))
   }
 
   /** Incremental ingest: encode ONLY `batch`'s vectors against the
@@ -111,10 +137,19 @@ object PqIndex {
     * encode over the unioned corpus serves (spec-pinned and gated). */
   def append(spark: org.apache.spark.sql.SparkSession, dir: String,
              batch: DataFrame, idCol: String, vecCol: String,
-             batchId: Long = 1L): Unit =
+             batchId: Long = 1L): Unit = {
+    // a persisted rotation frame rotates the batch automatically before
+    // encoding (r17 — [[IvfPqIndex.append]]'s contract, shared): the
+    // caller can never land raw-space codes in a rotated index
+    val in = IndexRoot.readRotation(spark, dir) match {
+      case Some(rot) =>
+        SimilaritySearch.rotateVectors(batch, rot, idCol, vecCol)
+      case None => batch
+    }
     SimilaritySearch.encodePq(spark.read.parquet(s"$dir/codebooks"),
-        batch, idCol, vecCol)
+        in, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$dir/codes/batch=$batchId")
+  }
 
   /** Tombstone-delete vector ids — same ADD-ONLY contract as
     * [[LshIndex.delete]]: id rows APPENDED under `deletes/batch=<batchId>`
@@ -497,13 +532,7 @@ final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
     // codes for the same stale-sidecar reasons as `meta`; an un-rotated
     // save REMOVES a stale rotation dir so a later append can never
     // rotate batches against a frame the codes were not encoded with
-    rotation match {
-      case Some(r) => r.write.mode("overwrite").parquet(s"$dir/rotation")
-      case None =>
-        val p = new org.apache.hadoop.fs.Path(s"$dir/rotation")
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(p)) fs.delete(p, true): Unit
-    }
+    IndexRoot.writeRotation(spark, dir, rotation)
     Seq(byResidual).toDF("by_residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     // a save claims the whole root: stale codes/batch>0 and deletes/
@@ -542,16 +571,7 @@ object IvfPqIndex {
     IvfPqIndex(spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebooks"), masked,
       byResidual = readByResidual(spark, dir),
-      rotation = readRotation(spark, dir))
-  }
-
-  /** The persisted OPQ rotation, when the index was built with one —
-    * absence = an un-rotated index (every pre-r16 root). */
-  private def readRotation(spark: org.apache.spark.sql.SparkSession,
-                           dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/rotation")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(s"$dir/rotation")) else None
+      rotation = IndexRoot.readRotation(spark, dir))
   }
 
   /** The persisted encoding flag. Since r16 every save writes the `meta`
@@ -594,7 +614,7 @@ object IvfPqIndex {
   def append(spark: org.apache.spark.sql.SparkSession, dir: String,
              batch: DataFrame, idCol: String, vecCol: String,
              batchId: Long = 1L): Unit = {
-    val in = readRotation(spark, dir) match {
+    val in = IndexRoot.readRotation(spark, dir) match {
       case Some(rot) => SimilaritySearch.rotateVectors(batch, rot, idCol, vecCol)
       case None => batch
     }
@@ -1509,7 +1529,22 @@ object SimilaritySearch {
     * to any table format. */
   def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                    numSubspaces: Int = 8, codebookSize: Int = 256,
-                   maxTrainVectors: Int = 262144): PqIndex = {
+                   maxTrainVectors: Int = 262144,
+                   opq: Boolean = false): PqIndex = {
+    if (opq) {
+      // FAISS OPQMatrix + IndexPQ composition (r17, closing the matrix:
+      // IVF-PQ carried OPQ since r16): train the rotation on the raw
+      // corpus, build codebooks + codes in ROTATED space, and carry the
+      // frame in the index so save/load/append/ingestStream/serve rotate
+      // automatically — identical contract to the IVF-PQ flavor. Flat
+      // PQ + OPQ is the right shape for SMALL corpora where coarse
+      // lists don't pay their probe overhead (SCALE.md).
+      val rot = opqRotationDf(corpus, idCol, vecCol, numSubspaces,
+        codebookSize)
+      val rotated = rotateVectors(corpus, rot, idCol, vecCol)
+      return buildPqIndex(rotated, idCol, vecCol, numSubspaces,
+        codebookSize, maxTrainVectors).copy(rotation = Some(rot))
+    }
     val c = prepared(corpus, idCol, vecCol)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1539,11 +1574,20 @@ object SimilaritySearch {
                     idCol: String, vecCol: String, k: Int,
                     rerankFactor: Int = 4): DataFrame = {
     import index.codes.sparkSession.implicits._
+    // a rotated index serves RAW corpus/query frames: both sides rotate
+    // here against the index's persisted frame (searchIvfPqIndex's
+    // contract, shared) — orthogonality makes the rotated-space cosines
+    // the original ones
+    val (corpusEff, queriesEff) = index.rotation match {
+      case Some(rot) => (rotateVectors(corpus, rot, idCol, vecCol),
+        rotateVectors(queries, rot, idCol, vecCol))
+      case None => (corpus, queries)
+    }
     val (cbs, starts) = pqCodebooksFromDf(index.codebooks)
     val codes = index.codes
       .select(col("id").cast("long"), col("code")).as[(Long, Array[Byte])]
-    val c = prepared(corpus, idCol, vecCol)
-    val q = prepared(queries, idCol, vecCol)
+    val c = prepared(corpusEff, idCol, vecCol)
+    val q = prepared(queriesEff, idCol, vecCol)
     val qRows = collectQueries(q)
     require(qRows.nonEmpty, "searchPqIndex needs a non-empty query set")
     require(qRows.head._2.length == starts.last,

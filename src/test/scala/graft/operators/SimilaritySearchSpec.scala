@@ -1134,6 +1134,42 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overlap >= 0.9, s"fused overlap $overlap < 0.9")
   }
 
+  test("flat-PQ OPQ: rotation is first-class index state (persists, auto-rotates appends, serves raw)") {
+    def serve(ix: PqIndex) =
+      SimilaritySearch.searchPqIndex(ix, emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val standing = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val built = SimilaritySearch.buildPqIndex(standing, "vec_id", "embedding",
+      opq = true)
+    assert(built.rotation.isDefined, "opq=true must carry the rotation")
+    val dir = java.nio.file.Files.createTempDirectory("pq-rot").toString
+    built.save(dir)
+    val loaded = PqIndex.load(spark, dir)
+    assert(loaded.rotation.isDefined, "rotation lost through save/load")
+    // the loaded index serves RAW frames identically to the in-memory one
+    assert(serve(loaded) === serve(built))
+    // append AUTO-ROTATES: appended codes equal a from-scratch encode of
+    // the explicitly-rotated batch under the frozen codebooks
+    PqIndex.append(spark, dir, batch, "vec_id", "embedding", batchId = 1L)
+    val rotBatch = SimilaritySearch.rotateVectors(batch,
+      loaded.rotation.get, "vec_id", "embedding")
+    val scratch = SimilaritySearch.encodePq(loaded.codebooks, rotBatch,
+        "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    val appended = spark.read.parquet(s"$dir/codes/batch=1")
+      .select(col("id").cast("long"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(appended === scratch, "append did not auto-rotate the batch")
+    // the appended index serves raw queries over the full corpus
+    assert(serve(PqIndex.load(spark, dir)).nonEmpty)
+    // an UN-rotated save into the same root removes the stale frame
+    SimilaritySearch.buildPqIndex(emb, "vec_id", "embedding").save(dir)
+    assert(PqIndex.load(spark, dir).rotation.isEmpty,
+      "stale rotation dir survived an un-rotated overwrite-save")
+  }
+
   test("rotateVectors fails loudly on a dimension mismatch (no silent truncation)") {
     val spark2 = spark
     import spark2.implicits._
