@@ -2919,6 +2919,20 @@ object SparkEntry {
         .orderBy(col("lang_pred"))
     }),
 
+    // ---- TRAINED language id: closed-form multinomial NB over char
+    //      trigrams (the fastText-style baseline) — the learned tier
+    //      above the stopword heuristic. Trains on the in-code labeled
+    //      fixture (LangIdNb.fixture) and scores every document; the
+    //      oracle re-derives the ENTIRE model from scratch in SQL from
+    //      the same inlined fixture — no frozen frame. Spec measures
+    //      accuracy vs the heuristic on held-out multilingual
+    //      sentences (strictly better on stopword-free text). ----
+    "q_lang_id_nb" -> ((s, dir) => {
+      graft.operators.LangIdNb.predictWithFixture(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- quality scoring ----
     "q_quality_score" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -5251,6 +5265,9 @@ object SparkEntry {
         |ORDER BY source""".stripMargin,
 
     "q_lang_id" -> SparkEntryOracles.langIdSql,
+    // the full NB train+score chain re-derived in SQL from the inlined
+    // fixture (one Scala constant feeds both sides)
+    "q_lang_id_nb" -> SparkEntryOracles.langIdNbSql,
 
     "q_quality_score" -> SparkEntryOracles.qualityScoreSql,
 

@@ -143,6 +143,60 @@ object SparkEntryOracles {
        |SELECT lang_pred, count(*) AS n FROM pred
        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
 
+  /** q_lang_id_nb replica — the ENTIRE closed-form multinomial-NB
+    * train+score chain re-derived from scratch in SQL: the labeled
+    * fixture is inlined as VALUES from the SAME Scala constant the gate
+    * trains on (LangIdNb.fixture — one source of truth, ASCII-only so
+    * the literals quote cleanly), trigram counts / totals / vocabulary /
+    * priors are exact-integer CTEs, the ln arithmetic mirrors the
+    * operator term for term (wd = ln(c+1)−ln(1), dflt = ln(1)−ln(nl+v),
+    * prior = ln(ns/total)), and the per-doc argmax tie-breaks on
+    * ascending language code. No frozen frame anywhere — the strongest
+    * oracle form (the SQ8 standard). Scores round to 4 decimals (the
+    * matched-weight sum is a distributed double fold on the Spark side;
+    * 1e-4 spacing absorbs summation-order noise by ~6 orders). */
+  def langIdNbSql: String = {
+    val values = graft.operators.LangIdNb.fixture
+      .map { case (l, s) => s"('$l', '$s')" }.mkString(", ")
+    s"""WITH fix(lang, s) AS (VALUES $values),
+       |fn AS (SELECT lang, lower(trim(regexp_replace(s, '\\s+', ' ', 'g'))) AS t FROM fix),
+       |fg AS (
+       |  SELECT lang, substr(t, CAST(i AS INT), 3) AS g
+       |  FROM fn, unnest(range(1, length(t) - 1)) AS u(i)),
+       |cnt AS (SELECT lang, g, count(*) AS c FROM fg GROUP BY 1, 2),
+       |tot AS (SELECT lang, count(*) AS nl FROM fg GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT g) AS v FROM fg),
+       |pri AS (
+       |  SELECT lang, ln(count(*) * 1.0 / (SELECT count(*) FROM fix)) AS prior
+       |  FROM fix GROUP BY 1),
+       |langs AS (
+       |  SELECT t.lang, p.prior,
+       |    ln(1.0) - ln(t.nl + 1.0 * (SELECT v FROM voc)) AS dflt
+       |  FROM tot t JOIN pri p USING (lang)),
+       |w AS (SELECT lang, g, ln(c + 1.0) - ln(1.0) AS wd FROM cnt),
+       |d AS (
+       |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+       |  FROM documents),
+       |dn AS (SELECT doc_id, greatest(length(t) - 2, 0) AS n FROM d),
+       |dg AS (
+       |  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS g
+       |  FROM d, unnest(range(1, length(t) - 1)) AS u(i)),
+       |ms AS (
+       |  SELECT dg.doc_id, w.lang, sum(w.wd) AS ms
+       |  FROM dg JOIN w ON w.g = dg.g GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT dn.doc_id, l.lang,
+       |    l.prior + dn.n * l.dflt + coalesce(ms.ms, 0.0) AS score
+       |  FROM dn CROSS JOIN langs l
+       |  LEFT JOIN ms ON ms.doc_id = dn.doc_id AND ms.lang = l.lang),
+       |rk AS (
+       |  SELECT doc_id, lang, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+       |  FROM sc)
+       |SELECT doc_id, lang AS lang_nb, round(score, 4) AS nb_score
+       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Flagship pipeline oracle: dedup representative (min doc_id per
     * normalized text) ∘ quality >= 0.5 ∘ lang 'en', per source. Reuses the
     * identical quality/langId arithmetic. */

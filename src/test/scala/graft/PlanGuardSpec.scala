@@ -77,8 +77,11 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_cluster_purity",    // broadcast centroid table (16 rows)
     "q_collocations",      // broadcast single-row (n_tokens, n_bigrams)
                            // totals frame (tf-idf pattern)
-    "q_quality_nb"         // broadcast single-row (np, nn, v) smoothing
+    "q_quality_nb",        // broadcast single-row (np, nn, v) smoothing
                            // totals frame (tf-idf pattern)
+    "q_lang_id_nb"         // broadcast |langs|-row (prior, dflt) scalar
+                           // frame + single-row vocab/total frames in
+                           // the fixture training subtree
   )
 
   /** Queries allowed a partition-less Window: the window runs over the
