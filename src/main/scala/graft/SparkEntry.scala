@@ -2856,6 +2856,26 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // ---- the COMPOSED end-to-end curation pipeline (r16 ask 2): every
+    //      stage is gated individually, but only a composed gate can
+    //      catch cross-stage contract bugs (id drift, ordering
+    //      nondeterminism, column mixups). normalize → exact-dedup →
+    //      MinHash near-dedup → cluster keep-best → decontaminate (vs
+    //      the doc_id % 97 benchmark split) → NB quality filter →
+    //      mixture sample → pack → shard, emitting per-document lineage;
+    //      the oracle chains the per-stage DuckDB recipes as one CTE
+    //      graph. ----
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shares = (0 until 20).map(i => s"src$i" -> 0.05).toMap
+      graft.operators.CurationPipeline.curate(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text", "source", shares,
+          totalBudget = 8000L, packBudget = 1000L, nShards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- PII scrub: detect + redact emails/URLs. The synthetic corpus has
     //      no PII, so both sides inject it deterministically from doc_id
     //      arithmetic first — the scrubber is then exercised on real
@@ -4918,6 +4938,9 @@ object SparkEntry {
         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // the per-stage recipes composed as one CTE chain; per-doc lineage
+    "q_pipeline_e2e" -> SparkEntryOracles.pipelineE2eSql,
 
     "q_shard_assign" ->
       """WITH r AS (

@@ -112,6 +112,142 @@ object SparkEntryOracles {
         |FROM s GROUP BY split ORDER BY split""".stripMargin
   }
 
+  /** q_pipeline_e2e replica — the per-stage recipes COMPOSED as one CTE
+    * chain, each stage reading its predecessor instead of `documents`:
+    * normalize (nfc + control-strip + whitespace collapse) → exact dedup
+    * (min id per case/whitespace-normalized key — the q_dedup_exact
+    * string-key equivalence of the fingerprint hash) → word-3-gram
+    * Jaccard ≥ 0.8 pairs (the exact oracle of the MinHash-LSH path) →
+    * recursive-CTE connected components + keep-best (longest text, ties
+    * → min id; the dedupClusterKeepBestSql recipe) → decontamination
+    * (distinct-3-gram overlap ≥ 2 vs the doc_id % 97 = 0 benchmark; the
+    * q_decontaminate recipe) → clean-vs-scrambled NB (the qualityNbSql
+    * recipe, trained on the SURVIVING corpus, filter log-odds ≥ 0) →
+    * mixture sample (q_mixture_sample md5-threshold recipe, 0.05 × 8000
+    * tokens per source) → pack (q_pack_sequences exclusive-prefix-sum
+    * recipe, budget 1000) → shard (q_shard_assign md5-permutation
+    * recipe, 8 shards). Per-document lineage output — the one place a
+    * cross-stage contract bug (id drift, ordering nondeterminism,
+    * column mixups) cannot hide from per-stage oracles. */
+  val pipelineE2eSql: String =
+    """WITH RECURSIVE norm0 AS (
+      |  SELECT doc_id, source,
+      |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+      |      '[ \t\n\x0B\x0C\r]+', ' ', 'g')) AS t
+      |  FROM documents),
+      |corp AS (SELECT * FROM norm0 WHERE doc_id % 97 <> 0),
+      |bench AS (SELECT doc_id, t FROM norm0 WHERE doc_id % 97 = 0),
+      |ex AS (
+      |  SELECT doc_id, source, t FROM (
+      |    SELECT doc_id, source, t,
+      |      min(doc_id) OVER (PARTITION BY
+      |        regexp_replace(lower(trim(t)), '\s+', ' ', 'g')) AS rep
+      |    FROM corp) WHERE doc_id = rep),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(t)), '\s+'), x -> length(x) > 0) AS w
+      |  FROM ex),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS u(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |prs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE ix / (sa.n + sb.n - ix) >= 0.8),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM prs
+      |  UNION ALL SELECT id_b, id_a FROM prs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+      |j AS (
+      |  SELECT e.doc_id, e.source, e.t,
+      |    coalesce(c.component, e.doc_id) AS component, length(e.t) AS pref
+      |  FROM ex e LEFT JOIN comp c ON e.doc_id = c.id),
+      |best AS (
+      |  SELECT j.component, min(j.doc_id) AS rep_id
+      |  FROM j JOIN (SELECT component, max(pref) AS mp FROM j GROUP BY component) m
+      |    ON j.component = m.component AND j.pref = m.mp
+      |  GROUP BY j.component),
+      |kb AS (
+      |  SELECT j.doc_id, j.source, j.t
+      |  FROM j JOIN best USING (component) WHERE j.doc_id = best.rep_id),
+      |bt AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(t)), '\s+'), x -> length(x) > 0) AS w
+      |  FROM bench),
+      |bsh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM bt, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS u(i)),
+      |ovl AS (
+      |  SELECT d.doc_id, b.doc_id AS bench_id, count(*) AS overlap
+      |  FROM (SELECT sh.* FROM sh JOIN kb USING (doc_id)) d
+      |  JOIN bsh b ON d.s = b.s
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |clean AS (
+      |  SELECT * FROM kb
+      |  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM ovl)),
+      |cw AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(t)), '\s+'), x -> length(x) > 0) AS w
+      |  FROM clean),
+      |pos AS (
+      |  SELECT doc_id, w[i.x] || ' ' || w[i.x + 1] AS b
+      |  FROM cw, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i(x)),
+      |neg AS (
+      |  SELECT doc_id, sw[i.x] || ' ' || sw[i.x + 1] AS b
+      |  FROM (SELECT doc_id, list_sort(w) AS sw FROM cw) s,
+      |       unnest(range(1, greatest(len(sw) - 1, 0) + 1)) AS i(x)),
+      |cp AS (SELECT b, count(*)::BIGINT AS cp FROM pos GROUP BY b),
+      |cn AS (SELECT b, count(*)::BIGINT AS cn FROM neg GROUP BY b),
+      |vocab AS (
+      |  SELECT coalesce(cp.b, cn.b) AS b, coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
+      |  FROM cp FULL JOIN cn ON cp.b = cn.b),
+      |tot AS (SELECT sum(cp)::DOUBLE AS np, sum(cn)::DOUBLE AS nn,
+      |  count(*)::DOUBLE AS v FROM vocab),
+      |wt AS (
+      |  SELECT b, ln(cp + 1.0) - ln(np + 1.0 * v) - ln(cn + 1.0) + ln(nn + 1.0 * v) AS w
+      |  FROM vocab, tot),
+      |sc AS (SELECT doc_id, sum(w) AS s FROM pos JOIN wt USING (b) GROUP BY doc_id),
+      |qf AS (
+      |  SELECT c.doc_id, c.source, c.t,
+      |    round(coalesce(sc.s, 0.0), 6) AS nb_logodds
+      |  FROM clean c LEFT JOIN sc USING (doc_id)
+      |  WHERE round(coalesce(sc.s, 0.0), 6) >= 0.0),
+      |wtok AS (
+      |  SELECT doc_id, source, nb_logodds,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(t)), '\s+'),
+      |      x -> length(x) > 0)) AS BIGINT) AS n_tok
+      |  FROM qf),
+      |cur AS (SELECT source, sum(n_tok) AS tot FROM wtok GROUP BY source),
+      |frac AS (SELECT source, least(1.0, 0.05 * 8000 / tot) AS f FROM cur),
+      |samp AS (
+      |  SELECT w.doc_id, w.source, w.nb_logodds, w.n_tok
+      |  FROM wtok w JOIN frac USING (source)
+      |  WHERE f >= 1.0 OR md5(CAST(doc_id AS VARCHAR)) <
+      |    printf('%08x', CAST(floor(f * 4294967296) AS BIGINT))),
+      |pk AS (
+      |  SELECT *,
+      |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 1000 AS bin
+      |  FROM samp),
+      |sr AS (
+      |  SELECT *,
+      |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rn
+      |  FROM pk)
+      |SELECT doc_id, source, n_tok, nb_logodds, CAST(bin AS BIGINT) AS bin,
+      |  CAST(rn % 8 AS INTEGER) AS shard, CAST(rn // 8 AS BIGINT) AS shard_pos
+      |FROM sr ORDER BY doc_id""".stripMargin
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 

@@ -79,9 +79,11 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
                            // totals frame (tf-idf pattern)
     "q_quality_nb",        // broadcast single-row (np, nn, v) smoothing
                            // totals frame (tf-idf pattern)
-    "q_lang_id_nb"         // broadcast |langs|-row (prior, dflt) scalar
+    "q_lang_id_nb",        // broadcast |langs|-row (prior, dflt) scalar
                            // frame + single-row vocab/total frames in
                            // the fixture training subtree
+    "q_pipeline_e2e"       // inherits q_quality_nb's broadcast single-row
+                           // smoothing-totals frame (the NB filter stage)
   )
 
   /** Queries allowed a partition-less Window: the window runs over the
@@ -95,7 +97,10 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sorted-neighborhood rank: the unpartitioned window is the offset
     // cumsum over per-bucket COUNTS (<= |alphabet|^bucketLen rows); the
     // per-row rank window is partitioned by bucket
-    "q_fuzzy_neighborhood")
+    "q_fuzzy_neighborhood",
+    // the composed pipeline inherits pack/shard's two-phase prefix sums:
+    // its unpartitioned windows run over per-bucket TOTALS only
+    "q_pipeline_e2e")
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     (p +: p.children.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
