@@ -728,6 +728,40 @@ object SparkEntry {
         .orderBy(col("key_mod"))
     }),
 
+    // ---- LLM-pipeline operator OVER the seqfile connector (r16 ask 3):
+    //      the operators are gated on parquet and the connector is gated
+    //      separately — this composes them. documents lands as a
+    //      source-partitioned seqfile lake (key=doc_id, value=text, one
+    //      dynamic-routing write), exact-dedup (fingerprint groups +
+    //      min-id representative) runs OVER the lake with a partition
+    //      filter (the connector prunes source dirs at planning time —
+    //      spec-pinned along with key-column pruning on projection
+    //      plans), and the oracle runs the SAME logic on the parquet
+    //      original — value drift anywhere in write→scan→dedup would
+    //      surface here. rep_id_sum certifies the representative
+    //      assignment (global min per group), not just the counts. ----
+    "q_seqfile_pipeline" -> ((s, dir) => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-seq-pipe-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(root)
+      t(s, dir, "documents")
+        .select(col("doc_id").as("key"), col("text").as("value"),
+          col("source"))
+        .write.format("seqfile").mode("overwrite").partitionBy("source")
+        .save(root)
+      val lake = s.read.format("seqfile").load(root)
+        .filter(col("source").isin("src1", "src7", "src13"))
+      val dd = graft.operators.Dedup.exactDedup(lake, "key", "value")
+      dd.groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("n"), first(col("rep_id")).as("rep"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_unique"),
+          (sum(col("n")) - count(lit(1))).as("n_dup_docs"),
+          sum(col("rep")).as("rep_id_sum"))
+        .orderBy(col("source"))
+    }),
+
     // ---- LIKE-pattern filters ----
     "q_like_filter" -> ((s, dir) => {
       t(s, dir, "part")
@@ -3880,6 +3914,24 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         |GROUP BY 1
         |ORDER BY key_mod""".stripMargin,
+
+    // the SAME exact-dedup logic over the parquet original: normalized
+    // key groups (the q_dedup_exact string-key equivalence of the
+    // fingerprint hash), global min-id representative per group summed
+    // over each source's distinct groups
+    "q_seqfile_pipeline" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+        |  FROM documents WHERE source IN ('src1', 'src7', 'src13')),
+        |gl AS (SELECT k, min(doc_id) AS rep FROM f GROUP BY k),
+        |g AS (SELECT source, k, count(*) AS n FROM f GROUP BY 1, 2)
+        |SELECT g.source, CAST(sum(g.n) AS BIGINT) AS n_docs,
+        |  count(*) AS n_unique,
+        |  CAST(sum(g.n) - count(*) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(gl.rep) AS BIGINT) AS rep_id_sum
+        |FROM g JOIN gl USING (k)
+        |GROUP BY g.source ORDER BY g.source""".stripMargin,
 
     "q_like_filter" ->
       """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
