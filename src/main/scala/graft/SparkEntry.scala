@@ -2987,6 +2987,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the SUPERVISED variant: the same closed-form NB trained
+    //      DISTRIBUTED on the corpus's own labeled half (even doc_ids,
+    //      the table's lang column — synthetic labels, so this gates the
+    //      ARITHMETIC of corpus-scale training, not linguistic recall),
+    //      scoring the odd half. Same from-scratch SQL re-derivation,
+    //      training CTE swapped for the even-doc select. ----
+    "q_lang_id_nb_supervised" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.LangIdNb.train(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "lang", "text")
+      graft.operators.LangIdNb.predict(model,
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- quality scoring ----
     "q_quality_score" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -5343,6 +5358,8 @@ object SparkEntry {
     // the full NB train+score chain re-derived in SQL from the inlined
     // fixture (one Scala constant feeds both sides)
     "q_lang_id_nb" -> SparkEntryOracles.langIdNbSql,
+    // distributed training on the corpus's even half, scored on the odds
+    "q_lang_id_nb_supervised" -> SparkEntryOracles.langIdNbSupervisedSql,
 
     "q_quality_score" -> SparkEntryOracles.qualityScoreSql,
 

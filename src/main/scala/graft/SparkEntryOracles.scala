@@ -294,7 +294,22 @@ object SparkEntryOracles {
   def langIdNbSql: String = {
     val values = graft.operators.LangIdNb.fixture
       .map { case (l, s) => s"('$l', '$s')" }.mkString(", ")
-    s"""WITH fix(lang, s) AS (VALUES $values),
+    langIdNbSqlOver(s"fix(lang, s) AS (VALUES $values)", "documents")
+  }
+
+  /** The supervised variant: train on the corpus's OWN labeled half
+    * (even doc_ids, the table's lang column), score the odd half — the
+    * distributed-training path of the same closed-form chain. */
+  def langIdNbSupervisedSql: String =
+    langIdNbSqlOver(
+      "fix AS (SELECT lang, text AS s FROM documents WHERE doc_id % 2 = 0)",
+      "(SELECT * FROM documents WHERE doc_id % 2 = 1)")
+
+  /** The NB train+score chain with a pluggable labeled-training CTE and
+    * scoring corpus — the fixture and supervised replays share every
+    * byte of the model arithmetic. */
+  private def langIdNbSqlOver(fixCte: String, docsFrom: String): String = {
+    s"""WITH $fixCte,
        |fn AS (SELECT lang, lower(trim(regexp_replace(s, '\\s+', ' ', 'g'))) AS t FROM fix),
        |fg AS (
        |  SELECT lang, substr(t, CAST(i AS INT), 3) AS g
@@ -312,7 +327,7 @@ object SparkEntryOracles {
        |w AS (SELECT lang, g, ln(c + 1.0) - ln(1.0) AS wd FROM cnt),
        |d AS (
        |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-       |  FROM documents),
+       |  FROM $docsFrom),
        |dn AS (SELECT doc_id, greatest(length(t) - 2, 0) AS n FROM d),
        |dg AS (
        |  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS g

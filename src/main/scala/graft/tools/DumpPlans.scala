@@ -62,7 +62,11 @@ object DumpPlans extends App {
     "q_ann_ivfpq_hier_index" -> "IVF-PQ over hierarchically-trained coarse lists (two-level trainer, ~2*sqrt(C)/C of flat Lloyd's cost): same serve plan — the frozen centroid frame is trainer-agnostic",
     "q_ann_ivfpq_opq_index" -> "OPQ pre-rotation (FAISS IndexPreTransform): one broadcast matVec pass rotates the corpus, then the unchanged residual IVF-PQ serve plan in rotated space",
     "q_ann_ivfpq_opq_lifecycle" -> "first-class rotation: persisted in the index root, streamed batches and raw queries rotate automatically; same rotated-space serve plan",
-    "q_ann_ivfpq_index_stream" -> "streaming ingest into a residual IVF-PQ index: micro-batches encode against the frozen pair under the persisted flag; serve plan unchanged over the unioned batch partitions")
+    "q_ann_ivfpq_index_stream" -> "streaming ingest into a residual IVF-PQ index: micro-batches encode against the frozen pair under the persisted flag; serve plan unchanged over the unioned batch partitions",
+    "q_ann_pq_opq_index" -> "flat-PQ OPQ lifecycle (r17): persisted rotation auto-applied to streamed batches and raw queries; one broadcast matVec pass then the unchanged flat ADC serve",
+    "q_lang_id_nb" -> "trained NB lang-id (r17): one corpus trigram pass, broadcast vocabulary-bounded weight join, partial-agg sum, |langs|-row scalar frame",
+    "q_pipeline_e2e" -> "composed curation pipeline (r17): nine chained stages, text shuffles nowhere — fingerprint/pair/label/weight slivers move, global windows only over per-bucket totals",
+    "q_seqfile_pipeline" -> "exact-dedup over a partitioned seqfile lake (r17): partition dirs pruned at planning time beneath the dedup joins")
   val sb = new StringBuilder
   sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
   sb.append("GENERATED artifact — regenerate with `sbt \"runMain graft.tools.DumpPlans\"`.\n")

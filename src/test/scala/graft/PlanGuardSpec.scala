@@ -82,6 +82,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_lang_id_nb",        // broadcast |langs|-row (prior, dflt) scalar
                            // frame + single-row vocab/total frames in
                            // the fixture training subtree
+    "q_lang_id_nb_supervised", // same scalar frames, corpus-trained
     "q_pipeline_e2e"       // inherits q_quality_nb's broadcast single-row
                            // smoothing-totals frame (the NB filter stage)
   )
@@ -102,8 +103,25 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // its unpartitioned windows run over per-bucket TOTALS only
     "q_pipeline_e2e")
 
+  /** Every physical node, descending into subqueries. At the sparkPlan
+    * stage a subquery expression may still hold a LOGICAL plan (scalar
+    * subqueries and DPP filters are planned in the executedPlan
+    * preparations) — those are planned standalone here so the guard
+    * covers them too instead of crashing on the cast (r17, surfaced by
+    * the composed-pipeline gates). */
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
-    (p +: p.children.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
+    (p +: p.children.flatMap(collectAll)) ++
+      p.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+          e.plan match {
+            case sp: SparkPlan => collectAll(sp)
+            case lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+              collectAll(new org.apache.spark.sql.execution.QueryExecution(
+                spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+                lp).sparkPlan)
+            case _ => Nil
+          }
+      }).flatten
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
     test(s"plan guard: $name") {
