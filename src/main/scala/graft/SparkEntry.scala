@@ -2682,6 +2682,137 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- FILTERED serve on the production index (FAISS IDSelector):
+    //      search only the corpus slice passing a METADATA predicate —
+    //      here the English documents, via the doc_id↔vec_id join — with
+    //      the index still built over the FULL corpus. The allowed-id set
+    //      semi-joins the codes BEFORE ADC (disallowed codes are never
+    //      scored, the pre-filter shape that holds when the filter is
+    //      selective at 100 TB); queries are the en vectors under
+    //      maxQueries so both serve sides live in the filtered slice.
+    //      Value-exact under the residual replay with the same metadata
+    //      subquery on its one corpus CTE — encode/assign are pure
+    //      per-vector functions of the frozen quantizers, so codes of
+    //      allowed ids are identical whether the build encoded the full
+    //      corpus (engine) or just the slice (oracle). ----
+    "q_ann_ivfpq_filtered" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfpq-filt-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val allowed = t(s, dir, "documents")
+        .filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      graft.operators.SimilaritySearch.buildIvfPqIndex(
+        emb, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize,
+        byResidual = true).save(tmp)
+      val loaded = graft.operators.IvfPqIndex.load(s, tmp)
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfpq_filtered", "centroids",
+          n, tok),
+        freeze(loaded.codebooks, "q_ann_ivfpq_filtered", "codebooks",
+          n, tok),
+        loaded.codes,
+        byResidual = loaded.byResidual)
+      val queries = emb.join(allowed, Seq("vec_id"), "left_semi")
+        .filter(col("vec_id") < AnnConfig.maxQueries)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, queries,
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor,
+          allowed = Some(allowed))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- RANGE search on the production index (FAISS range_search on
+    //      IndexIVFPQ): every neighbor with exact cosine >= rangeRadius,
+    //      drawn from probed candidates whose ADC estimate clears
+    //      rangeRadius − rangeMargin — radius semantics instead of
+    //      top-k, the dedup/recall shape ("all near-duplicates of q",
+    //      not "the 10 nearest"). No per-query heap: the kernel emits
+    //      only above-cut rows, so the shuffle is output-sized. Value-
+    //      exact: the oracle replays the same probe set, the same ADC
+    //      doubles against the same cut, and the same exact-cosine
+    //      threshold (annIvfPqRangeSql). ----
+    "q_ann_ivfpq_range" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfpq-range-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      graft.operators.SimilaritySearch.buildIvfPqIndex(
+        emb, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize,
+        byResidual = true).save(tmp)
+      val loaded = graft.operators.IvfPqIndex.load(s, tmp)
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfpq_range", "centroids",
+          n, tok),
+        freeze(loaded.codebooks, "q_ann_ivfpq_range", "codebooks",
+          n, tok),
+        loaded.codes,
+        byResidual = loaded.byResidual)
+      graft.operators.SimilaritySearch.rangeSearchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding",
+          radius = AnnConfig.rangeRadius, margin = AnnConfig.rangeMargin)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- SHARDED build + MERGE (FAISS merge_from): the cluster-scale
+    //      build recipe — train the quantizer pair ONCE (here: on the
+    //      even half), bootstrap an empty shard root carrying only the
+    //      frozen frame (emptyLike), encode the odd shard into it with
+    //      the standard append kernel, then merge the shard's batches
+    //      into the standing root. merge REFUSES mismatched frames, so
+    //      codes from different quantizers can never mix. The merged
+    //      serve is value-exact under the residual replay over the full
+    //      corpus — identical justification to the incremental gate
+    //      (encode is a pure per-vector function of the frozen frame,
+    //      wherever the encoding ran). ----
+    "q_ann_ivfpq_merge" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfpq-merge-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      registerCleanupOnExit(tmp)
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      graft.operators.SimilaritySearch.buildIvfPqIndex(
+        evens, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize,
+        byResidual = true).save(s"$tmp/main")
+      graft.operators.IvfPqIndex.emptyLike(s, s"$tmp/main", s"$tmp/shard")
+      graft.operators.IvfPqIndex.append(s, s"$tmp/shard", odds,
+        "vec_id", "embedding", batchId = 0L)
+      graft.operators.IvfPqIndex.merge(s, s"$tmp/main", s"$tmp/shard")
+      val loaded = graft.operators.IvfPqIndex.load(s, s"$tmp/main")
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.IvfPqIndex(
+        freeze(loaded.centroids, "q_ann_ivfpq_merge", "centroids",
+          n, tok),
+        freeze(loaded.codebooks, "q_ann_ivfpq_merge", "codebooks",
+          n, tok),
+        loaded.codes,
+        byResidual = loaded.byResidual)
+      graft.operators.SimilaritySearch.searchIvfPqIndex(
+          idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- bands-only LSH serving: persist ONLY the band rows (159 B/vec
     //      vs 558 self-contained — SCALE.md storage table) and rebind the
     //      vectors half to the corpus parquet at load; the scoring rows
@@ -4963,6 +5094,20 @@ object SparkEntry {
     "q_ann_ivfpq_index_purge" -> SparkEntryOracles.annIvfPqResidualSqlOver(
       "q_ann_ivfpq_index_purge",
       s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
+    // filtered serve: the replay's one corpus CTE carries the same
+    // metadata predicate the engine's allowed-id semi-join applies —
+    // queries (id < maxQueries over the filtered v) and candidates both
+    // live in the English slice, and the frozen frames are the FULL-
+    // corpus build's
+    "q_ann_ivfpq_filtered" -> SparkEntryOracles.annIvfPqResidualSqlOver(
+      "q_ann_ivfpq_filtered",
+      "vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
+    "q_ann_ivfpq_range" -> SparkEntryOracles.annIvfPqRangeSql,
+    // merged shard roots serve exactly what one root whose codes were
+    // all encoded against the same frozen frame serves — the replay is
+    // the incremental gate's, under this gate's own frames
+    "q_ann_ivfpq_merge" -> SparkEntryOracles.annIvfPqResidualSqlOver(
+      "q_ann_ivfpq_merge", ""),
     "q_ann_ivfpq_index_delete" -> SparkEntryOracles.annIvfPqSqlOver(
       "q_ann_ivfpq_index_delete",
       s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),

@@ -1303,13 +1303,44 @@ object SparkEntryOracles {
          |  SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vrot)""".stripMargin)
   }
 
+  /** q_ann_ivfpq_range replica — FAISS range_search on the residual
+    * index: the ENTIRE residual replay up to the ADC scores is shared
+    * verbatim (residualReplayCore with a pluggable retention tail, the
+    * same cannot-drift pattern as the pluggable corpus CTE); only the
+    * retention differs — candidates keep every ADC score >= radius −
+    * margin instead of the top-R, and the exact-cosine tail keeps every
+    * pair >= radius instead of the top-k, ranked after the filter
+    * exactly as the engine ranks. */
+  val annIvfPqRangeSql: String = {
+    val cut = A.rangeRadius - A.rangeMargin
+    residualReplayCore("q_ann_ivfpq_range",
+      s"""v AS (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings)""".stripMargin,
+      tail = Some(
+        s"""cand AS (SELECT q_id, n_id FROM approx WHERE ap >= $cut),
+           |rer AS (
+           |  SELECT c.q_id, c.n_id,
+           |    list_dot_product(q.qv, v.v) / (q.qn * v.nrm) AS cos
+           |  FROM cand c JOIN q ON q.q_id = c.q_id JOIN v ON v.id = c.n_id),
+           |pqranked AS (
+           |  SELECT q_id, n_id, cos,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           |  FROM rer WHERE cos >= ${A.rangeRadius})
+           |$pqFinalSelect""".stripMargin))
+  }
+
   /** The shared residual-ADC replay tail: everything downstream of the
     * corpus CTE (`v` = (id, v, nrm)) — frozen quantizer pair, residual
     * encode, probe selection, per-list ADC cross terms in kernel fold
     * order, exact re-rank. The corpus prelude is pluggable so the raw
     * (annIvfPqResidualSqlOver) and rotated (annIvfPqOpqSqlOver) replays
-    * can never drift in their shared arithmetic. */
-  private def residualReplayCore(gate: String, vPrelude: String): String = {
+    * can never drift in their shared arithmetic — and the retention
+    * tail is pluggable the same way so the top-k and range serves share
+    * every byte of the probe/encode/ADC arithmetic. */
+  private def residualReplayCore(gate: String, vPrelude: String,
+                                 tail: Option[String] = None): String = {
     val m = A.numSubspaces
     val subLen = A.subLen
     s"""WITH cb AS (
@@ -1368,21 +1399,22 @@ object SparkEntryOracles {
        |      / (q.qn * sqrt(x.cl2 + s.n20)) AS ap
        |  FROM ssum s JOIN q ON q.q_id = s.q_id JOIN avx x ON x.id = s.id
        |  WHERE s.id <> s.q_id AND sqrt(x.cl2 + s.n20) > 0),
-       |cand AS (
-       |  SELECT q_id, n_id FROM (
-       |    SELECT q_id, n_id,
-       |      row_number() OVER (PARTITION BY q_id ORDER BY ap DESC, n_id) AS r0
-       |    FROM approx) WHERE r0 <= ${A.rerankR}),
-       |rer AS (
-       |  SELECT c.q_id, c.n_id,
-       |    list_dot_product(q.qv, v.v) / (q.qn * v.nrm) AS cos
-       |  FROM cand c JOIN q ON q.q_id = c.q_id JOIN v ON v.id = c.n_id),
-       |pqranked AS (
-       |  SELECT q_id, n_id, cos, rank FROM (
-       |    SELECT q_id, n_id, cos,
-       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-       |    FROM rer) WHERE rank <= ${A.k})
-       |$pqFinalSelect""".stripMargin
+       |${tail.getOrElse(
+           s"""cand AS (
+              |  SELECT q_id, n_id FROM (
+              |    SELECT q_id, n_id,
+              |      row_number() OVER (PARTITION BY q_id ORDER BY ap DESC, n_id) AS r0
+              |    FROM approx) WHERE r0 <= ${A.rerankR}),
+              |rer AS (
+              |  SELECT c.q_id, c.n_id,
+              |    list_dot_product(q.qv, v.v) / (q.qn * v.nrm) AS cos
+              |  FROM cand c JOIN q ON q.q_id = c.q_id JOIN v ON v.id = c.n_id),
+              |pqranked AS (
+              |  SELECT q_id, n_id, cos, rank FROM (
+              |    SELECT q_id, n_id, cos,
+              |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+              |    FROM rer) WHERE rank <= ${A.k})
+              |$pqFinalSelect""".stripMargin)}""".stripMargin
   }
 
   /** q_hybrid_retrieval_pq replica: the q_bm25 pipeline at k=10 (queries

@@ -42,4 +42,14 @@ object AnnConfig {
   val lshBits: Int = 12
   val lshBands: Int = 224
   val lshFlipBits: Int = 2
+  /** q_ann_ivfpq_range operating point (FAISS range_search on IndexIVFPQ):
+    * report neighbors whose EXACT cosine >= rangeRadius, drawn from probed
+    * candidates whose ADC approximation scores >= rangeRadius −
+    * rangeMargin. The radius sits at ~p99 of the testdata's pairwise
+    * cosine distribution (isotropic corpus — max pair ~0.49 at sf0.01),
+    * so the result set is ~1% of probed pairs; the margin absorbs ADC
+    * quantization error at the boundary. Both constants are interpolated
+    * into the oracle replica, so engine and oracle threshold identically. */
+  val rangeRadius: Double = 0.30
+  val rangeMargin: Double = 0.10
 }

@@ -654,6 +654,117 @@ object IvfPqIndex {
             freshDir: String): Unit =
     load(spark, dir).save(freshDir)
 
+  /** Clone ONLY the quantizer state of `srcRoot` — centroids, codebooks,
+    * the `by_residual` meta flag, and the rotation frame if any — into
+    * `destRoot`, with no codes and no tombstones (stale state at the
+    * destination is swept, the [[IvfPqIndex.save]] contract). This is the
+    * shard-encoder bootstrap for cluster-scale builds: train the
+    * quantizers ONCE on a bounded sample, emptyLike a root per shard,
+    * let each shard [[append]]/[[ingestStream]] its own slice locally
+    * (encode is a pure per-vector function of the frozen frame, so shard
+    * codes can never disagree with a centralized build), then [[merge]]
+    * the roots. A fresh emptyLike root has no codes yet — append at
+    * least one batch before [[load]]. */
+  def emptyLike(spark: org.apache.spark.sql.SparkSession,
+                srcRoot: String, destRoot: String): Unit = {
+    import spark.implicits._
+    spark.read.parquet(s"$srcRoot/centroids")
+      .write.mode("overwrite").parquet(s"$destRoot/centroids")
+    spark.read.parquet(s"$srcRoot/codebooks")
+      .write.mode("overwrite").parquet(s"$destRoot/codebooks")
+    IndexRoot.writeRotation(spark, destRoot,
+      IndexRoot.readRotation(spark, srcRoot))
+    Seq(readByResidual(spark, srcRoot)).toDF("by_residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$destRoot/meta")
+    IndexRoot.clearStale(spark, destRoot, "codes", "deletes")
+  }
+
+  /** Merge `srcRoot`'s codes AND tombstones into `destRoot` (FAISS
+    * `merge_from`) — the reduce step of the sharded build [[emptyLike]]
+    * bootstraps. REFUSES roots whose quantizer frames differ in any way
+    * (centroids, codebooks, by_residual, rotation): codes are only
+    * meaningful relative to their frame, so merging across frames would
+    * silently corrupt every subsequent serve — the same error class the
+    * `meta` sidecar and first-class rotation closed. Source batches land
+    * renumbered after destRoot's highest batch (ascending source order
+    * preserved), tombstones likewise — the add-only delete contract
+    * survives the merge, so an id taken down in EITHER root stays masked
+    * in the merged root. Ids must be unique across the merged roots (the
+    * same contract as [[append]]). Not idempotent: a crashed merge
+    * should be retried into a fresh copy of the destination. Each moved
+    * batch is one bounded distributed copy; only batch NUMBERS (a
+    * handful — [[compact]] bounds them) touch the driver. */
+  def merge(spark: org.apache.spark.sql.SparkSession,
+            destRoot: String, srcRoot: String): Unit = {
+    requireSameFrame(spark, destRoot, srcRoot)
+    val srcBatches = batchIds(spark, s"$srcRoot/codes").sorted
+    require(srcBatches.nonEmpty,
+      s"merge: $srcRoot has no codes/batch=* partitions to merge " +
+        "(legacy flat-layout roots must be re-saved first)")
+    val destMax = batchIds(spark, s"$destRoot/codes")
+      .foldLeft(-1L)(math.max)
+    srcBatches.zipWithIndex.foreach { case (b, i) =>
+      spark.read.parquet(s"$srcRoot/codes/batch=$b")
+        .write.parquet(s"$destRoot/codes/batch=${destMax + 1 + i}")
+    }
+    val srcDels = batchIds(spark, s"$srcRoot/deletes").sorted
+    if (srcDels.nonEmpty) {
+      val destDelMax = batchIds(spark, s"$destRoot/deletes")
+        .foldLeft(-1L)(math.max)
+      srcDels.zipWithIndex.foreach { case (b, i) =>
+        spark.read.parquet(s"$srcRoot/deletes/batch=$b")
+          .write.parquet(s"$destRoot/deletes/batch=${destDelMax + 1 + i}")
+      }
+    }
+  }
+
+  /** The hive batch partition numbers under `dir` (empty if absent). */
+  private def batchIds(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+  }
+
+  /** Exact content equality of the two roots' quantizer frames. The
+    * frames are driver-bounded by construction (C <= thousands of
+    * centroids, m·ks codebook rows, a d×d rotation — the same class as
+    * the serve path's centroid collect), and an [[emptyLike]]-cloned
+    * frame is bit-identical parquet, so exact double comparison is the
+    * right test — an epsilon would accept genuinely different frames. */
+  private def requireSameFrame(spark: org.apache.spark.sql.SparkSession,
+                               destRoot: String, srcRoot: String): Unit = {
+    def rows(dir: String, part: String, keys: Seq[String],
+             vec: String): Seq[(String, Seq[Double])] =
+      spark.read.parquet(s"$dir/$part")
+        .select(keys.map(k => col(k).cast("long")) :+
+          col(vec).cast("array<double>"): _*)
+        .collect().toSeq
+        .map(r => (keys.indices.map(r.getLong).mkString(","),
+          r.getSeq[Double](keys.length)))
+        .sortBy(_._1)
+    def check(part: String, keys: Seq[String], vec: String): Unit =
+      require(rows(destRoot, part, keys, vec) == rows(srcRoot, part, keys, vec),
+        s"merge: $part differs between $destRoot and $srcRoot — codes " +
+          "from different quantizer frames cannot be merged (rebuild or " +
+          "re-encode one side against the other's frame via emptyLike + append)")
+    check("centroids", Seq("cent_id"), "cv")
+    check("codebooks", Seq("subspace", "codeword"), "vec")
+    require(readByResidual(spark, destRoot) == readByResidual(spark, srcRoot),
+      s"merge: by_residual flag differs between $destRoot and $srcRoot")
+    (IndexRoot.readRotation(spark, destRoot),
+      IndexRoot.readRotation(spark, srcRoot)) match {
+      case (None, None) => ()
+      case (Some(_), Some(_)) => check("rotation", Seq("i"), "rvec")
+      case _ => throw new IllegalArgumentException(
+        s"merge: one of $destRoot / $srcRoot is rotated and the other is " +
+          "not — their codes live in different spaces")
+    }
+  }
+
   /** STREAMING ingest into the standing IVF-PQ index — the
     * [[LshIndex.ingestStream]] contract verbatim (idempotent [[append]]
     * per `baseBatch + streaming batchId` + checkpoint replay =
@@ -1965,23 +2076,82 @@ object SimilaritySearch {
   def searchIvfPqIndex(index: IvfPqIndex, corpus: DataFrame,
                        queries: DataFrame, idCol: String, vecCol: String,
                        k: Int, nProbe: Int = 0,
-                       rerankFactor: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // a rotated index serves RAW corpus/query frames: both sides rotate
-    // here against the index's persisted frame (r16 — callers can no
-    // longer probe rotated codes with un-rotated queries by mistake);
-    // orthogonality makes the rotated-space cosines the original ones
-    val (corpusEff, queriesEff) = index.rotation match {
-      case Some(rot) => (rotateVectors(corpus, rot, idCol, vecCol),
-        rotateVectors(queries, rot, idCol, vecCol))
-      case None => (corpus, queries)
-    }
-    val (cbs, starts) = pqCodebooksFromDf(index.codebooks)
-    val c = prepared(corpusEff, idCol, vecCol)
-    val q = prepared(queriesEff, idCol, vecCol)
+                       rerankFactor: Int = 4,
+                       allowed: Option[DataFrame] = None): DataFrame = {
+    val c = prepared(rotatedForIndex(index, corpus, idCol, vecCol), idCol, vecCol)
+    val q = prepared(rotatedForIndex(index, queries, idCol, vecCol), idCol, vecCol)
     val qRows = collectQueries(q)
     require(qRows.nonEmpty, "searchIvfPqIndex needs a non-empty query set")
+    val r = k * rerankFactor
+    val cand = ivfAdcCandidates(index, q, qRows, nProbe, r,
+      rangeCut = None, allowed = allowed)
+    pqRerank(cand, c, q, k, r)
+  }
+
+  /** FAISS `range_search` on the persisted IVF-PQ index: every neighbor
+    * whose EXACT cosine >= `radius`, drawn from probed-list candidates
+    * whose ADC approximation scores >= radius − `margin` (the margin
+    * absorbs quantization error at the boundary; like FAISS, a true
+    * neighbor whose ADC estimate falls below the cut in every probed
+    * list is missed — the recall knobs are nProbe and margin). Output
+    * (q_id, n_id, rank, cosine), rank dense per query by cosine,
+    * UNBOUNDED row count per query — there is no top-k. Scale shape is
+    * the serve path's: probes bound which lists are scanned, the
+    * ADC kernel emits only above-cut rows (no per-query heap, so the
+    * emitted set is output-sized, not scan-sized), and the exact re-rank
+    * joins only the emitted candidates. `allowed` pre-filters candidates
+    * as in [[searchIvfPqIndex]]. */
+  def rangeSearchIvfPqIndex(index: IvfPqIndex, corpus: DataFrame,
+                            queries: DataFrame, idCol: String, vecCol: String,
+                            radius: Double, margin: Double = 0.1,
+                            nProbe: Int = 0,
+                            allowed: Option[DataFrame] = None): DataFrame = {
+    val c = prepared(rotatedForIndex(index, corpus, idCol, vecCol), idCol, vecCol)
+    val q = prepared(rotatedForIndex(index, queries, idCol, vecCol), idCol, vecCol)
+    val qRows = collectQueries(q)
+    require(qRows.nonEmpty, "rangeSearchIvfPqIndex needs a non-empty query set")
+    val cand = ivfAdcCandidates(index, q, qRows, nProbe, r = 0,
+      rangeCut = Some(radius - margin), allowed = allowed)
+    val qf = q.select(col("id").cast("long").as("q_id"),
+      col("v").as("q_v"), col("nrm").as("q_n"))
+    val rescored = cand.select(col("q_id"), col("n_id"))
+      .join(c.select(col("id").cast("long").as("n_id"),
+        col("v").as("c_v"), col("nrm").as("c_n")), "n_id")
+      .join(broadcast(qf), "q_id")
+      .withColumn("cosine", dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")))
+      .filter(col("cosine") >= lit(radius))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .select(col("q_id"), col("n_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** A rotated index serves RAW corpus/query frames: both sides rotate
+    * here against the index's persisted frame (r16 — callers can no
+    * longer probe rotated codes with un-rotated queries by mistake);
+    * orthogonality makes the rotated-space cosines the original ones. */
+  private def rotatedForIndex(index: IvfPqIndex, df: DataFrame,
+                              idCol: String, vecCol: String): DataFrame =
+    index.rotation match {
+      case Some(rot) => rotateVectors(df, rot, idCol, vecCol)
+      case None => df
+    }
+
+  /** The shared probe-and-ADC-score front half of the IVF-PQ serves:
+    * select effNProbe lists per query (auto = ≤25% scan), pair each
+    * query with the probed lists' codes (optionally pre-filtered to the
+    * `allowed` id set — FAISS IDSelector semantics, applied BEFORE ADC so
+    * disallowed codes are never scored), and run the raw or residual ADC
+    * kernel. rangeCut = None → per-query top-`r` heaps (the k-NN serve);
+    * Some(cut) → every candidate scoring >= cut (the range serve). */
+  private def ivfAdcCandidates(index: IvfPqIndex, q: DataFrame,
+                               qRows: Array[(Long, Array[Double], Double)],
+                               nProbe: Int, r: Int,
+                               rangeCut: Option[Double],
+                               allowed: Option[DataFrame]): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val (cbs, starts) = pqCodebooksFromDf(index.codebooks)
     val cn = index.centroids
       .select(col("cent_id"), col("cv").cast("array<double>").as("cv"))
       .withColumn("cnrm", graft.operators.Dedup.l2norm(col("cv")))
@@ -1996,32 +2166,35 @@ object SimilaritySearch {
       .withColumn("crank", row_number().over(w1))
       .filter(col("crank") <= effNProbe)
       .select(col("cent_id").as("list_id"), col("id").cast("long").as("q_id"))
-    val r = k * rerankFactor
-    val cand =
-      if (!index.byResidual) {
-        val pairs = index.codes
-          .select(col("list_id"), col("id").cast("long").as("n_id"), col("code"))
-          .join(probes, "list_id")
-          .select(col("q_id"), col("n_id"), col("code"))
-          .as[(Long, Long, Array[Byte])]
-        pqCandidatesPaired(pairs, cbs, starts, qRows, r)
-      } else {
-        // residual codes reconstruct to c_list + decode(code): the ADC
-        // terms need the list, so the pairs carry it through
-        val pairs = index.codes
-          .select(col("list_id").cast("long"), col("id").cast("long").as("n_id"),
-            col("code"))
-          .join(probes.select(col("list_id").cast("long").as("list_id"),
-            col("q_id")), "list_id")
-          .select(col("q_id"), col("list_id"), col("n_id"), col("code"))
-          .as[(Long, Long, Long, Array[Byte])]
-        val centArr = index.centroids
-          .select(col("cent_id").cast("long"), col("cv").cast("array<double>"))
-          .collect().map(rr => (rr.getLong(0), rr.getSeq[Double](1).toArray))
-          .sortBy(_._1)
-        pqCandidatesPairedResidual(pairs, cbs, starts, qRows, r, centArr)
-      }
-    pqRerank(cand, c, q, k, r)
+    val codesEff = allowed match {
+      case Some(a) =>
+        val ids = a.select(col(a.columns.head).cast("long").as("id")).distinct()
+        index.codes.join(ids, Seq("id"), "left_semi")
+      case None => index.codes
+    }
+    if (!index.byResidual) {
+      val pairs = codesEff
+        .select(col("list_id"), col("id").cast("long").as("n_id"), col("code"))
+        .join(probes, "list_id")
+        .select(col("q_id"), col("n_id"), col("code"))
+        .as[(Long, Long, Array[Byte])]
+      pqCandidatesPaired(pairs, cbs, starts, qRows, r, rangeCut)
+    } else {
+      // residual codes reconstruct to c_list + decode(code): the ADC
+      // terms need the list, so the pairs carry it through
+      val pairs = codesEff
+        .select(col("list_id").cast("long"), col("id").cast("long").as("n_id"),
+          col("code"))
+        .join(probes.select(col("list_id").cast("long").as("list_id"),
+          col("q_id")), "list_id")
+        .select(col("q_id"), col("list_id"), col("n_id"), col("code"))
+        .as[(Long, Long, Long, Array[Byte])]
+      val centArr = index.centroids
+        .select(col("cent_id").cast("long"), col("cv").cast("array<double>"))
+        .collect().map(rr => (rr.getLong(0), rr.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      pqCandidatesPairedResidual(pairs, cbs, starts, qRows, r, centArr, rangeCut)
+    }
   }
 
   // ---- PQ internals (shared by pqTopK and the persisted-index path) ----
@@ -2248,7 +2421,8 @@ object SimilaritySearch {
   private def pqCandidatesPaired(pairs: org.apache.spark.sql.Dataset[(Long, Long, Array[Byte])],
                                  cbs: Array[Array[Array[Double]]], starts: Array[Int],
                                  qRows: Array[(Long, Array[Double], Double)],
-                                 r: Int): DataFrame = {
+                                 r: Int,
+                                 rangeCut: Option[Double] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val bcCb = spark.sparkContext.broadcast(cbs)
@@ -2262,7 +2436,7 @@ object SimilaritySearch {
       val kks = cbsv(0).length
       val qIdx = qs.iterator.zipWithIndex.map { case (qr, i) => (qr._1, i) }.toMap
       val luts = PqAdc.dotLuts(cbsv, starts, qs)
-      val heaps = PqAdc.newHeaps(qs.length)
+      val sink = PqAdc.newSink(qs, r, rangeCut)
       it.foreach { case (qid, id, code) =>
         val qi = qIdx(qid)
         if (qs(qi)._1 != id) {
@@ -2276,10 +2450,10 @@ object SimilaritySearch {
             j += 1
           }
           val denom = qs(qi)._3 * math.sqrt(n2)
-          if (denom > 0) PqAdc.offer(heaps(qi), r, s / denom, id)
+          if (denom > 0) sink.offer(qi, s / denom, id)
         }
       }
-      PqAdc.drain(heaps, qs)
+      sink.drain()
     }.toDF("q_id", "n_id", "approx")
   }
 
@@ -2302,7 +2476,8 @@ object SimilaritySearch {
       pairs: org.apache.spark.sql.Dataset[(Long, Long, Long, Array[Byte])],
       cbs: Array[Array[Array[Double]]], starts: Array[Int],
       qRows: Array[(Long, Array[Double], Double)], r: Int,
-      cents: Array[(Long, Array[Double])]): DataFrame = {
+      cents: Array[(Long, Array[Double])],
+      rangeCut: Option[Double] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val bcCb = spark.sparkContext.broadcast(cbs)
@@ -2362,7 +2537,7 @@ object SimilaritySearch {
         }
         ulut(li)
       }
-      val heaps = PqAdc.newHeaps(qs.length)
+      val sink = PqAdc.newSink(qs, r, rangeCut)
       it.foreach { case (qid, listId, id, code) =>
         val qi = qIdx(qid)
         if (qs(qi)._1 != id) {
@@ -2380,10 +2555,10 @@ object SimilaritySearch {
           }
           val adot = qcFor(li)(qi) + s
           val n2rt = math.sqrt(cl2(li) + t)
-          if (n2rt > 0) PqAdc.offer(heaps(qi), r, adot / (qs(qi)._3 * n2rt), id)
+          if (n2rt > 0) sink.offer(qi, adot / (qs(qi)._3 * n2rt), id)
         }
       }
-      PqAdc.drain(heaps, qs)
+      sink.drain()
     }.toDF("q_id", "n_id", "approx")
   }
 
@@ -2444,6 +2619,39 @@ object SimilaritySearch {
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
         h.iterator.map { case (s, id) => (qs(qi)._1, id, s) }
       }
+
+    /** Candidate collector shared by the top-R (k-NN) and threshold
+      * (range) serves — one call site in each kernel, so the two modes
+      * can never score differently, only RETAIN differently. Top-R keeps
+      * per-query heaps of size r; range keeps every candidate scoring >=
+      * cut (output-sized buffers — a range scan has no a-priori bound,
+      * and the emitted set is exactly what the exact re-rank will join). */
+    sealed trait Sink {
+      def offer(qi: Int, score: Double, id: Long): Unit
+      def drain(): Iterator[(Long, Long, Double)]
+    }
+
+    def newSink(qs: Array[(Long, Array[Double], Double)], r: Int,
+                rangeCut: Option[Double]): Sink = rangeCut match {
+      case None =>
+        new Sink {
+          private val heaps = newHeaps(qs.length)
+          def offer(qi: Int, score: Double, id: Long): Unit =
+            PqAdc.offer(heaps(qi), r, score, id)
+          def drain(): Iterator[(Long, Long, Double)] = PqAdc.drain(heaps, qs)
+        }
+      case Some(cut) =>
+        new Sink {
+          private val bufs = Array.fill(qs.length)(
+            scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
+          def offer(qi: Int, score: Double, id: Long): Unit =
+            if (score >= cut) bufs(qi) += ((score, id))
+          def drain(): Iterator[(Long, Long, Double)] =
+            bufs.iterator.zipWithIndex.flatMap { case (b, qi) =>
+              b.iterator.map { case (s, id) => (qs(qi)._1, id, s) }
+            }
+        }
+    }
   }
 
   /** Global top-R per query over the per-partition candidates, then exact

@@ -41,6 +41,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_ann_ivfpq_index_stream",            // same (streamed residual code partitions)
     "q_ann_ivfpq_residual_lifecycle",      // same (appended + tombstone-masked residual codes)
     "q_ann_ivfpq_index_purge",             // same (purged residual codes, fresh root)
+    "q_ann_ivfpq_filtered",                // same (allowed-id semi-join precedes the ADC)
+    "q_ann_ivfpq_range",                   // same probe side; retention is threshold, not heap
+    "q_ann_ivfpq_merge",                   // same (merged shard code partitions)
     "q_ann_ivfpq_opq_index",               // same (rotated corpus; probe side unchanged)
     "q_ann_ivfpq_opq_lifecycle",           // same (auto-rotated streamed codes)
     "q_ann_ivfpq_hier_index",              // same (hierarchically-trained centroid table)

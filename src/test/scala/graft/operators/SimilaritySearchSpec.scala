@@ -1214,4 +1214,143 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!all.contains("ArrayIndexOutOfBounds"),
       s"opaque index crash instead of a clear input error: $all")
   }
+
+  test("filtered serve (FAISS IDSelector): pre-filtered candidates equal the tombstone-masked serve") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-filt").toString
+    SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding").save(dir)
+    val idx = graft.operators.IvfPqIndex.load(spark, dir)
+    // allowed = everything EXCEPT odd ids >= 10 — the same slice the
+    // delete test tombstones, so the two mechanisms must serve equally
+    val allowed = emb.filter(!(col("vec_id") % 2 === 1 && col("vec_id") >= 10))
+      .select(col("vec_id"))
+    val filtered = SimilaritySearch.searchIvfPqIndex(idx, emb, queries,
+        "vec_id", "embedding", 10, allowed = Some(allowed))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(filtered.nonEmpty)
+    assert(!filtered.exists(r => r._2 % 2 == 1 && r._2 >= 10),
+      "a disallowed id surfaced through the filter")
+    graft.operators.IvfPqIndex.delete(dir,
+      emb.filter(col("vec_id") % 2 === 1 && col("vec_id") >= 10), "vec_id")
+    val masked = graft.operators.IvfPqIndex.load(spark, dir)
+    val viaDelete = SimilaritySearch.searchIvfPqIndex(masked, emb, queries,
+        "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(filtered === viaDelete)
+  }
+
+  test("range search: every pair clears the radius exactly; subset of brute-force range; ranked after the filter") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-range").toString
+    SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding",
+      byResidual = true).save(dir)
+    val idx = graft.operators.IvfPqIndex.load(spark, dir)
+    val radius = 0.25
+    val got = SimilaritySearch.rangeSearchIvfPqIndex(idx, emb, queries,
+        "vec_id", "embedding", radius = radius, margin = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty, "range serve returned nothing at a radius ~p99 of the corpus")
+    // exact cosines, locally recomputed
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { case (q, n, _, c) =>
+      assert(q != n, "self pair in range results")
+      val exact = cos(vecs(q), vecs(n))
+      assert(exact >= radius, s"pair ($q,$n) below radius: $exact")
+      assert(math.abs(c - math.rint(exact * 1e6) / 1e6) < 1e-9,
+        s"reported cosine $c is not the rounded exact $exact")
+    }
+    // rank is per query, descending cosine, dense from 1 — assigned
+    // AFTER the radius filter
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1 to rows.length).toSeq, s"ranks not dense for $q")
+      assert(sorted.map(_._4).reverse.toSeq === sorted.map(_._4).toSeq.sorted,
+        s"cosines not descending for $q")
+    }
+    // subset of the true range set, and recall against it is substantial
+    // (misses only where ADC underestimates below radius − margin)
+    val queryIds = queries.select("vec_id").collect().map(_.getLong(0))
+    val trueRange = (for {
+      q <- queryIds.toSeq; (n, v) <- vecs.toSeq if n != q
+      c = cos(vecs(q), v) if c >= radius
+    } yield (q, n)).toSet
+    val gotPairs = got.map(r => (r._1, r._2)).toSet
+    assert(gotPairs.subsetOf(trueRange))
+    val recall = gotPairs.size.toDouble / trueRange.size
+    assert(recall >= 0.5, s"range recall $recall vs ${trueRange.size} true pairs")
+  }
+
+  test("emptyLike + merge: sharded encode serves exactly like append onto the standing root") {
+    val base = java.nio.file.Files.createTempDirectory("ivfpq-merge").toString
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    // ONE training; every other root clones the frame via emptyLike, so
+    // frames are identical by construction, not by trainer determinism
+    SimilaritySearch.buildIvfPqIndex(evens, "vec_id", "embedding",
+      byResidual = true).save(s"$base/main")
+    // reference: the already-pinned incremental path on a cloned root
+    graft.operators.IvfPqIndex.emptyLike(spark, s"$base/main", s"$base/ref")
+    graft.operators.IvfPqIndex.append(spark, s"$base/ref", evens,
+      "vec_id", "embedding", batchId = 0L)
+    graft.operators.IvfPqIndex.append(spark, s"$base/ref", odds,
+      "vec_id", "embedding", batchId = 1L)
+    // sharded path: shard bootstrapped with the frame only, odds encoded
+    // into the shard, shard merged back into the standing root
+    graft.operators.IvfPqIndex.emptyLike(spark, s"$base/main", s"$base/shard")
+    graft.operators.IvfPqIndex.append(spark, s"$base/shard", odds,
+      "vec_id", "embedding", batchId = 0L)
+    graft.operators.IvfPqIndex.merge(spark, s"$base/main", s"$base/shard")
+    def serve(dir: String) = {
+      val ix = graft.operators.IvfPqIndex.load(spark, dir)
+      SimilaritySearch.searchIvfPqIndex(ix, emb, queries, "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    }
+    val got = serve(s"$base/main")
+    assert(got === serve(s"$base/ref"))
+    assert(got.nonEmpty)
+    assert(graft.operators.IvfPqIndex.load(spark, s"$base/main").codes.count()
+      === emb.count())
+  }
+
+  test("merge refuses mismatched quantizer frames and mixed rotation state; tombstones union") {
+    val base = java.nio.file.Files.createTempDirectory("ivfpq-merge-neg").toString
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    SimilaritySearch.buildIvfPqIndex(evens, "vec_id", "embedding").save(s"$base/a")
+    // an INDEPENDENT build on a different corpus → different frame
+    SimilaritySearch.buildIvfPqIndex(odds, "vec_id", "embedding").save(s"$base/b")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.IvfPqIndex.merge(spark, s"$base/a", s"$base/b")
+    }
+    assert(e1.getMessage.contains("differs"), e1.getMessage)
+    // rotated dest vs un-rotated src (frames otherwise identical):
+    // clone the frame, strip the clone's rotation
+    SimilaritySearch.buildIvfPqIndex(evens, "vec_id", "embedding",
+      opq = true).save(s"$base/rot")
+    graft.operators.IvfPqIndex.emptyLike(spark, s"$base/rot", s"$base/rotless")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$base/rotless/rotation"))
+    graft.operators.IvfPqIndex.append(spark, s"$base/rotless", odds,
+      "vec_id", "embedding", batchId = 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.IvfPqIndex.merge(spark, s"$base/rot", s"$base/rotless")
+    }
+    assert(e2.getMessage.contains("rotated"), e2.getMessage)
+    // tombstones union: a takedown recorded in the SHARD survives the merge
+    graft.operators.IvfPqIndex.emptyLike(spark, s"$base/a", s"$base/shard")
+    graft.operators.IvfPqIndex.append(spark, s"$base/shard", odds,
+      "vec_id", "embedding", batchId = 0L)
+    val doomedId = odds.select(min(col("vec_id"))).head().getLong(0)
+    graft.operators.IvfPqIndex.delete(s"$base/shard",
+      odds.filter(col("vec_id") === doomedId), "vec_id")
+    graft.operators.IvfPqIndex.merge(spark, s"$base/a", s"$base/shard")
+    val merged = graft.operators.IvfPqIndex.load(spark, s"$base/a")
+    assert(merged.codes.filter(col("id") === doomedId).count() === 0,
+      "shard tombstone lost in merge")
+    assert(merged.codes.count() === emb.count() - 1)
+  }
 }
