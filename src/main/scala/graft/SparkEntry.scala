@@ -3041,6 +3041,52 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the STREAMING twin: continuous-ingestion curation. The batch
+    //      pipeline above is a corpus-level derivation; this is the
+    //      front-end that runs as documents ARRIVE — per micro-batch:
+    //      fixture-frozen NB language admission (per-doc, stream==batch
+    //      trivially) → near-dedup against the STANDING index of every
+    //      previously admitted doc (StreamingNearDedup, the stateful
+    //      stage) → first-seen-wins keep/drop decided AT BATCH TIME
+    //      (predecessors all live in batches <= i) → survivors land with
+    //      lineage (arrival batch, token count) in a batch-partitioned
+    //      curated lake, every write an idempotent partition overwrite
+    //      (the exactly-once contract q_dedup_stream pins). A dropped
+    //      doc still indexes — seen content suppresses future dups
+    //      regardless of its own fate (crawl semantics). Value-exact:
+    //      the per-batch pair union equals the batch-mode pair set, so
+    //      the lake equals the oracle's one-shot derivation. ----
+    "q_pipeline_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-stream-pipe-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(base)
+      // fresh ingestion run per invocation (bench reps reuse the process)
+      locally {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }
+      // the admission model trains ONCE and freezes — per-batch scoring
+      // only (the streaming contract: models don't drift mid-stream)
+      val spark2 = s
+      import spark2.implicits._
+      val model = graft.operators.LangIdNb.train(
+        graft.operators.LangIdNb.fixture.toDF("lang", "s"), "lang", "s")
+      val nBatches = 4
+      (0L until nBatches.toLong).foreach { i =>
+        graft.streaming.StreamingCuration.processBatch(
+          docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), i,
+          "doc_id", "text", model, admitLang = "en", baseDir = base)
+        : Unit
+      }
+      graft.streaming.StreamingCuration.curated(s, base, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- PII scrub: detect + redact emails/URLs. The synthetic corpus has
     //      no PII, so both sides inject it deterministically from doc_id
     //      arithmetic first — the scrubber is then exercised on real
@@ -5153,6 +5199,8 @@ object SparkEntry {
 
     // the per-stage recipes composed as one CTE chain; per-doc lineage
     "q_pipeline_e2e" -> SparkEntryOracles.pipelineE2eSql,
+
+    "q_pipeline_stream" -> SparkEntryOracles.pipelineStreamSql,
 
     "q_shard_assign" ->
       """WITH r AS (

@@ -309,7 +309,17 @@ object SparkEntryOracles {
     * scoring corpus — the fixture and supervised replays share every
     * byte of the model arithmetic. */
   private def langIdNbSqlOver(fixCte: String, docsFrom: String): String = {
-    s"""WITH $fixCte,
+    s"""WITH ${langIdNbCtes(fixCte, docsFrom)}
+       |SELECT doc_id, lang AS lang_nb, round(score, 4) AS nb_score
+       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** The WITH-body of the NB chain (through the `rk` ranking CTE, no
+    * final select) — composable, so the standalone lang-id gates and the
+    * streaming-pipeline admission stage share every byte of the model
+    * arithmetic. */
+  private def langIdNbCtes(fixCte: String, docsFrom: String): String = {
+    s"""$fixCte,
        |fn AS (SELECT lang, lower(trim(regexp_replace(s, '\\s+', ' ', 'g'))) AS t FROM fix),
        |fg AS (
        |  SELECT lang, substr(t, CAST(i AS INT), 3) AS g
@@ -343,9 +353,51 @@ object SparkEntryOracles {
        |rk AS (
        |  SELECT doc_id, lang, score,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
-       |  FROM sc)
-       |SELECT doc_id, lang AS lang_nb, round(score, 4) AS nb_score
-       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+       |  FROM sc)""".stripMargin
+  }
+
+  /** q_pipeline_stream replica — the streaming ingestion front-end as
+    * one batch-mode derivation: fixture-NB language admission (the
+    * langIdNbCtes chain verbatim), word-trigram exact-Jaccard near-dup
+    * pairs over the ADMITTED docs (the ngramJaccardPairsSql arithmetic),
+    * then the first-seen-wins drop rule — a doc is dropped iff some pair
+    * partner precedes it in (arrival batch, doc_id) lexicographic order,
+    * with batch = doc_id % 4 (the gate's deterministic micro-batching).
+    * The per-batch pair union equals the batch-mode pair set (the
+    * q_dedup_stream stream==batch argument), so the streamed lake equals
+    * this derivation row-for-row. */
+  val pipelineStreamSql: String = {
+    val values = graft.operators.LangIdNb.fixture
+      .map { case (l, s) => s"('$l', '$s')" }.mkString(", ")
+    s"""WITH ${langIdNbCtes(s"fix(lang, s) AS (VALUES $values)", "documents")},
+       |adm AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN rk ON rk.doc_id = d.doc_id AND rk.rn = 1 AND rk.lang = 'en'),
+       |toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS w
+       |  FROM adm),
+       |shp AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |  FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+       |  FROM shp a JOIN shp b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |prs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE ix / (sa.n + sb.n - ix) >= 0.8),
+       |victims AS (
+       |  SELECT DISTINCT CASE WHEN (id_a % 4, id_a) < (id_b % 4, id_b)
+       |    THEN id_b ELSE id_a END AS doc_id FROM prs)
+       |SELECT a.doc_id, CAST(a.doc_id % 4 AS BIGINT) AS batch,
+       |  CAST(len(t.w) AS BIGINT) AS n_tok
+       |FROM adm a JOIN toks t USING (doc_id)
+       |WHERE a.doc_id NOT IN (SELECT doc_id FROM victims)
+       |ORDER BY a.doc_id""".stripMargin
   }
 
   /** Flagship pipeline oracle: dedup representative (min doc_id per
