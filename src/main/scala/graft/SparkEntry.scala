@@ -1265,6 +1265,42 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- FILTERED serve on the LSH family: the allowed-id set (English
+    //      documents via the doc_id↔vec_id join) semi-joins the BUCKET
+    //      rows before the probe join, so disallowed vectors never
+    //      become candidates — with q_ann_pq_filtered this closes the
+    //      family × filtered matrix (IVF-PQ/IVF-SQ8 via
+    //      searchIvfPqIndex, PQ/SQ8 via searchPqIndex, LSH here).
+    //      Value-exact under the same from-scratch multi-probe replay
+    //      with the metadata subquery on its one corpus CTE — signatures
+    //      are pure per-vector functions, so bucket rows of allowed ids
+    //      are identical whether the build hashed the full corpus
+    //      (engine) or just the slice (oracle). ----
+    "q_ann_lsh_filtered" -> ((s, dir) => {
+      import graft.operators.AnnConfig
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-lsh-filt-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      val emb = t(s, dir, "embeddings")
+      val allowed = t(s, dir, "documents")
+        .filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      graft.operators.SimilaritySearch.buildLshIndex(
+        emb, "vec_id", "embedding",
+        bitsPerBand = AnnConfig.lshBits, numBands = AnnConfig.lshBands).save(tmp)
+      val loaded = graft.operators.LshIndex.load(s, tmp)
+      val queries = emb.join(allowed, Seq("vec_id"), "left_semi")
+        .filter(col("vec_id") < AnnConfig.maxQueries)
+      graft.operators.SimilaritySearch.searchLshIndex(
+          loaded, queries,
+          "vec_id", "embedding", k = AnnConfig.k,
+          bitsPerBand = AnnConfig.lshBits, numBands = AnnConfig.lshBands,
+          flipBits = AnnConfig.lshFlipBits,
+          allowed = Some(allowed))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- ANN incremental ingest over a persisted LSH index: the
     //      standing index is built on the corpus MINUS the newest batch
     //      (even vec_ids), the batch (odd vec_ids) is APPENDED as its own
@@ -1689,6 +1725,43 @@ object SparkEntry {
           idx, emb, emb.filter(col("vec_id") < AnnConfig.maxQueries),
           "vec_id", "embedding", k = AnnConfig.k,
           rerankFactor = AnnConfig.rerankFactor)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- FILTERED serve on the FLAT PQ family (q_ann_ivfpq_filtered's
+    //      shape without coarse lists — the serve path SQ8 indexes share
+    //      verbatim, so this gate closes the family × filtered matrix
+    //      for every ADC-served index): allowed = the English documents
+    //      via the doc_id↔vec_id join, semi-joined onto the codes
+    //      BEFORE the ADC scan; queries restricted to the same slice.
+    //      Value-exact under the flat frozen-codebook replay with the
+    //      metadata subquery on its corpus CTE. ----
+    "q_ann_pq_filtered" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-pq-filt-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-p" + ProcessHandle.current().pid()).toString
+      registerCleanupOnExit(tmp)
+      import graft.operators.AnnConfig
+      val emb = requirePqDims(t(s, dir, "embeddings"))
+      val allowed = t(s, dir, "documents")
+        .filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      graft.operators.SimilaritySearch.buildPqIndex(
+        emb, "vec_id", "embedding",
+        numSubspaces = AnnConfig.numSubspaces,
+        codebookSize = AnnConfig.codebookSize).save(tmp)
+      val loaded = graft.operators.PqIndex.load(s, tmp)
+      val (n, tok) = corpusSig(emb)
+      val idx = graft.operators.PqIndex(
+        freeze(loaded.codebooks, "q_ann_pq_filtered", "codebooks", n, tok),
+        loaded.codes)
+      val queries = emb.join(allowed, Seq("vec_id"), "left_semi")
+        .filter(col("vec_id") < AnnConfig.maxQueries)
+      graft.operators.SimilaritySearch.searchPqIndex(
+          idx, emb, queries,
+          "vec_id", "embedding", k = AnnConfig.k,
+          rerankFactor = AnnConfig.rerankFactor,
+          allowed = Some(allowed))
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -4952,6 +5025,14 @@ object SparkEntry {
     // same replay with the deletion predicate on its one corpus CTE
     "q_ann_lsh_index_delete" -> SparkEntryOracles.annLshSqlOver(
       s"NOT (vec_id % 2 = 1 AND vec_id >= ${graft.operators.AnnConfig.maxQueries})"),
+    // filtered serves (family × filtered closure): the one corpus CTE
+    // carries the same metadata predicate the engine's allowed-id
+    // semi-join applies — see q_ann_ivfpq_filtered
+    "q_ann_lsh_filtered" -> SparkEntryOracles.annLshSqlOver(
+      "vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
+    "q_ann_pq_filtered" -> SparkEntryOracles.annPqSqlOver(
+      "q_ann_pq_filtered",
+      "vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
     // bands-only serving rebinds the vectors half to the corpus parquet
     // with the same cast-at-read prep the ingest applies — identical
     // candidates, scores, ranks, so the same from-scratch replay holds

@@ -926,7 +926,8 @@ object SimilaritySearch {
     * same candidates, same scores, same (cosine DESC, id) tie-break. */
   def searchLshIndex(index: LshIndex, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int, bitsPerBand: Int = 12,
-                     numBands: Int = 224, flipBits: Int = 2): DataFrame = {
+                     numBands: Int = 224, flipBits: Int = 2,
+                     allowed: Option[DataFrame] = None): DataFrame = {
     val q = prepared(queries, idCol, vecCol)
     val qb = q.select(col("id").as("q_id"), col("v").as("q_v"),
         col("nrm").as("q_n"),
@@ -934,7 +935,16 @@ object SimilaritySearch {
           col("v"), bitsPerBand, numBands, flipBits)).as(Seq("band", "probes")))
       .select(col("q_id"), col("q_v"), col("q_n"), col("band"),
         explode(col("probes")).as("sig"))
-    val cand = qb.join(index.bands.select(col("id").as("c_id"),
+    // FAISS IDSelector semantics (searchIvfPqIndex's contract): the
+    // allowed-id set semi-joins the bucket rows BEFORE the probe join,
+    // so disallowed vectors never become candidates
+    val bandsEff = allowed match {
+      case Some(a) => index.bands.join(
+        a.select(col(a.columns.head).cast("long").as("id")).distinct(),
+        Seq("id"), "left_semi")
+      case None => index.bands
+    }
+    val cand = qb.join(bandsEff.select(col("id").as("c_id"),
           col("band"), col("sig")), Seq("band", "sig"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("q_v"), col("q_n"), col("c_id"))
@@ -1683,7 +1693,8 @@ object SimilaritySearch {
     * scan). Same output contract as pqTopK. */
   def searchPqIndex(index: PqIndex, corpus: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int,
-                    rerankFactor: Int = 4): DataFrame = {
+                    rerankFactor: Int = 4,
+                    allowed: Option[DataFrame] = None): DataFrame = {
     import index.codes.sparkSession.implicits._
     // a rotated index serves RAW corpus/query frames: both sides rotate
     // here against the index's persisted frame (searchIvfPqIndex's
@@ -1695,7 +1706,16 @@ object SimilaritySearch {
       case None => (corpus, queries)
     }
     val (cbs, starts) = pqCodebooksFromDf(index.codebooks)
-    val codes = index.codes
+    // FAISS IDSelector semantics, shared with searchIvfPqIndex: the
+    // allowed-id set semi-joins the codes BEFORE ADC — disallowed codes
+    // are never scored (SQ8 indexes serve through this same path)
+    val codesBase = allowed match {
+      case Some(a) => index.codes.join(
+        a.select(col(a.columns.head).cast("long").as("id")).distinct(),
+        Seq("id"), "left_semi")
+      case None => index.codes
+    }
+    val codes = codesBase
       .select(col("id").cast("long"), col("code")).as[(Long, Array[Byte])]
     val c = prepared(corpusEff, idCol, vecCol)
     val q = prepared(queriesEff, idCol, vecCol)

@@ -66,7 +66,11 @@ object DumpPlans extends App {
     "q_ann_pq_opq_index" -> "flat-PQ OPQ lifecycle (r17): persisted rotation auto-applied to streamed batches and raw queries; one broadcast matVec pass then the unchanged flat ADC serve",
     "q_lang_id_nb" -> "trained NB lang-id (r17): one corpus trigram pass, broadcast vocabulary-bounded weight join, partial-agg sum, |langs|-row scalar frame",
     "q_pipeline_e2e" -> "composed curation pipeline (r17): nine chained stages, text shuffles nowhere — fingerprint/pair/label/weight slivers move, global windows only over per-bucket totals",
-    "q_seqfile_pipeline" -> "exact-dedup over a partitioned seqfile lake (r17): partition dirs pruned at planning time beneath the dedup joins")
+    "q_seqfile_pipeline" -> "exact-dedup over a partitioned seqfile lake (r17): partition dirs pruned at planning time beneath the dedup joins",
+    "q_ann_ivfpq_filtered" -> "metadata-filtered serve (r17, FAISS IDSelector): allowed-id semi-join on the codes BEFORE the probe-paired ADC — disallowed codes never scored",
+    "q_ann_ivfpq_range" -> "range search (r17, FAISS range_search): threshold retention instead of top-R heaps — the candidate shuffle is output-sized; probe-bounded scan unchanged",
+    "q_ann_ivfpq_merge" -> "sharded build merged (r17, FAISS merge_from): serve over renumbered shard code partitions — same probe-paired residual ADC, frame cloned never retrained",
+    "q_pipeline_stream" -> "streaming curation lake (r17): per-batch admission + standing-index near-dedup + first-seen-wins; the final read is one partition-discovered scan of the curated lake")
   val sb = new StringBuilder
   sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
   sb.append("GENERATED artifact — regenerate with `sbt \"runMain graft.tools.DumpPlans\"`.\n")

@@ -1284,6 +1284,42 @@ class SimilaritySearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"range recall $recall vs ${trueRange.size} true pairs")
   }
 
+  test("filtered serve on flat PQ and LSH equals the tombstone-masked serve (family × filtered closure)") {
+    val allowed = emb.filter(!(col("vec_id") % 2 === 1 && col("vec_id") >= 10))
+      .select(col("vec_id"))
+    val doomed = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") >= 10)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // flat PQ (the serve path SQ8 shares)
+    val pqDir = java.nio.file.Files.createTempDirectory("pq-filt").toString
+    SimilaritySearch.buildPqIndex(emb, "vec_id", "embedding").save(pqDir)
+    val pqIdx = graft.operators.PqIndex.load(spark, pqDir)
+    val pqFiltered = asSet(SimilaritySearch.searchPqIndex(pqIdx, emb, queries,
+      "vec_id", "embedding", 10, allowed = Some(allowed)))
+    assert(pqFiltered.nonEmpty)
+    assert(!pqFiltered.exists(r => r._2 % 2 == 1 && r._2 >= 10))
+    graft.operators.PqIndex.delete(pqDir, doomed, "vec_id")
+    val pqMasked = asSet(SimilaritySearch.searchPqIndex(
+      graft.operators.PqIndex.load(spark, pqDir), emb, queries,
+      "vec_id", "embedding", 10))
+    assert(pqFiltered === pqMasked)
+    // LSH
+    val lshDir = java.nio.file.Files.createTempDirectory("lsh-filt").toString
+    SimilaritySearch.buildLshIndex(emb, "vec_id", "embedding",
+      bitsPerBand = 12, numBands = 32).save(lshDir)
+    val lshIdx = graft.operators.LshIndex.load(spark, lshDir)
+    val lshFiltered = asSet(SimilaritySearch.searchLshIndex(lshIdx, queries,
+      "vec_id", "embedding", 10, bitsPerBand = 12, numBands = 32,
+      allowed = Some(allowed)))
+    assert(lshFiltered.nonEmpty)
+    assert(!lshFiltered.exists(r => r._2 % 2 == 1 && r._2 >= 10))
+    graft.operators.LshIndex.delete(lshDir, doomed, "vec_id")
+    val lshMasked = asSet(SimilaritySearch.searchLshIndex(
+      graft.operators.LshIndex.load(spark, lshDir), queries,
+      "vec_id", "embedding", 10, bitsPerBand = 12, numBands = 32))
+    assert(lshFiltered === lshMasked)
+  }
+
   test("emptyLike + merge: sharded encode serves exactly like append onto the standing root") {
     val base = java.nio.file.Files.createTempDirectory("ivfpq-merge").toString
     val evens = emb.filter(col("vec_id") % 2 === 0)
