@@ -47,7 +47,7 @@ object ConnectedComponents {
     * them when spark.cleaner.referenceTracking.cleanCheckpoints is on,
     * which defaults to false, so a multi-round job would otherwise grow
     * one label-set directory per round). */
-  private[operators] def release(df: DataFrame): Unit =
+  private[graft] def release(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         r.rdd.getCheckpointFile match {

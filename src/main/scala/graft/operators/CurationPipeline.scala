@@ -42,6 +42,24 @@ object CurationPipeline {
              packBudget: Long, nShards: Int,
              ngram: Int = 3, jaccardThreshold: Double = 0.8,
              minOverlap: Int = 2, nbThreshold: Double = 0.0): DataFrame = {
+    // Lineage is CUT (eager localCheckpoint) at every stage boundary, and
+    // each cut is released as soon as the next one is materialized. This
+    // changes no value — a checkpoint is the identity on data — but it is
+    // the difference between a composed plan and a composed EXPLOSION:
+    // every stage below references its input several times (LSH pairs
+    // self-join, NB trains on the corpus it then joins back to, mixture /
+    // packing re-aggregate their input), so an uncut composition re-plans
+    // and re-executes the whole upstream chain multiplicatively — measured
+    // 30.5 s wall with only 10.9 s of executor job time (145 jobs, the
+    // rest Catalyst re-planning one enormous tree per internal action).
+    // Cut, each operator plans against a flat scan of its predecessor.
+    var prevCut: DataFrame = null
+    def cut(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      if (prevCut != null) ConnectedComponents.release(prevCut)
+      prevCut = c
+      c
+    }
     // 1. normalize (strip control chars, collapse whitespace) — all
     //    downstream stages read the normalized text
     val norm = docs.select(col(idCol), col(sourceCol),
@@ -49,9 +67,9 @@ object CurationPipeline {
     val benchNorm = bench.select(col(idCol),
       TextAnalysis.normalizeText(col(textCol)).as("t"))
     // 2. exact dedup: fingerprint groups, keep the min-id representative
-    val exact = Dedup.exactDedup(norm, idCol, "t")
+    val exact = cut(Dedup.exactDedup(norm, idCol, "t")
       .filter(col("is_rep"))
-      .select(col(idCol), col(sourceCol), col("t"))
+      .select(col(idCol), col(sourceCol), col("t")))
     // 3 + 4. near-dup pairs (MinHash-LSH banding with inline exact
     //    verify) → connected components → keep the longest member
     val pairs = Dedup.minHashLshPairs(exact, idCol, "t",
@@ -62,20 +80,20 @@ object CurationPipeline {
       .select(col(idCol), col(sourceCol), col("t"))
     // 5. decontaminate: drop survivors sharing >= minOverlap distinct
     //    word n-grams with any benchmark doc
-    val clean = Decontamination.decontaminate(kept, benchNorm,
-      idCol, "t", idCol, "t", n = ngram, minOverlap = minOverlap)
+    val clean = cut(Decontamination.decontaminate(kept, benchNorm,
+      idCol, "t", idCol, "t", n = ngram, minOverlap = minOverlap))
     // 6. NB quality filter: keep docs whose order structure beats their
     //    scrambled twin (log-odds >= nbThreshold); the model trains on
     //    the surviving corpus itself (self-supervised)
     val nb = QualityClassifier.naiveBayesCleanVsScrambled(clean, idCol, "t")
-    val quality = clean.join(nb, idCol)
-      .filter(col("nb_logodds") >= nbThreshold)
+    val quality = cut(clean.join(nb, idCol)
+      .filter(col("nb_logodds") >= nbThreshold))
     // 7. mixture sample to the target per-source token shares
-    val sampled = Sampling.mixtureSample(quality, sourceCol, idCol,
-      TextAnalysis.tokenCount(col("t")), targetShare, totalBudget)
+    val sampled = cut(Sampling.mixtureSample(quality, sourceCol, idCol,
+      TextAnalysis.tokenCount(col("t")), targetShare, totalBudget))
     // 8. pack into token-budget bins (id order)
-    val packed = Packing.packByBudget(sampled, idCol,
-      TextAnalysis.tokenCount(col("t")), budget = packBudget)
+    val packed = cut(Packing.packByBudget(sampled, idCol,
+      TextAnalysis.tokenCount(col("t")), budget = packBudget))
     // 9. deterministic shuffle-shard
     Sharding.shuffleShard(packed, idCol, nShards)
       .select(col(idCol), col(sourceCol), col("weight").as("n_tok"),

@@ -55,13 +55,30 @@ object StreamingCuration {
                    admitLang: String, baseDir: String, n: Int = 3,
                    threshold: Double = 0.8): DataFrame = {
     val spark = batch.sparkSession
-    val admitted = batch.join(
-      LangIdNb.predict(model, batch, idCol, textCol)
-        .filter(col("lang_nb") === admitLang).select(col(idCol)),
-      Seq(idCol), "left_semi")
+    // The admitted batch is referenced four times below (index build, the
+    // two victim-side id frames, the survivor anti-join) and its plan
+    // embeds the NB scoring join — explode(trigrams) + weights join +
+    // per-doc window. Cut it once (eager localCheckpoint, released before
+    // returning — the returned frame reads only the durable partition):
+    // uncut, each reference re-ran the full scoring pass, ~4 re-scores
+    // per batch (measured: the repeated ~0.9 s jobs dominating the gate).
+    def labeled[T](step: String)(body: => T): T = {
+      spark.sparkContext.setJobDescription(s"stream b=$batchId: $step")
+      try body finally spark.sparkContext.setJobDescription(null)
+    }
+    val admitted = labeled("admit (NB score + checkpoint)") {
+      batch.join(
+        LangIdNb.predict(model, batch, idCol, textCol)
+          .filter(col("lang_nb") === admitLang).select(col(idCol)),
+        Seq(idCol), "left_semi")
+        .localCheckpoint(true)
+    }
+    try {
+    labeled("index + pairs") {
     StreamingNearDedup.processBatch(admitted, batchId, idCol, textCol,
         n, threshold, s"$baseDir/index")
       .write.mode("overwrite").parquet(s"$baseDir/pairs/batch=$batchId")
+    }
     // first-seen-wins: partners outside this batch's admitted set are
     // strictly earlier arrivals; within the batch the smaller id wins
     val curIds = admitted.select(col(idCol).cast("long").as("cid"))
@@ -76,6 +93,7 @@ object StreamingCuration {
         .when(col("a_cur").isNotNull, col("id_a"))
         .otherwise(col("id_b")).as("victim"))
       .distinct()
+    labeled("victims + curated write") {
     admitted
       .join(victims, admitted(idCol).cast("long") === col("victim"),
         "left_anti")
@@ -83,6 +101,8 @@ object StreamingCuration {
         graft.functions.TextAnalysis.tokenCount(col(textCol))
           .cast("long").as("n_tok"))
       .write.mode("overwrite").parquet(s"$baseDir/curated/batch=$batchId")
+    }
+    } finally graft.operators.ConnectedComponents.release(admitted)
     spark.read.parquet(s"$baseDir/curated/batch=$batchId")
   }
 
