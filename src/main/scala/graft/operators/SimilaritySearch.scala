@@ -56,7 +56,8 @@ private[operators] object IndexRoot {
     * rotate batches against a frame the codes were not encoded with. */
   def writeRotation(spark: org.apache.spark.sql.SparkSession, dir: String,
                     rotation: Option[DataFrame]): Unit = rotation match {
-    case Some(r) => r.write.mode("overwrite").parquet(s"$dir/rotation")
+    case Some(r) => // d rows — one file (see PqIndex.save)
+      r.coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
     case None => clearStale(spark, dir, "rotation")
   }
 
@@ -85,7 +86,12 @@ final case class PqIndex(codebooks: DataFrame, codes: DataFrame,
     * DataFrames were loaded from — rewrite-in-place reads after delete. */
   def save(dir: String): Unit = {
     val spark = codebooks.sparkSession
-    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    // quantizer frames are bounded small (m·ks rows) by design: one file,
+    // not defaultParallelism near-empty ones — a 32-file write of a
+    // 2048-row table costs a 32-task job at save AND a 32-task scan on
+    // every load (guide §6 small-files rule; codes keep their natural
+    // corpus partitioning)
+    codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
     IndexRoot.writeRotation(spark, dir, rotation)
     IndexRoot.clearStale(spark, dir, "codes", "deletes")
     codes.write.mode("overwrite").parquet(s"$dir/codes/batch=0")
@@ -526,8 +532,10 @@ final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
   def save(dir: String): Unit = {
     val spark = centroids.sparkSession
     import spark.implicits._
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    // quantizer frames are bounded small (C ≤ 16384 centroids, m·ks
+    // codebook rows): one file each — see PqIndex.save
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
     // the rotation is part of the quantizer state: written before the
     // codes for the same stale-sidecar reasons as `meta`; an un-rotated
     // save REMOVES a stale rotation dir so a later append can never
@@ -1071,23 +1079,16 @@ object SimilaritySearch {
   def ivfKMeansCentroidsDf(corpus: DataFrame, idCol: String, vecCol: String,
                            numCentroids: Int = 16,
                            maxTrainVectors: Int = 262144): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c = prepared(corpus, idCol, vecCol)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val train = hashSample(c, maxTrainVectors)
-      .select(array_to_vector(col("v")).as("features")).cache()
-    val model =
-      try new KMeans()
-        .setK(math.min(numCentroids.toLong,
-          math.max(1L, train.count())).toInt)
-        .setSeed(42L).setMaxIter(10)
-        .fit(train)
-      finally train.unpersist()
-    model.clusterCenters.zipWithIndex.toSeq
-      .map { case (vec, i) => (i.toLong, vec.toArray.toSeq) }
-      .toDF("cent_id", "cv")
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    val x = collectTrainSample(c, dim, maxTrainVectors)
+    localLloydPar(x, math.min(numCentroids, math.max(1, x.length)),
+        iters = 10, seed = 42L)
+      .iterator.zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv.toSeq) }
+      .toSeq.toDF("cent_id", "cv")
   }
 
   /** TWO-LEVEL hierarchical coarse trainer — the production path the
@@ -1119,8 +1120,6 @@ object SimilaritySearch {
                               maxTrainVectors: Int = 262144,
                               refineIters: Int = 1,
                               maxTrainBytes: Long = 1L << 30): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c = prepared(corpus, idCol, vecCol)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1155,12 +1154,12 @@ object SimilaritySearch {
         s"branch=$b0 > numCentroids=$lists: level 1 cannot have more " +
           "branches than total lists")
       val eb = math.min(b0.toLong, math.max(1L, nTrain)).toInt
-      val l1 = new KMeans().setK(eb).setSeed(7L).setMaxIter(10)
-        .setInitMode("random")
-        .fit(trainDf.select(array_to_vector(col("v")).as("features")))
-        .clusterCenters.map(_.toArray)
-      // bounded collect: the training sample only (≤ effMaxTrain)
+      // bounded collect: the training sample only (≤ effMaxTrain) —
+      // level 1 trains driver-local on it too ([[localLloydPar]]; the
+      // sample is already on the driver for the level-2 split, so the
+      // distributed fit bought nothing but ~25 scheduler-bound jobs)
       val pts = trainDf.as[Seq[Double]].collect().map(_.toArray)
+      val l1 = localLloydPar(pts, eb, iters = 10, seed = 7L)
       // level-1 assignment of the sample (driver-local, squared L2 — the
       // k-means training metric; serve-time assignment stays the engine's
       // cosine argmax over the FROZEN final centers, which is what the
@@ -1411,7 +1410,7 @@ object SimilaritySearch {
             val len = starts(j + 1) - starts(j)
             val sub = xr.map(v => java.util.Arrays.copyOfRange(v, starts(j), starts(j) + len))
             val cents = localLloyd(sub, ks, iters = 4, seed = 42L + j)
-            // localLloyd caps at n; pad like trainPqCodebooksOn so the
+            // localLloyd caps at n; pad like trainPqCodebooksLocal so the
             // dense-codebook invariant holds (dupes never win argmin ties)
             if (cents.length >= ks) cents
             else cents ++ Array.fill(ks - cents.length)(cents(0).clone())
@@ -1561,6 +1560,118 @@ object SimilaritySearch {
       it += 1
     }
     centers
+  }
+
+  /** [[localLloyd]] parallelized over FIXED 4096-point chunks: the
+    * assignment scan fans out across a thread pool and the per-chunk
+    * partial (sum, count) accumulators merge in ascending chunk order, so
+    * the result is deterministic — same values on any core count (a
+    * thread-count-dependent FP merge order would make the frozen frame a
+    * function of the machine, the hazard MLlib's treeAggregate already
+    * had). Same init (seeded shuffle-take), same strict-< nearest rule,
+    * same keep-stale-center-on-empty semantics as [[localLloyd]]. This is
+    * the r17 trainer for ALL flat coarse/codebook fits: the fits train on
+    * a bounded collected sample (FAISS trains in memory the same way) and
+    * the serve/oracle contract depends only on the FROZEN output frame,
+    * never on which trainer produced it — swapping the distributed MLlib
+    * fit removes its ~25 scheduler-bound jobs per fit (incl. the k-task
+    * computeStatisticsDistributedly stages: 358 tasks × 4+ rounds at
+    * sf0.1) that dominated every ANN lifecycle gate's wall clock. */
+  private[operators] def localLloydPar(points: Array[Array[Double]], k: Int,
+                                       iters: Int, seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    if (n == 0 || k <= 0) return Array.empty
+    val kk = math.min(k, n)
+    val chunk = 4096
+    if (n <= chunk || kk.toLong * n < (1L << 20))
+      return localLloyd(points, k, iters, seed)
+    val rnd = new scala.util.Random(seed)
+    val centers = rnd.shuffle(points.indices.toVector).take(kk)
+      .map(i => points(i).clone()).toArray
+    val dim = points(0).length
+    val nChunks = (n + chunk - 1) / chunk
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(nChunks, Runtime.getRuntime.availableProcessors())))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      var it = 0
+      while (it < iters) {
+        val parts = Await.result(Future.sequence((0 until nChunks).map { ch =>
+          Future {
+            val lo = ch * chunk
+            val hi = math.min(n, lo + chunk)
+            val sums = Array.fill(kk)(new Array[Double](dim))
+            val cnts = new Array[Int](kk)
+            var i = lo
+            while (i < hi) {
+              val p = points(i)
+              var best = 0; var bestD = Double.MaxValue
+              var ci = 0
+              while (ci < kk) {
+                val cv = centers(ci)
+                var d = 0.0; var z = 0
+                while (z < dim) { val t = p(z) - cv(z); d += t * t; z += 1 }
+                if (d < bestD) { bestD = d; best = ci }
+                ci += 1
+              }
+              val s = sums(best)
+              var z = 0
+              while (z < dim) { s(z) += p(z); z += 1 }
+              cnts(best) += 1
+              i += 1
+            }
+            (sums, cnts)
+          }
+        }), Duration.Inf)
+        val sums = Array.fill(kk)(new Array[Double](dim))
+        val cnts = new Array[Int](kk)
+        parts.foreach { case (ps, pc) => // ascending chunk order
+          var ci = 0
+          while (ci < kk) {
+            val s = sums(ci); val p = ps(ci)
+            var z = 0
+            while (z < dim) { s(z) += p(z); z += 1 }
+            cnts(ci) += pc(ci)
+            ci += 1
+          }
+        }
+        var ci = 0
+        while (ci < kk) {
+          if (cnts(ci) > 0) {
+            val s = sums(ci)
+            var z = 0
+            while (z < dim) { centers(ci)(z) = s(z) / cnts(ci); z += 1 }
+          }
+          ci += 1
+        }
+        it += 1
+      }
+      centers
+    } finally pool.shutdown()
+  }
+
+  /** Collect the byte-budgeted deterministic training sample to the
+    * driver — the shared front door of the local trainers (the same
+    * bounded-collect contract [[hierarchicalCentroidsDf]] and
+    * [[opqRotationDf]] established: ≤ min(maxTrainVectors,
+    * maxTrainBytes/(dim·8)) vectors; the CORPUS is never collected).
+    * Skips [[hashSample]]'s repartition spread — a collect needs no task
+    * fan-out, so the sample never shuffles at all. */
+  private def collectTrainSample(c: DataFrame, dim: Int,
+                                 maxTrainVectors: Int,
+                                 maxTrainBytes: Long = 1L << 30): Array[Array[Double]] = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val byBudget = math.max(1L, maxTrainBytes / (math.max(1, dim).toLong * 8L))
+    val effMax = math.min(maxTrainVectors.toLong, byBudget).toInt
+    if (effMax < maxTrainVectors)
+      log.info(s"collectTrainSample: shrinking training sample " +
+        s"$maxTrainVectors -> $effMax vectors to fit the " +
+        s"$maxTrainBytes-byte driver budget at dim $dim")
+    hashSample(c, effMax, spread = false).select(col("v"))
+      .as[Seq[Double]].collect().map(_.toArray)
   }
 
   /** Product-quantization ANN (IVF-ADC's compression half): each vector is
@@ -1821,8 +1932,6 @@ object SimilaritySearch {
                       byResidual: Boolean = false,
                       centroids: Option[DataFrame] = None,
                       opq: Boolean = false): IvfPqIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     if (opq) {
       // FAISS IndexPreTransform composition, first-class: train the
       // rotation on the raw corpus, build EVERYTHING (coarse quantizer,
@@ -1844,42 +1953,35 @@ object SimilaritySearch {
     // 0 = auto-C (8·√N rule); the count is memoized with hashSample's
     val lists =
       if (numCentroids > 0) numCentroids else autoNumCentroids(memoizedCount(c))
-    // ONE cached hash-sample feeds both trainings (codebooks + centroids):
-    // no second corpus scan, no second sample derivation. A caller-provided
-    // centroids frame (e.g. [[hierarchicalCentroidsDf]], or a frozen frame
-    // from an earlier build) skips the coarse fit entirely — the sample
-    // then feeds only the codebook training.
-    val trainDf = hashSample(c, maxTrainVectors).select(col("v")).cache()
-    val (cbs, centArr) =
-      try {
-        val nTrain = trainDf.count()
-        val centArr = centroids match {
-          case Some(df) =>
-            val arr = df
-              .select(col("cent_id").cast("long"), col("cv").cast("array<double>"))
-              .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-              .sortBy(_._1)
-            require(arr.nonEmpty, "empty centroids frame")
-            arr
-          case None =>
-            new KMeans()
-              .setK(math.min(lists.toLong, math.max(1L, nTrain)).toInt)
-              .setSeed(7L).setMaxIter(10).setInitMode("random")
-              .fit(trainDf.select(array_to_vector(col("v")).as("features")))
-              .clusterCenters.zipWithIndex
-              .map { case (vec, i) => (i.toLong, vec.toArray) }
-        }
-        // residual mode trains the codebooks on the sample's residuals
-        // against the coarse centers (FAISS order: coarse first, then PQ
-        // on residuals); raw mode trains them on the sample as-is
-        val cbTrain =
-          if (byResidual) residualsOf(trainDf, centArr).cache()
-          else trainDf
-        val cbs =
-          try trainPqCodebooksOn(cbTrain, nTrain, dim, numSubspaces, codebookSize)
-          finally if (byResidual) cbTrain.unpersist()
-        (cbs, centArr)
-      } finally trainDf.unpersist()
+    // ONE byte-budgeted collected hash-sample feeds both trainings
+    // (coarse centroids + codebooks): no second corpus scan, no second
+    // sample derivation — and both fits run DRIVER-LOCAL on it
+    // ([[localLloydPar]]: one collect job instead of MLlib's ~25
+    // scheduler-bound jobs per fit; the serve/oracle contract depends
+    // only on the frozen frames, never on the trainer). A
+    // caller-provided centroids frame (e.g. [[hierarchicalCentroidsDf]],
+    // or a frozen frame from an earlier build) skips the coarse fit
+    // entirely — the sample then feeds only the codebook training.
+    val x = collectTrainSample(c, dim, maxTrainVectors)
+    val centArr = centroids match {
+      case Some(df) =>
+        val arr = df
+          .select(col("cent_id").cast("long"), col("cv").cast("array<double>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        require(arr.nonEmpty, "empty centroids frame")
+        arr
+      case None =>
+        localLloydPar(x, math.min(lists, math.max(1, x.length)),
+            iters = 10, seed = 7L)
+          .zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+    }
+    // residual mode trains the codebooks on the sample's residuals
+    // against the coarse centers (FAISS order: coarse first, then PQ
+    // on residuals — same cosine-argmax assignment as the encode
+    // kernel); raw mode trains them on the sample as-is
+    val cbTrain = if (byResidual) residualsOfLocal(x, centArr) else x
+    val cbs = trainPqCodebooksLocal(cbTrain, dim, numSubspaces, codebookSize)
     val starts = pqStarts(dim, numSubspaces)
     val cbDf = cbsToDf(spark, cbs)
     val centsDf = centArr.toSeq
@@ -1898,51 +2000,45 @@ object SimilaritySearch {
     IvfPqIndex(centsDf, cbDf, codes, byResidual)
   }
 
-  /** TRAINING-side residuals: each sample vector minus its nearest
-    * centroid (same argmax-cosine semantics as the fused encode kernel).
+  /** TRAINING-side residuals, driver-local: each sample vector minus its
+    * nearest centroid (same argmax-cosine semantics as the fused encode
+    * kernel: strict >, ties and all-NaN rows keep the lowest index).
     * Training detail only — the codebooks it produces are frozen
     * artifacts, so this needs no SQL replica; the encode/serve kernels
     * are where bit-exactness is pinned. */
-  private def residualsOf(train: DataFrame,
-                          cents: Array[(Long, Array[Double])]): DataFrame = {
-    val spark = train.sparkSession
-    import spark.implicits._
-    val bcCents = spark.sparkContext.broadcast(cents)
-    train.select(col("v")).as[Seq[Double]].mapPartitions { it =>
-      val cs = bcCents.value
-      val cnrms = cs.map { case (_, cv) =>
-        var s = 0.0; var i = 0
-        while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
-        math.sqrt(s)
+  private def residualsOfLocal(x: Array[Array[Double]],
+                               cents: Array[(Long, Array[Double])]): Array[Array[Double]] = {
+    val cnrms = cents.map { case (_, cv) =>
+      var s = 0.0; var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+      math.sqrt(s)
+    }
+    x.map { v =>
+      var nv = 0.0
+      var i = 0
+      while (i < v.length) { nv += v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(nv)
+      def csim(ci: Int): Double = {
+        val cv = cents(ci)._2
+        val n = math.min(v.length, cv.length)
+        var s = 0.0; var j = 0
+        while (j < n) { s += v(j) * cv(j); j += 1 }
+        s / (nrm * cnrms(ci))
       }
-      it.map { vSeq =>
-        val v = vSeq.toArray
-        var nv = 0.0
-        var i = 0
-        while (i < v.length) { nv += v(i) * v(i); i += 1 }
-        val nrm = math.sqrt(nv)
-        def csim(ci: Int): Double = {
-          val cv = cs(ci)._2
-          val n = math.min(v.length, cv.length)
-          var s = 0.0; var j = 0
-          while (j < n) { s += v(j) * cv(j); j += 1 }
-          s / (nrm * cnrms(ci))
-        }
-        var best = 0
-        var bestSim = csim(0)
-        var ci = 1
-        while (ci < cs.length) {
-          val s = csim(ci)
-          if (s > bestSim) { bestSim = s; best = ci }
-          ci += 1
-        }
-        val cv = cs(best)._2
-        val rv = new Array[Double](v.length)
-        i = 0
-        while (i < v.length) { rv(i) = v(i) - cv(i); i += 1 }
-        rv.toSeq
+      var best = 0
+      var bestSim = csim(0)
+      var ci = 1
+      while (ci < cents.length) {
+        val s = csim(ci)
+        if (s > bestSim) { bestSim = s; best = ci }
+        ci += 1
       }
-    }.toDF("v")
+      val cv = cents(best)._2
+      val rv = new Array[Double](v.length)
+      i = 0
+      while (i < v.length) { rv(i) = v(i) - cv(i); i += 1 }
+      rv
+    }
   }
 
   /** Build an IVF-SQ8 index: coarse k-means inverted lists bound WHICH
@@ -1965,8 +2061,6 @@ object SimilaritySearch {
                       numCentroids: Int = 0, codebookSize: Int = 256,
                       maxTrainVectors: Int = 262144,
                       centroids: Option[DataFrame] = None): IvfPqIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c = prepared(corpus, idCol, vecCol)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1981,15 +2075,11 @@ object SimilaritySearch {
         require(arr.nonEmpty, "empty centroids frame")
         arr
       case None =>
-        val trainDf = hashSample(c, maxTrainVectors).select(col("v")).cache()
-        val centModel =
-          try new KMeans()
-            .setK(math.min(lists.toLong, math.max(1L, trainDf.count())).toInt)
-            .setSeed(7L).setMaxIter(10).setInitMode("random")
-            .fit(trainDf.select(array_to_vector(col("v")).as("features")))
-          finally trainDf.unpersist()
-        centModel.clusterCenters.zipWithIndex
-          .map { case (vec, i) => (i.toLong, vec.toArray) }
+        val dim = c.select(size(col("v"))).head().getInt(0)
+        val x = collectTrainSample(c, dim, maxTrainVectors)
+        localLloydPar(x, math.min(lists, math.max(1, x.length)),
+            iters = 10, seed = 7L)
+          .zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
     }
     val cbDf = sqCodebooksDf(corpus, idCol, vecCol, codebookSize)
     val (cbs, starts) = pqCodebooksFromDf(cbDf)
@@ -2248,7 +2338,8 @@ object SimilaritySearch {
     * never correctness. */
   private def memoizedCount(c: DataFrame): Long = PlanStats.sizingCount(c)
 
-  private def hashSample(c: DataFrame, maxTrainVectors: Int): DataFrame = {
+  private def hashSample(c: DataFrame, maxTrainVectors: Int,
+                         spread: Boolean = true): DataFrame = {
     val n = memoizedCount(c)
     val sampled =
       if (n <= maxTrainVectors) c
@@ -2257,6 +2348,9 @@ object SimilaritySearch {
         val threshold = math.ceil(4294967296.0 * maxTrainVectors / n).toLong
         c.filter(hkey < lit(threshold))
       }
+    // spread=false: the caller collects the sample (driver-local trainer)
+    // — no task fan-out needed, so skip the repartition shuffle entirely
+    if (!spread) return sampled
     // A bounded sample scanned from a handful of parquet files often lands
     // in ONE partition — and then every MLlib Lloyd iteration runs as a
     // single task (measured: the sf3 coarse fit was 10 single-threaded
@@ -2274,24 +2368,25 @@ object SimilaritySearch {
 
   private def trainPqCodebooks(c: DataFrame, dim: Int, m: Int,
                                codebookSize: Int,
-                               maxTrainVectors: Int): Array[Array[Array[Double]]] = {
-    val trainDf = hashSample(c, maxTrainVectors).select(col("v")).cache()
-    try trainPqCodebooksOn(trainDf, trainDf.count(), dim, m, codebookSize)
-    finally trainDf.unpersist()
-  }
+                               maxTrainVectors: Int): Array[Array[Array[Double]]] =
+    trainPqCodebooksLocal(collectTrainSample(c, dim, maxTrainVectors),
+      dim, m, codebookSize)
 
-  /** The m concurrent per-subspace fits over an already-cached sample.
-    * Callers own the cache lifecycle (buildIvfPqIndex shares one sample
-    * between this and the centroid fit). */
-  private def trainPqCodebooksOn(trainDf: DataFrame, nTrain: Long, dim: Int,
-                                 m: Int, codebookSize: Int): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+  /** Per-subspace PQ codebook training on the collected byte-budgeted
+    * sample: m seeded [[localLloydPar]] fits over the subspace slices,
+    * concurrent across a bounded pool (each fit is
+    * iters·ks·|sample|·subLen flops — in-memory work, no Spark jobs at
+    * all; the distributed MLlib fits this replaces spent their time in
+    * ~25 scheduler-bound jobs per fit). Deterministic: seeded init,
+    * fixed-chunk FP merge order. */
+  private def trainPqCodebooksLocal(x: Array[Array[Double]], dim: Int,
+                                    m: Int,
+                                    codebookSize: Int): Array[Array[Array[Double]]] = {
     require(dim >= m, s"dim $dim < numSubspaces $m")
     require(codebookSize >= 1 && codebookSize <= 256,
       s"codebookSize must be in [1, 256] (codes are byte-encoded), got $codebookSize")
     val starts = pqStarts(dim, m)
-    val ks = math.min(codebookSize.toLong, nTrain).toInt
+    val ks = math.min(codebookSize, x.length)
     require(ks >= 1, "empty corpus")
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -2299,21 +2394,16 @@ object SimilaritySearch {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try Await.result(Future.sequence((0 until m).toSeq.map { j => Future {
       val len = starts(j + 1) - starts(j)
-      // slice() is 1-based
-      val tr = trainDf.select(array_to_vector(
-        slice(col("v"), starts(j) + 1, len)).as("features"))
-      val centers = new KMeans().setK(ks).setSeed(42L + j).setMaxIter(10)
-        .setInitMode("random")
-        .fit(tr).clusterCenters.map(_.toArray)
-      // MLlib drops clusters that empty out during Lloyd iterations, so
-      // a concentrated training distribution (residuals around 0 — the
-      // byResidual path measurably hits this) can return FEWER than k
-      // centers. The persisted frame and the flat ADC LUTs require a
-      // dense uniform 0..ks-1 layout, so pad with duplicates of center
-      // 0 — value-neutral by construction: encodeOne's strict-< argmin
-      // keeps the LOWEST index on ties (the SQL replica's (dist, w)
-      // order does the same), so a duplicate at a higher codeword is
-      // never emitted in any code and its LUT slots are never read.
+      val sub = x.map(v =>
+        java.util.Arrays.copyOfRange(v, starts(j), starts(j) + len))
+      val centers = localLloydPar(sub, ks, iters = 10, seed = 42L + j)
+      // localLloydPar caps centers at the sample size; the persisted
+      // frame and the flat ADC LUTs require a dense uniform 0..ks-1
+      // layout, so pad with duplicates of center 0 — value-neutral by
+      // construction: encodeOne's strict-< argmin keeps the LOWEST index
+      // on ties (the SQL replica's (dist, w) order does the same), so a
+      // duplicate at a higher codeword is never emitted in any code and
+      // its LUT slots are never read.
       if (centers.length >= ks) centers
       else centers ++ Array.fill(ks - centers.length)(centers(0).clone())
     }}), Duration.Inf).toArray
