@@ -3618,9 +3618,18 @@ object SparkEntry {
     //      power iterations with dangling-mass handling — the oracle
     //      unrolls the identical recurrence in SQL ----
     "q_pagerank" -> ((s, dir) => {
+      // explicit numbered repartition on the join key: the wedge
+      // self-join's input is ~6 MB but its explosion + partial count is
+      // CPU-dense, and AQE's byte-based coalescing squeezed it to 5
+      // partitions (measured: 8.1 s of CPU on 5 tasks = the gate's
+      // single hottest stage). A user-numbered repartition is exempt
+      // from AQE coalescing and both self-join sides reuse the one
+      // exchange; count is scale-adaptive (session shuffle partitions),
+      // not a local[32] constant.
       val ps = t(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
+        .repartition(s.sessionState.conf.numShufflePartitions, col("pk"))
       // build the undirected half (a < b, halves the wedge join) and
       // mirror after the aggregate — the graph is symmetric by definition
       val eu = ps.as("a").join(ps.as("b"),
@@ -3640,9 +3649,11 @@ object SparkEntry {
     //      >=140-shared-parts co-supply graph; oracle = naive triple
     //      join over the same edges ----
     "q_triangles" -> ((s, dir) => {
+      // numbered repartition: exempt from AQE coalescing — see q_pagerank
       val ps = t(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
+        .repartition(s.sessionState.conf.numShufflePartitions, col("pk"))
       val e = ps.as("a").join(ps.as("b"),
           col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
         .groupBy(col("a.sk").as("lo"), col("b.sk").as("hi"))
@@ -3671,9 +3682,11 @@ object SparkEntry {
     // ---- personalized PageRank: teleport to nation-0 suppliers over
     //      the co-supply graph — relevance FROM the seed set's view ----
     "q_pagerank_personalized" -> ((s, dir) => {
+      // numbered repartition: exempt from AQE coalescing — see q_pagerank
       val ps = t(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
+        .repartition(s.sessionState.conf.numShufflePartitions, col("pk"))
       val eu = ps.as("a").join(ps.as("b"),
           col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
         .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))

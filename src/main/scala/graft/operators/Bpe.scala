@@ -92,9 +92,104 @@ object Bpe {
     val merges: Seq[(Int, String, String, Long)] =
       if (initPairs.length > maxDriverPairs)
         trainDistributed(words, numMerges, minCount)
-      else
-        trainDriverCounts(words, initPairs, numMerges, minCount)
+      else {
+        // Third tier (r17): when the WORD table fits on the driver too
+        // (it is vocab-sized — distinct words, not the corpus), run the
+        // whole merge loop in memory: the per-round net-delta recurrence
+        // is exact integer arithmetic with a deterministic UTF-8
+        // tie-break, so the merge list is IDENTICAL to the distributed
+        // loop's — but a T-merge training stops paying T rounds of
+        // (Catalyst re-plan + job dispatch) for a per-round job whose
+        // actual work is microseconds (measured: 256 rounds = ~40 ms
+        // plan + ~15 ms job each, ~85% of q_bpe_merges_256's wall).
+        val wordsLocal = words.limit(maxDriverWords + 1).collect()
+        if (wordsLocal.length <= maxDriverWords) {
+          words.unpersist()
+          trainDriverLocal(wordsLocal, initPairs, numMerges, minCount)
+        } else
+          trainDriverCounts(words, initPairs, numMerges, minCount)
+      }
     merges.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Word-table cap for the fully driver-local tier: ≤ 2^21 distinct
+    * words (the symbol arrays of 2M typical words are the same memory
+    * class as the ≤ 2^22-entry pair table already held). Above it the
+    * driver-counts tier keeps the word table distributed. */
+  private val maxDriverWords: Int = 1 << 21
+
+  /** Fully in-memory merge loop — the SAME recurrence as
+    * [[trainDriverCounts]] (driver pair table + lazy-deletion max-heap;
+    * per-round net deltas from only the words containing the merged
+    * pair; UTF-8 tie-break), with the word table a driver array instead
+    * of a Dataset. Values are identical by construction: every count is
+    * an exact integer sum over the same per-word delta maps, and the
+    * argmax ordering is the same comparator. */
+  private def trainDriverLocal(wordsArr: Array[(Array[String], Long)],
+                               initPairs: Array[org.apache.spark.sql.Row],
+                               numMerges: Int, minCount: Long): Seq[(Int, String, String, Long)] = {
+    val words = wordsArr.clone()
+    var highWater = 0L
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    initPairs.foreach(row =>
+      pc.update((row.getString(0), row.getString(1)), row.getLong(2)))
+    val heap = new java.util.PriorityQueue[(String, String, Long)](
+      math.max(16, pc.size), heapOrdering)
+    pc.foreach { case ((l, r), c) => heap.add((l, r, c)) }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      var top: (String, String, Long) = null
+      while (top == null && !heap.isEmpty) {
+        val h = heap.poll()
+        if (pc.get((h._1, h._2)).contains(h._3)) top = h
+      }
+      if (top == null || top._3 < minCount) done = true
+      else {
+        val (l, r, c) = top
+        merges += ((rank, l, r, c))
+        // net deltas over affected words — the in-memory twin of
+        // [[mergeDeltas]]: per-word (merged − old) adjacent-pair counts,
+        // summed across words, zero-net entries dropped
+        val deltas = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        var wi = 0
+        while (wi < words.length) {
+          val (syms, cnt) = words(wi)
+          if (containsPair(syms, l, r)) {
+            val merged = applyMerge(syms, l, r)
+            var i = 0
+            while (i < merged.length - 1) {
+              val k = (merged(i), merged(i + 1))
+              deltas.update(k, deltas.getOrElse(k, 0L) + cnt); i += 1
+            }
+            i = 0
+            while (i < syms.length - 1) {
+              val k = (syms(i), syms(i + 1))
+              deltas.update(k, deltas.getOrElse(k, 0L) - cnt); i += 1
+            }
+            words(wi) = (merged, cnt) // afterMerge, in place
+          }
+          wi += 1
+        }
+        deltas.foreach { case (k, d) =>
+          if (d != 0L) {
+            val next = pc.getOrElse(k, 0L) + d
+            if (next <= 0L) pc.remove(k)
+            else { pc.update(k, next); heap.add((k._1, k._2, next)) }
+          }
+        }
+        highWater = math.max(highWater, pc.size.toLong)
+        if (heap.size > math.max(1 << 16, 4 * pc.size)) {
+          heap.clear()
+          pc.foreach { case ((a, b), n) => heap.add((a, b, n)) }
+        }
+        rank += 1
+      }
+    }
+    lastPairHighWater = math.max(highWater, initPairs.length.toLong)
+    merges.toSeq
   }
 
   /** Adjacent-pair counts of a symbolized word table (map-side partial agg
