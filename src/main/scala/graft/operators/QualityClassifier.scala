@@ -44,9 +44,17 @@ object QualityClassifier {
   /** (doc, bucket, count) hashed unigram+bigram features of `textCol`. */
   private def featurize(df: DataFrame, idCol: String, textCol: String,
                         numFeatures: Int): DataFrame = {
-    val uni = df.select(col(idCol).as("__id"),
+    // The shingle+hash kernel is CPU-dense while a sub-MB parquet scan is
+    // ONE split under byte-based sizing, so un-spread the whole featurize
+    // map side ran single-task (measured: the hottest stages of the
+    // L-BFGS gate at 2-5 tasks). Guarded by actual scan parallelism — a
+    // corpus-scale input never pays the exchange. L-BFGS-tier only
+    // (rows-only gate): the NB tier has its own value-exact path.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val in = if (df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
+    val uni = in.select(col(idCol).as("__id"),
       expressions.shingle_rows(col(textCol), 1))
-    val bi = df.select(col(idCol).as("__id"),
+    val bi = in.select(col(idCol).as("__id"),
       expressions.shingle_rows(col(textCol), 2))
     uni.union(bi)
       .select(col("__id"),
