@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Trained language identification — closed-form multinomial Naive Bayes
@@ -125,40 +124,76 @@ object LangIdNb {
       transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
       .otherwise(array().cast("array<string>"))
 
-  /** Closed-form NB training over any labeled frame (`langCol`,
-    * `textCol`): two distributed count aggregates + fixed ln arithmetic.
-    * No iteration, no collect — the model stays a pair of DataFrames
-    * (vocabulary-bounded and |langs|-bounded). */
   /** Unlock parallelism for the CPU-dense trigram kernels when the input
     * scan is a handful of small files: byte-based split sizing gives a
     * sub-MB parquet ONE partition, and the whole explode+score pass then
     * runs single-task (measured 2.0 s serial of q_lang_id_nb's 3.7 s).
-    * Guarded by the actual scan parallelism, so a corpus-scale input
-    * (thousands of splits) never pays the extra exchange. */
+    * Guarded three ways so the probe itself never costs anything:
+    * (1) only scan-shaped plans (leaf/project/filter/union) are probed —
+    * materializing `.rdd` under AQE on a plan WITH exchanges executes the
+    * upstream query stages, so the probe would run the query once before
+    * the real pass (r17 ADVICE), and shuffle-shaped inputs already arrive
+    * at shuffle-partition width; (2) a size floor — a sub-128 KB input
+    * (e.g. the 60-sentence training fixture) finishes serially faster
+    * than the repartition round-trip it would buy (measured: the fixture
+    * spread was two 32-task 0.5 s jobs per train); (3) the actual scan
+    * parallelism, so a corpus-scale input (thousands of splits) never
+    * pays the extra exchange. */
   private def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
+    def scanShaped(pl: LogicalPlan): Boolean = pl match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: SubqueryAlias =>
+        scanShaped(pl.children.head)
+      case u: Union => u.children.forall(scanShaped)
+      case _ => false
+    }
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= 131072 && scanShaped(df.queryExecution.logical) &&
+        df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
   }
 
+  /** Closed-form NB training over any labeled frame (`langCol`,
+    * `textCol`): ONE distributed count aggregate over the exploded
+    * trigrams plus one |langs|-row count over the labeled frame — the
+    * per-language totals and the vocabulary size are derived from the
+    * (lang, g, c) table instead of re-aggregating the corpus (identical
+    * integers: nl = Σ_g c, v = |distinct g|). Both model frames come back
+    * MATERIALIZED as local relations: they are vocabulary-/|langs|-bounded
+    * and every predict() broadcasts them anyway, so leaving them lazy made
+    * each downstream broadcast re-execute the whole training subtree
+    * (measured: ~6 re-train jobs per micro-batch in the streaming
+    * curation gate). The ln arithmetic stays in Catalyst expressions,
+    * value-identical to the previous distributed form. */
   def train(labeled: DataFrame, langCol: String, textCol: String,
             alpha: Double = 1.0): Model = {
     require(alpha > 0, s"alpha $alpha")
+    val spark = labeled.sparkSession
+    import spark.implicits._
     val grams = spread(labeled
       .select(col(langCol).as("lang"), normText(col(textCol)).as("t")))
       .select(col("lang"), explode(trigramsOf(col("t"))).as("g"))
+    // the one corpus-sized job: exact (lang, trigram) counts
     val cnt = grams.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
-    val tot = grams.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
-    val voc = grams.agg(countDistinct(col("g")).as("v"))
-    val nsent = labeled.groupBy(col(langCol).as("lang"))
-      .agg(count(lit(1)).as("ns"))
+      .as[(String, String, Long)].collect()
+    val nsentL = labeled.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("ns")).as[(String, Long)].collect()
+    val cntDf = cnt.toSeq.toDF("lang", "g", "c")
+    val nsent = nsentL.toSeq.toDF("lang", "ns")
+    val tot = cntDf.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
+    val voc = cntDf.agg(countDistinct(col("g")).as("v"))
     val nTotal = nsent.agg(sum(col("ns")).as("nst"))
     val langs = tot.join(nsent, "lang").crossJoin(voc).crossJoin(nTotal)
       .select(col("lang"),
         log(col("ns") * lit(1.0) / col("nst")).as("prior"),
         (log(lit(alpha)) - log(col("nl") + lit(alpha) * col("v"))).as("dflt"))
-    val weights = cnt.select(col("lang"), col("g"),
+    val weights = cntDf.select(col("lang"), col("g"),
       (log(col("c") + lit(alpha)) - log(lit(alpha))).as("wd"))
-    Model(weights, langs)
+    Model(weights.as[(String, String, Double)].collect().toSeq
+        .toDF("lang", "g", "wd"),
+      langs.as[(String, Double, Double)].collect().toSeq
+        .toDF("lang", "prior", "dflt"))
   }
 
   /** Score + argmax every document: (idCol, lang_nb, nb_score). One
@@ -172,20 +207,33 @@ object LangIdNb {
       normText(col(textCol)).as("t")))
     val stats = base.select(col("__id"),
       greatest(length(col("t")) - 2, lit(0)).cast("long").as("n"))
-    val matched = base
+    // The language list (with its prior/dflt scalars) is bounded and —
+    // since train() materializes the model — already driver-local, so the
+    // per-language matched-weight sums become COLUMNS of one fixed-width
+    // conditional-sum aggregate (hash-codegen) and the argmax a single
+    // least() over per-language (−score, lang) structs: no per-(doc, lang)
+    // row set, no |langs|-way cross join, no window sort. Values are the
+    // identical expressions; only the summation grouping changes, which
+    // the documented 1e-4 rounding absorbs.
+    val langRows = model.langs.select(col("lang"), col("prior"), col("dflt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(langRows.nonEmpty, "model has no languages")
+    val grams = base
       .select(col("__id"), explode(trigramsOf(col("t"))).as("g"))
       .join(broadcast(model.weights), "g")
-      .groupBy(col("__id"), col("lang")).agg(sum(col("wd")).as("ms"))
-    val scored = stats.crossJoin(broadcast(model.langs))
-      .join(matched, Seq("__id", "lang"), "left")
-      .select(col("__id"), col("lang"),
-        (col("prior") + col("n") * col("dflt")
-          + coalesce(col("ms"), lit(0.0))).as("score"))
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("score").desc, col("lang"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("__id").as(idCol), col("lang").as("lang_nb"),
-        round(col("score"), 4).as("nb_score"))
+    val msCols = langRows.map { case (l, _, _) =>
+      sum(when(col("lang") === lit(l), col("wd"))).as(s"__ms_$l") }
+    val matched = grams.groupBy(col("__id")).agg(msCols.head, msCols.tail: _*)
+    val winner = least(langRows.map { case (l, prior, dflt) =>
+      struct((-(lit(prior) + col("n") * lit(dflt)
+          + coalesce(col(s"__ms_$l"), lit(0.0)))).as("negs"),
+        lit(l).as("lang"))
+    }: _*)
+    stats.join(matched, Seq("__id"), "left")
+      .select(col("__id"), winner.as("w"))
+      .select(col("__id").as(idCol), col("w.lang").as("lang_nb"),
+        round(-col("w.negs"), 4).as("nb_score"))
   }
 
   /** The gate's convenience shape: train on [[fixture]], predict over
