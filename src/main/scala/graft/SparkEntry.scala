@@ -3628,14 +3628,21 @@ object SparkEntry {
       // not a local[32] constant.
       val ps = t(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-        .distinct()
         .repartition(s.sessionState.conf.numShufflePartitions, col("pk"))
+        .distinct() // hash(pk) co-locates every (pk, sk): ONE exchange
       // build the undirected half (a < b, halves the wedge join) and
-      // mirror after the aggregate — the graph is symmetric by definition
+      // mirror after the aggregate — the graph is symmetric by definition.
+      // The half-edge aggregate is CUT (eager localCheckpoint, identity on
+      // data) before the mirror union: both union branches otherwise run
+      // the 500k-key final aggregation over the full wedge shuffle ONCE
+      // EACH (ReusedExchange shares only the map output — measured 2×77 MB
+      // shuffle read and a second ~6 s agg pass). Released by the bench's
+      // between-query RDD sweep.
       val eu = ps.as("a").join(ps.as("b"),
           col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
         .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
         .agg(count(lit(1)).cast("double").as("w"))
+        .localCheckpoint(true)
       val e = eu.unionAll(eu.select(col("dst").as("src"),
         col("src").as("dst"), col("w")))
       graft.operators.PageRank.run(e, "src", "dst", Some("w"), iters = 6,
@@ -3652,13 +3659,19 @@ object SparkEntry {
       // numbered repartition: exempt from AQE coalescing — see q_pagerank
       val ps = t(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-        .distinct()
         .repartition(s.sessionState.conf.numShufflePartitions, col("pk"))
+        .distinct() // hash(pk) co-locates every (pk, sk): ONE exchange
+      // CUT the filtered edge table (eager localCheckpoint, identity on
+      // data): triangleList references its edge input four times (degree
+      // count, the two orientation joins, the closing join) — uncut, each
+      // reference re-runs the wedge join's final aggregation (the map-side
+      // shuffle is reused, the 500k-key agg is not)
       val e = ps.as("a").join(ps.as("b"),
           col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
         .groupBy(col("a.sk").as("lo"), col("b.sk").as("hi"))
         .agg(count(lit(1)).as("c")).where(col("c") >= 140)
         .select(col("lo"), col("hi"))
+        .localCheckpoint(true)
       graft.operators.Triangles.perNode(e, "lo", "hi")
         .select(col("node").as("supplier"), col("triangles"))
         .orderBy(col("supplier"))
@@ -3685,12 +3698,14 @@ object SparkEntry {
       // numbered repartition: exempt from AQE coalescing — see q_pagerank
       val ps = t(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-        .distinct()
         .repartition(s.sessionState.conf.numShufflePartitions, col("pk"))
+        .distinct() // hash(pk) co-locates every (pk, sk): ONE exchange
+      // eu cut before the mirror union — see q_pagerank
       val eu = ps.as("a").join(ps.as("b"),
           col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
         .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
         .agg(count(lit(1)).cast("double").as("w"))
+        .localCheckpoint(true)
       val e = eu.unionAll(eu.select(col("dst").as("src"),
         col("src").as("dst"), col("w")))
       // seed nation = the smallest nationkey PRESENT among suppliers (at

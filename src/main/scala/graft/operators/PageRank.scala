@@ -127,9 +127,25 @@ object PageRank {
     // partitioning for every iteration's rank join to reuse. Filled
     // cache-to-cache, then the raw edge cache is released — only ONE
     // |E|-sized table stays resident through the iterations.
+    //
+    // ITERATION WIDTH is derived from the MEASURED edge count, not the
+    // session shuffle width: every iteration schedules 2-3 stages over
+    // this table's partitions, so a small graph at full conf width pays
+    // iters × parts × per-task dispatch for near-empty tasks (r17: the
+    // 32-wide iterations anti-scaled 8→32 cores on the bench box, c8
+    // 4.4 s vs c32 14.2 s). ~256k edge rows per task (a few MB) keeps
+    // tasks meaningfully sized; a corpus-scale graph clamps to the
+    // session width, where the one narrowing repartition below is
+    // SKIPPED — no extra |E| exchange is ever paid at scale. The count
+    // reads the just-filled cache.
+    val mRows = e0.count()
+    val itParts = math.max(1L, math.min(parts.toLong, mRows / 262144L + 1L)).toInt
     val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val normEdges = e0.join(outW, "src")
+    val normBase = e0.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
+    val normEdges = (if (itParts < parts)
+        normBase.repartition(itParts, col("src"))
+      else normBase)
       .persist(StorageLevel.MEMORY_AND_DISK)
     normEdges.count()
     e0.unpersist(false)
@@ -172,9 +188,16 @@ object PageRank {
     while (i < iters) {
       // shuffle_hash hint on the |V|-sized rank side: a sort-merge join
       // would re-SORT the cached |E| table every iteration; SHJ streams it
-      // in cache order and builds the (small) rank hash table per partition
+      // in cache order and builds the (small) rank hash table per
+      // partition. The rank side is explicitly repartitioned to the edge
+      // cache's itParts width — without it the planner aligns the join at
+      // the rank side's conf-width partitioning and re-exchanges the
+      // |E|-sized cache EVERY iteration (measured: 8.5 MB shuffled per
+      // round); this way the |V|-sized side pays the (tiny) exchange it
+      // paid anyway and the edge side stays exchange-free.
       val contrib = normEdges
-        .join(ranks.hint("shuffle_hash").withColumnRenamed("node", "src"),
+        .join(ranks.withColumnRenamed("node", "src")
+          .repartition(itParts, col("src")).hint("shuffle_hash"),
           "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("share")).as("c"))
