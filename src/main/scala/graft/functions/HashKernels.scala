@@ -298,6 +298,45 @@ object HashKernels {
     out
   }
 
+  /** All word n-grams for every n in [minN, maxN], ONE tokenization pass —
+    * per n, the emitted strings (and their order) are exactly
+    * [[ngrams]](s, n); grams are concatenated in ascending-n blocks. The
+    * single-pass form exists because a multi-width featurizer (unigram +
+    * bigram hashing) otherwise tokenizes the corpus once per width. */
+  def ngramRange(s: UTF8String, minN: Int, maxN: Int): Array[UTF8String] = {
+    require(minN >= 1 && maxN >= minN, s"bad n-gram range [$minN, $maxN]")
+    val text = s.toLowerCase.toString
+    val tokens = new java.util.ArrayList[String](64)
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) tokens.add(text.substring(start, i))
+    }
+    val nTok = tokens.size()
+    var total = 0
+    var n = minN
+    while (n <= maxN) { total += math.max(0, nTok - n + 1); n = n + 1 }
+    val out = new Array[UTF8String](total)
+    var o = 0
+    n = minN
+    while (n <= maxN) {
+      val count = math.max(0, nTok - n + 1)
+      var t = 0
+      while (t < count) {
+        val sb = new java.lang.StringBuilder(tokens.get(t))
+        var d = 1
+        while (d < n) { sb.append(' ').append(tokens.get(t + d)); d += 1 }
+        out(o) = UTF8String.fromString(sb.toString)
+        o += 1; t += 1
+      }
+      n += 1
+    }
+    out
+  }
+
   /** Distinct character n-grams (codepoint windows, first-occurrence
     * order) of the lowercased, whitespace-normalized text: all whitespace
     * runs — leading, trailing, internal — collapse to at most one ' ';

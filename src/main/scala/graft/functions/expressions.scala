@@ -341,6 +341,41 @@ case class ShingleGenerator(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Multi-width shingle UDTF: one row per word n-gram for EVERY n in
+  * [minN, maxN], in ascending-n blocks — per n, the same strings in the
+  * same order as [[ShingleGenerator]], from ONE tokenization pass. Rows:
+  * (shingle STRING). A unigram+bigram featurizer over this generator
+  * scans and tokenizes the corpus once instead of once per width. */
+case class ShingleRangeGenerator(child: Expression, minN: Int, maxN: Int)
+  extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.Generator
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("shingle", StringType, nullable = false)))
+
+  override def checkInputDataTypes() = {
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingles expects STRING, got ${child.dataType.catalogString}")
+    else if (minN < 1 || maxN < minN)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bad shingle range [$minN, $maxN]")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Nil
+    HashKernels.ngramRange(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], minN, maxN)
+      .iterator.map(g => org.apache.spark.sql.catalyst.InternalRow(g))
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleRangeGenerator =
+    copy(child = c)
+}
+
 object expressions {
   /** Column wrappers (Spark 4: Column ↔ Expression via classic ExpressionUtils). */
   def fingerprint64(c: Column): Column =
@@ -381,4 +416,8 @@ object expressions {
     * multiplicity). */
   def shingle_rows(c: Column, n: Int): Column =
     ColumnBridge.column(ShingleGenerator(ColumnBridge.expression(c), n))
+  /** Generator column: one shingle row per word n-gram for every n in
+    * [minN, maxN] — one tokenization pass (see [[ShingleRangeGenerator]]). */
+  def shingle_range_rows(c: Column, minN: Int, maxN: Int): Column =
+    ColumnBridge.column(ShingleRangeGenerator(ColumnBridge.expression(c), minN, maxN))
 }

@@ -139,20 +139,7 @@ object LangIdNb {
     * spread was two 32-task 0.5 s jobs per train); (3) the actual scan
     * parallelism, so a corpus-scale input (thousands of splits) never
     * pays the extra exchange. */
-  private def spread(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    def scanShaped(pl: LogicalPlan): Boolean = pl match {
-      case _: LeafNode => true
-      case _: Project | _: Filter | _: SubqueryAlias =>
-        scanShaped(pl.children.head)
-      case u: Union => u.children.forall(scanShaped)
-      case _ => false
-    }
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes >= 131072 && scanShaped(df.queryExecution.logical) &&
-        df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
-  }
+  private def spread(df: DataFrame): DataFrame = PlanStats.spreadForKernel(df)
 
   /** Closed-form NB training over any labeled frame (`langCol`,
     * `textCol`): ONE distributed count aggregate over the exploded

@@ -47,16 +47,15 @@ object QualityClassifier {
     // The shingle+hash kernel is CPU-dense while a sub-MB parquet scan is
     // ONE split under byte-based sizing, so un-spread the whole featurize
     // map side ran single-task (measured: the hottest stages of the
-    // L-BFGS gate at 2-5 tasks). Guarded by actual scan parallelism — a
-    // corpus-scale input never pays the exchange. L-BFGS-tier only
-    // (rows-only gate): the NB tier has its own value-exact path.
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val in = if (df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
-    val uni = in.select(col(idCol).as("__id"),
-      expressions.shingle_rows(col(textCol), 1))
-    val bi = in.select(col(idCol).as("__id"),
-      expressions.shingle_rows(col(textCol), 2))
-    uni.union(bi)
+    // L-BFGS gate at 2-5 tasks). Guarded probe — see
+    // PlanStats.spreadForKernel. L-BFGS-tier only (rows-only gate): the
+    // NB tier has its own value-exact path. Both widths come from ONE
+    // shingle_range_rows pass (same strings per width as shingle_rows, so
+    // the hashed indices are identical) — the two-select union form
+    // scanned and tokenized the corpus once per width.
+    val in = PlanStats.spreadForKernel(df)
+    in.select(col(idCol).as("__id"),
+        expressions.shingle_range_rows(col(textCol), 1, 2))
       .select(col("__id"),
         pmod(xxhash64(col("shingle")), lit(numFeatures.toLong)).as("idx"))
       .groupBy(col("__id"), col("idx")).agg(count(lit(1)).as("cnt"))
@@ -83,10 +82,11 @@ object QualityClassifier {
     })
     // every L-BFGS iteration is a treeAggregate job over this frame, so
     // per-iteration fixed cost = task count × dispatch overhead; compact
-    // the (bounded) training frame to a fraction of the cluster width —
-    // the aggregate is a reduction, width beyond a few partitions per
-    // core buys nothing at sample scale
-    val trainParts = math.max(4, spark.sparkContext.defaultParallelism / 4)
+    // the (bounded) training frame to a small fraction of the cluster
+    // width — the aggregate is a reduction, width beyond a few partitions
+    // buys nothing at sample scale (measured: iteration jobs are ~90%
+    // dispatch at 8 partitions already)
+    val trainParts = math.max(2, spark.sparkContext.defaultParallelism / 8)
     val assembled = feats.groupBy(col("__id"), col("label"), col("__hold"))
       .agg(collect_list(col("idx")).as("is"), collect_list(col("cnt")).as("cs"))
       .select(col("__id"), col("label"), col("__hold"),
