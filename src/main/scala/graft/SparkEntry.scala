@@ -110,7 +110,14 @@ object SparkEntry {
     gcFrozen(s"$frozenRoot/$gate/$part")
     val dir = s"$frozenRoot/$gate/$part/n=$n/h=$tok"
     df.coalesce(1).write.mode("overwrite").parquet(dir)
-    df.sparkSession.read.parquet(dir)
+    // serve from the INPUT frame, not a read-back of the file just
+    // written: every freeze input is either a driver-local trained frame
+    // or a parquet-backed load of the index root, so the values are the
+    // frozen bytes either way (doubles round-trip parquet losslessly) and
+    // the read-back only added a listing + schema-inference round trip per
+    // frozen frame (~3 per lifecycle gate). The write still happens first
+    // — the oracle replays from the frozen file.
+    df
   }
 
   /** Delete frozen partitions older than a day (leaf h=<tok> dirs by

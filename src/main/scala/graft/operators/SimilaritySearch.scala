@@ -37,6 +37,31 @@ import Dedup.{dot, l2norm}
   * appended to — FAISS semantics, the quantizer is frozen at build. */
 /** Root hygiene shared by the index families' `save` methods. */
 private[operators] object IndexRoot {
+  /** Shared bounded pool for overlapping INDEPENDENT index-I/O legs
+    * (guide §2.6: Spark schedules jobs from several threads fine). A
+    * persisted index is several small sidecar frames; saving/loading
+    * them sequentially pays one listing+commit (or listing+schema-
+    * inference) round trip of driver latency per leg — the legs carry no
+    * data dependency, so they overlap to the slowest leg. Daemon threads;
+    * session-lifetime. */
+  lazy val ioEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(6,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-index-io")
+          t.setDaemon(true)
+          t
+        }))
+
+  /** Run independent effectful legs concurrently; rethrows the first
+    * failure after all complete or fail. */
+  def inParallel(legs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = ioEc
+    Await.result(
+      Future.sequence(legs.toSeq.map(l => Future(l()))), Duration.Inf): Unit
+  }
   /** Remove the named subdirs of `dir` if present. Used to sweep stale
     * per-batch partitions (`codes/`, `bands/`, `vectors/`) and the
     * `deletes/` tombstone dir before a fresh save claims the root. */
@@ -90,9 +115,13 @@ final case class PqIndex(codebooks: DataFrame, codes: DataFrame,
     // not defaultParallelism near-empty ones — a 32-file write of a
     // 2048-row table costs a 32-task job at save AND a 32-task scan on
     // every load (guide §6 small-files rule; codes keep their natural
-    // corpus partitioning)
-    codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    IndexRoot.writeRotation(spark, dir, rotation)
+    // corpus partitioning). The two independent sidecar legs overlap
+    // (IndexRoot.inParallel); codes still write LAST, preserving the
+    // crash-ordering contract.
+    IndexRoot.inParallel(
+      () => codebooks.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/codebooks"),
+      () => IndexRoot.writeRotation(spark, dir, rotation))
     IndexRoot.clearStale(spark, dir, "codes", "deletes")
     codes.write.mode("overwrite").parquet(s"$dir/codes/batch=0")
   }
@@ -117,17 +146,26 @@ object PqIndex {
     * before [[append]]ing — mixing flat files and batch=N dirs under one
     * root fails Spark's partition discovery loudly, by design. */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
-    val codes = spark.read.parquet(s"$dir/codes").drop("batch")
-    val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes")
-    val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val masked =
+    // the three sidecar reads are independent listing+schema-inference
+    // round trips — overlap them (IndexRoot.ioEc)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = IndexRoot.ioEc
+    val fMasked = Future {
+      val codes = spark.read.parquet(s"$dir/codes").drop("batch")
+      val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+      val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(delPath)) {
         val del = spark.read.parquet(s"$dir/deletes").drop("batch")
           .select(col("id")).distinct()
         codes.join(del, Seq("id"), "left_anti")
       } else codes
-    PqIndex(spark.read.parquet(s"$dir/codebooks"), masked,
-      rotation = IndexRoot.readRotation(spark, dir))
+    }
+    val fCb = Future(spark.read.parquet(s"$dir/codebooks"))
+    val fRot = Future(IndexRoot.readRotation(spark, dir))
+    PqIndex(Await.result(fCb, Duration.Inf),
+      Await.result(fMasked, Duration.Inf),
+      rotation = Await.result(fRot, Duration.Inf))
   }
 
   /** Incremental ingest: encode ONLY `batch`'s vectors against the
@@ -299,8 +337,10 @@ final case class LshIndex(bands: DataFrame, vectors: DataFrame) {
   def save(dir: String): Unit = {
     IndexRoot.clearStale(bands.sparkSession, dir,
       "bands", "vectors", "deletes")
-    bands.write.mode("overwrite").parquet(s"$dir/bands/batch=0")
-    vectors.write.mode("overwrite").parquet(s"$dir/vectors/batch=0")
+    // independent halves — overlap the two write legs
+    IndexRoot.inParallel(
+      () => bands.write.mode("overwrite").parquet(s"$dir/bands/batch=0"),
+      () => vectors.write.mode("overwrite").parquet(s"$dir/vectors/batch=0"))
   }
 
   /** BANDS-ONLY persistence — the storage-economics option for
@@ -336,16 +376,27 @@ object LshIndex {
     * ingest-order-blind: a deleted id stays masked even if re-appended
     * later (see [[delete]] for the purge-then-reingest un-delete path). */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): LshIndex = {
-    val bands = spark.read.parquet(s"$dir/bands").drop("batch")
-    val vectors = spark.read.parquet(s"$dir/vectors").drop("batch")
-    val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes")
-    val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(delPath)) {
-      val del = spark.read.parquet(s"$dir/deletes").drop("batch")
-        .select(col("id")).distinct()
-      LshIndex(bands.join(del, Seq("id"), "left_anti"),
+    // independent listing+schema-inference legs — overlap (IndexRoot.ioEc)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = IndexRoot.ioEc
+    val fBands = Future(spark.read.parquet(s"$dir/bands").drop("batch"))
+    val fVectors = Future(spark.read.parquet(s"$dir/vectors").drop("batch"))
+    val fDel = Future {
+      val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+      val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(delPath))
+        Some(spark.read.parquet(s"$dir/deletes").drop("batch")
+          .select(col("id")).distinct())
+      else None
+    }
+    val bands = Await.result(fBands, Duration.Inf)
+    val vectors = Await.result(fVectors, Duration.Inf)
+    Await.result(fDel, Duration.Inf) match {
+      case Some(del) => LshIndex(bands.join(del, Seq("id"), "left_anti"),
         vectors.join(del, Seq("id"), "left_anti"))
-    } else LshIndex(bands, vectors)
+      case None => LshIndex(bands, vectors)
+    }
   }
 
   /** Tombstone-delete vector ids from a standing index — the opt-out /
@@ -533,16 +584,23 @@ final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
     val spark = centroids.sparkSession
     import spark.implicits._
     // quantizer frames are bounded small (C ≤ 16384 centroids, m·ks
-    // codebook rows): one file each — see PqIndex.save
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    // the rotation is part of the quantizer state: written before the
-    // codes for the same stale-sidecar reasons as `meta`; an un-rotated
-    // save REMOVES a stale rotation dir so a later append can never
-    // rotate batches against a frame the codes were not encoded with
-    IndexRoot.writeRotation(spark, dir, rotation)
-    Seq(byResidual).toDF("by_residual")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // codebook rows): one file each — see PqIndex.save. The four sidecar
+    // legs are independent (distinct dirs) and overlap
+    // (IndexRoot.inParallel); the crash-ordering contract — every sidecar
+    // including `meta` lands BEFORE the codes — is preserved because the
+    // parallel block is a barrier and codes still write last.
+    IndexRoot.inParallel(
+      () => centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/centroids"),
+      () => codebooks.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/codebooks"),
+      // the rotation is part of the quantizer state: written before the
+      // codes for the same stale-sidecar reasons as `meta`; an un-rotated
+      // save REMOVES a stale rotation dir so a later append can never
+      // rotate batches against a frame the codes were not encoded with
+      () => IndexRoot.writeRotation(spark, dir, rotation),
+      () => Seq(byResidual).toDF("by_residual")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta"))
     // a save claims the whole root: stale codes/batch>0 and deletes/
     // from a previous index at this path would otherwise survive (only
     // batch=0 is overwritten) and a later load would union codes from a
@@ -566,20 +624,30 @@ object IvfPqIndex {
     * stays masked even if re-appended, until a physical purge
     * (`IvfPqIndex.load(spark, dir).save(freshDir)`). */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex = {
-    val codes = spark.read.parquet(s"$dir/codes").drop("batch")
-    val conf = spark.sessionState.newHadoopConf()
-    val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes")
-    val fs = delPath.getFileSystem(conf)
-    val masked =
+    // five independent listing/schema-inference/read legs — overlap them
+    // (IndexRoot.ioEc); sequential, each cost a driver round trip
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = IndexRoot.ioEc
+    val fMasked = Future {
+      val codes = spark.read.parquet(s"$dir/codes").drop("batch")
+      val conf = spark.sessionState.newHadoopConf()
+      val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+      val fs = delPath.getFileSystem(conf)
       if (fs.exists(delPath)) {
         val del = spark.read.parquet(s"$dir/deletes").drop("batch")
           .select(col("id")).distinct()
         codes.join(del, Seq("id"), "left_anti")
       } else codes
-    IvfPqIndex(spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/codebooks"), masked,
-      byResidual = readByResidual(spark, dir),
-      rotation = IndexRoot.readRotation(spark, dir))
+    }
+    val fCent = Future(spark.read.parquet(s"$dir/centroids"))
+    val fCb = Future(spark.read.parquet(s"$dir/codebooks"))
+    val fRes = Future(readByResidual(spark, dir))
+    val fRot = Future(IndexRoot.readRotation(spark, dir))
+    IvfPqIndex(Await.result(fCent, Duration.Inf),
+      Await.result(fCb, Duration.Inf), Await.result(fMasked, Duration.Inf),
+      byResidual = Await.result(fRes, Duration.Inf),
+      rotation = Await.result(fRot, Duration.Inf))
   }
 
   /** The persisted encoding flag. Since r16 every save writes the `meta`
@@ -2190,11 +2258,10 @@ object SimilaritySearch {
                        allowed: Option[DataFrame] = None): DataFrame = {
     val c = prepared(rotatedForIndex(index, corpus, idCol, vecCol), idCol, vecCol)
     val q = prepared(rotatedForIndex(index, queries, idCol, vecCol), idCol, vecCol)
-    val qRows = collectQueries(q)
-    require(qRows.nonEmpty, "searchIvfPqIndex needs a non-empty query set")
     val r = k * rerankFactor
-    val cand = ivfAdcCandidates(index, q, qRows, nProbe, r,
-      rangeCut = None, allowed = allowed)
+    val cand = ivfAdcCandidates(index, q, nProbe, r,
+      rangeCut = None, allowed = allowed,
+      emptyMsg = "searchIvfPqIndex needs a non-empty query set")
     pqRerank(cand, c, q, k, r)
   }
 
@@ -2218,10 +2285,9 @@ object SimilaritySearch {
                             allowed: Option[DataFrame] = None): DataFrame = {
     val c = prepared(rotatedForIndex(index, corpus, idCol, vecCol), idCol, vecCol)
     val q = prepared(rotatedForIndex(index, queries, idCol, vecCol), idCol, vecCol)
-    val qRows = collectQueries(q)
-    require(qRows.nonEmpty, "rangeSearchIvfPqIndex needs a non-empty query set")
-    val cand = ivfAdcCandidates(index, q, qRows, nProbe, r = 0,
-      rangeCut = Some(radius - margin), allowed = allowed)
+    val cand = ivfAdcCandidates(index, q, nProbe, r = 0,
+      rangeCut = Some(radius - margin), allowed = allowed,
+      emptyMsg = "rangeSearchIvfPqIndex needs a non-empty query set")
     val qf = q.select(col("id").cast("long").as("q_id"),
       col("v").as("q_v"), col("nrm").as("q_n"))
     val rescored = cand.select(col("q_id"), col("n_id"))
@@ -2255,21 +2321,40 @@ object SimilaritySearch {
     * kernel. rangeCut = None → per-query top-`r` heaps (the k-NN serve);
     * Some(cut) → every candidate scoring >= cut (the range serve). */
   private def ivfAdcCandidates(index: IvfPqIndex, q: DataFrame,
-                               qRows: Array[(Long, Array[Double], Double)],
                                nProbe: Int, r: Int,
                                rangeCut: Option[Double],
-                               allowed: Option[DataFrame]): DataFrame = {
+                               allowed: Option[DataFrame],
+                               emptyMsg: String): DataFrame = {
     val spark = q.sparkSession
     import spark.implicits._
-    val (cbs, starts) = pqCodebooksFromDf(index.codebooks)
-    val cn = index.centroids
-      .select(col("cent_id"), col("cv").cast("array<double>").as("cv"))
+    // The three bounded driver pulls — query rows, codebooks, centroids —
+    // are independent jobs; overlap them (guide §2.6 / IndexRoot.ioEc).
+    // The centroid table (bounded, C ≤ 16384) is collected ONCE and feeds
+    // the probe broadcast, the auto-nProbe sizing, and the residual ADC's
+    // center array — the previous shape scanned/collected it three times
+    // (broadcast subtree + a count() job + a collect for residuals).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = IndexRoot.ioEc
+    val fQ = Future(collectQueries(q))
+    val fCb = Future(pqCodebooksFromDf(index.codebooks))
+    val fCent = Future(index.centroids
+      .select(col("cent_id").cast("long"), col("cv").cast("array<double>"))
+      .collect().map(rr => (rr.getLong(0), rr.getSeq[Double](1).toArray))
+      .sortBy(_._1))
+    val qRows = Await.result(fQ, Duration.Inf)
+    require(qRows.nonEmpty, emptyMsg)
+    val (cbs, starts) = Await.result(fCb, Duration.Inf)
+    val centRows = Await.result(fCent, Duration.Inf)
+    require(centRows.nonEmpty, "empty centroids frame")
+    val cn = centRows.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cent_id", "cv")
       .withColumn("cnrm", graft.operators.Dedup.l2norm(col("cv")))
     // 0 = auto-nProbe (≤25% scan fraction, floor so C/4 never rounds the
     // fraction above a quarter); the centroid table is m rows
     val effNProbe =
       if (nProbe > 0) nProbe
-      else math.max(1, (index.centroids.count() / 4L).toInt)
+      else math.max(1, centRows.length / 4)
     val w1 = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cent_id"))
     val probes = q.crossJoin(broadcast(cn))
       .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
@@ -2299,11 +2384,7 @@ object SimilaritySearch {
           col("q_id")), "list_id")
         .select(col("q_id"), col("list_id"), col("n_id"), col("code"))
         .as[(Long, Long, Long, Array[Byte])]
-      val centArr = index.centroids
-        .select(col("cent_id").cast("long"), col("cv").cast("array<double>"))
-        .collect().map(rr => (rr.getLong(0), rr.getSeq[Double](1).toArray))
-        .sortBy(_._1)
-      pqCandidatesPairedResidual(pairs, cbs, starts, qRows, r, centArr, rangeCut)
+      pqCandidatesPairedResidual(pairs, cbs, starts, qRows, r, centRows, rangeCut)
     }
   }
 
