@@ -182,16 +182,24 @@ object PqIndex {
   def append(spark: org.apache.spark.sql.SparkSession, dir: String,
              batch: DataFrame, idCol: String, vecCol: String,
              batchId: Long = 1L): Unit = {
+    // the two frozen-state reads (rotation, codebooks) are independent
+    // driver round trips — overlap them (IndexRoot.ioEc)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = IndexRoot.ioEc
+    val fRot = Future(IndexRoot.readRotation(spark, dir))
+    val fCb = Future(SimilaritySearch.pqCodebooksFromDf(
+      spark.read.parquet(s"$dir/codebooks")))
     // a persisted rotation frame rotates the batch automatically before
     // encoding (r17 — [[IvfPqIndex.append]]'s contract, shared): the
     // caller can never land raw-space codes in a rotated index
-    val in = IndexRoot.readRotation(spark, dir) match {
+    val in = Await.result(fRot, Duration.Inf) match {
       case Some(rot) =>
         SimilaritySearch.rotateVectors(batch, rot, idCol, vecCol)
       case None => batch
     }
-    SimilaritySearch.encodePq(spark.read.parquet(s"$dir/codebooks"),
-        in, idCol, vecCol)
+    val (cbs, starts) = Await.result(fCb, Duration.Inf)
+    SimilaritySearch.encodePqPrepared(cbs, starts, in, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$dir/codes/batch=$batchId")
   }
 
@@ -258,12 +266,26 @@ object PqIndex {
                    trigger: org.apache.spark.sql.streaming.Trigger =
                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    IngestGuard.requireFreshBase(vectors.sparkSession,
+    val spark = vectors.sparkSession
+    IngestGuard.requireFreshBase(spark,
       Seq(s"$dir/codes"), checkpoint, baseBatch)
+    // The quantizer state is FROZEN for the life of the stream (the
+    // append contract): resolve it ONCE up front — routing each batch
+    // through append() re-read rotation + codebooks (driver round trips
+    // and a collect job) per micro-batch.
+    val rotLocal = IndexRoot.readRotation(spark, dir)
+      .map(SimilaritySearch.localRotationFrame)
+    val (cbs, starts) = SimilaritySearch.pqCodebooksFromDf(
+      spark.read.parquet(s"$dir/codebooks"))
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        append(batch.sparkSession, dir, batch, idCol, vecCol, baseBatch + id)
+        val in = rotLocal match {
+          case Some(r) => SimilaritySearch.rotateVectors(batch, r, idCol, vecCol)
+          case None => batch
+        }
+        SimilaritySearch.encodePqPrepared(cbs, starts, in, idCol, vecCol)
+          .write.mode("overwrite").parquet(s"$dir/codes/batch=${baseBatch + id}")
       }
       .trigger(trigger)
       .start()
@@ -463,12 +485,13 @@ object LshIndex {
     * the same batchId overwrites only its own partition. */
   def append(dir: String, batch: DataFrame, idCol: String, vecCol: String,
              bitsPerBand: Int = 12, numBands: Int = 224,
-             batchId: Long = 1L): Unit = {
-    SimilaritySearch.lshBands(batch, idCol, vecCol, bitsPerBand, numBands)
-      .write.mode("overwrite").parquet(s"$dir/bands/batch=$batchId")
-    SimilaritySearch.preparedVectors(batch, idCol, vecCol)
-      .write.mode("overwrite").parquet(s"$dir/vectors/batch=$batchId")
-  }
+             batchId: Long = 1L): Unit =
+    // independent halves — overlap the two write legs (IndexRoot.ioEc)
+    IndexRoot.inParallel(
+      () => SimilaritySearch.lshBands(batch, idCol, vecCol, bitsPerBand, numBands)
+        .write.mode("overwrite").parquet(s"$dir/bands/batch=$batchId"),
+      () => SimilaritySearch.preparedVectors(batch, idCol, vecCol)
+        .write.mode("overwrite").parquet(s"$dir/vectors/batch=$batchId"))
 
   /** Collapse every `batch <= upToBatch` partition of both halves into a
     * single partition each — the file-count bound for a long-lived
@@ -690,13 +713,25 @@ object IvfPqIndex {
   def append(spark: org.apache.spark.sql.SparkSession, dir: String,
              batch: DataFrame, idCol: String, vecCol: String,
              batchId: Long = 1L): Unit = {
-    val in = IndexRoot.readRotation(spark, dir) match {
+    // the four frozen-state reads (rotation, meta, centroids, codebooks)
+    // are independent driver round trips — overlap them (IndexRoot.ioEc)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = IndexRoot.ioEc
+    val fRot = Future(IndexRoot.readRotation(spark, dir))
+    val fRes = Future(readByResidual(spark, dir))
+    val fCent = Future(SimilaritySearch.collectCentroidArr(
+      spark.read.parquet(s"$dir/centroids")))
+    val fCb = Future(SimilaritySearch.pqCodebooksFromDf(
+      spark.read.parquet(s"$dir/codebooks")))
+    val in = Await.result(fRot, Duration.Inf) match {
       case Some(rot) => SimilaritySearch.rotateVectors(batch, rot, idCol, vecCol)
       case None => batch
     }
-    SimilaritySearch.encodeIvfPq(spark.read.parquet(s"$dir/centroids"),
-        spark.read.parquet(s"$dir/codebooks"), in, idCol, vecCol,
-        byResidual = readByResidual(spark, dir))
+    val (cbs, starts) = Await.result(fCb, Duration.Inf)
+    SimilaritySearch.encodeIvfPqPrepared(Await.result(fCent, Duration.Inf),
+        cbs, starts, in, idCol, vecCol,
+        byResidual = Await.result(fRes, Duration.Inf))
       .write.mode("overwrite").parquet(s"$dir/codes/batch=$batchId")
   }
 
@@ -854,12 +889,30 @@ object IvfPqIndex {
                    trigger: org.apache.spark.sql.streaming.Trigger =
                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    IngestGuard.requireFreshBase(vectors.sparkSession,
+    val spark = vectors.sparkSession
+    IngestGuard.requireFreshBase(spark,
       Seq(s"$dir/codes"), checkpoint, baseBatch)
+    // The quantizer state is FROZEN for the life of the stream (the
+    // append contract): resolve it ONCE up front — routing each batch
+    // through append() re-read rotation + meta + centroids + codebooks
+    // (four driver round trips and two collect jobs) per micro-batch.
+    val rotLocal = IndexRoot.readRotation(spark, dir)
+      .map(SimilaritySearch.localRotationFrame)
+    val byRes = readByResidual(spark, dir)
+    val (cbs, starts) = SimilaritySearch.pqCodebooksFromDf(
+      spark.read.parquet(s"$dir/codebooks"))
+    val centArr = SimilaritySearch.collectCentroidArr(
+      spark.read.parquet(s"$dir/centroids"))
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        append(batch.sparkSession, dir, batch, idCol, vecCol, baseBatch + id)
+        val in = rotLocal match {
+          case Some(r) => SimilaritySearch.rotateVectors(batch, r, idCol, vecCol)
+          case None => batch
+        }
+        SimilaritySearch.encodeIvfPqPrepared(centArr, cbs, starts, in,
+            idCol, vecCol, byResidual = byRes)
+          .write.mode("overwrite").parquet(s"$dir/codes/batch=${baseBatch + id}")
       }
       .trigger(trigger)
       .start()
@@ -1861,9 +1914,50 @@ object SimilaritySearch {
   def encodePq(codebooks: DataFrame, df: DataFrame, idCol: String,
                vecCol: String): DataFrame = {
     val (cbs, starts) = pqCodebooksFromDf(codebooks)
+    encodePqPrepared(cbs, starts, df, idCol, vecCol)
+  }
+
+  /** [[encodePq]] against ALREADY-COLLECTED codebooks — the streaming
+    * ingest path resolves the frozen quantizer once and encodes every
+    * micro-batch against it (no per-batch codebook scan/collect). */
+  private[operators] def encodePqPrepared(cbs: Array[Array[Array[Double]]],
+                                          starts: Array[Int], df: DataFrame,
+                                          idCol: String,
+                                          vecCol: String): DataFrame = {
     val c = prepared(df, idCol, vecCol)
     val bcCb = df.sparkSession.sparkContext.broadcast(cbs)
     pqEncode(c, bcCb, starts).toDF("id", "code")
+  }
+
+  /** [[encodeIvfPq]] against ALREADY-COLLECTED quantizer state — the
+    * incremental/streaming ingest counterpart of [[encodePqPrepared]]. */
+  private[operators] def encodeIvfPqPrepared(
+      centArr: Array[(Long, Array[Double])],
+      cbs: Array[Array[Array[Double]]], starts: Array[Int], df: DataFrame,
+      idCol: String, vecCol: String, byResidual: Boolean): DataFrame =
+    ivfAssignEncode(prepared(df, idCol, vecCol), centArr, cbs, starts,
+      byResidual)
+
+  /** Collect a persisted centroid frame to the (sorted) in-memory layout
+    * the encode/serve kernels index by cent_id. */
+  private[operators] def collectCentroidArr(
+      centroids: DataFrame): Array[(Long, Array[Double])] = {
+    val arr = centroids
+      .select(col("cent_id").cast("long"), col("cv").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(arr.nonEmpty, "empty centroids frame")
+    arr
+  }
+
+  /** Collect a rotation frame into a driver-local relation, so each
+    * per-micro-batch [[rotateVectors]] call re-reads it without a
+    * cluster job or a parquet round trip. */
+  private[operators] def localRotationFrame(rot: DataFrame): DataFrame = {
+    val spark = rot.sparkSession
+    import spark.implicits._
+    rot.select(col("i").cast("int"), col("rvec").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect().toSeq.toDF("i", "rvec")
   }
 
   /** ADC search over a persisted PQ index: the corpus is touched ONLY to
@@ -2493,7 +2587,7 @@ object SimilaritySearch {
 
   /** Rebuild the in-memory codebook array (and subspace offsets) from the
     * persisted (subspace, codeword, vec) frame — m·ks small rows. */
-  private def pqCodebooksFromDf(cbDf: DataFrame): (Array[Array[Array[Double]]], Array[Int]) = {
+  private[operators] def pqCodebooksFromDf(cbDf: DataFrame): (Array[Array[Array[Double]]], Array[Int]) = {
     val rows = cbDf.select(col("subspace").cast("int"), col("codeword").cast("int"),
         col("vec").cast("array<double>"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
