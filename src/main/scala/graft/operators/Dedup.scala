@@ -439,7 +439,7 @@ object Dedup {
                       n: Int, threshold: Double,
                       rowsPerBand: Int = 3, numBands: Int = 16): DataFrame = {
     val h = rowsPerBand * numBands
-    val docs = df.select(col(idCol).as("id"),
+    val docs = PlanStats.spreadForKernel(df).select(col(idCol).as("id"),
       TextAnalysis.wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     // Both derived columns reference `sh` — a non-cheap expression, so
