@@ -102,8 +102,12 @@ object Bpe {
         // (Catalyst re-plan + job dispatch) for a per-round job whose
         // actual work is microseconds (measured: 256 rounds = ~40 ms
         // plan + ~15 ms job each, ~85% of q_bpe_merges_256's wall).
-        val wordsLocal = words.limit(maxDriverWords + 1).collect()
-        if (wordsLocal.length <= maxDriverWords) {
+        // gate with the cheap cache-backed count FIRST: collecting
+        // maxDriverWords+1 full symbol arrays just to reject the tier was
+        // a transient multi-hundred-MB driver-heap spike paid even when
+        // the table was too big (r17 ADVICE)
+        if (words.count() <= maxDriverWords) {
+          val wordsLocal = words.collect()
           words.unpersist()
           trainDriverLocal(wordsLocal, initPairs, numMerges, minCount)
         } else

@@ -35,7 +35,16 @@ object CurationPipeline {
     * decontaminate against (disjoint from `docs` by contract — the gate
     * splits on doc_id % 97). `targetShare` keys must cover every source
     * that may survive to the sampling stage (mixtureSample drops
-    * unlisted strata, by its documented contract). */
+    * unlisted strata, by its documented contract).
+    *
+    * STORAGE NOTE: the FINAL stage cut (`packed`) stays resident after
+    * this returns — the returned lazy frame reads from it, so it cannot
+    * be released here (and cleanCheckpoints defaults to false, see
+    * ConnectedComponents.release). One |survivors|-sized checkpoint leaks
+    * per run() for the session's lifetime; callers that invoke the
+    * pipeline repeatedly in one session should sweep persistent RDDs
+    * after consuming the result (the bench harness does this between
+    * queries). */
   def curate(docs: DataFrame, bench: DataFrame, idCol: String,
              textCol: String, sourceCol: String,
              targetShare: Map[String, Double], totalBudget: Long,

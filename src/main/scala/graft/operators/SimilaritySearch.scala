@@ -1699,7 +1699,10 @@ object SimilaritySearch {
     * computeStatisticsDistributedly stages: 358 tasks × 4+ rounds at
     * sf0.1) that dominated every ANN lifecycle gate's wall clock. */
   private[operators] def localLloydPar(points: Array[Array[Double]], k: Int,
-                                       iters: Int, seed: Long): Array[Array[Double]] = {
+                                       iters: Int, seed: Long,
+                                       maxThreads: Int =
+                                         Runtime.getRuntime.availableProcessors())
+      : Array[Array[Double]] = {
     val n = points.length
     if (n == 0 || k <= 0) return Array.empty
     val kk = math.min(k, n)
@@ -1712,7 +1715,8 @@ object SimilaritySearch {
     val dim = points(0).length
     val nChunks = (n + chunk - 1) / chunk
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(nChunks, Runtime.getRuntime.availableProcessors())))
+      math.max(1, math.min(nChunks,
+        math.min(maxThreads, Runtime.getRuntime.availableProcessors()))))
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -2567,11 +2571,17 @@ object SimilaritySearch {
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // cap each fit's inner Lloyd pool so the m concurrent fits cannot
+    // oversubscribe to ~m×cores threads during the hottest training
+    // phase (r17 ADVICE); results are unchanged (fixed-chunk merge)
+    val innerThreads = math.max(1,
+      Runtime.getRuntime.availableProcessors() / math.min(m, 8))
     try Await.result(Future.sequence((0 until m).toSeq.map { j => Future {
       val len = starts(j + 1) - starts(j)
       val sub = x.map(v =>
         java.util.Arrays.copyOfRange(v, starts(j), starts(j) + len))
-      val centers = localLloydPar(sub, ks, iters = 10, seed = 42L + j)
+      val centers = localLloydPar(sub, ks, iters = 10, seed = 42L + j,
+        maxThreads = innerThreads)
       // localLloydPar caps centers at the sample size; the persisted
       // frame and the flat ADC LUTs require a dense uniform 0..ks-1
       // layout, so pad with duplicates of center 0 — value-neutral by

@@ -42,7 +42,10 @@ object ProfileQuery {
 
     val jobs = mutable.ArrayBuffer.empty[JobRec]
     val stages = mutable.Map.empty[Int, StageRec]
-    var capture = false
+    // @volatile: written by the main thread, read on the listener-bus
+    // thread — a plain var could miss the final rep's first jobs or
+    // include warmup ones (r17 ADVICE)
+    @volatile var capture = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         if (capture) jobs.synchronized {
