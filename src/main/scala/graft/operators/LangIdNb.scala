@@ -161,11 +161,17 @@ object LangIdNb {
     val grams = spread(labeled
       .select(col(langCol).as("lang"), normText(col(textCol)).as("t")))
       .select(col("lang"), explode(trigramsOf(col("t"))).as("g"))
-    // the one corpus-sized job: exact (lang, trigram) counts
-    val cnt = grams.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
-      .as[(String, String, Long)].collect()
-    val nsentL = labeled.groupBy(col(langCol).as("lang"))
-      .agg(count(lit(1)).as("ns")).as[(String, Long)].collect()
+    // the one corpus-sized job: exact (lang, trigram) counts. The two
+    // bounded collects are independent — overlap them (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = IndexRoot.ioEc
+    val fCnt = Future(grams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("c")).as[(String, String, Long)].collect())
+    val fNsent = Future(labeled.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("ns")).as[(String, Long)].collect())
+    val cnt = Await.result(fCnt, Duration.Inf)
+    val nsentL = Await.result(fNsent, Duration.Inf)
     val cntDf = cnt.toSeq.toDF("lang", "g", "c")
     val nsent = nsentL.toSeq.toDF("lang", "ns")
     val tot = cntDf.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
@@ -192,8 +198,6 @@ object LangIdNb {
               textCol: String): DataFrame = {
     val base = spread(docs.select(col(idCol).as("__id"),
       normText(col(textCol)).as("t")))
-    val stats = base.select(col("__id"),
-      greatest(length(col("t")) - 2, lit(0)).cast("long").as("n"))
     // The language list (with its prior/dflt scalars) is bounded and —
     // since train() materializes the model — already driver-local, so the
     // per-language matched-weight sums become COLUMNS of one fixed-width
@@ -202,23 +206,32 @@ object LangIdNb {
     // row set, no |langs|-way cross join, no window sort. Values are the
     // identical expressions; only the summation grouping changes, which
     // the documented 1e-4 rounding absorbs.
+    //
+    // ONE corpus pass: the trigram count n rides the exploded rows
+    // (explode_outer keeps zero-trigram docs as a single null-gram row,
+    // and the LEFT weights join keeps unmatched grams), so there is no
+    // second scan for per-doc stats and no stats⋈matched join — the two
+    // branches otherwise re-ran the scan+normalize upstream once each
+    // (column pruning differentiates the exchanges, so they don't reuse).
     val langRows = model.langs.select(col("lang"), col("prior"), col("dflt"))
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
     require(langRows.nonEmpty, "model has no languages")
     val grams = base
-      .select(col("__id"), explode(trigramsOf(col("t"))).as("g"))
-      .join(broadcast(model.weights), "g")
+      .select(col("__id"),
+        greatest(length(col("t")) - 2, lit(0)).cast("long").as("n"),
+        explode_outer(trigramsOf(col("t"))).as("g"))
+      .join(broadcast(model.weights), Seq("g"), "left")
     val msCols = langRows.map { case (l, _, _) =>
       sum(when(col("lang") === lit(l), col("wd"))).as(s"__ms_$l") }
-    val matched = grams.groupBy(col("__id")).agg(msCols.head, msCols.tail: _*)
+    val agg = grams.groupBy(col("__id"))
+      .agg(max(col("n")).as("n"), msCols: _*)
     val winner = least(langRows.map { case (l, prior, dflt) =>
       struct((-(lit(prior) + col("n") * lit(dflt)
           + coalesce(col(s"__ms_$l"), lit(0.0)))).as("negs"),
         lit(l).as("lang"))
     }: _*)
-    stats.join(matched, Seq("__id"), "left")
-      .select(col("__id"), winner.as("w"))
+    agg.select(col("__id"), winner.as("w"))
       .select(col("__id").as(idCol), col("w.lang").as("lang_nb"),
         round(-col("w.negs"), 4).as("nb_score"))
   }
