@@ -36,7 +36,7 @@ import Dedup.{dot, l2norm}
   * (spec-pinned and gated). `codebooks` stays a flat dir: it is never
   * appended to — FAISS semantics, the quantizer is frozen at build. */
 /** Root hygiene shared by the index families' `save` methods. */
-private[operators] object IndexRoot {
+private[graft] object IndexRoot {
   /** Shared bounded pool for overlapping INDEPENDENT index-I/O legs
     * (guide §2.6: Spark schedules jobs from several threads fine). A
     * persisted index is several small sidecar frames; saving/loading

@@ -74,17 +74,23 @@ object StreamingCuration {
         .localCheckpoint(true)
     }
     try {
-    labeled("index + pairs") {
-    StreamingNearDedup.processBatch(admitted, batchId, idCol, textCol,
-        n, threshold, s"$baseDir/index")
-      .write.mode("overwrite").parquet(s"$baseDir/pairs/batch=$batchId")
+    val pairsDf = labeled("index + pairs") {
+      val p = StreamingNearDedup.processBatch(admitted, batchId, idCol,
+        textCol, n, threshold, s"$baseDir/index").persist()
+      p.write.mode("overwrite").parquet(s"$baseDir/pairs/batch=$batchId")
+      p
     }
+    try {
     // first-seen-wins: partners outside this batch's admitted set are
-    // strictly earlier arrivals; within the batch the smaller id wins
+    // strictly earlier arrivals; within the batch the smaller id wins.
+    // The victim derivation reads the JUST-WRITTEN pair set from the
+    // cache that the durable write filled (identical rows — the frame is
+    // a pure function of the durable index partitions), saving the
+    // per-batch listing + schema-inference round trip of a read-back.
     val curIds = admitted.select(col(idCol).cast("long").as("cid"))
     val fa = curIds.select(col("cid").as("id_a"), lit(true).as("a_cur"))
     val fb = curIds.select(col("cid").as("id_b"), lit(true).as("b_cur"))
-    val victims = spark.read.parquet(s"$baseDir/pairs/batch=$batchId")
+    val victims = pairsDf
       .select(col("id_a"), col("id_b"))
       .join(fa, Seq("id_a"), "left")
       .join(fb, Seq("id_b"), "left")
@@ -102,6 +108,7 @@ object StreamingCuration {
           .cast("long").as("n_tok"))
       .write.mode("overwrite").parquet(s"$baseDir/curated/batch=$batchId")
     }
+    } finally { pairsDf.unpersist(); () }
     } finally graft.operators.ConnectedComponents.release(admitted)
     spark.read.parquet(s"$baseDir/curated/batch=$batchId")
   }
