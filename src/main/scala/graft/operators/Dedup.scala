@@ -1008,10 +1008,17 @@ object Dedup {
     * self-join: cost is linear in total distinct shingle occurrences. */
   def noveltyScores(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+    // persist(): the min-id aggregate and the join back both read the
+    // (id, hash) stream, and their exchanges differ (partial-agg rows vs
+    // raw rows), so uncached the shingle+md5 kernel ran once per
+    // reference (measured: twin single-task corpus passes). Blocks are
+    // released by the caller's session cache sweep. spreadForKernel
+    // parallelizes the kernel when the scan is a single split.
+    val sh = PlanStats.spreadForKernel(df).select(col(idCol).as("id"),
         explode(TextAnalysis.wordShingles(lower(trim(col(textCol))), n)).as("__g"))
       .select(col("id"),
         conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long").as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstSeen = sh.groupBy(col("__h")).agg(min(col("id")).as("__first"))
     val scored = sh.join(firstSeen, "__h")
       .groupBy(col("id"))

@@ -45,15 +45,18 @@ object ImportanceSampling {
     val numBuckets = math.pow(16.0, hexChars.toDouble)
     val base = docs.select(col(idCol).as("doc_id"), targetPred.as("is_tgt"),
       col(textCol).as("__text"))
-    // non-distinct unigrams + bigrams (generator keeps multiplicity;
-    // WordShingles would dedupe within a doc)
-    val uni = base.select(col("doc_id"), col("is_tgt"),
-      expressions.shingle_rows(col("__text"), 1))
-    val bi = base.select(col("doc_id"), col("is_tgt"),
-      expressions.shingle_rows(col("__text"), 2))
-    val feats = uni.union(bi).select(col("doc_id"), col("is_tgt"),
-      substring(md5(col("shingle")), 1, hexChars).as("b"))
-    // the only corpus-sized aggregate; everything below re-aggregates it
+    // non-distinct unigrams + bigrams from ONE tokenization pass
+    // (shingle_range_rows emits the same strings per width as the old
+    // two-select union, which scanned and tokenized the corpus twice)
+    val feats = base.select(col("doc_id"), col("is_tgt"),
+        expressions.shingle_range_rows(col("__text"), 1, 2))
+      .select(col("doc_id"), col("is_tgt"),
+        substring(md5(col("shingle")), 1, hexChars).as("b"))
+    // the only corpus-sized aggregate; everything below re-aggregates it.
+    // (A persist() here was measured SLOWER than the recompute at bench
+    // scale — the columnar cache build plus its wide downstream stages
+    // cost more than re-running the one feature pass for the bucket-stats
+    // broadcast subtree; both references stay lazy.)
     val docb = feats.groupBy(col("doc_id"), col("is_tgt"), col("b"))
       .agg(count(lit(1)).as("n"))
     val rawb = docb.groupBy(col("b"))
@@ -85,7 +88,13 @@ object ImportanceSampling {
                    targetPred: Column, n: Int, hexChars: Int = 3,
                    alpha: Double = 0.5): DataFrame = {
     require(n > 0, s"n must be > 0, got $n")
+    // CUT the weight table (eager localCheckpoint, identity on data —
+    // |docs| rows of 16 bytes): the threshold broadcast below otherwise
+    // re-executed the whole corpus-sized weights pipeline once for the
+    // limit and again for the flag join (measured: twin 1.2 s feature
+    // jobs in the gate profile)
     val w = dsirLogWeights(docs, idCol, textCol, targetPred, hexChars, alpha)
+      .localCheckpoint(true)
     val thr = w.orderBy(col("log_weight").desc, col("doc_id").asc).limit(n)
       .orderBy(col("log_weight").asc, col("doc_id").desc).limit(1)
       .select(col("log_weight").as("__tw"), col("doc_id").as("__tid"))
