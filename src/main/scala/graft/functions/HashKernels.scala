@@ -303,7 +303,8 @@ object HashKernels {
     * [[ngrams]](s, n); grams are concatenated in ascending-n blocks. The
     * single-pass form exists because a multi-width featurizer (unigram +
     * bigram hashing) otherwise tokenizes the corpus once per width. */
-  def ngramRange(s: UTF8String, minN: Int, maxN: Int): Array[UTF8String] = {
+  def ngramRange(s: UTF8String, minN: Int,
+                 maxN: Int): Array[(Int, UTF8String)] = {
     require(minN >= 1 && maxN >= minN, s"bad n-gram range [$minN, $maxN]")
     val text = s.toLowerCase.toString
     val tokens = new java.util.ArrayList[String](64)
@@ -319,7 +320,7 @@ object HashKernels {
     var total = 0
     var n = minN
     while (n <= maxN) { total += math.max(0, nTok - n + 1); n = n + 1 }
-    val out = new Array[UTF8String](total)
+    val out = new Array[(Int, UTF8String)](total)
     var o = 0
     n = minN
     while (n <= maxN) {
@@ -329,7 +330,7 @@ object HashKernels {
         val sb = new java.lang.StringBuilder(tokens.get(t))
         var d = 1
         while (d < n) { sb.append(' ').append(tokens.get(t + d)); d += 1 }
-        out(o) = UTF8String.fromString(sb.toString)
+        out(o) = (n, UTF8String.fromString(sb.toString))
         o += 1; t += 1
       }
       n += 1

@@ -344,13 +344,15 @@ case class ShingleGenerator(child: Expression, n: Int)
 /** Multi-width shingle UDTF: one row per word n-gram for EVERY n in
   * [minN, maxN], in ascending-n blocks — per n, the same strings in the
   * same order as [[ShingleGenerator]], from ONE tokenization pass. Rows:
-  * (shingle STRING). A unigram+bigram featurizer over this generator
+  * (n INT, shingle STRING) — consumers that don't slice by width project
+  * the shingle alone. A unigram+bigram featurizer over this generator
   * scans and tokenizes the corpus once instead of once per width. */
 case class ShingleRangeGenerator(child: Expression, minN: Int, maxN: Int)
   extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.Generator
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def elementSchema: StructType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
     StructField("shingle", StringType, nullable = false)))
 
   override def checkInputDataTypes() = {
@@ -369,7 +371,9 @@ case class ShingleRangeGenerator(child: Expression, minN: Int, maxN: Int)
     if (v == null) return Nil
     HashKernels.ngramRange(
         v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], minN, maxN)
-      .iterator.map(g => org.apache.spark.sql.catalyst.InternalRow(g))
+      .iterator.map { case (n, g) =>
+        org.apache.spark.sql.catalyst.InternalRow(n, g)
+      }
   }
 
   override protected def withNewChildInternal(c: Expression): ShingleRangeGenerator =

@@ -77,24 +77,17 @@ object CorpusStats {
     * are partial-aggregated per slice. Slice count is small (sources /
     * shards), so the final aggregate is trivially bounded. */
   def distinctNgramStats(df: DataFrame, sliceCol: String, textCol: String): DataFrame = {
-    val base = df.select(col(sliceCol).as("__slice"),
-      TextAnalysis.tokens(col(textCol)).as("__w"))
-
     // positional n-grams WITH multiplicity (wordShingles dedups per doc,
-    // which would undercount the totals the ratios divide by)
-    def grams(n: Int): DataFrame = {
-      val g =
-        if (n == 1) col("__w")
-        else when(size(col("__w")) >= n,
-          transform(sequence(lit(1), size(col("__w")) - (n - 1)),
-            i => concat_ws(" ",
-              (0 until n).map(o => element_at(col("__w"), i + lit(o))): _*)))
-          .otherwise(array())
-      base.select(col("__slice"), explode(g).as("__g0"), lit(n).as("__n"))
-        .select(col("__slice"), xxhash64(col("__g0")).as("__g"), col("__n"))
-    }
-
-    val all = grams(1).union(grams(2)).union(grams(3))
+    // which would undercount the totals the ratios divide by), all three
+    // widths from ONE tokenization pass (shingle_range_rows emits the
+    // same space-joined lowercase strings the per-width transform built
+    // — same token kernel — so the hashes are unchanged); the previous
+    // three-way union scanned and tokenized the corpus once per width
+    val all = graft.operators.PlanStats.spreadForKernel(df)
+      .select(col(sliceCol).as("__slice"),
+        graft.functions.expressions.shingle_range_rows(col(textCol), 1, 3))
+      .select(col("__slice"), xxhash64(col("shingle")).as("__g"),
+        col("n").as("__n"))
     val per = all.groupBy(col("__slice"), col("__n"))
       .agg(count(lit(1)).as("__tot"), countDistinct(col("__g")).as("__d"))
     per.groupBy(col("__slice").as("slice"))

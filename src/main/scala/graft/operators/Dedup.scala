@@ -32,7 +32,13 @@ object Dedup {
     * themselves (the text) never shuffle. A window over the fingerprint
     * would instead drag every full row through an exchange. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withFp = df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+    // spreadForKernel: the fingerprint kernel (and whatever row-local
+    // kernels the caller chains on the annotated output — quality/lang
+    // scoring in the corpus-clean path) otherwise runs single-task on a
+    // single-split scan, because the group join broadcasts and never
+    // re-partitions the doc side
+    val withFp = PlanStats.spreadForKernel(df)
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
     val dupGroups = withFp
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("g_rep"), count(lit(1)).as("g_n"))
