@@ -1522,9 +1522,27 @@ object SimilaritySearch {
       math.min(numSubspaces, Runtime.getRuntime.availableProcessors()))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
+      // fixed-chunk parallel map over the sample: deterministic output
+      // (chunks merge in ascending order) — the rotate / encode /
+      // Procrustes-accumulate steps were serial driver loops across the
+      // 10 OPQ iterations
+      val chunk = 512
+      val nChunks = (x.length + chunk - 1) / chunk
+      def parMap[T: scala.reflect.ClassTag](src: Array[Array[Double]])(
+          f: Array[Double] => T): Array[T] =
+        Await.result(Future.sequence((0 until nChunks).toSeq.map { ch =>
+          Future {
+            val lo = ch * chunk
+            val hi = math.min(src.length, lo + chunk)
+            val out = new Array[T](hi - lo)
+            var i = lo
+            while (i < hi) { out(i - lo) = f(src(i)); i += 1 }
+            out
+          }
+        }), Duration.Inf).toArray.flatten
       var it = 0
       while (it < opqIters) {
-        val xr = x.map(v => matVec(r, v))
+        val xr = parMap(x)(v => matVec(r, v))
         // per-subspace Lloyd on the rotated sample (FAISS niter_pq = 4)
         val cbs = Await.result(
           Future.sequence((0 until numSubspaces).toSeq.map { j => Future {
@@ -1537,7 +1555,7 @@ object SimilaritySearch {
             else cents ++ Array.fill(ks - cents.length)(cents(0).clone())
           }}), Duration.Inf).toArray
         // reconstructions of the rotated sample under the new codebooks
-        val xhat = xr.map { v =>
+        val xhat = parMap(xr) { v =>
           val code = encodeOne(v, cbs, starts)
           val out = new Array[Double](dim)
           var j = 0
@@ -1548,19 +1566,33 @@ object SimilaritySearch {
           }
           out
         }
-        // Procrustes: maximize tr(R · M) with M = Σ_n x_n · x̂_nᵀ
-        val m = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
-        var n = 0
-        while (n < x.length) {
-          val xv = x(n); val hv = xhat(n)
-          var i = 0
-          while (i < dim) {
-            var j = 0
-            while (j < dim) { m(i, j) += xv(i) * hv(j); j += 1 }
-            i += 1
-          }
-          n += 1
-        }
+        // Procrustes: maximize tr(R · M) with M = Σ_n x_n · x̂_nᵀ.
+        // Per-chunk partials summed in ascending chunk order — the same
+        // deterministic-merge discipline as localLloydPar (M entries can
+        // differ from the serial fold in the last ulp; the trained
+        // rotation is a frozen artifact the oracle replays from, so the
+        // serve stays value-exact)
+        val partials = Await.result(
+          Future.sequence((0 until nChunks).toSeq.map { ch =>
+            Future {
+              val lo = ch * chunk
+              val hi = math.min(x.length, lo + chunk)
+              val mm = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+              var n = lo
+              while (n < hi) {
+                val xv = x(n); val hv = xhat(n)
+                var i = 0
+                while (i < dim) {
+                  var j = 0
+                  while (j < dim) { mm(i, j) += xv(i) * hv(j); j += 1 }
+                  i += 1
+                }
+                n += 1
+              }
+              mm
+            }
+          }), Duration.Inf)
+        val m = partials.reduceLeft(_ + _)
         val svd = breeze.linalg.svd(m)
         val rNew = svd.Vt.t * svd.U.t
         r = Array.tabulate(dim, dim)((i, j) => rNew(i, j))
